@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Shared parquet loaders for the graft engine.
+  *
+  * Design notes (SURVEY.md §1):
+  *  - All tables are plain self-describing parquet; we never infer schemas.
+  *  - All timestamp columns are normalized to TIMESTAMP_NTZ so that results
+  *    written back to parquet carry `isAdjustedToUTC=false`, exactly matching
+  *    the naive timestamps the DuckDB oracle computes from the same files.
+  *    The session timezone is forced to UTC by the harness, so the cast is a
+  *    wall-clock identity.
+  *  - `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark 4 refuses to
+  *    read by default. Verified recipe (SURVEY.md §1.3): read it as a long
+  *    via `spark.sql.legacy.parquet.nanosAsLong`, then truncate ns→µs with
+  *    INTEGER division (`ts div 1000`). Floating-point division corrupts
+  *    ~12% of rows (ns epoch values exceed double's 2^53 exact range).
+  *    DuckDB's µs TIMESTAMP applies the identical floor-truncation on read.
+  *
+  * Scale notes: loaders return unpartitioned scans; Catalyst handles column
+  * pruning + predicate pushdown into the parquet reader. At cluster scale the
+  * same loaders work over directory-partitioned datasets unchanged.
+  */
+object Tables {
+
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    ntz(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Cast every TIMESTAMP column to TIMESTAMP_NTZ (identity under UTC). */
+  private def ntz(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampType => d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        case _             => d
+      }
+    }
+
+  def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Events with `ts` converted ns→µs→TIMESTAMP_NTZ. See §1.3 recipe. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+}

@@ -1,0 +1,315 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.1 categories A–E, H).
+  *
+  * Every query is a pure `(SparkSession, sfDir) => DataFrame` whose FINAL
+  * transformation is the total-order `orderBy` mirroring its oracle SQL's
+  * `ORDER BY` (the harness writes `coalesce(1)` so the sort must come last).
+  * Doubles are rounded at the very end on both sides (determinism contract
+  * §2.0); integer-typed derived columns are cast so Spark's output type
+  * matches DuckDB's (e.g. rank() is int in Spark, BIGINT in DuckDB).
+  *
+  * Scale notes: all plans are declarative DataFrame ops — Catalyst pushes
+  * filters/projections into the parquet scan, picks broadcast joins for the
+  * small dimensions (region/nation/filtered orders), and AQE re-plans at
+  * runtime. orderBy+limit compiles to TakeOrderedAndProject (no global sort
+  * materialization).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- A. scans ----------------------------------------------------------
+
+  // (l_orderkey, l_linenumber) is NOT unique in this data — the ORDER BY
+  // must cover every output column so tied rows are identical (§2.0.1).
+  val qScanProject: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .drop("l_linenumber")
+
+  // ---- B. filter / predicates / case -------------------------------------
+
+  val qFilterPred: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(
+        expr("l_shipdate >= TIMESTAMP_NTZ '1998-01-01 00:00:00'") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  val qCaseExpr: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("band"))
+      .orderBy("o_orderkey")
+      .limit(1000)
+
+  // ---- C. aggregations ----------------------------------------------------
+
+  val qAggHash: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(expr("l_shipdate <= TIMESTAMP_NTZ '2001-09-01 00:00:00'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Num.roundd(sum("l_quantity"), 2).as("sum_qty"),
+        Num.roundd(sum("l_extendedprice"), 2).as("sum_base"),
+        Num.roundd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        Num.roundd(Num.roundd(sum("l_quantity"), 6) / count(lit(1)), 4).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val qAggDistinct: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_nationkey")).as("nations"), count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+
+  // ROLLUP through the SQL path: the DataFrame `rollup().agg()` output
+  // exposes grouping columns twice (for HAVING resolution), which trips the
+  // ambiguous-self-join detector when coalescing the grouping NULLs.
+  val qAggRollup: Q = (s, d) => {
+    Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .createOrReplaceTempView("graft_nation_region")
+    s.sql(
+      """SELECT coalesce(r_name,'ALL') r, coalesce(n_name,'ALL') n, count(*) cnt
+        |FROM graft_nation_region GROUP BY ROLLUP(r_name, n_name) ORDER BY r, n""".stripMargin)
+  }
+
+  val qAggCube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("f"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("s"),
+        col("cnt"))
+      .orderBy("f", "s")
+
+  // ---- D. joins ------------------------------------------------------------
+
+  val qJoinInner: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val qJoinMultiway: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(Num.roundd(sum("o_totalprice"), 2).as("rev"))
+      .orderBy("r_name", "n_name")
+
+  val qJoinLeft: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  val qJoinFull: Q = (s, d) => {
+    val a = Tables.supplier(s, d).groupBy(col("s_nationkey").as("ka"))
+      .agg(count(lit(1)).as("cnt_s"))
+    val b = Tables.customer(s, d).groupBy(col("c_nationkey").as("kb"))
+      .agg(count(lit(1)).as("cnt_c"))
+    a.join(b, col("ka") === col("kb"), "full")
+      .select(coalesce(col("ka"), col("kb")).as("k"), col("cnt_s"), col("cnt_c"))
+      .orderBy("k")
+  }
+
+  val qJoinSemi: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 450000),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val qJoinAnti: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val qJoinThetaRange: Q = (s, d) =>
+    Tables.part(s, d)
+      .join(
+        Tables.lineitem(s, d),
+        col("l_partkey") === col("p_partkey") &&
+          col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
+
+  // ---- E. sort / set ops / window functions --------------------------------
+
+  val qSortTopk: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  val qSetUnion: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  val qSetIntersect: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  val qSetExcept: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .except(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  val qWindowRank: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy("c_mktsegment", "rnk", "c_custkey")
+  }
+
+  val qWindowLag: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag("o_totalprice", 1).over(w).as("prev_price"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      .limit(1000)
+  }
+
+  val qWindowFrame: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        Num.roundd(sum("o_totalprice").over(w), 2).as("run3"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
+  // ---- H. scalar functions --------------------------------------------------
+
+  val qScalarString: Q = (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_name").like("Customer%"))
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("u"),
+        substring(col("c_name"), 1, 8).as("s"),
+        length(col("c_name")).cast("long").as("l"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("num"))
+      .orderBy("c_custkey")
+      .limit(500)
+
+  // DuckDB extract(dow): 0=Sunday; Spark dayofweek: 1=Sunday → subtract 1.
+  val qScalarDate: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dw"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("dd"))
+      .orderBy("o_orderkey")
+      .limit(1000)
+
+  val qScalarMath: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Num.roundd(sqrt(col("l_extendedprice")), 4).as("r1"),
+        Num.roundd(log(col("l_extendedprice") + 1), 4).as("r2"),
+        abs(col("l_discount") - 0.05).as("r3"),
+        floor(col("l_quantity")).as("f"),
+        ceil(col("l_tax") * 100).as("c"))
+      // non-unique (orderkey, linenumber): tiebreak on the derived columns
+      // so the LIMIT cut and tied rows are identical on both sides
+      .orderBy("l_orderkey", "l_linenumber", "r1", "r3", "f", "c")
+      .limit(1000)
+
+  val qScalarJson: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+      .limit(1000)
+
+  /** name → (impl, oracle SQL). Oracle texts: SURVEY.md §8, with explicit
+    * casts added where DuckDB's and Spark's natural output types diverge. */
+  val all: Seq[(String, Q, String)] = Seq(
+    ("q_scan_project", qScanProject,
+      "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice"),
+    ("q_filter_pred", qFilterPred,
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10 ORDER BY l_orderkey, l_linenumber, l_extendedprice"),
+    ("q_case_expr", qCaseExpr,
+      "SELECT o_orderkey, CASE WHEN o_totalprice>300000 THEN 'high' WHEN o_totalprice>100000 THEN 'mid' ELSE 'low' END band FROM orders ORDER BY o_orderkey LIMIT 1000"),
+    ("q_agg_hash", qAggHash,
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sum_qty, round(sum(l_extendedprice),2) sum_base, round(sum(l_extendedprice*(1-l_discount)),2) sum_disc, round(round(sum(l_quantity),6)/count(*),4) avg_qty, count(*) cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    ("q_agg_distinct", qAggDistinct,
+      "SELECT c_mktsegment, count(DISTINCT c_nationkey) nations, count(*) cnt FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    ("q_agg_rollup", qAggRollup,
+      "SELECT coalesce(r_name,'ALL') r, coalesce(n_name,'ALL') n, count(*) cnt FROM nation JOIN region ON n_regionkey=r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY r, n"),
+    ("q_agg_cube", qAggCube,
+      "SELECT coalesce(l_returnflag,'ALL') f, coalesce(l_linestatus,'ALL') s, count(*) cnt FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY f, s"),
+    ("q_join_inner", qJoinInner,
+      "SELECT o_orderkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey=c_custkey WHERE o_totalprice > 400000 ORDER BY o_orderkey"),
+    ("q_join_multiway", qJoinMultiway,
+      "SELECT r_name, n_name, round(sum(o_totalprice),2) rev FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    ("q_join_left", qJoinLeft,
+      "SELECT c_custkey, count(o_orderkey) n_orders FROM customer LEFT JOIN orders ON o_custkey=c_custkey GROUP BY c_custkey ORDER BY c_custkey"),
+    ("q_join_full", qJoinFull,
+      "SELECT coalesce(a.k,b.k) k, a.cnt_s, b.cnt_c FROM (SELECT s_nationkey k, count(*) cnt_s FROM supplier GROUP BY 1) a FULL JOIN (SELECT c_nationkey k, count(*) cnt_c FROM customer GROUP BY 1) b ON a.k=b.k ORDER BY k"),
+    ("q_join_semi", qJoinSemi,
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice>450000) ORDER BY c_custkey"),
+    ("q_join_anti", qJoinAnti,
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey) ORDER BY c_custkey"),
+    ("q_join_theta_range", qJoinThetaRange,
+      "SELECT p_brand, count(*) cnt FROM part JOIN lineitem ON l_partkey=p_partkey AND l_quantity BETWEEN p_size-5 AND p_size+5 GROUP BY p_brand ORDER BY p_brand"),
+    ("q_sort_topk", qSortTopk,
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    ("q_set_union", qSetUnion,
+      "SELECT c_nationkey k FROM customer UNION SELECT s_nationkey k FROM supplier ORDER BY k"),
+    ("q_set_intersect", qSetIntersect,
+      "SELECT c_nationkey k FROM customer INTERSECT SELECT s_nationkey k FROM supplier ORDER BY k"),
+    ("q_set_except", qSetExcept,
+      "SELECT c_nationkey k FROM customer EXCEPT SELECT s_nationkey k FROM supplier ORDER BY k"),
+    ("q_window_rank", qWindowRank,
+      "SELECT * FROM (SELECT c_mktsegment, c_custkey, c_acctbal, rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) rnk FROM customer) WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey"),
+    ("q_window_lag", qWindowLag,
+      "SELECT o_custkey, o_orderkey, o_orderdate, lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) prev_price FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 1000"),
+    ("q_window_frame", qWindowFrame,
+      "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),2) run3 FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000"),
+    ("q_scalar_string", qScalarString,
+      "SELECT c_custkey, upper(c_name) u, substr(c_name,1,8) s, CAST(length(c_name) AS BIGINT) l, regexp_extract(c_name,'([0-9]+)',1) num FROM customer WHERE c_name LIKE 'Customer%' ORDER BY c_custkey LIMIT 500"),
+    ("q_scalar_date", qScalarDate,
+      "SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) m, CAST(extract(year FROM o_orderdate) AS BIGINT) y, CAST(extract(dow FROM o_orderdate) AS BIGINT) dw, CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) dd FROM orders ORDER BY o_orderkey LIMIT 1000"),
+    ("q_scalar_math", qScalarMath,
+      "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),4) r1, round(ln(l_extendedprice+1),4) r2, abs(l_discount-0.05) r3, CAST(floor(l_quantity) AS BIGINT) f, CAST(ceil(l_tax*100) AS BIGINT) c FROM lineitem ORDER BY l_orderkey, l_linenumber, r1, r3, f, c LIMIT 1000"),
+    ("q_scalar_json", qScalarJson,
+      "SELECT event_id, CAST(json_extract(props,'$.k') AS INTEGER) k FROM events ORDER BY event_id LIMIT 1000"),
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operator inventory (SURVEY.md §2.1-F) — the TSDB core, over
+  * the `events` table (ns-precision event log, see Tables.events).
+  *
+  * Scale notes:
+  *  - Tumbling/downsample are single-shuffle hash aggregates on
+  *    (bucket, type) — map-side partial agg makes them linear at 100 TB.
+  *  - Sliding windows use `F.window(ts, 1h, 15m)`: each event expands to at
+  *    most 4 windows BEFORE the shuffle, so cost is 4× a tumbling agg —
+  *    NOT a grid range-join (which would be O(grid × events)).
+  *  - Sessionization is gaps-and-islands: two window passes partitioned by
+  *    user_id. One shuffle on user_id; each user's events sort locally.
+  *    Streaming twin: session_window (graft.streaming.StreamingQueries).
+  *  - ASOF join broadcasts the (tiny, filtered) probe side through a
+  *    non-equi BroadcastNestedLoopJoin then reduces with max — right shape
+  *    when |probe| ≪ |events|. A general scalable as-of for large probe
+  *    sides lives in graft.operators.AsofJoin.
+  */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val qTsTumbling: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        Num.roundd(sum("value"), 2).as("sv"),
+        // avg derived from a pre-rounded sum: engines sum doubles in
+        // different orders (~1e-13 apart), which can flip Num.roundd(avg,4) at a
+        // .5 boundary. Num.roundd(sum,8) collapses both sides to the same double
+        // first (§2.0.2). Oracle SQL does the same.
+        Num.roundd(Num.roundd(sum("value"), 8) / count(lit(1)), 4).as("av"))
+      .orderBy("w", "event_type")
+
+  val qTsDownsampleDay: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        Num.roundd(min("value"), 2).as("mn"),
+        Num.roundd(max("value"), 2).as("mx"),
+        Num.roundd(Num.roundd(sum("value"), 8) / count(lit(1)), 4).as("av"))
+      .orderBy("d", "event_type")
+
+  /** 1h windows sliding every 15min. `F.window` expands each event to its
+    * ≤4 containing windows pre-shuffle (linear), vs the oracle's grid
+    * range-join formulation. Bounds filter mirrors the oracle's
+    * generate_series('2024-01-01','2024-01-31') grid. */
+  val qTsSliding: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col("cnt"))
+      .filter(
+        expr("w >= TIMESTAMP_NTZ '2024-01-01 00:00:00'") &&
+          expr("w <= TIMESTAMP_NTZ '2024-01-31 00:00:00'"))
+      .orderBy("w")
+
+  /** 30-min-gap sessionization via gaps-and-islands (two stacked windows). */
+  val qTsSession: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || expr("ts - prev_ts > INTERVAL '30' MINUTE"), 1)
+          .otherwise(0))
+      .withColumn("sid", sum("new_s").over(byUser))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("mn"), max("ts").as("mx"))
+      // date_diff('second',a,b) = second-boundary crossings = floor-epoch diff
+      .withColumn("dur_s",
+        expr("unix_micros(cast(mx as timestamp)) div 1000000 - unix_micros(cast(mn as timestamp)) div 1000000"))
+      .select("user_id", "sid", "n_events", "dur_s")
+      .orderBy("user_id", "sid")
+  }
+
+  /** Dense hourly axis LEFT JOIN hourly sums; empty hours → 0.0. */
+  val qTsGapfill: Q = (s, d) => {
+    val hours = s.sql(
+      "SELECT explode(sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00', TIMESTAMP_NTZ '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h")
+    val agg = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("ah"))
+      .agg(Num.roundd(sum("value"), 2).as("asv"))
+    hours.join(agg, col("h") === col("ah"), "left")
+      .select(col("h"), coalesce(col("asv"), lit(0.0)).as("sv"))
+      .orderBy("h")
+  }
+
+  val qTsLastPoint: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max_by(col("value"), col("ts")).as("last_value"), max("ts").as("last_ts"))
+      .orderBy("user_id")
+
+  val qTsDelta: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(
+        col("user_id"), col("ts"), col("event_id"),
+        Num.roundd(col("value") - lag("value", 1).over(w), 4).as("delta"))
+      .orderBy("user_id", "ts", "event_id")
+      .limit(5000)
+      .drop("event_id")
+  }
+
+  val qTsTopkPerDay: Q = (s, d) => {
+    val counted = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("d").orderBy(col("cnt").desc, col("user_id").asc)
+    counted
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy("d", "rn")
+  }
+
+  val qTsHistogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy((floor(col("value") / 50) * 50).cast("double").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  /** As-of join: for each sampled order, the latest event at-or-before
+    * (o_orderdate + 10585 days). Probe side is tiny → broadcast non-equi
+    * join + max reduction. Inner semantics (orders with no event drop). */
+  val qTsAsofJoin: Q = (s, d) => {
+    val probe = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey"), expr("o_orderdate + INTERVAL '10585' DAY").as("cutoff"))
+    Tables.events(s, d).select(col("ts"))
+      .join(broadcast(probe), col("ts") <= col("cutoff"))
+      .groupBy("o_orderkey")
+      .agg(max("ts").as("ts"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[(String, Q, String)] = Seq(
+    ("q_ts_tumbling", qTsTumbling,
+      "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
+    ("q_ts_downsample_day", qTsDownsampleDay,
+      "SELECT date_trunc('day', ts) d, event_type, count(*) cnt, round(min(value),2) mn, round(max(value),2) mx, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
+    ("q_ts_sliding", qTsSliding,
+      "SELECT ws.w, count(*) cnt FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 15 MINUTE)) w) ws JOIN events e ON e.ts >= ws.w AND e.ts < ws.w + INTERVAL 1 HOUR GROUP BY ws.w ORDER BY ws.w"),
+    ("q_ts_session", qTsSession,
+      "WITH marked AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END new_s FROM events), sess AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) sid FROM marked) SELECT user_id, sid, count(*) n_events, CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) dur_s FROM sess GROUP BY user_id, sid ORDER BY user_id, sid"),
+    ("q_ts_gapfill", qTsGapfill,
+      "WITH hours AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), agg AS (SELECT date_trunc('hour', ts) h, round(sum(value),2) sv FROM events GROUP BY 1) SELECT hours.h, coalesce(agg.sv, 0.0) sv FROM hours LEFT JOIN agg ON hours.h=agg.h ORDER BY hours.h"),
+    ("q_ts_last_point", qTsLastPoint,
+      "SELECT user_id, max_by(value, ts) last_value, max(ts) last_ts FROM events GROUP BY user_id ORDER BY user_id"),
+    ("q_ts_delta", qTsDelta,
+      "SELECT user_id, ts, round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),4) delta FROM events ORDER BY user_id, ts, event_id LIMIT 5000"),
+    ("q_ts_topk_per_day", qTsTopkPerDay,
+      "SELECT d, user_id, cnt, rn FROM (SELECT date_trunc('day',ts) d, user_id, count(*) cnt, CAST(row_number() OVER (PARTITION BY date_trunc('day',ts) ORDER BY count(*) DESC, user_id) AS BIGINT) rn FROM events GROUP BY 1,2) WHERE rn<=5 ORDER BY d, rn"),
+    ("q_ts_histogram", qTsHistogram,
+      "SELECT floor(value/50)*50 bucket, count(*) cnt FROM events GROUP BY 1 ORDER BY 1"),
+    ("q_ts_asof_join", qTsAsofJoin,
+      "SELECT o.o_orderkey, e.ts FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 1000 = 0) o ASOF JOIN events e ON e.ts <= o.o_orderdate + INTERVAL 10585 DAY ORDER BY o.o_orderkey"),
+  )
+}
