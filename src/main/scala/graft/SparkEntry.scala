@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Llm, Relational, TimeSeries}
+import graft.operators.{Llm, LlmScale, Relational, TimeSeries}
+import graft.streaming.StreamingQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -10,8 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    Relational.all ++ TimeSeries.all ++ Llm.all
+  private val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    (Relational.all ++ TimeSeries.all ++ Llm.all).map { case (n, q, o) => (n, q, Some(o)) } ++
+      StreamingQueries.all ++ LlmScale.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -24,5 +26,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    catalog.map { case (n, _, o) => n -> o }.toMap
+    catalog.collect { case (n, _, Some(o)) => n -> o }.toMap
 }

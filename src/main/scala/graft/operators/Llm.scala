@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
 object Llm {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Compiled single-pass cosine: identical left-to-right double
+    * accumulation as the HOF version and DuckDB's list_cosine_similarity —
+    * bit-equal results — but a JIT'd loop instead of interpreted
+    * higher-order functions. Use on hot pairwise paths (O(n²) joins) where
+    * HOF interpretation overhead dominates; `cosine` for one-off columns. */
+  val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** dot(a,b)/(|a|·|b|) with double accumulation, as a codegen-able column. */
   def cosine(a: String, b: String): Column = {
     def sumSq(v: String) =

@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline scale tier (builder brief): near-dup dedup (MinHash,
+  * SimHash, n-gram Jaccard), embedding near-dup + ANN, text analysis
+  * (language-ID, quality scoring, token counting, fingerprinting), and the
+  * multimodal binary-column plumbing.
+  *
+  * Everything here is deterministic and cross-engine reproducible: all
+  * hashing derives from md5 (identical in Spark and DuckDB) mapped to 60-bit
+  * ints — `conv(substr(md5(x),1,15),16,10)` in Spark ≡
+  * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` in DuckDB — so even the
+  * MinHash/SimHash sketches hash-match the oracle exactly. Ratios divide
+  * exact integer counts; score formulas are linear (no transcendentals,
+  * whose last-ulp behavior differs between libm and the JVM).
+  *
+  * Scale notes: every operator is a per-row projection (codegen'd
+  * higher-order functions, no UDFs) followed by at most one equi-join or
+  * hash aggregate — linear in corpus size, shuffle only on join keys. The
+  * pairwise queries here join on consecutive doc_ids (a bounded 1:1 join)
+  * purely to give the sketches a deterministic oracle; the unbounded
+  * candidate-generation path (LSH banding → bucket join) lives in
+  * graft.operators.Dedup / Similarity.
+  */
+object LlmScale {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 60-bit md5-derived hash, seeded; identical in DuckDB (see header). */
+  private def h60(seedExpr: String, x: String) =
+    s"cast(conv(substr(md5(concat($seedExpr, ':', $x)), 1, 15), 16, 10) as bigint)"
+
+  /** documents with distinct word-3-gram array `g` (docs with ≥3 words). */
+  private def withNgrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("g",
+        expr("array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
+
+  /** Consecutive-id doc pairs — a bounded deterministic pairing that lets
+    * the pairwise sketches carry exact oracles. */
+  private def pairs(docs: DataFrame): DataFrame = {
+    val a = docs.select(col("doc_id").as("id_a"), col("g").as("ga"))
+    val b = docs.select(col("doc_id").as("id_b"), col("g").as("gb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+  }
+
+  // ---- dedup: n-gram Jaccard ---------------------------------------------
+
+  val qTextNgramJaccard: Q = (s, d) =>
+    pairs(withNgrams(s, d))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .select(
+        col("id_a"), col("id_b"),
+        Num.roundd(
+          col("inter").cast("double") /
+            (size(col("ga")) + size(col("gb")) - col("inter")), 6).as("jac"))
+      .orderBy("id_a")
+
+  // ---- dedup: MinHash (8 seeded hash functions over 3-gram shingles) ------
+
+  val qDedupMinhash: Q = (s, d) => {
+    val sig = expr(
+      s"transform(sequence(0, 7), h -> array_min(transform(g, x -> ${h60("cast(h as string)", "x")})))")
+    val docs = withNgrams(s, d).withColumn("sig", sig)
+    val a = docs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .withColumn("agree",
+        expr("size(filter(sequence(0,7), i -> element_at(sa, i+1) = element_at(sb, i+1)))").cast("long"))
+      .select(col("id_a"), col("id_b"), col("agree"),
+        (col("agree") / 8.0).as("est_jac"))
+      .orderBy("id_a")
+  }
+
+  // ---- dedup: SimHash (60-bit, over distinct tokens) ----------------------
+
+  val qDedupSimhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("tok", expr("array_distinct(split(text, ' '))"))
+      .withColumn("th", expr(s"transform(tok, x -> ${h60("'s'", "x")})"))
+      .withColumn("bits", expr(
+        "transform(sequence(0, 59), b -> if(aggregate(th, 0, (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0, 1, 0))"))
+    val a = docs.select(col("doc_id").as("id_a"), col("bits").as("ba"))
+    val b = docs.select(col("doc_id").as("id_b"), col("bits").as("bb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        expr("size(filter(sequence(0,59), i -> element_at(ba, i+1) != element_at(bb, i+1)))")
+          .cast("long").as("hamming"))
+      .orderBy("id_a")
+  }
+
+  // ---- similarity: embedding near-dup (exact, thresholded) ----------------
+
+  val qEmbNeardup: Q = (s, d) =>
+    Similarity.allPairsAboveThreshold(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"), Num.roundd(col("sim"), 6).as("sim"))
+      .orderBy("id_a", "id_b")
+
+  // ---- similarity: ANN via random-hyperplane LSH (oracle-less: approx) ----
+
+  /** Sign-random-projection LSH: 6 md5-seeded ±1 hyperplanes bucket the
+    * vectors; probe vec 0 searches its own bucket only, exact cosine inside.
+    * Declared without oracle (approximate by construction); recall vs the
+    * exact top-k is asserted in the test suite. */
+  val qSimAnnLsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val bucketed = e.withColumn("bucket", Similarity.srpBucket("embedding", 6))
+    val probe = bucketed.filter(col("vec_id") === 0)
+      .select(col("embedding").as("a"), col("bucket").as("pbucket"))
+    bucketed.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").as("b"), col("bucket"))
+      .join(broadcast(probe), col("bucket") === col("pbucket"))
+      .withColumn("sim", Num.roundd(Llm.cosine("a", "b"), 6))
+      .select("vec_id", "sim")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  // ---- text analysis: language ID (stopword voting) -----------------------
+
+  private val stopwords = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que"))
+
+  val qTextLangid: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .withColumn("tok", expr("array_distinct(split(text, ' '))"))
+    val scored = stopwords.toSeq.sortBy(_._1).foldLeft(base) { case (df, (l, ws)) =>
+      df.withColumn(s"s_$l",
+        size(array_intersect(col("tok"), array(ws.map(lit): _*))).cast("long"))
+    }
+    scored
+      .withColumn("m", greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr")))
+      .select(
+        col("doc_id"),
+        when(col("s_de") === col("m"), "de")
+          .when(col("s_en") === col("m"), "en")
+          .when(col("s_es") === col("m"), "es")
+          .otherwise("fr").as("pred_lang"),
+        col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
+      .orderBy("doc_id")
+      .limit(1000)
+  }
+
+  // ---- text analysis: quality scoring -------------------------------------
+
+  val qTextQuality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("avg_wlen",
+        expr("aggregate(w, 0, (acc, x) -> acc + length(x))").cast("double") / col("n_tok"))
+      .withColumn("stop_ratio",
+        expr("size(filter(w, x -> x in ('the', 'a', 'of', 'and', 'to')))").cast("double") / col("n_tok"))
+      .select(
+        col("doc_id"), col("n_tok"),
+        Num.roundd(col("avg_wlen"), 4).as("avg_wlen"),
+        Num.roundd(col("stop_ratio"), 4).as("stop_ratio"),
+        // linear quality proxy: no transcendentals (libm vs JVM ulp drift)
+        Num.roundd(
+          col("stop_ratio") * 0.3 + col("avg_wlen") * 0.05 + col("n_chars") * 0.0005, 4)
+          .as("score"))
+      .orderBy("doc_id")
+      .limit(1000)
+
+  // ---- text analysis: token counting (whitespace + chars-per-token BPE-ish)
+
+  val qTextTokencount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("ws_tokens"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + greatest(1L, cast(ceil(length(x) / 4.0) as bigint)))")
+          .as("bpe_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+      .limit(1000)
+
+  // ---- text analysis: document fingerprint (bottom-2 sketch of shingles) --
+
+  val qTextFingerprint: Q = (s, d) =>
+    withNgrams(s, d)
+      .withColumn("fps", expr(s"array_sort(transform(g, x -> ${h60("'f'", "x")}))"))
+      .select(
+        col("doc_id"),
+        element_at(col("fps"), 1).as("fp1"),
+        element_at(col("fps"), 2).as("fp2"),
+        size(col("fps")).cast("long").as("n_grams"))
+      .orderBy("doc_id")
+      .limit(1000)
+
+  // ---- multimodal: binary column plumbing (decode stubbed) ----------------
+
+  /** Media pipeline plumbing over an opaque binary column: the "decode"
+    * stage is a deterministic stub (this container has no image/audio
+    * codecs), but the schema, the binary column flow, and the derived
+    * metadata are real. See graft.operators.Multimodal for the batch-shaped
+    * decode API. */
+  val qMultimodalFeatures: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("blob", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        octet_length(col("blob")).cast("long").as("byte_len"),
+        sha2(col("blob"), 256).as("sha"),
+        (octet_length(col("blob")) % 640).cast("long").as("width"),
+        (octet_length(col("blob")) % 480).cast("long").as("height"),
+        (octet_length(col("blob")) % 16 + 1).cast("long").as("frames"))
+      .orderBy("doc_id")
+      .limit(1000)
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private val duckH60 = "CAST('0x' || substr(md5(%s || ':' || %s), 1, 15) AS BIGINT)"
+  private def dh(seed: String, x: String) = duckH60.format(seed, x)
+
+  private val ngramCte =
+    "WITH ng AS (SELECT doc_id, list_distinct(list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) g " +
+      "FROM (SELECT doc_id, string_split(text,' ') w FROM documents) WHERE len(w) >= 3)"
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_text_ngram_jaccard", qTextNgramJaccard, Some(
+      s"$ngramCte SELECT a.doc_id id_a, b.doc_id id_b, round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) jac FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1 ORDER BY id_a")),
+    ("q_dedup_minhash", qDedupMinhash, Some(
+      s"$ngramCte, sg AS (SELECT doc_id, list_transform(range(8), h -> list_aggregate(list_transform(g, x -> ${dh("CAST(h AS VARCHAR)", "x")}), 'min')) sig FROM ng) " +
+        "SELECT a.doc_id id_a, b.doc_id id_b, CAST(len(list_filter(range(8), i -> a.sig[i+1] = b.sig[i+1])) AS BIGINT) agree, CAST(len(list_filter(range(8), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE)/8.0 est_jac FROM sg a JOIN sg b ON b.doc_id = a.doc_id + 1 ORDER BY id_a")),
+    ("q_dedup_simhash", qDedupSimhash, Some(
+      s"WITH th AS (SELECT doc_id, list_transform(list_distinct(string_split(text,' ')), x -> ${dh("'s'", "x")}) h FROM documents), " +
+        "bits AS (SELECT doc_id, list_transform(range(60), b -> CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) bt FROM th) " +
+        "SELECT a.doc_id id_a, b.doc_id id_b, CAST(len(list_filter(range(60), i -> a.bt[i+1] != b.bt[i+1])) AS BIGINT) hamming FROM bits a JOIN bits b ON b.doc_id = a.doc_id + 1 ORDER BY id_a")),
+    ("q_emb_neardup", qEmbNeardup, Some(
+      "SELECT a.vec_id id_a, b.vec_id id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b")),
+    ("q_sim_ann_lsh", qSimAnnLsh, None), // approximate by construction; recall asserted in tests
+    ("q_text_langid", qTextLangid, Some(
+      "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) tok FROM documents), " +
+        "sc AS (SELECT doc_id, CAST(len(list_intersect(tok, ['der','die','das','und','ist','ein','nicht'])) AS BIGINT) s_de, " +
+        "CAST(len(list_intersect(tok, ['the','a','of','and','to','in','is'])) AS BIGINT) s_en, " +
+        "CAST(len(list_intersect(tok, ['el','la','de','y','que','un','es'])) AS BIGINT) s_es, " +
+        "CAST(len(list_intersect(tok, ['le','la','de','et','un','est','que'])) AS BIGINT) s_fr FROM t) " +
+        "SELECT doc_id, CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' ELSE 'fr' END pred_lang, s_de, s_en, s_es, s_fr " +
+        "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr) m FROM sc) ORDER BY doc_id LIMIT 1000")),
+    ("q_text_quality", qTextQuality, Some(
+      "WITH q AS (SELECT doc_id, n_chars, string_split(text,' ') w FROM documents), " +
+        "r AS (SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) n_tok, " +
+        "CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)/len(w) avg_wlen, " +
+        "CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)/len(w) stop_ratio FROM q) " +
+        "SELECT doc_id, n_tok, round(avg_wlen, 4) avg_wlen, round(stop_ratio, 4) stop_ratio, " +
+        "round(stop_ratio*0.3 + avg_wlen*0.05 + n_chars*0.0005, 4) score FROM r ORDER BY doc_id LIMIT 1000")),
+    ("q_text_tokencount", qTextTokencount, Some(
+      "SELECT doc_id, CAST(len(w) AS BIGINT) ws_tokens, CAST(list_sum(list_transform(w, x -> greatest(1, CAST(ceil(length(x)/4.0) AS BIGINT)))) AS BIGINT) bpe_tokens, n_chars " +
+        "FROM (SELECT doc_id, n_chars, string_split(text,' ') w FROM documents) ORDER BY doc_id LIMIT 1000")),
+    ("q_text_fingerprint", qTextFingerprint, Some(
+      s"$ngramCte, f AS (SELECT doc_id, list_sort(list_transform(g, x -> ${dh("'f'", "x")})) fps FROM ng) " +
+        "SELECT doc_id, fps[1] fp1, fps[2] fp2, CAST(len(fps) AS BIGINT) n_grams FROM f ORDER BY doc_id LIMIT 1000")),
+    ("q_multimodal_features", qMultimodalFeatures, Some(
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) byte_len, sha256(text) sha, " +
+        "CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) width, CAST(octet_length(CAST(text AS BLOB)) % 480 AS BIGINT) height, " +
+        "CAST(octet_length(CAST(text AS BLOB)) % 16 + 1 AS BIGINT) frames FROM documents ORDER BY doc_id LIMIT 1000")),
+  )
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two tiers:
+  *  - `bruteTopK` — exact cosine top-k. O(n) per probe; the correctness
+  *    oracle and the right answer for small candidate sets.
+  *  - `annTopK` / `srpBucket` — sign-random-projection LSH. Each vector gets
+  *    a small integer bucket from the signs of `nPlanes` fixed ±1
+  *    hyperplanes; similar vectors collide with high probability. Probing
+  *    cost drops from O(n) to O(n / 2^planes) expected. This is the scale
+  *    path: bucketing is a per-row projection (no shuffle), probing is an
+  *    equi-join on `bucket` — broadcastable for small probe sets, shuffle
+  *    hash join on bucket otherwise. For 100 TB corpora, persist `bucket`
+  *    as a partition/bucketing column so probes prune at the source.
+  *
+  * The hyperplanes are md5-derived (seed, dim) → ±1, generated driver-side
+  * as literals — deterministic across sessions and engines, no RNG state.
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplane matrix: sign h,d = low bit of
+    * md5("h:d"). */
+  def srpPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { h =>
+      (0 until dim).map { dd =>
+        val digest = md.digest(s"$h:$dd".getBytes(StandardCharsets.UTF_8))
+        if ((digest.last & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Bucket id in [0, 2^nPlanes) from hyperplane signs of column `vecCol`.
+    * Pure codegen'd expression — no UDF, no shuffle. */
+  def srpBucket(vecCol: String, nPlanes: Int, dim: Int = 64): Column = {
+    val planes = srpPlanes(nPlanes, dim)
+    planes.zipWithIndex.foldLeft(lit(0)) { case (acc, (plane, h)) =>
+      val planeArr = s"array(${plane.mkString(", ")})"
+      val dot = expr(
+        s"aggregate(zip_with($vecCol, $planeArr, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, t) -> acc + t)")
+      acc + when(dot > 0, lit(1 << h)).otherwise(lit(0))
+    }
+  }
+
+  /** Exact all-pairs cosine ≥ threshold, (id_a < id_b).
+    *
+    * Shape: the vector table is collected and broadcast ONCE (what a
+    * broadcast hash join does internally); the outer loop stays distributed
+    * — each partition streams its rows against the broadcast block in a
+    * primitive double loop with precomputed norms. No 4M-row join
+    * materialization, no per-pair boxing. Per-pair arithmetic is the same
+    * left-to-right double accumulation as DuckDB's list_cosine_similarity
+    * (dot / (sqrt(na)·sqrt(nb))) — results are bit-identical.
+    *
+    * Scale: valid while one side fits in a broadcast (~millions of small
+    * vectors). Beyond that, block the inner side into B chunks and union
+    * the B passes, or switch to the LSH candidate path (`srpBucket`) —
+    * exact all-pairs is O(n²) by definition and should only ever run
+    * inside a bucket/block at 100 TB scale. */
+  def allPairsAboveThreshold(emb: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val rows: Array[(Long, Array[Double])] = emb
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (i, v) => (i, v.toArray.map(_.toDouble)) }
+      .sortBy(_._1)
+    val norms: Array[Double] = rows.map { case (_, v) =>
+      var i = 0; var na = 0.0
+      while (i < v.length) { na += v(i) * v(i); i += 1 }
+      math.sqrt(na)
+    }
+    val bc = s.sparkContext.broadcast((rows, norms))
+    emb.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+      .flatMap { case (ida, vaSeq) =>
+        val (all, nrm) = bc.value
+        val va = new Array[Double](vaSeq.length)
+        var i = 0
+        while (i < va.length) { va(i) = vaSeq(i).toDouble; i += 1 }
+        var naAcc = 0.0; i = 0
+        while (i < va.length) { naAcc += va(i) * va(i); i += 1 }
+        val na = math.sqrt(naAcc)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var j = 0
+        while (j < all.length) {
+          val (idb, vb) = all(j)
+          if (idb > ida) {
+            var dot = 0.0; var k = 0
+            while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+            val sim = dot / (na * nrm(j))
+            if (sim >= threshold) out += ((ida, idb, sim))
+          }
+          j += 1
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b", "sim")
+  }
+
+  /** Exact cosine top-k neighbors of `probeId` (excluded from results). */
+  def bruteTopK(emb: DataFrame, idCol: String, vecCol: String,
+                probeId: Long, k: Int): DataFrame = {
+    val probe = emb.filter(col(idCol) === probeId).select(col(vecCol).as("__a"))
+    emb.filter(col(idCol) =!= probeId)
+      .select(col(idCol), col(vecCol).as("__b"))
+      .crossJoin(broadcast(probe))
+      .withColumn("sim", Llm.cosine("__a", "__b"))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Approximate top-k: search only the probe's LSH bucket. */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+              probeId: Long, k: Int, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val bucketed = emb.withColumn("__bucket", srpBucket(vecCol, nPlanes, dim))
+    val probe = bucketed.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__a"), col("__bucket").as("__pb"))
+    bucketed.filter(col(idCol) =!= probeId)
+      .select(col(idCol), col(vecCol).as("__b"), col("__bucket"))
+      .join(broadcast(probe), col("__bucket") === col("__pb"))
+      .withColumn("sim", Llm.cosine("__a", "__b"))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Replay harness: turns the static `events` parquet into a file-based
+  * stream (time-ordered multi-file rewrite → `readStream` with
+  * maxFilesPerTrigger=1) so watermark/late-data semantics can be exercised
+  * without a live source. Used by the batch↔stream parity tests (§5.4).
+  *
+  * The rewrite keeps the raw ns longs (nanosAsLong) so the streaming side
+  * applies the identical ns→µs truncation as the batch loader — parity is
+  * then a pure semantics check, not a data-prep artifact.
+  */
+object StreamReplay {
+
+  /** Rewrite `$sfDir/events.parquet` as `n` time-ordered parquet files in a
+    * fresh temp dir; returns the dir. Time-ordering files means event time
+    * advances with processing time, so watermarks close windows in order. */
+  def rewriteOrdered(s: SparkSession, sfDir: String, n: Int): String = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    s.read.parquet(s"$sfDir/events.parquet")
+      .repartitionByRange(n, col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Run a streaming DataFrame to completion over a finite replay dir,
+    * collecting everything emitted in append mode into a memory sink.
+    * Returns the collected result as a DataFrame. */
+  def runToCompletion(s: SparkSession, streamed: DataFrame, name: String,
+                      mode: String = "append"): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}

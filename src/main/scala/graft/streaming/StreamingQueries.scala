@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion path (SURVEY.md §2.1-I).
+  *
+  * Each operator has two faces sharing one transform:
+  *  - `xxxBatch` — the batch-equivalent DataFrame, registered in
+  *    SparkEntry.queries so Verify/Bench can execute it (the harness writer
+  *    is non-streaming). Where the semantics are SQL-expressible the entry
+  *    also carries an oracle; notably q_stream_session cross-checks Spark's
+  *    native `session_window` operator against the independent
+  *    gaps-and-islands SQL formulation in DuckDB.
+  *  - `xxxStream` — the same transform applied to a `readStream` source with
+  *    watermarks, used by the replay harness (StreamReplay) and the parity
+  *    tests: closed windows from the stream must equal the batch twin.
+  *
+  * Scale notes: tumbling/session aggregations keep per-key state in the
+  * state store, bounded by the watermark; dropDuplicatesWithinWatermark
+  * bounds dedup state by event-time instead of retaining all keys forever —
+  * the only viable shape for an unbounded 100 TB/day event feed. The
+  * stream-static join broadcasts nothing per microbatch beyond the static
+  * side's plan; at cluster scale the static dim should be compact or
+  * bucketed on the join key.
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events schema as produced by Tables.events (ts already TIMESTAMP_NTZ
+    * is not streamable from raw parquet — the stream reads the raw ns longs
+    * and applies the same conversion). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // ns since epoch (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of parquet files (the replay dir),
+    * applying the identical ns→µs recipe as the batch loader. NOTE: the
+    * stream keeps TIMESTAMP (not NTZ) — `withWatermark` requires an
+    * instant-typed event-time column; under the forced-UTC session the two
+    * are wall-clock identical, and parity tests cast before comparing. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  // ---- shared transforms (batch & stream) ---------------------------------
+
+  private def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col("event_type"), col("cnt"))
+
+  private def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("n_events"))
+
+  // ---- batch twins (registered in SparkEntry.queries) ---------------------
+
+  val qStreamTumblingWm: Q = (s, d) =>
+    tumblingCounts(Tables.events(s, d)).orderBy("w", "event_type")
+
+  /** Native session_window vs the DuckDB gaps-and-islands oracle: same
+    * 30-minute gap rule, independently formulated — a real cross-engine,
+    * cross-algorithm check. session_window closes a session when the NEXT
+    * event is > gap later; islands SQL starts a new island the same way. */
+  val qStreamSession: Q = (s, d) =>
+    sessionAgg(Tables.events(s, d)).orderBy("user_id", "s_start")
+
+  val qStreamDedup: Q = (s, d) =>
+    Tables.events(s, d)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  val qStreamStaticJoin: Q = (s, d) =>
+    Tables.events(s, d)
+      .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+
+  // ---- streaming faces ----------------------------------------------------
+
+  def tumblingStream(s: SparkSession, dir: String): DataFrame =
+    tumblingCounts(eventsStream(s, dir).withWatermark("ts", "10 minutes"))
+
+  def sessionStream(s: SparkSession, dir: String): DataFrame =
+    sessionAgg(eventsStream(s, dir).withWatermark("ts", "30 minutes"))
+
+  def dedupStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  def staticJoinStream(s: SparkSession, dir: String, sfDir: String): DataFrame =
+    eventsStream(s, dir)
+      .join(Tables.customer(s, sfDir), col("user_id") === col("c_custkey"))
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stream_tumbling_wm", qStreamTumblingWm, Some(
+      "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt FROM events GROUP BY 1,2 ORDER BY 1,2")),
+    ("q_stream_session", qStreamSession, Some(
+      "WITH marked AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END new_s FROM events), sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) sid FROM marked) SELECT user_id, min(ts) s_start, count(*) n_events FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start")),
+    ("q_stream_dedup", qStreamDedup, Some(
+      "SELECT event_type, count(*) cnt FROM (SELECT DISTINCT ON (event_id) event_type FROM events ORDER BY event_id) GROUP BY event_type ORDER BY event_type")),
+    ("q_stream_static_join", qStreamStaticJoin, Some(
+      "SELECT c_mktsegment, count(*) cnt FROM events JOIN customer ON user_id=c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+  )
+}
