@@ -1,0 +1,152 @@
+package graft
+
+import graft.operators.{Dedup, Llm, Num, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Per-operator unit tests over tiny crafted DataFrames (SURVEY.md §5.2):
+  * boundary semantics that the fixture data may never hit. */
+class OperatorSpec extends SparkSuite {
+  import org.apache.spark.sql.DataFrame
+
+  private def sessionize(df: DataFrame): DataFrame = {
+    // mirrors TimeSeries.qTsSession's gaps-and-islands core
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    df.withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || expr("ts - prev_ts > INTERVAL '30' MINUTE"), 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(w))
+  }
+
+  test("sessionization: exactly-30-min gap stays in the SAME session (> rule, not >=)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-01 10:30:00"),   // gap == 30 min → same session
+      (1L, "2024-01-01 11:00:00.000001"), // gap 30min+1µs → NEW session
+      (2L, "2024-01-01 09:00:00")
+    ).toDF("user_id", "s").withColumn("ts", col("s").cast("timestamp_ntz"))
+    val sids = sessionize(df).select("user_id", "sid").as[(Long, Long)].collect().toSeq
+    assert(sids.count(_._1 == 1L) == 3)
+    assert(sids.filter(_._1 == 1L).map(_._2).sorted == Seq(1L, 1L, 2L))
+    assert(sids.filter(_._1 == 2L).map(_._2) == Seq(1L))
+  }
+
+  test("cosine: identical vectors → 1.0, orthogonal → 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))
+    ).toDF("a", "b").withColumn("sim", Llm.cosine("a", "b"))
+    val sims = df.select("sim").as[Double].collect()
+    assert(math.abs(sims(0) - 1.0) < 1e-15)
+    assert(sims(1) == 0.0)
+  }
+
+  test("cosine UDF ≡ cosine HOF bit-for-bit on random-ish vectors") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { i =>
+      ((0 until 16).map(j => ((i * 31 + j * 7) % 13 - 6) / 3.0f),
+        (0 until 16).map(j => ((i * 17 + j * 11) % 13 - 6) / 3.0f))
+    }
+    val df = vecs.toDF("a", "b")
+      .withColumn("h", Llm.cosine("a", "b"))
+      .withColumn("u", Llm.cosineUdf(col("a"), col("b")))
+    assert(df.filter(col("h") =!= col("u")).count() == 0)
+  }
+
+  test("roundd matches DuckDB double rounding at the known BigDecimal divergence") {
+    import spark.implicits._
+    // DuckDB round(47.253749999999996, 4) = 47.2537; BigDecimal HALF_UP gives .2538
+    val r = Seq(47.253749999999996, -47.253749999999996, 1512.1199999999994)
+      .toDF("x").select(Num.roundd(col("x"), 4).as("r")).as[Double].collect()
+    assert(r(0) == 47.2537 && r(1) == -47.2537 && r(2) == 1512.12)
+  }
+
+  test("exactDedup keeps min id per duplicate text") {
+    import spark.implicits._
+    val df = Seq((10L, "aa bb"), (3L, "aa bb"), (7L, "cc")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, "text", "id")
+      .filter(col("n") > 1).select("keep_id", "n").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((3L, 2L)))
+  }
+
+  test("minhash+LSH candidates find exact duplicates; near-dup verify filters") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
+    val sh = Dedup.withShingles(df, "text")
+    val pairs = Dedup.nearDupPairs(sh, "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs → hamming 0 via blocking join") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww")).toDF("doc_id", "text")
+    val bits = Dedup.simhashBits(df, "text")
+    val rows = bits.select("doc_id", "simhash_bits").as[(Long, Seq[Int])].collect().toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+    // blocking: identical docs collide on all 4 blocks
+    val blocks = Dedup.simhashBlocks(bits).select("doc_id", "block_id", "block_val")
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(blocks(1L).map(b => (b._2, b._3)).toSet == blocks(2L).map(b => (b._2, b._3)).toSet)
+  }
+
+  test("ANN (srp LSH): identical vector lands in probe bucket; recall vs brute top-1") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, 10).collect()
+    assert(brute.length == 10)
+    // A vector equal to the probe hashes to the same bucket by construction:
+    val bucketOfProbe = emb.filter(col("vec_id") === 0)
+      .select(Similarity.srpBucket("embedding", 6)).head().getInt(0)
+    val all = emb.withColumn("b", Similarity.srpBucket("embedding", 6))
+    assert(all.filter(col("vec_id") === 0).head().getAs[Int]("b") == bucketOfProbe)
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 10, nPlanes = 2)
+    // 2 planes → 4 buckets → bucket holds ~125 vectors: top-1 must be found
+    assert(ann.head().getLong(0) == brute.head.getLong(0))
+  }
+
+  test("rolling fingerprint: identical text → identical fingerprints; prefix-shared text overlaps") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, base), (2L, base), (3L, "completely different content here with other words")).toDF("id", "text")
+    val fp = TextAnalysis.rollingFingerprint(df, "text")
+      .select("id", "fingerprints").as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("langId: unambiguous stopwords classify; ties break alphabetically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat of the house is here"),  // en
+      (2L, "der hund und die katze ist"),    // de
+      (3L, "xyzzy plugh")                     // no votes → all 0 → tie → 'de'
+    ).toDF("id", "text")
+    val out = TextAnalysis.langId(df, "text").select("id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "de")
+  }
+
+  test("gapfill: empty hours present with 0.0 (left join + coalesce shape)") {
+    val out = SparkEntry.queries("q_ts_gapfill")(spark, sf0001)
+    assert(out.count() == 720) // full dense axis regardless of data coverage
+    assert(out.filter(col("sv") === 0.0).count() > 0) // sf0.001 has empty hours
+  }
+
+  test("as-of join: every matched ts is <= its cutoff and is the max such event") {
+    val out = SparkEntry.queries("q_ts_asof_join")(spark, sf0001)
+    val events = Tables.events(spark, sf0001)
+    val orders = Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey").as("ok"), expr("o_orderdate + INTERVAL '10585' DAY").as("cutoff"))
+    val joined = out.join(orders, col("o_orderkey") === col("ok"))
+    assert(joined.filter(col("ts") > col("cutoff")).count() == 0)
+    val better = joined.join(events.select(col("ts").as("ets")), col("ets") <= col("cutoff") && col("ets") > col("ts"))
+    assert(better.count() == 0)
+  }
+}

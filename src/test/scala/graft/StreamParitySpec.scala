@@ -1,0 +1,47 @@
+package graft
+
+import graft.streaming.{StreamReplay, StreamingQueries}
+import org.apache.spark.sql.functions._
+
+/** Batch↔stream parity (SURVEY.md §5.4): replay the events parquet as a
+  * time-ordered file stream and assert that everything the streaming query
+  * EMITS (closed windows, under watermark) equals the batch twin. The stream
+  * may emit fewer rows (trailing windows still open at end-of-stream) but
+  * never different ones. */
+class StreamParitySpec extends SparkSuite {
+
+  private lazy val replayDir = StreamReplay.rewriteOrdered(spark, sf0001, 6)
+
+  test("tumbling windows: emitted rows ⊆ batch, and most windows close") {
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.tumblingStream(spark, replayDir), "t_tumb")
+      .withColumn("w", col("w").cast("timestamp_ntz"))
+    val batch = StreamingQueries.qStreamTumblingWm(spark, sf0001)
+    assert(got.except(batch).count() == 0, "stream emitted a row batch disagrees with")
+    val (g, b) = (got.count(), batch.count())
+    assert(g > b / 2 && g <= b, s"stream=$g batch=$b")
+  }
+
+  test("session windows: emitted sessions ⊆ batch sessions") {
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.sessionStream(spark, replayDir), "t_sess")
+      .withColumn("s_start", col("s_start").cast("timestamp_ntz"))
+    val batch = StreamingQueries.qStreamSession(spark, sf0001)
+    assert(got.except(batch).count() == 0)
+    assert(got.count() > 0)
+  }
+
+  test("dedup-within-watermark: unique event_ids all pass through") {
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.dedupStream(spark, replayDir), "t_dedup")
+    assert(got.count() == Tables.events(spark, sf0001).count())
+  }
+
+  test("stream-static join enriches events with the customer dimension") {
+    val got = StreamReplay.runToCompletion(spark,
+      StreamingQueries.staticJoinStream(spark, replayDir, sf0001), "t_join")
+    val batchCnt = Tables.events(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("user_id") === col("c_custkey")).count()
+    assert(got.count() == batchCnt)
+  }
+}
