@@ -133,10 +133,7 @@ object TimeSeries {
     val probe = Tables.orders(s, d)
       .filter(col("o_orderkey") % 1000 === 0)
       .select(col("o_orderkey"), expr("o_orderdate + INTERVAL '10585' DAY").as("cutoff"))
-    Tables.events(s, d).select(col("ts"))
-      .join(broadcast(probe), col("ts") <= col("cutoff"))
-      .groupBy("o_orderkey")
-      .agg(max("ts").as("ts"))
+    AsofJoin.broadcastAsof(probe, Tables.events(s, d), "cutoff", "ts", Seq("o_orderkey"))
       .orderBy("o_orderkey")
   }
 

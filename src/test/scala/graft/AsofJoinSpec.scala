@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** The three as-of join shapes must agree: broadcast (small probe),
+  * bucketed (large unkeyed), and — on a keyed crafted example — the
+  * union-sort-carry form against hand-computed expectations. */
+class AsofJoinSpec extends SparkSuite {
+
+  private def probe = Tables.orders(spark, sf0001)
+    .filter(col("o_orderkey") % 1000 === 0)
+    .select(col("o_orderkey"), expr("o_orderdate + INTERVAL '10585' DAY").as("cutoff"))
+
+  test("broadcastAsof ≡ bucketedAsof on the contract probe (daily buckets)") {
+    val a = AsofJoin.broadcastAsof(probe, Tables.events(spark, sf0001), "cutoff", "ts", Seq("o_orderkey"))
+    val b = AsofJoin.bucketedAsof(probe, Tables.events(spark, sf0001), "cutoff", "ts",
+      Seq("o_orderkey"), bucketSeconds = 86400)
+    assert(a.count() > 0)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("bucketedAsof: bucket width must not change results (1h vs 1 week)") {
+    val h = AsofJoin.bucketedAsof(probe, Tables.events(spark, sf0001), "cutoff", "ts",
+      Seq("o_orderkey"), bucketSeconds = 3600)
+    val w = AsofJoin.bucketedAsof(probe, Tables.events(spark, sf0001), "cutoff", "ts",
+      Seq("o_orderkey"), bucketSeconds = 7 * 86400)
+    assert(h.except(w).count() == 0 && w.except(h).count() == 0)
+  }
+
+  test("keyedAsof: carries latest right value per key, inclusive at equal ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "2024-01-01 10:00:00"), // after r@09:00 → 100.0
+      (1L, "2024-01-01 12:00:00"), // == r@12:00 → inclusive → 200.0
+      (2L, "2024-01-01 08:00:00")  // no earlier right for key 2 → null
+    ).toDF("k", "s").withColumn("lt", col("s").cast("timestamp_ntz")).drop("s")
+    val right = Seq(
+      (1L, "2024-01-01 09:00:00", 100.0),
+      (1L, "2024-01-01 12:00:00", 200.0),
+      (2L, "2024-01-01 09:00:00", 999.0)
+    ).toDF("k", "s", "v").withColumn("rt", col("s").cast("timestamp_ntz")).drop("s")
+    val out = AsofJoin.keyedAsof(left, right, "k", "lt", "rt", "v")
+      .select("k", "lt", "asof_v").as[(Long, java.time.LocalDateTime, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2.toString))
+    assert(out(0)._3.contains(100.0))
+    assert(out(1)._3.contains(200.0))
+    assert(out(2)._3.isEmpty)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Invariant tests (SURVEY.md §5.3): properties over generated inputs
+  * (scalacheck Gen with fixed seeds — the scalatest/scalacheck bridge
+  * artifact is not in the offline dependency set), plus invariants over the
+  * fixture data that must hold at any SF. */
+class PropertySpec extends SparkSuite {
+
+  /** Deterministic samples from a Gen (fixed seed, offline-friendly). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("tumbling window counts sum to the table count (partition property)") {
+    val total = Tables.events(spark, sf0001).count()
+    val sum = SparkEntry.queries("q_ts_tumbling")(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    assert(sum == total)
+  }
+
+  test("sessionization partitions events: session sizes sum to event count") {
+    val total = Tables.events(spark, sf0001).count()
+    val sum = SparkEntry.queries("q_ts_session")(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(sum == total)
+  }
+
+  test("top-k ⊆ full sort prefix") {
+    val topk = SparkEntry.queries("q_sort_topk")(spark, sf0001).collect().toSeq
+    val full = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100).collect().toSeq
+    assert(topk == full)
+  }
+
+  test("set ops: |union| = |intersect| + |except_cust| + |except_supp| (inclusion-exclusion)") {
+    val u = SparkEntry.queries("q_set_union")(spark, sf0001).count()
+    val i = SparkEntry.queries("q_set_intersect")(spark, sf0001).count()
+    val e1 = SparkEntry.queries("q_set_except")(spark, sf0001).count()
+    val c = Tables.customer(spark, sf0001).select("c_nationkey").distinct().count()
+    val s = Tables.supplier(spark, sf0001).select("s_nationkey").distinct().count()
+    assert(u == c + s - i)
+    assert(e1 == c - i)
+  }
+
+  test("minhash agreement estimates jaccard within sampling error (generated docs)") {
+    import spark.implicits._
+    val wordPool = (1 to 60).map(i => s"tok$i")
+    val gen = for {
+      keep <- Gen.chooseNum(20, 50)
+      mut <- Gen.chooseNum(0, 12)
+    } yield (keep, mut)
+    samples(gen, 5).foreach { case (keep, mut) =>
+      val a = wordPool.take(keep)
+      val b = wordPool.take(keep).drop(mut) ++ wordPool.takeRight(mut)
+      val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("doc_id", "text")
+      val sh = Dedup.withShingles(df, "text")
+      val sig = Dedup.minHash(sh, numHashes = 64)
+        .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+      val grams = sh.select("doc_id", "shingles").as[(Long, Seq[String])].collect().toMap
+      val (ga, gb) = (grams(1L).toSet, grams(2L).toSet)
+      val trueJac = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      val est = sig(1L).zip(sig(2L)).count { case (x, y) => x == y } / 64.0
+      assert(math.abs(est - trueJac) < 0.3, s"est=$est true=$trueJac")
+    }
+  }
+
+  test("gapfill row count = (end-start)/step + 1 and preserves total sum") {
+    val gf = SparkEntry.queries("q_ts_gapfill")(spark, sf0001)
+    assert(gf.count() == 720)
+    val filled = gf.agg(org.apache.spark.sql.functions.sum("sv")).head().getDouble(0)
+    val direct = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts"))).agg(expr("round(sum(value), 2)").as("sv"))
+      .agg(org.apache.spark.sql.functions.sum("sv")).head().getDouble(0)
+    assert(math.abs(filled - direct) < 1e-6)
+  }
+
+  test("multimodal decode: mapPartitions path agrees with the columnar features query") {
+    import spark.implicits._
+    val viaKernel = Multimodal.decodeFeatures(
+      Multimodal.documentsAsMedia(spark, sf0001), Multimodal.StubDecoder, 4)
+      .select(col("id").as("doc_id"), col("byteLen").as("byte_len"), col("sha"))
+    val viaQuery = SparkEntry.queries("q_multimodal_features")(spark, sf0001)
+      .select("doc_id", "byte_len", "sha").limit(500)
+    assert(viaKernel.except(viaQuery).count() == 0)
+  }
+
+  test("token counts: bpe estimate bounded by [ws_tokens, n_chars]") {
+    val out = TextAnalysis.tokenCounts(Tables.documents(spark, sf0001), "text")
+    assert(out.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
+    assert(out.filter(col("bpe_tokens") > col("n_chars")).count() == 0)
+  }
+}
