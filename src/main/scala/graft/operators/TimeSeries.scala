@@ -137,6 +137,53 @@ object TimeSeries {
       .orderBy("o_orderkey")
   }
 
+  /** Exact interpolated percentiles per series (Spark `percentile` and
+    * DuckDB `quantile_cont` share the (1-g)·v[k] + g·v[k+1] definition). */
+  val qTsPercentile: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        Num.roundd(expr("percentile(value, 0.5)"), 4).as("p50"),
+        Num.roundd(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** LOCF interpolation: dense hourly axis, missing hours carry the last
+    * observed hourly sum forward (leading gap stays NULL). The carry window
+    * is a global ordered window — fine for a bounded axis (720 rows here);
+    * at scale partition the axis by day and stitch boundaries. */
+  val qTsLocf: Q = (s, d) => {
+    val hours = s.sql(
+      "SELECT explode(sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00', TIMESTAMP_NTZ '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h")
+    val agg = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("ah"))
+      .agg(Num.roundd(sum("value"), 2).as("asv"))
+    val joined = hours.join(agg, col("h") === col("ah"), "left")
+    val w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("sv_locf", last(col("asv"), ignoreNulls = true).over(w))
+      .select("h", "sv_locf")
+      .orderBy("h")
+  }
+
+  /** Per-user rate of change: Δvalue / Δseconds between consecutive events
+    * (µs-exact denominator; NULL on each user's first event). */
+  val qTsRate: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_v", lag("value", 1).over(w))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .select(
+        col("user_id"), col("ts"), col("event_id"),
+        Num.roundd(
+          (col("value") - col("prev_v")) /
+            (expr("unix_micros(cast(ts as timestamp)) - unix_micros(cast(prev_ts as timestamp))") / lit(1000000.0)),
+          6).as("rate"))
+      .orderBy("user_id", "ts", "event_id")
+      .limit(5000)
+      .drop("event_id")
+  }
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
@@ -156,6 +203,12 @@ object TimeSeries {
       "SELECT d, user_id, cnt, rn FROM (SELECT date_trunc('day',ts) d, user_id, count(*) cnt, CAST(row_number() OVER (PARTITION BY date_trunc('day',ts) ORDER BY count(*) DESC, user_id) AS BIGINT) rn FROM events GROUP BY 1,2) WHERE rn<=5 ORDER BY d, rn"),
     ("q_ts_histogram", qTsHistogram,
       "SELECT floor(value/50)*50 bucket, count(*) cnt FROM events GROUP BY 1 ORDER BY 1"),
+    ("q_ts_percentile", qTsPercentile,
+      "SELECT event_type, round(quantile_cont(value, 0.5),4) p50, round(quantile_cont(value, 0.95),4) p95, count(*) cnt FROM events GROUP BY event_type ORDER BY event_type"),
+    ("q_ts_locf", qTsLocf,
+      "WITH hours AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), agg AS (SELECT date_trunc('hour', ts) h, round(sum(value),2) sv FROM events GROUP BY 1), j AS (SELECT hours.h, agg.sv FROM hours LEFT JOIN agg ON hours.h=agg.h) SELECT h, last_value(sv IGNORE NULLS) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sv_locf FROM j ORDER BY h"),
+    ("q_ts_rate", qTsRate,
+      "SELECT user_id, ts, round((value - lag(value) OVER w) / (CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) / 1000000.0), 6) rate FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY user_id, ts, event_id LIMIT 5000"),
     ("q_ts_asof_join", qTsAsofJoin,
       "SELECT o.o_orderkey, e.ts FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 1000 = 0) o ASOF JOIN events e ON e.ts <= o.o_orderdate + INTERVAL 10585 DAY ORDER BY o.o_orderkey"),
   )
