@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's native expressions.
+  *
+  * Two paths:
+  *  - `GraftExtensions` — the library-grade route: users add
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *    build and `graft_cosine(a, b)` resolves everywhere (SQL included).
+  *  - `register(spark)` — runtime injection into an existing session's
+  *    function registry, for harness-built sessions the library cannot
+  *    configure (the Verify/Bench entry points call this lazily).
+  */
+object GraftFunctions {
+
+  private val cosineBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_cosine expects 2 arguments, got ${other.size}")
+  }
+
+  private val cosineInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, "graft_cosine")
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder))
+
+  /** Inject into a live session's registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    registrations.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach(ext.injectFunction)
+}

@@ -36,6 +36,14 @@ object Llm {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity) — the
+    * fastest form; registers the function into the session on first use.
+    * Bit-identical to `cosine`/`cosineUdf`/DuckDB. */
+  def cosineNative(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.GraftFunctions.register(s)
+    expr(s"graft_cosine($a, $b)")
+  }
+
   /** dot(a,b)/(|a|·|b|) with double accumulation, as a codegen-able column. */
   def cosine(a: String, b: String): Column = {
     def sumSq(v: String) =
@@ -76,7 +84,7 @@ object Llm {
     emb.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"), col("embedding").as("b"))
       .crossJoin(broadcast(probe))
-      .withColumn("sim", cosine("a", "b"))
+      .withColumn("sim", cosineNative(s, "a", "b"))
   }
 
   val qSimTopk: Q = (s, d) =>

@@ -114,7 +114,7 @@ object LlmScale {
     bucketed.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding").as("b"), col("bucket"))
       .join(broadcast(probe), col("bucket") === col("pbucket"))
-      .withColumn("sim", Num.roundd(Llm.cosine("a", "b"), 6))
+      .withColumn("sim", Num.roundd(Llm.cosineNative(s, "a", "b"), 6))
       .select("vec_id", "sim")
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(5)

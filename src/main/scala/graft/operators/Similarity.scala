@@ -111,7 +111,7 @@ object Similarity {
     emb.filter(col(idCol) =!= probeId)
       .select(col(idCol), col(vecCol).as("__b"))
       .crossJoin(broadcast(probe))
-      .withColumn("sim", Llm.cosine("__a", "__b"))
+      .withColumn("sim", Llm.cosineNative(emb.sparkSession, "__a", "__b"))
       .select(col(idCol), col("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
@@ -126,7 +126,7 @@ object Similarity {
     bucketed.filter(col(idCol) =!= probeId)
       .select(col(idCol), col(vecCol).as("__b"), col("__bucket"))
       .join(broadcast(probe), col("__bucket") === col("__pb"))
-      .withColumn("sim", Llm.cosine("__a", "__b"))
+      .withColumn("sim", Llm.cosineNative(emb.sparkSession, "__a", "__b"))
       .select(col(idCol), col("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)

@@ -45,9 +45,13 @@ object StreamingQueries {
     * stream keeps TIMESTAMP (not NTZ) — `withWatermark` requires an
     * instant-typed event-time column; under the forced-UTC session the two
     * are wall-clock identical, and parity tests cast before comparing. */
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  def eventsStream(s: SparkSession, dir: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(rawSchema).parquet(dir)
+    val reader = s.readStream.schema(rawSchema)
+    val withOpt = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    withOpt.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -96,8 +100,9 @@ object StreamingQueries {
 
   // ---- streaming faces ----------------------------------------------------
 
-  def tumblingStream(s: SparkSession, dir: String): DataFrame =
-    tumblingCounts(eventsStream(s, dir).withWatermark("ts", "10 minutes"))
+  def tumblingStream(s: SparkSession, dir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    tumblingCounts(eventsStream(s, dir, maxFilesPerTrigger).withWatermark("ts", "10 minutes"))
 
   def sessionStream(s: SparkSession, dir: String): DataFrame =
     sessionAgg(eventsStream(s, dir).withWatermark("ts", "30 minutes"))
