@@ -184,6 +184,69 @@ object TimeSeries {
       .drop("event_id")
   }
 
+  /** Counter-reset-aware increase (PromQL `increase` semantics): per
+    * (user, day), sum only the positive deltas — a reset to a lower value
+    * contributes nothing instead of a negative spike. */
+  val qTsIncrease: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("d", date_trunc("day", col("ts")).cast("date"))
+      .withColumn("delta", col("value") - lag("value", 1).over(w))
+      .groupBy("user_id", "d")
+      .agg(Num.roundd(sum(when(col("delta") > 0, col("delta")).otherwise(0.0)), 2).as("inc"))
+      .orderBy("user_id", "d")
+  }
+
+  /** Trailing 3-hour moving average of hourly sums per series, as a RANGE
+    * frame over epoch-seconds (hours with no data do NOT occupy frame
+    * slots — a range frame, not a rows frame). */
+  val qTsMovingAvg: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (expr("unix_micros(cast(date_trunc('hour', ts) as timestamp))") / 1000000L)
+          .cast("long").as("hs"))
+      .agg(Num.roundd(sum("value"), 2).as("sv"))
+    val w = Window.partitionBy("event_type").orderBy("hs").rangeBetween(-7200, 0)
+    hourly
+      .withColumn("mov",
+        Num.roundd(Num.roundd(sum("sv").over(w), 8) / count(lit(1)).over(w), 4))
+      .select(col("event_type"),
+        expr("cast(timestamp_seconds(hs) as timestamp_ntz)").as("h"),
+        col("sv"), col("mov"))
+      .orderBy("event_type", "h")
+  }
+
+  /** Day-over-day retention: share of day-d active users also active on
+    * day d+1 (exact integer counts; ratio is a division of exact longs). */
+  val qTsRetention: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).cast("date").as("d"), col("user_id"))
+      .distinct()
+    val counts = daily.groupBy("d").agg(count(lit(1)).as("n_users"))
+    val nxt = daily.select(col("d").as("d2"), col("user_id").as("u2"))
+    val retained = daily
+      .join(nxt, col("u2") === col("user_id") && col("d2") === date_add(col("d"), 1))
+      .groupBy("d").agg(count(lit(1)).as("retained"))
+    counts.join(retained, Seq("d"))
+      .select(col("d"), col("n_users"), col("retained"),
+        Num.roundd(col("retained").cast("double") / col("n_users"), 4).as("rate"))
+      .orderBy("d")
+  }
+
+  /** Conversion funnel: each user's first 'view', joined forward to the
+    * earliest 'purchase' within 1 hour (inner: converting users only). */
+  val qTsFunnel: Q = (s, d) => {
+    val v = Tables.events(s, d).filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    v.join(p, col("pu") === col("user_id") &&
+        col("pts") > col("t_view") && expr("pts <= t_view + INTERVAL '1' HOUR"))
+      .groupBy("user_id", "t_view")
+      .agg(min("pts").as("t_purchase"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
@@ -209,6 +272,14 @@ object TimeSeries {
       "WITH hours AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), agg AS (SELECT date_trunc('hour', ts) h, round(sum(value),2) sv FROM events GROUP BY 1), j AS (SELECT hours.h, agg.sv FROM hours LEFT JOIN agg ON hours.h=agg.h) SELECT h, last_value(sv IGNORE NULLS) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sv_locf FROM j ORDER BY h"),
     ("q_ts_rate", qTsRate,
       "SELECT user_id, ts, round((value - lag(value) OVER w) / (CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) / 1000000.0), 6) rate FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY user_id, ts, event_id LIMIT 5000"),
+    ("q_ts_increase", qTsIncrease,
+      "WITH dl AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) d, value - lag(value) OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE) ORDER BY ts, event_id) delta FROM events) SELECT user_id, d, round(sum(CASE WHEN delta > 0 THEN delta ELSE 0.0 END), 2) inc FROM dl GROUP BY user_id, d ORDER BY user_id, d"),
+    ("q_ts_moving_avg", qTsMovingAvg,
+      "WITH hourly AS (SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) / 1000000 AS BIGINT) hs, round(sum(value),2) sv FROM events GROUP BY 1,2) SELECT event_type, make_timestamp(hs * 1000000) h, sv, round(round(sum(sv) OVER w, 8) / count(*) OVER w, 4) mov FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hs RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW) ORDER BY event_type, h"),
+    ("q_ts_retention", qTsRetention,
+      "WITH daily AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) d, user_id FROM events), c AS (SELECT d, count(*) n_users FROM daily GROUP BY d), r AS (SELECT a.d, count(*) retained FROM daily a JOIN daily b ON b.user_id = a.user_id AND b.d = a.d + 1 GROUP BY a.d) SELECT c.d, c.n_users, r.retained, round(CAST(r.retained AS DOUBLE) / c.n_users, 4) rate FROM c JOIN r ON c.d = r.d ORDER BY c.d"),
+    ("q_ts_funnel", qTsFunnel,
+      "WITH v AS (SELECT user_id, min(ts) t_view FROM events WHERE event_type = 'view' GROUP BY user_id) SELECT v.user_id, v.t_view, min(e.ts) t_purchase FROM v JOIN events e ON e.user_id = v.user_id AND e.event_type = 'purchase' AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR GROUP BY v.user_id, v.t_view ORDER BY v.user_id"),
     ("q_ts_asof_join", qTsAsofJoin,
       "SELECT o.o_orderkey, e.ts FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 1000 = 0) o ASOF JOIN events e ON e.ts <= o.o_orderdate + INTERVAL 10585 DAY ORDER BY o.o_orderkey"),
   )
