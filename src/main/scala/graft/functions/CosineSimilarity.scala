@@ -18,11 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Arithmetic is the same left-to-right double accumulation with
   * `dot / (sqrt(na) * sqrt(nb))` as the HOF form, the compiled UDF, and
-  * DuckDB's `list_cosine_similarity` — all four produce bit-identical
-  * doubles, so swapping this in cannot change oracle-checked results.
+  * DuckDB's `list_cosine_similarity` — for EQUAL-LENGTH vectors all four
+  * produce bit-identical doubles, so swapping forms cannot change
+  * oracle-checked results on the fixed-dimension embedding tables.
   *
   * Null semantics: null if either input is null (default BinaryExpression
-  * nullSafeEval); vectors of different lengths use the common prefix.
+  * nullSafeEval). Ragged (unequal-length) inputs: this expression and the
+  * UDF use the common prefix, while the HOF `zip_with` form propagates
+  * NULL — do not swap forms where dimensions can disagree.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

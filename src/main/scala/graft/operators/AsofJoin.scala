@@ -56,8 +56,10 @@ object AsofJoin {
     val unioned = l.select((l.columns.filterNot(Seq("__t", "__is_right", "__v").contains)
         .map(col) ++ Seq(col("__t"), col("__is_right"), col("__v"))): _*)
       .unionByName(r, allowMissingColumns = true)
-    // right rows sort BEFORE left rows at equal time (asof is <=, inclusive)
-    val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__is_right").desc)
+    // right rows sort BEFORE left rows at equal time (asof is <=, inclusive);
+    // __v as the final sort key makes ties among right rows at the same
+    // (key, time) deterministic: the largest value wins
+    val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__is_right").desc, col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(s"asof_$valueCol", last(col("__v"), ignoreNulls = true).over(w))
@@ -66,9 +68,9 @@ object AsofJoin {
   }
 
   /** Unkeyed, both sides large: time-bucket co-partitioning + per-bucket
-    * prefix state fallback. `bucket` is the bucket width as a Column
-    * expression in the time column's underlying unit (e.g.
-    * `expr("INTERVAL '1' DAY")` for timestamps). */
+    * prefix state fallback. `bucketSeconds` is the bucket width in seconds
+    * (e.g. 86400 for daily buckets); results are bucket-width-invariant —
+    * only the shuffle geometry changes. */
   def bucketedAsof(left: DataFrame, right: DataFrame,
                    leftTime: String, rightTime: String,
                    leftIdCols: Seq[String], bucketSeconds: Long): DataFrame = {

@@ -25,12 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def h60(seedExpr: String, x: String) =
+  /** 60-bit md5-derived hash (SQL fragment), seeded; reproducible in
+    * DuckDB as CAST('0x'||substr(md5(seed||':'||x),1,15) AS BIGINT). Shared
+    * by the sketch operators and the oracle-backed catalog queries. */
+  private[operators] def h60(seedExpr: String, x: String) =
     s"cast(conv(substr(md5(concat($seedExpr, ':', $x)), 1, 15), 16, 10) as bigint)"
 
   /** Distinct word-`n`-gram shingles of `textCol` as column `shingles`. */
   def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    val grams = (0 until n).map(i => s"w[i+$i]").mkString(", ")
     df.withColumn("__w", split(col(textCol), " "))
       .filter(size(col("__w")) >= n)
       .withColumn("shingles", expr(
@@ -53,7 +55,6 @@ object Dedup {
   /** LSH banding: explode signatures into (band, bandHash) keys and
     * self-join → candidate id pairs (id_a < id_b), deduplicated. */
   def lshCandidates(sigDf: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val rowsPerBand = expr(s"size(sig) div $bands")
     val banded = sigDf
       .select(col(idCol).as("__id"), col("sig"))
       .withColumn("band", explode(expr(s"sequence(0, $bands - 1)")))

@@ -107,8 +107,10 @@ object Llm {
       .groupBy("label")
       .agg(
         count(lit(1)).as("n"),
-        Num.roundd(avg(element_at(col("embedding"), 1).cast("double")), 6).as("c0"),
-        Num.roundd(avg(element_at(col("embedding"), 2).cast("double")), 6).as("c1"))
+        // pre-rounded-sum recipe (§2.0.2): partial-agg merge order must not
+        // be able to flip the 6th decimal
+        Num.roundd(Num.roundd(sum(element_at(col("embedding"), 1).cast("double")), 10) / count(lit(1)), 6).as("c0"),
+        Num.roundd(Num.roundd(sum(element_at(col("embedding"), 2).cast("double")), 10) / count(lit(1)), 6).as("c1"))
       .orderBy("label")
 
   val all: Seq[(String, Q, String)] = Seq(
@@ -123,6 +125,6 @@ object Llm {
     ("q_knn_label", qKnnLabel,
       "WITH nn AS (SELECT e2.label, list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) sim, e2.vec_id FROM embeddings e1, embeddings e2 WHERE e1.vec_id=0 AND e2.vec_id<>0 ORDER BY sim DESC, e2.vec_id LIMIT 25) SELECT label, count(*) votes FROM nn GROUP BY label ORDER BY votes DESC, label LIMIT 1"),
     ("q_sim_centroid", qSimCentroid,
-      "SELECT label, count(*) n, round(avg(CAST(embedding[1] AS DOUBLE)),6) c0, round(avg(CAST(embedding[2] AS DOUBLE)),6) c1 FROM embeddings GROUP BY label ORDER BY label"),
+      "SELECT label, count(*) n, round(round(sum(CAST(embedding[1] AS DOUBLE)),10)/count(*),6) c0, round(round(sum(CAST(embedding[2] AS DOUBLE)),10)/count(*),6) c1 FROM embeddings GROUP BY label ORDER BY label"),
   )
 }

@@ -28,17 +28,11 @@ import org.apache.spark.sql.functions._
 object LlmScale {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 60-bit md5-derived hash, seeded; identical in DuckDB (see header). */
-  private def h60(seedExpr: String, x: String) =
-    s"cast(conv(substr(md5(concat($seedExpr, ':', $x)), 1, 15), 16, 10) as bigint)"
-
-  /** documents with distinct word-3-gram array `g` (docs with ≥3 words). */
+  /** documents with distinct word-3-gram array `g` (docs with ≥3 words) —
+    * the library shingler, aliased to the oracle queries' column name. */
   private def withNgrams(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
-      .withColumn("g",
-        expr("array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
+    Dedup.withShingles(Tables.documents(s, d), "text")
+      .withColumnRenamed("shingles", "g")
 
   /** Consecutive-id doc pairs — a bounded deterministic pairing that lets
     * the pairwise sketches carry exact oracles. */
@@ -63,9 +57,8 @@ object LlmScale {
   // ---- dedup: MinHash (8 seeded hash functions over 3-gram shingles) ------
 
   val qDedupMinhash: Q = (s, d) => {
-    val sig = expr(
-      s"transform(sequence(0, 7), h -> array_min(transform(g, x -> ${h60("cast(h as string)", "x")})))")
-    val docs = withNgrams(s, d).withColumn("sig", sig)
+    val docs = Dedup.minHash(
+      Dedup.withShingles(Tables.documents(s, d), "text"), numHashes = 8)
     val a = docs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
     val b = docs.select(col("doc_id").as("id_b"), col("sig").as("sb"))
     a.join(b, col("id_b") === col("id_a") + 1)
@@ -79,13 +72,9 @@ object LlmScale {
   // ---- dedup: SimHash (60-bit, over distinct tokens) ----------------------
 
   val qDedupSimhash: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .withColumn("tok", expr("array_distinct(split(text, ' '))"))
-      .withColumn("th", expr(s"transform(tok, x -> ${h60("'s'", "x")})"))
-      .withColumn("bits", expr(
-        "transform(sequence(0, 59), b -> if(aggregate(th, 0, (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0, 1, 0))"))
-    val a = docs.select(col("doc_id").as("id_a"), col("bits").as("ba"))
-    val b = docs.select(col("doc_id").as("id_b"), col("bits").as("bb"))
+    val docs = Dedup.simhashBits(Tables.documents(s, d), "text")
+    val a = docs.select(col("doc_id").as("id_a"), col("simhash_bits").as("ba"))
+    val b = docs.select(col("doc_id").as("id_b"), col("simhash_bits").as("bb"))
     a.join(b, col("id_b") === col("id_a") + 1)
       .select(col("id_a"), col("id_b"),
         expr("size(filter(sequence(0,59), i -> element_at(ba, i+1) != element_at(bb, i+1)))")
@@ -120,66 +109,27 @@ object LlmScale {
       .limit(5)
   }
 
-  // ---- text analysis: language ID (stopword voting) -----------------------
+  // ---- text analysis (delegating to the TextAnalysis library operators) ---
 
-  private val stopwords = Map(
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
-    "es" -> Seq("el", "la", "de", "y", "que", "un", "es"),
-    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que"))
-
-  val qTextLangid: Q = (s, d) => {
-    val base = Tables.documents(s, d)
-      .withColumn("tok", expr("array_distinct(split(text, ' '))"))
-    val scored = stopwords.toSeq.sortBy(_._1).foldLeft(base) { case (df, (l, ws)) =>
-      df.withColumn(s"s_$l",
-        size(array_intersect(col("tok"), array(ws.map(lit): _*))).cast("long"))
-    }
-    scored
-      .withColumn("m", greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr")))
-      .select(
-        col("doc_id"),
-        when(col("s_de") === col("m"), "de")
-          .when(col("s_en") === col("m"), "en")
-          .when(col("s_es") === col("m"), "es")
-          .otherwise("fr").as("pred_lang"),
-        col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
+  val qTextLangid: Q = (s, d) =>
+    TextAnalysis.langId(Tables.documents(s, d), "text")
+      .select("doc_id", "pred_lang", "s_de", "s_en", "s_es", "s_fr")
       .orderBy("doc_id")
       .limit(1000)
-  }
-
-  // ---- text analysis: quality scoring -------------------------------------
 
   val qTextQuality: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_tok", size(col("w")).cast("long"))
-      .withColumn("avg_wlen",
-        expr("aggregate(w, 0, (acc, x) -> acc + length(x))").cast("double") / col("n_tok"))
-      .withColumn("stop_ratio",
-        expr("size(filter(w, x -> x in ('the', 'a', 'of', 'and', 'to')))").cast("double") / col("n_tok"))
+    TextAnalysis.quality(Tables.documents(s, d), "text")
       .select(
         col("doc_id"), col("n_tok"),
         Num.roundd(col("avg_wlen"), 4).as("avg_wlen"),
         Num.roundd(col("stop_ratio"), 4).as("stop_ratio"),
-        // linear quality proxy: no transcendentals (libm vs JVM ulp drift)
-        Num.roundd(
-          col("stop_ratio") * 0.3 + col("avg_wlen") * 0.05 + col("n_chars") * 0.0005, 4)
-          .as("score"))
+        Num.roundd(col("score"), 4).as("score"))
       .orderBy("doc_id")
       .limit(1000)
 
-  // ---- text analysis: token counting (whitespace + chars-per-token BPE-ish)
-
   val qTextTokencount: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("w", split(col("text"), " "))
-      .select(
-        col("doc_id"),
-        size(col("w")).cast("long").as("ws_tokens"),
-        expr("aggregate(w, 0L, (acc, x) -> acc + greatest(1L, cast(ceil(length(x) / 4.0) as bigint)))")
-          .as("bpe_tokens"),
-        col("n_chars"))
+    TextAnalysis.tokenCounts(Tables.documents(s, d), "text")
+      .select("doc_id", "ws_tokens", "bpe_tokens", "n_chars")
       .orderBy("doc_id")
       .limit(1000)
 
@@ -187,7 +137,7 @@ object LlmScale {
 
   val qTextFingerprint: Q = (s, d) =>
     withNgrams(s, d)
-      .withColumn("fps", expr(s"array_sort(transform(g, x -> ${h60("'f'", "x")}))"))
+      .withColumn("fps", expr(s"array_sort(transform(g, x -> ${Dedup.h60("'f'", "x")}))"))
       .select(
         col("doc_id"),
         element_at(col("fps"), 1).as("fp1"),

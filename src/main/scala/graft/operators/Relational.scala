@@ -245,9 +245,9 @@ object Relational {
         abs(col("l_discount") - 0.05).as("r3"),
         floor(col("l_quantity")).as("f"),
         ceil(col("l_tax") * 100).as("c"))
-      // non-unique (orderkey, linenumber): tiebreak on the derived columns
+      // non-unique (orderkey, linenumber): tiebreak on ALL derived columns
       // so the LIMIT cut and tied rows are identical on both sides
-      .orderBy("l_orderkey", "l_linenumber", "r1", "r3", "f", "c")
+      .orderBy("l_orderkey", "l_linenumber", "r1", "r2", "r3", "f", "c")
       .limit(1000)
 
   val qScalarJson: Q = (s, d) =>
@@ -308,7 +308,7 @@ object Relational {
     ("q_scalar_date", qScalarDate,
       "SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) m, CAST(extract(year FROM o_orderdate) AS BIGINT) y, CAST(extract(dow FROM o_orderdate) AS BIGINT) dw, CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) dd FROM orders ORDER BY o_orderkey LIMIT 1000"),
     ("q_scalar_math", qScalarMath,
-      "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),4) r1, round(ln(l_extendedprice+1),4) r2, abs(l_discount-0.05) r3, CAST(floor(l_quantity) AS BIGINT) f, CAST(ceil(l_tax*100) AS BIGINT) c FROM lineitem ORDER BY l_orderkey, l_linenumber, r1, r3, f, c LIMIT 1000"),
+      "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),4) r1, round(ln(l_extendedprice+1),4) r2, abs(l_discount-0.05) r3, CAST(floor(l_quantity) AS BIGINT) f, CAST(ceil(l_tax*100) AS BIGINT) c FROM lineitem ORDER BY l_orderkey, l_linenumber, r1, r2, r3, f, c LIMIT 1000"),
     ("q_scalar_json", qScalarJson,
       "SELECT event_id, CAST(json_extract(props,'$.k') AS INTEGER) k FROM events ORDER BY event_id LIMIT 1000"),
   )
