@@ -31,6 +31,25 @@ class StreamParitySpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("flatMapGroupsWithState sessionizer agrees with gaps-and-islands on emitted sessions") {
+    import graft.streaming.StatefulSessions
+    import spark.implicits._
+    val stream = StreamingQueries.eventsStream(spark, replayDir)
+      .withWatermark("ts", "10 minutes")
+    val got = StreamReplay.runToCompletion(
+      spark, StatefulSessions.sessionsStream(stream).toDF(), "t_state_sess")
+      .select(col("user_id"),
+        expr("cast(timestamp_micros(s_start_us) as timestamp_ntz)").as("s_start"),
+        col("n_events"), col("dur_s"))
+    // batch twin: the gaps-and-islands session formulation
+    val islands = StreamingQueries.qStreamSession(spark, sf0001)
+      .select(col("user_id"), col("s_start"), col("n_events"))
+    val gotK = got.select("user_id", "s_start", "n_events")
+    assert(gotK.except(islands).count() == 0,
+      "state machine emitted a session the islands formulation disagrees with")
+    assert(gotK.count() > 0)
+  }
+
   test("dedup-within-watermark: unique event_ids all pass through") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.dedupStream(spark, replayDir), "t_dedup")
