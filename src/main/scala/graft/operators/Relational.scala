@@ -95,6 +95,18 @@ object Relational {
         col("cnt"))
       .orderBy("f", "s")
 
+  // GROUPING SETS with a grouping-id disambiguator: unlike rollup, the sets
+  // {(flag), (status)} overlap in their NULL patterns only via the id.
+  val qAggGroupingSets: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') f, coalesce(l_linestatus, 'ALL') st,
+        |       count(*) cnt, round(sum(l_quantity), 2) sq
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY f, st""".stripMargin)
+  }
+
   // ---- D. joins ------------------------------------------------------------
 
   val qJoinInner: Q = (s, d) =>
@@ -210,6 +222,21 @@ object Relational {
       .limit(1000)
   }
 
+  // Distribution window functions: percent_rank/cume_dist/ntile share exact
+  // definitions across engines; total order makes them deterministic.
+  val qWindowDist: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        Num.roundd(percent_rank().over(w), 6).as("pr"),
+        Num.roundd(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("c_mktsegment", "c_custkey")
+      .limit(1000)
+  }
+
   // ---- H. scalar functions --------------------------------------------------
 
   val qScalarString: Q = (s, d) =>
@@ -221,6 +248,18 @@ object Relational {
         substring(col("c_name"), 1, 8).as("s"),
         length(col("c_name")).cast("long").as("l"),
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("num"))
+      .orderBy("c_custkey")
+      .limit(500)
+
+  val qScalarString2: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        reverse(col("c_name")).as("rev"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        trim(lit("  x  ")).as("trimmed"))
       .orderBy("c_custkey")
       .limit(500)
 
@@ -275,6 +314,12 @@ object Relational {
       "SELECT coalesce(r_name,'ALL') r, coalesce(n_name,'ALL') n, count(*) cnt FROM nation JOIN region ON n_regionkey=r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY r, n"),
     ("q_agg_cube", qAggCube,
       "SELECT coalesce(l_returnflag,'ALL') f, coalesce(l_linestatus,'ALL') s, count(*) cnt FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY f, s"),
+    ("q_agg_grouping_sets", qAggGroupingSets,
+      "SELECT coalesce(l_returnflag,'ALL') f, coalesce(l_linestatus,'ALL') st, count(*) cnt, round(sum(l_quantity),2) sq FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus)) ORDER BY f, st"),
+    ("q_window_dist", qWindowDist,
+      "SELECT c_mktsegment, c_custkey, round(percent_rank() OVER w, 6) pr, round(cume_dist() OVER w, 6) cd, CAST(ntile(4) OVER w AS BIGINT) quartile FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) ORDER BY c_mktsegment, c_custkey LIMIT 1000"),
+    ("q_scalar_string2", qScalarString2,
+      "SELECT c_custkey, regexp_replace(c_name, '[0-9]', '#', 'g') masked, reverse(c_name) rev, lpad(CAST(c_custkey AS VARCHAR), 10, '0') padded, concat_ws('|', c_mktsegment, c_name) joined, trim('  x  ') trimmed FROM customer ORDER BY c_custkey LIMIT 500"),
     ("q_join_inner", qJoinInner,
       "SELECT o_orderkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey=c_custkey WHERE o_totalprice > 400000 ORDER BY o_orderkey"),
     ("q_join_multiway", qJoinMultiway,
