@@ -109,6 +109,14 @@ object LlmScale {
       .limit(5)
   }
 
+  /** IVF-style ANN: seeded k-means clusters, search the nProbe nearest.
+    * Oracle-less like the LSH variant (approximate by construction);
+    * self-consistency + recall asserted in tests. */
+  val qSimAnnIvf: Q = (s, d) =>
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        probeId = 0L, topK = 5, k = 8, nProbe = 3, iters = 1)
+      .withColumn("sim", Num.roundd(col("sim"), 6))
+
   // ---- text analysis (delegating to the TextAnalysis library operators) ---
 
   val qTextLangid: Q = (s, d) =>
@@ -190,6 +198,7 @@ object LlmScale {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b")),
     ("q_sim_ann_lsh", qSimAnnLsh, None), // approximate by construction; recall asserted in tests
+    ("q_sim_ann_ivf", qSimAnnIvf, None), // approximate by construction; recall asserted in tests
     ("q_text_langid", qTextLangid, Some(
       "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) tok FROM documents), " +
         "sc AS (SELECT doc_id, CAST(len(list_intersect(tok, ['der','die','das','und','ist','ein','nicht'])) AS BIGINT) s_de, " +

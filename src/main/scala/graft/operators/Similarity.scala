@@ -117,6 +117,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: k centroids from deterministic seeded
+    * k-means (initial centroids = k lowest-id vectors, `iters` Lloyd
+    * rounds), returning (assignments with a `cluster` column, centroid
+    * array). Centroid recomputation is distributed (posexplode →
+    * per-(cluster, dim) mean); only the k×dim centroid matrix ever reaches
+    * the driver. At corpus scale the cluster id becomes a partition column
+    * so probes read only nProbe partitions. */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int = 2): (DataFrame, Array[Array[Double]]) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol)).as[Seq[Float]].collect()
+      .map(_.toArray.map(_.toDouble))
+
+    def assignUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val ct = cents(c)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < v.length) {
+          val x = v(i).toDouble; dot += x * ct(i); na += x * x; nb += ct(i) * ct(i); i += 1
+        }
+        val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var assigned = emb.withColumn("cluster", assignUdf(centroids)(col(vecCol)))
+    for (_ <- 1 to iters) {
+      val means = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+          .getOrElse(centroids(c)) // empty cluster keeps its old centroid
+      }.toArray
+      assigned = emb.withColumn("cluster", assignUdf(centroids)(col(vecCol)))
+    }
+    (assigned, centroids)
+  }
+
+  /** IVF search: exact cosine inside the `nProbe` clusters whose centroids
+    * are nearest the probe vector. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, probeId: Long,
+              topK: Int, k: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    val (assigned, centroids) = ivfIndex(emb, idCol, vecCol, k, iters)
+    val probeVec = emb.filter(col(idCol) === probeId)
+      .select(col(vecCol)).head().getSeq[Float](0).toArray.map(_.toDouble)
+    val probed = centroids.zipWithIndex.map { case (ct, c) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < probeVec.length) {
+        dot += probeVec(i) * ct(i); na += probeVec(i) * probeVec(i); nb += ct(i) * ct(i); i += 1
+      }
+      (c, dot / (math.sqrt(na) * math.sqrt(nb)))
+    }.sortBy(-_._2).take(nProbe).map(_._1).toSet
+    val probe = emb.filter(col(idCol) === probeId).select(col(vecCol).as("__a"))
+    assigned
+      .filter(col("cluster").isin(probed.toSeq: _*) && col(idCol) =!= probeId)
+      .select(col(idCol), col(vecCol).as("__b"))
+      .crossJoin(broadcast(probe))
+      .withColumn("sim", Llm.cosineNative(emb.sparkSession, "__a", "__b"))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Approximate top-k: search only the probe's LSH bucket. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               probeId: Long, k: Int, nPlanes: Int = 12, dim: Int = 64): DataFrame = {

@@ -110,6 +110,21 @@ class OperatorSpec extends SparkSuite {
     assert(ann.head().getLong(0) == brute.head.getLong(0))
   }
 
+  test("IVF ANN: returned sims are exact cosines; top-1 found with enough probes") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, topK = 5, k = 4, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ivf.length == 5)
+    // nProbe == k searches everything → must equal exact brute-force top-5
+    assert(ivf.map(_._1).toSeq == Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, 5)
+      .collect().map(_.getLong(0)).toSeq)
+    // every returned sim is the true cosine for that id
+    ivf.foreach { case (id, s) =>
+      assert(brute.get(id).forall(b => math.abs(b - s) < 1e-12)) }
+  }
+
   test("rolling fingerprint: identical text → identical fingerprints; prefix-shared text overlaps") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
