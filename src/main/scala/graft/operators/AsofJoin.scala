@@ -74,7 +74,13 @@ object AsofJoin {
   def bucketedAsof(left: DataFrame, right: DataFrame,
                    leftTime: String, rightTime: String,
                    leftIdCols: Seq[String], bucketSeconds: Long): DataFrame = {
-    def bucketOf(t: String) = (unix_micros(col(t).cast("timestamp")) / lit(bucketSeconds * 1000000L)).cast("long")
+    // exact FLOOR division on longs ((a - pmod(a,b)) div b): `/` would be
+    // double division (precision loss past 2^53 µs) and `div` alone
+    // truncates toward zero, mis-bucketing pre-1970 (negative) epochs
+    def bucketOf(t: String) = {
+      val b = bucketSeconds * 1000000L
+      expr(s"(unix_micros(cast($t as timestamp)) - pmod(unix_micros(cast($t as timestamp)), ${b}L)) div ${b}L")
+    }
 
     val lb = left.withColumn("__lb", bucketOf(leftTime))
     val rb = right.select(col(rightTime)).withColumn("__rb", bucketOf(rightTime))

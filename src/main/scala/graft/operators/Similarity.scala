@@ -37,15 +37,20 @@ object Similarity {
   }
 
   /** Bucket id in [0, 2^nPlanes) from hyperplane signs of column `vecCol`.
-    * Pure codegen'd expression — no UDF, no shuffle. */
+    * Pure codegen'd expression — no UDF, no shuffle. Fails loudly on a
+    * vector whose length ≠ `dim`: zip_with null-pads a mismatched vector,
+    * which would NULL every dot product and silently collapse all vectors
+    * into bucket 0 (ANN degrades to a single-bucket scan). */
   def srpBucket(vecCol: String, nPlanes: Int, dim: Int = 64): Column = {
     val planes = srpPlanes(nPlanes, dim)
-    planes.zipWithIndex.foldLeft(lit(0)) { case (acc, (plane, h)) =>
+    val bucket = planes.zipWithIndex.foldLeft(lit(0)) { case (acc, (plane, h)) =>
       val planeArr = s"array(${plane.mkString(", ")})"
       val dot = expr(
         s"aggregate(zip_with($vecCol, $planeArr, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, t) -> acc + t)")
       acc + when(dot > 0, lit(1 << h)).otherwise(lit(0))
     }
+    when(size(col(vecCol)) === dim, bucket).otherwise(expr(
+      s"raise_error(concat('graft srpBucket: vector length ', cast(size($vecCol) as string), ' != dim $dim'))"))
   }
 
   /** Exact all-pairs cosine ≥ threshold, (id_a < id_b).

@@ -28,6 +28,29 @@ object StreamReplay {
     dir
   }
 
+  /** Like `rewriteOrdered`, but each event's FILE placement is jittered by
+    * a deterministic ±`jitterMinutes` offset (md5 of event_id), so events
+    * arrive out of order ACROSS microbatches while staying legal under a
+    * 2×jitter watermark: an event can trail others at most 2×jitter newer,
+    * so at its arrival `max_seen - watermark ≤ its ts` (use a watermark
+    * comfortably above 2×jitter so boundary equality never drops rows).
+    * Exercises the
+    * stateful operators' out-of-order paths (backward session extension,
+    * separate earlier intervals) that a time-ordered replay never hits. */
+  def rewriteJittered(s: SparkSession, sfDir: String, n: Int,
+                      jitterMinutes: Int = 4): String = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    val jitterNs = jitterMinutes * 60L * 1000000000L
+    s.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("__k", col("ts") +
+        (expr(s"pmod(cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint), ${2 * jitterNs})") - lit(jitterNs)))
+      .repartitionByRange(n, col("__k"))
+      .drop("__k")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
   /** Run a streaming DataFrame to completion over a finite replay dir,
     * collecting everything emitted in append mode into a memory sink.
     * Returns the collected result as a DataFrame. */

@@ -50,6 +50,44 @@ class StreamParitySpec extends SparkSuite {
     assert(gotK.count() > 0)
   }
 
+  test("interval merge: out-of-order events extend backward, open separate islands, bridge") {
+    import graft.streaming.StatefulSessions.{merge, OpenSession, gapUs}
+    val min = 60L * 1000000
+    val open = Seq(OpenSession(100 * min, 110 * min, 3))
+    // inside the span: count grows, bounds unchanged
+    assert(merge(open, Array(105 * min)) == Seq(OpenSession(100 * min, 110 * min, 4)))
+    // within gap BEFORE the start: extends backward (the round-1 bug)
+    assert(merge(open, Array(80 * min)) == Seq(OpenSession(80 * min, 110 * min, 4)))
+    // more than gap before: separate earlier island, not absorbed
+    assert(merge(open, Array(30 * min)) ==
+      Seq(OpenSession(30 * min, 30 * min, 1), OpenSession(100 * min, 110 * min, 3)))
+    // a later event bridges two islands into one
+    val two = Seq(OpenSession(30 * min, 30 * min, 1), OpenSession(100 * min, 110 * min, 3))
+    assert(merge(two, Array(55 * min, 75 * min)) == Seq(OpenSession(30 * min, 110 * min, 6)))
+    assert(gapUs == 30 * min)
+  }
+
+  test("stateful sessionizer handles out-of-order replay within the watermark") {
+    import graft.streaming.{StatefulSessions, StreamReplay}
+    // ±4-min jittered file placement: events arrive out of order across
+    // microbatches (legal under the 10-min watermark), hitting the
+    // backward-extension / separate-earlier-interval merge paths that a
+    // time-ordered replay never exercises.
+    val jitteredDir = StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4)
+    val stream = StreamingQueries.eventsStream(spark, jitteredDir)
+      .withWatermark("ts", "10 minutes")
+    val got = StreamReplay.runToCompletion(
+      spark, StatefulSessions.sessionsStream(stream).toDF(), "t_state_sess_ooo")
+      .select(col("user_id"),
+        expr("cast(timestamp_micros(s_start_us) as timestamp_ntz)").as("s_start"),
+        col("n_events"))
+    val islands = StreamingQueries.qStreamSession(spark, sf0001)
+      .select(col("user_id"), col("s_start"), col("n_events"))
+    assert(got.except(islands).count() == 0,
+      "out-of-order replay emitted a session the islands formulation disagrees with")
+    assert(got.count() > 0)
+  }
+
   test("dedup-within-watermark: unique event_ids all pass through") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.dedupStream(spark, replayDir), "t_dedup")

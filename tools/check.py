@@ -31,14 +31,16 @@ def main(sfdir, outdir):
     npass = nfail = 0
     for name in sorted(oracles):
         sql = oracles[name]
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output"); nfail += 1; continue
         try:
             want_rel = con.execute(sql)
             want_cols = [c[0] for c in want_rel.description]
             want = want_rel.fetchall()
-            got_rel = con.execute(f"SELECT * FROM read_parquet('{files[0]}')")
+            # read ALL part files — a multi-part result compared against
+            # just files[0] would silently check partial data
+            got_rel = con.execute("SELECT * FROM read_parquet(?)", [files])
             got_cols = [c[0] for c in got_rel.description]
             got = got_rel.fetchall()
         except Exception as e:
