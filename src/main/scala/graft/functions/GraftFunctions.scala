@@ -27,8 +27,19 @@ object GraftFunctions {
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "graft_cosine")
 
+  private val nearestCentroidBuilder: Seq[Expression] => Expression = {
+    case Seq(v, cents) => NearestCentroid(v, cents)
+    case other => throw new IllegalArgumentException(
+      s"graft_nearest_centroid expects 2 arguments, got ${other.size}")
+  }
+
+  private val nearestCentroidInfo = new ExpressionInfo(
+    classOf[NearestCentroid].getName, "graft_nearest_centroid")
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder))
+    Seq(
+      (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
+      (FunctionIdentifier("graft_nearest_centroid"), nearestCentroidInfo, nearestCentroidBuilder))
 
   /** Inject into a live session's registry (idempotent). */
   def register(spark: SparkSession): Unit = {

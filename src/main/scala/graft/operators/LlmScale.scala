@@ -82,6 +82,31 @@ object LlmScale {
       .orderBy("id_a")
   }
 
+  // ---- dedup: FULL-CORPUS banded LSH (the actual scale path) --------------
+
+  /** Full-corpus MinHash-LSH candidate generation: 8-hash signatures over
+    * 3-gram shingles, 4 bands × 2 rows, candidates = distinct band-bucket
+    * collisions over ALL documents (id_a < id_b). Unlike the
+    * consecutive-pair sketch queries above, the plan here IS the banding
+    * bucket join — shuffle volume bands × corpus, never corpus². The
+    * oracle formulates banding independently (joins on the raw band
+    * slices, no md5 band key), so this is a cross-algorithm check. */
+  val qDedupLshBands: Q = (s, d) =>
+    Dedup.lshCandidates(
+        Dedup.minHash(Dedup.withShingles(Tables.documents(s, d), "text"), numHashes = 8),
+        "doc_id", bands = 4)
+      .orderBy("id_a", "id_b")
+
+  /** The full near-dup pipeline: banded LSH candidates verified with exact
+    * n-gram Jaccard ≥ 0.2. Verification cost is per-candidate, not
+    * per-pair — the only corpus-sized work is the banding shuffle. */
+  val qDedupLshVerified: Q = (s, d) =>
+    Dedup.nearDupPairs(
+        Dedup.withShingles(Tables.documents(s, d), "text"),
+        "doc_id", threshold = 0.2, numHashes = 8, bands = 4)
+      .select(col("id_a"), col("id_b"), Num.roundd(col("jaccard"), 6).as("jac"))
+      .orderBy("id_a", "id_b")
+
   // ---- similarity: embedding near-dup (exact, thresholded) ----------------
 
   val qEmbNeardup: Q = (s, d) =>
@@ -193,6 +218,17 @@ object LlmScale {
       s"WITH th AS (SELECT doc_id, list_transform(list_distinct(string_split(text,' ')), x -> ${dh("'s'", "x")}) h FROM documents), " +
         "bits AS (SELECT doc_id, list_transform(range(60), b -> CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) bt FROM th) " +
         "SELECT a.doc_id id_a, b.doc_id id_b, CAST(len(list_filter(range(60), i -> a.bt[i+1] != b.bt[i+1])) AS BIGINT) hamming FROM bits a JOIN bits b ON b.doc_id = a.doc_id + 1 ORDER BY id_a")),
+    ("q_dedup_lsh_bands", qDedupLshBands, Some(
+      s"$ngramCte, sg AS (SELECT doc_id, list_transform(range(8), h -> list_aggregate(list_transform(g, x -> ${dh("CAST(h AS VARCHAR)", "x")}), 'min')) sig FROM ng), " +
+        "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)) " +
+        "SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id ORDER BY id_a, id_b")),
+    ("q_dedup_lsh_verified", qDedupLshVerified, Some(
+      s"$ngramCte, sg AS (SELECT doc_id, list_transform(range(8), h -> list_aggregate(list_transform(g, x -> ${dh("CAST(h AS VARCHAR)", "x")}), 'min')) sig FROM ng), " +
+        "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)), " +
+        "cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))), 6) jac " +
+        "FROM cand JOIN ng x ON x.doc_id = cand.id_a JOIN ng y ON y.doc_id = cand.id_b WHERE " +
+        "CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.2 ORDER BY id_a, id_b")),
     ("q_emb_neardup", qEmbNeardup, Some(
       "SELECT a.vec_id id_a, b.vec_id id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) sim " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +

@@ -148,23 +148,34 @@ object TimeSeries {
         count(lit(1)).as("cnt"))
       .orderBy("event_type")
 
-  /** LOCF interpolation: dense hourly axis, missing hours carry the last
-    * observed hourly sum forward (leading gap stays NULL). The carry window
-    * is a global ordered window — fine for a bounded axis (720 rows here);
-    * at scale partition the axis by day and stitch boundaries. */
-  val qTsLocf: Q = (s, d) => {
+  /** Dense hourly axis LEFT JOIN hourly sums — the shared input of the
+    * interpolation queries (NULL on empty hours). */
+  private def hourlyAxis(s: SparkSession, d: String): DataFrame = {
     val hours = s.sql(
       "SELECT explode(sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00', TIMESTAMP_NTZ '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h")
     val agg = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("ah"))
       .agg(Num.roundd(sum("value"), 2).as("asv"))
-    val joined = hours.join(agg, col("h") === col("ah"), "left")
-    val w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined
-      .withColumn("sv_locf", last(col("asv"), ignoreNulls = true).over(w))
+    hours.join(agg, col("h") === col("ah"), "left")
+  }
+
+  /** LOCF interpolation: dense hourly axis, missing hours carry the last
+    * observed hourly sum forward (leading gap stays NULL). Day-chunked
+    * parallel carry (graft.operators.Interpolate) — no single-task global
+    * window; the DuckDB oracle uses the global-window formulation, so this
+    * is also a cross-algorithm equivalence check. */
+  val qTsLocf: Q = (s, d) =>
+    Interpolate.locf(hourlyAxis(s, d), "h", "asv", "sv_locf")
       .select("h", "sv_locf")
       .orderBy("h")
-  }
+
+  /** Linear interpolation between the surrounding observed hours (observed
+    * hours keep their value; leading gap NULL, trailing gap LOCF). Same
+    * chunked-carry machinery, lerp arithmetic µs-exact. */
+  val qTsLerp: Q = (s, d) =>
+    Interpolate.lerp(hourlyAxis(s, d), "h", "asv", "v0")
+      .select(col("h"), Num.roundd(col("v0"), 4).as("sv_lerp"))
+      .orderBy("h")
 
   /** Per-user rate of change: Δvalue / Δseconds between consecutive events
     * (µs-exact denominator; NULL on each user's first event). */
@@ -270,6 +281,20 @@ object TimeSeries {
       "SELECT event_type, round(quantile_cont(value, 0.5),4) p50, round(quantile_cont(value, 0.95),4) p95, count(*) cnt FROM events GROUP BY event_type ORDER BY event_type"),
     ("q_ts_locf", qTsLocf,
       "WITH hours AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), agg AS (SELECT date_trunc('hour', ts) h, round(sum(value),2) sv FROM events GROUP BY 1), j AS (SELECT hours.h, agg.sv FROM hours LEFT JOIN agg ON hours.h=agg.h) SELECT h, last_value(sv IGNORE NULLS) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sv_locf FROM j ORDER BY h"),
+    ("q_ts_lerp", qTsLerp,
+      "WITH hours AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +
+        "agg AS (SELECT date_trunc('hour', ts) h, round(sum(value),2) sv FROM events GROUP BY 1), " +
+        "j AS (SELECT hours.h, agg.sv FROM hours LEFT JOIN agg ON hours.h=agg.h), " +
+        "p AS (SELECT h, sv, " +
+        "last_value(sv IGNORE NULLS) OVER wp pv, " +
+        "last_value(CASE WHEN sv IS NOT NULL THEN h END IGNORE NULLS) OVER wp pt, " +
+        "first_value(sv IGNORE NULLS) OVER wn nv, " +
+        "first_value(CASE WHEN sv IS NOT NULL THEN h END IGNORE NULLS) OVER wn nt " +
+        "FROM j WINDOW wp AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wn AS (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT h, round(CASE WHEN sv IS NOT NULL THEN sv WHEN pv IS NULL THEN NULL WHEN nv IS NULL THEN pv " +
+        "ELSE pv + (nv - pv) * (CAST(epoch_us(h) - epoch_us(pt) AS DOUBLE) / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)) END, 4) sv_lerp " +
+        "FROM p ORDER BY h"),
     ("q_ts_rate", qTsRate,
       "SELECT user_id, ts, round((value - lag(value) OVER w) / (CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) / 1000000.0), 6) rate FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY user_id, ts, event_id LIMIT 5000"),
     ("q_ts_increase", qTsIncrease,

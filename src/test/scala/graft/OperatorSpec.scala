@@ -110,6 +110,30 @@ class OperatorSpec extends SparkSuite {
     assert(ann.head().getLong(0) == brute.head.getLong(0))
   }
 
+  test("all-pairs near-dup: triangle block join ≡ naive cross formulation, each pair once") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // independent naive formulation: full self-join, exact cosine
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val naive = a.join(b, col("ia") < col("ib"))
+      .withColumn("sim", Llm.cosineNative(spark, "va", "vb"))
+      .filter(col("sim") >= 0.4)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), col("sim"))
+    for (blocks <- Seq(3, 8)) { // uneven and even block counts
+      val tri = Similarity.allPairsAboveThreshold(emb, "vec_id", "embedding", 0.4, blocks)
+      assert(tri.count() == naive.count(), s"blocks=$blocks row count")
+      assert(tri.except(naive).count() == 0 && naive.except(tri).count() == 0,
+        s"blocks=$blocks pair sets differ")
+      // exactly-once: no pair may appear twice (except() would hide dups)
+      assert(tri.groupBy("id_a", "id_b").count().filter(col("count") > 1).count() == 0)
+    }
+    // the plan must be a shuffle join on the block-pair key — no cartesian,
+    // no broadcast of the corpus, no driver collect
+    val plan = Similarity.allPairsAboveThreshold(emb, "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("IVF ANN: returned sims are exact cosines; top-1 found with enough probes") {
     val emb = Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, 10)
@@ -123,6 +147,35 @@ class OperatorSpec extends SparkSuite {
     // every returned sim is the true cosine for that id
     ivf.foreach { case (id, s) =>
       assert(brute.get(id).forall(b => math.abs(b - s) < 1e-12)) }
+  }
+
+  test("IVF index: assignment is codegen expression (no UDF), build is memoized") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nearest_centroid"), plan)
+    assert(!plan.contains("UDF") && !plan.contains("ScalaUDF"), plan)
+    assert(cents.length == 4 && cents.forall(_.length == 64))
+    // memoized: a second build for the same (plan, params) is the same index
+    val (assigned2, _) = Similarity.ivfIndex(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding", k = 4, iters = 1)
+    assert(assigned2 eq assigned, "expected the cached IvfModel, got a rebuild")
+    // expression agrees with a driver-side argmax on a sample
+    val sample = emb.filter(col("vec_id") < 32).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    val got = assigned.filter(col("vec_id") < 32).select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (id, cl) =>
+      val v = sample(id)
+      val na = math.sqrt(v.map(x => x * x).sum)
+      val want = cents.indices.maxBy { c =>
+        val ct = cents(c)
+        val dot = v.zip(ct).map { case (a, b) => a * b }.sum
+        val s = dot / (na * math.sqrt(ct.map(x => x * x).sum))
+        s // maxBy on Double; ties impossible in this data
+      }
+      assert(cl == want, s"vec $id: expression=$cl driver=$want")
+    }
   }
 
   test("rolling fingerprint: identical text → identical fingerprints; prefix-shared text overlaps") {
@@ -145,6 +198,35 @@ class OperatorSpec extends SparkSuite {
     val out = TextAnalysis.langId(df, "text").select("id", "pred_lang")
       .as[(Long, String)].collect().toMap
     assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "de")
+  }
+
+  test("interpolation: chunked carry ≡ global window; lerp edges (lead null, tail locf, cross-day gap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Interpolate
+    // dense hourly axis over 4 days, observations only at scattered hours —
+    // including a gap that spans two full days (the cross-chunk stitch path)
+    val obs = Map(2 -> 10.0, 5 -> 40.0, 77 -> 4.0, 90 -> 1.0) // hour index -> value
+    val df = spark.range(0, 96).toDF("i")
+      .withColumn("h", expr("timestamp_ntz '2024-03-01 00:00:00' + make_interval(0,0,0,0,cast(i as int),0,0)"))
+      .withColumn("v", coalesce(
+        typedLit(obs.map { case (k, v) => (k.toLong, v) }).apply(col("i")), lit(null).cast("double")))
+      .select("i", "h", "v")
+    // global-window LOCF reference
+    val wg = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val globalLocf = df.withColumn("g", last(col("v"), ignoreNulls = true).over(wg))
+      .select("i", "g").as[(Long, Option[Double])].collect().toMap
+    val chunkedLocf = Interpolate.locf(df, "h", "v", "o")
+      .select("i", "o").as[(Long, Option[Double])].collect().toMap
+    assert(chunkedLocf == globalLocf)
+    val lerp = Interpolate.lerp(df, "h", "v", "o")
+      .select("i", "o").as[(Long, Option[Double])].collect().toMap
+    assert(lerp(0L).isEmpty && lerp(1L).isEmpty, "leading gap must stay NULL")
+    assert(lerp(2L).contains(10.0) && lerp(5L).contains(40.0), "observed hours keep their value")
+    assert(lerp(3L).contains(20.0) && lerp(4L).contains(30.0), "in-day lerp")
+    // 5 → 77 is a 72-hour gap across 3 chunk boundaries: 40 → 4 linearly
+    assert(lerp(41L).contains(40.0 + (4.0 - 40.0) * 36.0 / 72.0), "cross-day lerp")
+    assert(lerp(91L).contains(1.0) && lerp(95L).contains(1.0), "trailing gap carries last obs")
   }
 
   test("gapfill: empty hours present with 0.0 (left join + coalesce shape)") {
