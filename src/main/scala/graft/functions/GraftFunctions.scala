@@ -36,10 +36,30 @@ object GraftFunctions {
   private val nearestCentroidInfo = new ExpressionInfo(
     classOf[NearestCentroid].getName, "graft_nearest_centroid")
 
+  private val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n, k) => MinHashSig(t, n, k)
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash expects 3 arguments, got ${other.size}")
+  }
+
+  private val minhashInfo = new ExpressionInfo(
+    classOf[MinHashSig].getName, "graft_minhash")
+
+  private val shinglesBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n) => ShinglesExpr(t, n)
+    case other => throw new IllegalArgumentException(
+      s"graft_shingles expects 2 arguments, got ${other.size}")
+  }
+
+  private val shinglesInfo = new ExpressionInfo(
+    classOf[ShinglesExpr].getName, "graft_shingles")
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
-      (FunctionIdentifier("graft_nearest_centroid"), nearestCentroidInfo, nearestCentroidBuilder))
+      (FunctionIdentifier("graft_nearest_centroid"), nearestCentroidInfo, nearestCentroidBuilder),
+      (FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder),
+      (FunctionIdentifier("graft_shingles"), shinglesInfo, shinglesBuilder))
 
   /** Inject into a live session's registry (idempotent). */
   def register(spark: SparkSession): Unit = {

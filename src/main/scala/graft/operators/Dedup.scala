@@ -46,37 +46,83 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** MinHash signature column `sig` (array of `numHashes` minima) over
-    * `shingles` (call withShingles first). */
-  def minHash(df: DataFrame, numHashes: Int = 32): DataFrame =
-    df.withColumn("sig", expr(
-      s"transform(sequence(0, ${numHashes - 1}), h -> array_min(transform(shingles, x -> ${h60("cast(h as string)", "x")})))"))
+  /** Mersenne prime 2^31 - 1: modulus of the affine minhash family. */
+  private[operators] val MinhashP = 2147483647L
 
-  /** LSH banding: explode signatures into (band, bandHash) keys and
-    * self-join → candidate id pairs (id_a < id_b), deduplicated. */
-  def lshCandidates(sigDf: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val banded = sigDf
-      .select(col(idCol).as("__id"), col("sig"))
-      .withColumn("band", explode(expr(s"sequence(0, $bands - 1)")))
-      .withColumn("band_hash",
-        md5(concat_ws(",", col("band"),
-          expr(s"concat_ws(',', slice(sig, band * (size(sig) div $bands) + 1, size(sig) div $bands))"))))
-    val a = banded.select(col("__id").as("id_a"), col("band"), col("band_hash"))
-    val b = banded.select(col("__id").as("id_b"), col("band").as("band2"), col("band_hash").as("band_hash2"))
-    a.join(b, col("band") === col("band2") && col("band_hash") === col("band_hash2") &&
-        col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+  /** MinHash signature column `sig` (array of `numHashes` minima) over
+    * `shingles` (call withShingles first).
+    *
+    * Universal-hashing construction: ONE md5 per shingle (seed 'm' →
+    * 60-bit int → mod 2^31-1), then `numHashes` affine permutations
+    * h_i(x) = ((2i+1)·x + 12582917·i) mod (2^31-1) — 8× fewer md5 calls
+    * than a per-hash md5, the dominant cost of the sketch at corpus
+    * scale, with identical integer arithmetic in DuckDB (all operands
+    * stay < 2^37, no overflow on either engine). */
+  def minHash(df: DataFrame, numHashes: Int = 32): DataFrame =
+    df.withColumn("__h31", expr(
+        s"transform(shingles, x -> pmod(${h60("'m'", "x")}, $MinhashP))"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${numHashes - 1}), i -> array_min(transform(__h31, h -> pmod((2*i + 1) * h + 12582917 * i, $MinhashP))))"))
+      .drop("__h31")
+
+  /** Compiled twin of `withShingles` (graft_shingles kernel): identical
+    * output (OperatorSpec holds them equal), one codegen'd pass instead of
+    * interpreted higher-order functions. */
+  def withShinglesFast(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("shingles", expr(s"graft_shingles($textCol, $n)"))
+      .filter(col("shingles").isNotNull)
   }
 
-  /** Candidates verified with exact Jaccard ≥ threshold. `docs` must carry
-    * (idCol, shingles). */
-  def nearDupPairs(docs: DataFrame, idCol: String, threshold: Double,
-                   numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val sigs = minHash(docs, numHashes)
+  /** MinHash signatures straight from the text column via the compiled
+    * graft_minhash kernel — semantics identical to
+    * `minHash(withShingles(df, textCol, n), numHashes)` (DedupSpec holds
+    * the two equal), but one codegen'd pass instead of interpreted
+    * higher-order functions: the fast path for corpus-sized sketching.
+    * Rows with fewer than `n` words are dropped, as withShingles does. */
+  def minHashFromText(df: DataFrame, textCol: String,
+                      numHashes: Int = 32, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("sig", expr(s"graft_minhash($textCol, $n, $numHashes)"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** LSH banding: explode signatures into (band, band-signature) keys,
+    * hash-aggregate ids per bucket, and expand each bucket's id list into
+    * its (id_a < id_b) pairs — candidate pairs, deduplicated across bands.
+    *
+    * Single evaluation of the signature pipeline (a self-JOIN formulation
+    * evaluates it once per side) and a single shuffle of bands × corpus
+    * rows keyed on the raw band signature. Bucket pair expansion is
+    * quadratic per bucket by construction — that is LSH's contract
+    * (buckets ARE the candidate sets); a pathological mega-bucket (all
+    * docs identical) should be salted or capped upstream. */
+  def lshCandidates(sigDf: DataFrame, idCol: String, bands: Int): DataFrame =
+    sigDf
+      .select(col(idCol).as("__id"), col("sig"))
+      .withColumn("band", explode(expr(s"sequence(0, $bands - 1)")))
+      .select(col("__id"), col("band"),
+        expr(s"slice(sig, band * (size(sig) div $bands) + 1, size(sig) div $bands)").as("band_sig"))
+      .groupBy("band", "band_sig")
+      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ids) - 1), j -> transform(slice(ids, 1, j), a -> struct(a AS id_a, element_at(ids, j + 1) AS id_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+
+  /** LSH candidates verified with exact n-gram Jaccard ≥ threshold, from
+    * the raw text column. Both the sketch and the verify-side shingles
+    * run the compiled kernels (graft_minhash / graft_shingles) — a single
+    * codegen'd pass per side; the Jaccard set-intersection itself is only
+    * evaluated on candidate pairs, never corpus². */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+                   numHashes: Int = 32, bands: Int = 8, n: Int = 3): DataFrame = {
+    val sigs = minHashFromText(docs.select(col(idCol), col(textCol)), textCol, numHashes, n)
     val cands = lshCandidates(sigs, idCol, bands)
-    val a = docs.select(col(idCol).as("id_a"), col("shingles").as("__ga"))
-    val b = docs.select(col(idCol).as("id_b"), col("shingles").as("__gb"))
+    val sh = withShinglesFast(docs, textCol, n)
+    val a = sh.select(col(idCol).as("id_a"), col("shingles").as("__ga"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingles").as("__gb"))
     cands.join(a, "id_a").join(b, "id_b")
       .withColumn("__inter", size(array_intersect(col("__ga"), col("__gb"))))
       .withColumn("jaccard",

@@ -93,7 +93,7 @@ object LlmScale {
     * slices, no md5 band key), so this is a cross-algorithm check. */
   val qDedupLshBands: Q = (s, d) =>
     Dedup.lshCandidates(
-        Dedup.minHash(Dedup.withShingles(Tables.documents(s, d), "text"), numHashes = 8),
+        Dedup.minHashFromText(Tables.documents(s, d), "text", numHashes = 8),
         "doc_id", bands = 4)
       .orderBy("id_a", "id_b")
 
@@ -102,8 +102,8 @@ object LlmScale {
     * per-pair — the only corpus-sized work is the banding shuffle. */
   val qDedupLshVerified: Q = (s, d) =>
     Dedup.nearDupPairs(
-        Dedup.withShingles(Tables.documents(s, d), "text"),
-        "doc_id", threshold = 0.2, numHashes = 8, bands = 4)
+        Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.2, numHashes = 8, bands = 4)
       .select(col("id_a"), col("id_b"), Num.roundd(col("jaccard"), 6).as("jac"))
       .orderBy("id_a", "id_b")
 
@@ -208,22 +208,29 @@ object LlmScale {
     "WITH ng AS (SELECT doc_id, list_distinct(list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) g " +
       "FROM (SELECT doc_id, string_split(text,' ') w FROM documents) WHERE len(w) >= 3)"
 
+  /** 8-hash MinHash signature CTE mirroring Dedup.minHash's universal
+    * hashing: one md5 base hash mod 2^31-1, affine permutations
+    * (2i+1)·h + 12582917·i mod 2^31-1 — identical BIGINT arithmetic. */
+  private val sigCte =
+    s"h31 AS (SELECT doc_id, list_transform(g, x -> ${dh("'m'", "x")} % 2147483647) hs FROM ng), " +
+      "sg AS (SELECT doc_id, list_transform(range(8), i -> list_aggregate(list_transform(hs, h -> ((2*i + 1) * h + 12582917 * i) % 2147483647), 'min')) sig FROM h31)"
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_text_ngram_jaccard", qTextNgramJaccard, Some(
       s"$ngramCte SELECT a.doc_id id_a, b.doc_id id_b, round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) jac FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1 ORDER BY id_a")),
     ("q_dedup_minhash", qDedupMinhash, Some(
-      s"$ngramCte, sg AS (SELECT doc_id, list_transform(range(8), h -> list_aggregate(list_transform(g, x -> ${dh("CAST(h AS VARCHAR)", "x")}), 'min')) sig FROM ng) " +
+      s"$ngramCte, $sigCte " +
         "SELECT a.doc_id id_a, b.doc_id id_b, CAST(len(list_filter(range(8), i -> a.sig[i+1] = b.sig[i+1])) AS BIGINT) agree, CAST(len(list_filter(range(8), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE)/8.0 est_jac FROM sg a JOIN sg b ON b.doc_id = a.doc_id + 1 ORDER BY id_a")),
     ("q_dedup_simhash", qDedupSimhash, Some(
       s"WITH th AS (SELECT doc_id, list_transform(list_distinct(string_split(text,' ')), x -> ${dh("'s'", "x")}) h FROM documents), " +
         "bits AS (SELECT doc_id, list_transform(range(60), b -> CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) bt FROM th) " +
         "SELECT a.doc_id id_a, b.doc_id id_b, CAST(len(list_filter(range(60), i -> a.bt[i+1] != b.bt[i+1])) AS BIGINT) hamming FROM bits a JOIN bits b ON b.doc_id = a.doc_id + 1 ORDER BY id_a")),
     ("q_dedup_lsh_bands", qDedupLshBands, Some(
-      s"$ngramCte, sg AS (SELECT doc_id, list_transform(range(8), h -> list_aggregate(list_transform(g, x -> ${dh("CAST(h AS VARCHAR)", "x")}), 'min')) sig FROM ng), " +
+      s"$ngramCte, $sigCte, " +
         "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)) " +
         "SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id ORDER BY id_a, id_b")),
     ("q_dedup_lsh_verified", qDedupLshVerified, Some(
-      s"$ngramCte, sg AS (SELECT doc_id, list_transform(range(8), h -> list_aggregate(list_transform(g, x -> ${dh("CAST(h AS VARCHAR)", "x")}), 'min')) sig FROM ng), " +
+      s"$ngramCte, $sigCte, " +
         "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)), " +
         "cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))), 6) jac " +

@@ -76,10 +76,34 @@ class OperatorSpec extends SparkSuite {
     val text = (1 to 40).map(i => s"w$i").mkString(" ")
     val other = (100 to 140).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
-    val sh = Dedup.withShingles(df, "text")
-    val pairs = Dedup.nearDupPairs(sh, "doc_id", threshold = 0.9)
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("graft_shingles kernel ≡ HOF shingler on fixture docs (order included)") {
+    val docs = Tables.documents(spark, sf0001)
+    val hof = Dedup.withShingles(docs, "text").select("doc_id", "shingles")
+    val fast = Dedup.withShinglesFast(docs, "text").select("doc_id", "shingles")
+    assert(fast.count() == hof.count())
+    assert(fast.except(hof).count() == 0 && hof.except(fast).count() == 0)
+  }
+
+  test("graft_minhash kernel ≡ HOF minhash pipeline on fixture docs") {
+    val docs = Tables.documents(spark, sf0001)
+    val hof = Dedup.minHash(Dedup.withShingles(docs, "text"), numHashes = 8)
+      .select("doc_id", "sig")
+    val fast = Dedup.minHashFromText(docs, "text", numHashes = 8)
+      .select("doc_id", "sig")
+    assert(fast.count() == hof.count())
+    assert(fast.except(hof).count() == 0 && hof.except(fast).count() == 0)
+    // edge: multiple consecutive spaces produce empty tokens in both forms
+    import spark.implicits._
+    val weird = Seq((1L, "a  b c  d e"), (2L, "x y")).toDF("doc_id", "text")
+    val h2 = Dedup.minHash(Dedup.withShingles(weird, "text"), 8).select("doc_id", "sig")
+    val f2 = Dedup.minHashFromText(weird, "text", 8).select("doc_id", "sig")
+    assert(f2.count() == 1 && h2.count() == 1) // "x y" has < 3 words → dropped
+    assert(f2.except(h2).count() == 0 && h2.except(f2).count() == 0)
   }
 
   test("simhash: identical docs → hamming 0 via blocking join") {
