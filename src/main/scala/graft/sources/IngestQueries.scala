@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.Tables
+import graft.operators.{Num, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog queries exercising the write path end-to-end: materialize a
+  * layout (memoized, ingest-time), then answer from the pruned read. The
+  * oracles run against the ORIGINAL parquet — so a pass proves the
+  * round-trip (layout write + partition-pruned read) preserves the data,
+  * not just that the filter math agrees.
+  */
+object IngestQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Time-range aggregate over the by-day layout. The `day BETWEEN`
+    * predicate is a partition filter: only 5 of 30 partition directories
+    * are read (WritePathSpec asserts the pruning; at 100 TB this is the
+    * difference between scanning a month and scanning 5 days). */
+  val qIngestDayPrune: Q = (s, d) => {
+    val path = Ingest.eventsByDay(s, d)
+    Ingest.readEventsByDay(s, path)
+      .filter(col("day").between(lit("2024-01-05").cast("date"), lit("2024-01-09").cast("date")))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"))
+      .orderBy("day", "event_type")
+  }
+
+  /** ANN probe against the by-bucket layout: bucket computed driver-side,
+    * scan pruned to one partition directory, exact codegen'd cosine
+    * inside. Oracle-backed (unlike the unpartitioned ANN variants): the
+    * ±1 plane matrix is deterministic, so DuckDB re-derives every
+    * vector's bucket from inline plane literals and searches the same
+    * bucket — a full cross-engine check of the LSH bucketing AND the
+    * layout round-trip. */
+  val qAnnBucketPruned: Q = (s, d) => {
+    val path = Ingest.embeddingsByBucket(s, d, nPlanes = 6)
+    val probeVec = Tables.embeddings(s, d)
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    Ingest.annTopKPruned(s, path, probeVec, excludeId = 0L, k = 5, nPlanes = 6)
+      .withColumn("sim", Num.roundd(col("sim"), 6))
+  }
+
+  /** DuckDB-side bucket expression: per-plane sign bits from the same
+    * literal ±1 matrix, same left-to-right double accumulation
+    * (list_sum over in-order products) as the srpBucket column. */
+  private def duckBucketExpr(nPlanes: Int, dim: Int): String =
+    Similarity.srpPlanes(nPlanes, dim).zipWithIndex.map { case (plane, h) =>
+      val lits = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range($dim), i -> CAST(embedding[i+1] AS DOUBLE) * ($lits::DOUBLE[])[i+1])) > 0 THEN ${1 << h} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ingest_day_prune", qIngestDayPrune, Some(
+      "SELECT CAST(ts AS DATE) day, event_type, count(*) cnt, round(sum(value), 2) sv " +
+        "FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ann_bucket_pruned", qAnnBucketPruned, Some(
+      s"WITH b AS (SELECT vec_id, embedding, ${duckBucketExpr(6, 64)} AS bucket FROM embeddings) " +
+        "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) sim " +
+        "FROM b WHERE bucket = (SELECT bucket FROM b WHERE vec_id = 0) AND vec_id != 0 " +
+        "ORDER BY sim DESC, vec_id ASC LIMIT 5")),
+  )
+}

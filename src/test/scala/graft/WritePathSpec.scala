@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{Llm, Num, Similarity}
+import graft.sources.{Ingest, IngestQueries}
+import org.apache.spark.sql.functions._
+
+/** The write path (graft.sources.Ingest): layouts must (a) round-trip the
+  * data exactly and (b) actually prune/co-locate — asserted on the plans
+  * and the scanned file sets, not just on result values. */
+class WritePathSpec extends SparkSuite {
+
+  private val root =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-ingest"
+
+  /** The partition listings each file scan in `df` would read — AFTER
+    * partition pruning (unlike `df.inputFiles`, which lists the whole
+    * relation regardless of filters). */
+  private def scanListings(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.selectedPartitions
+    }
+
+  test("events by day: partition filter prunes directories, values round-trip") {
+    val path = Ingest.eventsByDay(spark, sf0001, root)
+    val all = Ingest.readEventsByDay(spark, path)
+    // 30 days of data → 30 partition directories
+    val days = all.select("day").distinct().count()
+    assert(days == 30, s"expected 30 day partitions, got $days")
+
+    val pruned = all.filter(
+      col("day").between(lit("2024-01-05").cast("date"), lit("2024-01-09").cast("date")))
+    // pruning happens at planning: only the 5 matching directories are read
+    val listing = scanListings(pruned).head
+    assert(listing.partitionCount == 5,
+      s"pruned scan reads ${listing.partitionCount}/30 partitions")
+    assert(listing.toPartitionArray.forall { f =>
+      (5 to 9).exists(dd => f.filePath.toString.contains(f"day=2024-01-$dd%02d"))
+    }, "pruned scan read a file outside the requested day range")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"), plan)
+
+    // the layout preserves the data: same rows as filtering the source
+    val direct = Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")).between(
+        lit("2024-01-05").cast("date"), lit("2024-01-09").cast("date")))
+    assert(pruned.count() == direct.count())
+    val a = pruned.select("event_id", "ts", "user_id", "event_type", "value")
+    val b = direct.select("event_id", "ts", "user_id", "event_type", "value")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("embeddings by bucket: driver-side bucket = expression bucket; probe reads one directory") {
+    val nPlanes = 6
+    val path = Ingest.embeddingsByBucket(spark, sf0001, nPlanes, root = root)
+    val emb = Tables.embeddings(spark, sf0001)
+
+    // srpBucketOf (driver twin) agrees with the codegen'd srpBucket column
+    val expected = emb
+      .withColumn("b", Similarity.srpBucket("embedding", nPlanes))
+      .select("vec_id", "b", "embedding").collect()
+    expected.foreach { r =>
+      val vec = r.getSeq[Float](2).toArray.map(_.toDouble)
+      assert(Ingest.srpBucketOf(vec, nPlanes) == r.getInt(1),
+        s"vec ${r.getLong(0)}: driver bucket != expression bucket")
+    }
+
+    // probe scan is pruned to the probe's single bucket directory
+    val probeVec = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).toArray.map(_.toDouble)
+    val b = Ingest.srpBucketOf(probeVec, nPlanes)
+    val topk = Ingest.annTopKPruned(spark, path, probeVec, excludeId = 0L, k = 5, nPlanes = nPlanes)
+    val listing = scanListings(topk).head
+    val probeFiles = listing.toPartitionArray.map(_.filePath.toString)
+    assert(listing.partitionCount == 1 && probeFiles.forall(_.contains(s"bucket=$b")),
+      s"probe scan read ${listing.partitionCount} partitions: ${probeFiles.mkString(", ")}")
+
+    // same answer as the unpartitioned ANN for the same planes
+    val unpart = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 5, nPlanes)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val part = topk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(part == unpart, s"pruned ANN $part != unpartitioned ANN $unpart")
+  }
+
+  test("catalog q_ann_bucket_pruned matches within-bucket exact search") {
+    // the catalog face returns rounded sims over the probe's bucket; check
+    // it against an independently computed in-bucket brute force
+    val got = IngestQueries.qAnnBucketPruned(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val emb = Tables.embeddings(spark, sf0001)
+    val probeVec = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).toArray.map(_.toDouble)
+    val pb = Ingest.srpBucketOf(probeVec, 6)
+    val want = emb.withColumn("b", Similarity.srpBucket("embedding", 6))
+      .filter(col("b") === pb && col("vec_id") =!= 0)
+      .withColumn("__p", typedlit(probeVec.map(_.toFloat).toSeq))
+      .withColumn("sim", Num.roundd(Llm.cosineNative(spark, "embedding", "__p"), 6))
+      .select("vec_id", "sim")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"catalog $got != in-bucket brute force $want")
+  }
+
+  test("bucketed tables: equi-join on the bucket key has no Exchange") {
+    val orders = Tables.orders(spark, sf0001)
+    val customer = Tables.customer(spark, sf0001)
+    Ingest.writeBucketed(orders, "b_orders", "o_custkey", 8)
+    Ingest.writeBucketed(customer, "b_customer", "c_custkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // the join itself is exchange-free: both sides arrive hash-bucketed
+      // by the key. (The groupBy above the join still shuffles — assert on
+      // the join inputs, not the whole plan.)
+      val joinSection = plan.split("HashAggregate").last
+      assert(joinSection.contains("SortMergeJoin") || joinSection.contains("ShuffledHashJoin"), plan)
+      assert(!joinSection.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      // and it agrees with the unbucketed join
+      val want = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
