@@ -54,7 +54,8 @@ object IngestQueries {
 
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_ingest_day_prune", qIngestDayPrune, Some(
-      "SELECT CAST(ts AS DATE) day, event_type, count(*) cnt, round(sum(value), 2) sv " +
+      // `day` is a DuckDB keyword — a bare alias is a parser error (r02); AS-quote it
+      "SELECT CAST(ts AS DATE) AS \"day\", event_type, count(*) cnt, round(sum(value), 2) sv " +
         "FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09' " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_ann_bucket_pruned", qAnnBucketPruned, Some(
