@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytics extensions beyond the SURVEY §2.1 core: pivot/unpivot
+  * reshaping, decorrelated scalar subqueries, moment-based statistical
+  * aggregates, and a typed-UDAF bottom-k.
+  *
+  * Scale notes:
+  *  - Pivot with an EXPLICIT value list is one hash aggregate (no
+  *    driver-side distinct pass to discover columns — at 100 TB that
+  *    discovery scan would double the cost and break determinism).
+  *  - The "correlated scalar subquery" is expressed as the broadcast-join
+  *    of a pre-aggregate — exactly the decorrelation Catalyst performs on
+  *    `WHERE x > (SELECT avg(...) WHERE inner.k = outer.k)`; writing it
+  *    declaratively keeps the 25-row aggregate broadcastable and the big
+  *    side shuffle-free.
+  *  - corr/covar/stddev are single-pass mergeable moment aggregates
+  *    (Spark's central-moment partial state); outputs are rounded to
+  *    absorb the ~1e-12 relative difference between Spark's distributed
+  *    merge order and the oracle's sequential accumulation.
+  *  - BottomK demonstrates the Aggregator partial/merge/finish contract:
+  *    map-side combine bounds shuffle volume at k rows per partition per
+  *    group (see graft.functions.BottomK).
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** All five event types, pinned: pivot columns must be an explicit,
+    * ordered list for schema determinism (and to skip the discovery scan). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  // ---- pivot / unpivot ------------------------------------------------------
+
+  val qPivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes) // absent (day, type) cells are empty counts
+      .orderBy("day")
+
+  val qUnpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 200)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+
+  // ---- scalar subquery (decorrelated) --------------------------------------
+
+  val qSubqueryScalar: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val natAvg = c.groupBy("c_nationkey")
+      .agg(Num.roundd(Num.roundd(sum("c_acctbal"), 8) / count(lit(1)), 4).as("nat_avg"))
+    c.join(broadcast(natAvg), "c_nationkey")
+      .filter(col("c_acctbal") > col("nat_avg"))
+      .select("c_custkey", "c_acctbal", "nat_avg")
+      .orderBy("c_custkey")
+  }
+
+  // ---- statistical aggregates ----------------------------------------------
+
+  val qAggStats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        Num.roundd(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        Num.roundd(var_samp(col("l_quantity")), 4).as("var_qty"),
+        Num.roundd(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        Num.roundd(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  // ---- typed UDAF: bottom-k ------------------------------------------------
+
+  val qAggBottomk: Q = (s, d) => {
+    val bottom3 = udaf(new graft.functions.BottomK(3))
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(bottom3(col("c_acctbal"), col("c_custkey")).as("bot3"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  val all: Seq[(String, Q, String)] = Seq(
+    ("q_pivot", qPivot,
+      "SELECT CAST(ts AS DATE) AS \"day\", " +
+        EventTypes.map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ") +
+        " FROM events GROUP BY 1 ORDER BY 1"),
+    ("q_unpivot", qUnpivot,
+      "SELECT l_orderkey, l_linenumber, metric, val FROM " +
+        "(SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey <= 200) " +
+        "UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount)) " +
+        "ORDER BY l_orderkey, l_linenumber, metric, val"),
+    ("q_subquery_scalar", qSubqueryScalar,
+      "WITH na AS (SELECT c_nationkey, round(round(sum(c_acctbal), 8)/count(*), 4) nat_avg FROM customer GROUP BY 1) " +
+        "SELECT c_custkey, c_acctbal, nat_avg FROM customer JOIN na USING (c_nationkey) " +
+        "WHERE c_acctbal > nat_avg ORDER BY c_custkey"),
+    ("q_agg_stats", qAggStats,
+      "SELECT l_returnflag, round(stddev_samp(l_quantity), 4) sd_qty, round(var_samp(l_quantity), 4) var_qty, " +
+        "round(corr(l_quantity, l_extendedprice), 6) corr_qp, round(covar_samp(l_quantity, l_extendedprice), 2) cov_qp, " +
+        "count(*) cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    ("q_agg_bottomk", qAggBottomk,
+      "SELECT c_mktsegment, (list(c_custkey ORDER BY c_acctbal, c_custkey))[1:3] bot3 " +
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+  )
+}
