@@ -132,6 +132,56 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected edge list (`id_a`, `id_b`):
+    * returns (id, lbl) where lbl = the component's minimum id — the
+    * canonical representative for "keep one doc per near-dup cluster".
+    *
+    * Algorithm: distributed min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels (one
+    * shuffle-join + one hash aggregate per round); convergence in
+    * O(component diameter) rounds, detected by the strictly-decreasing
+    * label sum reaching a fixpoint. Near-dup clusters are shallow (dupes
+    * of a common source), so rounds stay single-digit; a high-diameter
+    * graph would want the large-star/small-star halving variant, which
+    * drops into the same loop shape.
+    *
+    * Each round is cached and the predecessor unpersisted — without the
+    * cache the recursive lineage would recompute exponentially; with it
+    * the loop is linear in rounds. Driver holds only the label-sum per
+    * round (O(1)), never the graph.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    // decimal(38,0) sum: overflow-proof fixpoint detector at any id scale
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prev = lblSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nlbl").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .cache()
+      val cur = lblSum(next) // materializes next's cache
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
   /** 60-bit SimHash of the distinct-token set, as a bit array column
     * `simhash_bits` (index 0 = lowest bit). */
   def simhashBits(df: DataFrame, textCol: String): DataFrame =

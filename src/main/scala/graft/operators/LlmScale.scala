@@ -107,6 +107,26 @@ object LlmScale {
       .select(col("id_a"), col("id_b"), Num.roundd(col("jaccard"), 6).as("jac"))
       .orderBy("id_a", "id_b")
 
+  // ---- dedup: clustering (connected components over verified pairs) -------
+
+  /** The end of the dedup pipeline: verified near-dup pairs → connected
+    * components → (doc_id, cluster_id = min doc in the cluster,
+    * cluster_size). A downstream "keep one per cluster" is then the
+    * trivial filter doc_id = cluster_id. The oracle recomputes components
+    * independently via a recursive transitive-closure CTE — a genuine
+    * cross-algorithm check on the distributed label propagation. */
+  val qDedupCluster: Q = (s, d) => {
+    val edges = Dedup.nearDupPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.2, numHashes = 8, bands = 4)
+      .select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+    val sizes = comp.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   // ---- similarity: embedding near-dup (exact, thresholded) ----------------
 
   val qEmbNeardup: Q = (s, d) =>
@@ -236,6 +256,19 @@ object LlmScale {
         "SELECT id_a, id_b, round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))), 6) jac " +
         "FROM cand JOIN ng x ON x.doc_id = cand.id_a JOIN ng y ON y.doc_id = cand.id_b WHERE " +
         "CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.2 ORDER BY id_a, id_b")),
+    ("q_dedup_cluster", qDedupCluster, Some(
+      // WITH RECURSIVE accepts non-recursive CTEs in the same list, so the
+      // shared ngram/signature/banding CTEs are reused verbatim
+      s"${ngramCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $sigCte, " +
+        "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)), " +
+        "cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id), " +
+        "ve AS (SELECT id_a, id_b FROM cand JOIN ng x ON x.doc_id = cand.id_a JOIN ng y ON y.doc_id = cand.id_b " +
+        "WHERE CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.2), " +
+        "sym AS (SELECT id_a s, id_b t FROM ve UNION ALL SELECT id_b, id_a FROM ve), " +
+        "r(s, t) AS (SELECT s, t FROM sym UNION SELECT r.s, e.t FROM r JOIN sym e ON e.s = r.t), " +
+        "lbl AS (SELECT s AS id, least(s, min(t)) cl FROM r GROUP BY s), " +
+        "sz AS (SELECT cl, count(*) n FROM lbl GROUP BY cl) " +
+        "SELECT id AS doc_id, cl AS cluster_id, n AS cluster_size FROM lbl JOIN sz USING (cl) ORDER BY doc_id")),
     ("q_emb_neardup", qEmbNeardup, Some(
       "SELECT a.vec_id id_a, b.vec_id id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) sim " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +

@@ -137,6 +137,46 @@ object TimeSeries {
       .orderBy("o_orderkey")
   }
 
+  /** Per-type, per-day EWMA (α = 0.3) over the day's hourly sums.
+    * The recursive s_i = α·v_i + (1-α)·s_{i-1} is a sequential fold, so it
+    * runs as a codegen'd `aggregate` HOF over the day's sorted points —
+    * O(day length) per group, chunked by day exactly like the LOCF carry,
+    * never a single-partition global scan. Inputs are pre-rounded hourly
+    * sums, and both engines execute the identical multiply-add sequence,
+    * so the fold is bit-reproducible (§2.0.2). */
+  val qTsEwma: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(Num.roundd(sum("value"), 6).as("sv"))
+      .groupBy(col("event_type"), date_trunc("day", col("h")).cast("date").as("day"))
+      .agg(sort_array(collect_list(struct(col("h"), col("sv")))).as("pts"))
+      .withColumn("vs", expr("transform(pts, x -> x.sv)"))
+      .withColumn("ewma", Num.roundd(expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), (acc, x) -> 0.3 * x + 0.7 * acc)"), 6))
+      .select("event_type", "day", "ewma")
+      .orderBy("event_type", "day")
+
+  /** Trailing-window anomaly detection: z-score of each hour's event count
+    * against the preceding 24 hourly counts (per type), flag |z| > 2.
+    * One shuffle on event_type; the frame is ROWS-bounded so state per
+    * series is O(24) regardless of series length. Counts are integers
+    * (exact sums on both engines); only stddev needs rounding, and the
+    * filter compares the ROUNDED z so the cut is engine-stable. */
+  val qTsAnomaly: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n24", count(lit(1)).over(w))
+      .withColumn("mu", sum("c").over(w).cast("double") / count(lit(1)).over(w))
+      .withColumn("sd", Num.roundd(stddev_samp(col("c")).over(w), 6))
+      .filter(col("n24") === 24 && col("sd") > 0)
+      .withColumn("z", Num.roundd((col("c") - col("mu")) / col("sd"), 3))
+      .filter(abs(col("z")) > 2)
+      .select("event_type", "h", "c", "z")
+      .orderBy("event_type", "h")
+  }
+
   /** Exact interpolated percentiles per series (Spark `percentile` and
     * DuckDB `quantile_cont` share the (1-g)·v[k] + g·v[k+1] definition). */
   val qTsPercentile: Q = (s, d) =>
@@ -305,6 +345,19 @@ object TimeSeries {
       "WITH daily AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) d, user_id FROM events), c AS (SELECT d, count(*) n_users FROM daily GROUP BY d), r AS (SELECT a.d, count(*) retained FROM daily a JOIN daily b ON b.user_id = a.user_id AND b.d = a.d + 1 GROUP BY a.d) SELECT c.d, c.n_users, r.retained, round(CAST(r.retained AS DOUBLE) / c.n_users, 4) rate FROM c JOIN r ON c.d = r.d ORDER BY c.d"),
     ("q_ts_funnel", qTsFunnel,
       "WITH v AS (SELECT user_id, min(ts) t_view FROM events WHERE event_type = 'view' GROUP BY user_id) SELECT v.user_id, v.t_view, min(e.ts) t_purchase FROM v JOIN events e ON e.user_id = v.user_id AND e.event_type = 'purchase' AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR GROUP BY v.user_id, v.t_view ORDER BY v.user_id"),
+    ("q_ts_ewma", qTsEwma,
+      "WITH hv AS (SELECT event_type, date_trunc('hour', ts) h, round(sum(value), 6) sv FROM events GROUP BY 1, 2), " +
+        "dl AS (SELECT event_type, CAST(date_trunc('day', h) AS DATE) AS \"day\", list(sv ORDER BY h) vs FROM hv GROUP BY 1, 2) " +
+        "SELECT event_type, \"day\", round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) ewma " +
+        "FROM dl ORDER BY event_type, \"day\""),
+    ("q_ts_anomaly", qTsAnomaly,
+      "WITH hv AS (SELECT event_type, date_trunc('hour', ts) h, count(*) c FROM events GROUP BY 1, 2), " +
+        "wz AS (SELECT event_type, h, c, count(*) OVER w n24, " +
+        "CAST(sum(c) OVER w AS DOUBLE) / count(*) OVER w mu, " +
+        "round(stddev_samp(c) OVER w, 6) sd " +
+        "FROM hv WINDOW w AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_type, h, c, round((c - mu) / sd, 3) z FROM wz " +
+        "WHERE n24 = 24 AND sd > 0 AND abs(round((c - mu) / sd, 3)) > 2 ORDER BY event_type, h"),
     ("q_ts_asof_join", qTsAsofJoin,
       "SELECT o.o_orderkey, e.ts FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 1000 = 0) o ASOF JOIN events e ON e.ts <= o.o_orderdate + INTERVAL 10585 DAY ORDER BY o.o_orderkey"),
   )
