@@ -72,6 +72,21 @@ object StreamingQueries {
         col("session_window.start").as("s_start"),
         col("n_events"))
 
+  /** Stream-stream interval join core: purchases within (click, click+30m]
+    * by the same user. The equi-key is user_id; the time bound is what
+    * makes the join state PRUNABLE — with watermarks on both sides, each
+    * side's state store retains only rows whose join window can still
+    * match (Spark derives the eviction bound from the interval condition).
+    * Without the time bound a stream-stream join would buffer forever. */
+  private def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks
+      .select(col("user_id").as("cu"), col("ts").as("ct"))
+      .join(
+        purchases.select(col("user_id").as("pu"), col("ts").as("pt")),
+        col("pu") === col("cu") &&
+          col("pt") > col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
+
   // ---- batch twins (registered in SparkEntry.queries) ---------------------
 
   val qStreamTumblingWm: Q = (s, d) =>
@@ -98,6 +113,18 @@ object StreamingQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("c_mktsegment")
 
+  val qStreamIntervalJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    clickPurchaseJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+      .groupBy(col("cu").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(expr("unix_micros(cast(pt as timestamp)) - unix_micros(cast(ct as timestamp))")).as("min_lag_us"))
+      .orderBy("user_id")
+  }
+
   // ---- streaming faces ----------------------------------------------------
 
   def tumblingStream(s: SparkSession, dir: String,
@@ -116,6 +143,16 @@ object StreamingQueries {
     eventsStream(s, dir)
       .join(Tables.customer(s, sfDir), col("user_id") === col("c_custkey"))
 
+  /** Stream-stream interval join face: both sides from the same replayed
+    * source, watermarked so join state evicts once pt can no longer land
+    * in any open (ct, ct+30m] window. */
+  def intervalJoinStream(s: SparkSession, dir: String): DataFrame = {
+    val src = eventsStream(s, dir)
+    clickPurchaseJoin(
+      src.filter(col("event_type") === "click").withWatermark("ts", "10 minutes"),
+      src.filter(col("event_type") === "purchase").withWatermark("ts", "40 minutes"))
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_stream_tumbling_wm", qStreamTumblingWm, Some(
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt FROM events GROUP BY 1,2 ORDER BY 1,2")),
@@ -123,6 +160,12 @@ object StreamingQueries {
       "WITH marked AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END new_s FROM events), sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) sid FROM marked) SELECT user_id, min(ts) s_start, count(*) n_events FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start")),
     ("q_stream_dedup", qStreamDedup, Some(
       "SELECT event_type, count(*) cnt FROM (SELECT DISTINCT ON (event_id) event_type FROM events ORDER BY event_id) GROUP BY event_type ORDER BY event_type")),
+    ("q_stream_interval_join", qStreamIntervalJoin, Some(
+      "SELECT c.user_id, count(*) n_pairs, min(epoch_us(p.ts) - epoch_us(c.ts)) min_lag_us " +
+        "FROM events c JOIN events p ON p.user_id = c.user_id " +
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
+        "GROUP BY c.user_id ORDER BY c.user_id")),
     ("q_stream_static_join", qStreamStaticJoin, Some(
       "SELECT c_mktsegment, count(*) cnt FROM events JOIN customer ON user_id=c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment")),
   )

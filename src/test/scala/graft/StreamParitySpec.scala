@@ -31,6 +31,24 @@ class StreamParitySpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("stream-stream interval join: emitted pairs ⊆ batch pairs") {
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.intervalJoinStream(spark, replayDir), "t_ivj")
+      .select(col("cu"), col("ct").cast("timestamp_ntz").as("ct"),
+        col("pt").cast("timestamp_ntz").as("pt"))
+    val e = graft.Tables.events(spark, sf0001)
+    val batch = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"))
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("pt")),
+        col("pu") === col("cu") && col("pt") > col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
+      .select("cu", "ct", "pt")
+    assert(got.except(batch).count() == 0,
+      "stream emitted a joined pair the batch twin disagrees with")
+    assert(got.count() > 0, "stream closed no join pairs at all")
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with gaps-and-islands on emitted sessions") {
     import graft.streaming.StatefulSessions
     import spark.implicits._
