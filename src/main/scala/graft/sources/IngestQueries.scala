@@ -52,7 +52,26 @@ object IngestQueries {
       s"(CASE WHEN list_sum(list_transform(range($dim), i -> CAST(embedding[i+1] AS DOUBLE) * ($lits::DOUBLE[])[i+1])) > 0 THEN ${1 << h} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Join two tables hash-bucketed AND sorted on the join key with the
+    * same bucket count: the plan is a SortMergeJoin with NO Exchange and
+    * no per-query Sort on either side (WritePathSpec asserts both). At
+    * 100 TB this turns the nightly fact-dim join from a full network
+    * shuffle of both tables into a local merge per bucket — the write-side
+    * cost is paid once at ingest. Oracle runs the same join on the
+    * original parquet, so a pass also proves the bucketed round-trip. */
+  val qIngestBucketedJoin: Q = (s, d) => {
+    val (to, tc) = Ingest.bucketedOrdersCustomer(s, d)
+    s.table(to).join(s.table(tc), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("o_totalprice"), 2).as("rev"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ingest_bucketed_join", qIngestBucketedJoin, Some(
+      "SELECT c_mktsegment, count(*) cnt, round(sum(o_totalprice), 2) rev " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
     ("q_ingest_day_prune", qIngestDayPrune, Some(
       // `day` is a DuckDB keyword — a bare alias is a parser error (r02); AS-quote it
       "SELECT CAST(ts AS DATE) AS \"day\", event_type, count(*) cnt, round(sum(value), 2) sv " +
