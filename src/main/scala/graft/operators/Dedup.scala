@@ -145,10 +145,14 @@ object Dedup {
     * graph would want the large-star/small-star halving variant, which
     * drops into the same loop shape.
     *
-    * Each round is cached and the predecessor unpersisted — without the
-    * cache the recursive lineage would recompute exponentially; with it
-    * the loop is linear in rounds. Driver holds only the label-sum per
-    * round (O(1)), never the graph.
+    * Each round is `localCheckpoint`ed: the round's plan references the
+    * previous round TWICE (self join + neighbor min), so without lineage
+    * truncation the logical plan doubles per round and Catalyst analysis
+    * goes exponential in rounds — caching alone does not help because
+    * cache substitution happens after analysis. Checkpointing makes each
+    * round's plan O(1); driver holds only the label-sum per round. At
+    * cluster scale swap localCheckpoint for a reliable checkpoint dir
+    * (localCheckpoint data dies with an executor).
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -157,7 +161,8 @@ object Dedup {
     // round 0 folded into initialization: lbl = min(id, min neighbor) in
     // the same aggregate that discovers the node set — one round fewer
     var labels = sym.groupBy(col("src").as("id"))
-      .agg(least(col("src"), min(col("dst"))).as("lbl")).cache()
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .localCheckpoint(true)
     // decimal(38,0) sum: overflow-proof fixpoint detector at any id scale
     def lblSum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
@@ -172,8 +177,8 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min("nlbl").as("nmin"))
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .cache()
-      val cur = lblSum(next) // materializes next's cache
+        .localCheckpoint(true) // truncate lineage: O(1) plan per round
+      val cur = lblSum(next)
       labels.unpersist(blocking = false)
       labels = next
       converged = cur.compareTo(prev) == 0

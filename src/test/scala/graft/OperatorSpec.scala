@@ -106,6 +106,37 @@ class OperatorSpec extends SparkSuite {
     assert(f2.except(h2).count() == 0 && h2.except(f2).count() == 0)
   }
 
+  test("connected components: chain, triangle, isolated pair each get min-id label") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: long path converges within maxIters via propagation") {
+    import spark.implicits._
+    // path 0-1-2-...-9: worst diameter for min propagation
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(got.length == 10 && got.forall(_._2 == 0L))
+  }
+
+  test("BottomK aggregator: k smallest by (key, id), merge-safe across partitions") {
+    import spark.implicits._
+    val bottom3 = udaf(new graft.functions.BottomK(3))
+    val df = (1L to 100L).map(i => (s"g${i % 2}", (i % 10).toDouble, i))
+      .toDF("g", "key", "id").repartition(7) // force multi-partition merge
+    val got = df.groupBy("g").agg(bottom3(col("key"), col("id")).as("bot"))
+      .as[(String, Seq[Long])].collect().toMap
+    // g0: even ids; key = id%10 → smallest keys 0 (ids 10,20,..),2(2,12..)
+    assert(got("g0") == Seq(10L, 20L, 30L)) // key 0.0, tie → id asc
+    assert(got("g1") == Seq(1L, 11L, 21L))  // key 1.0 after 10%10=0? no: odd ids, min key 1.0
+  }
+
   test("simhash: identical docs → hamming 0 via blocking join") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
