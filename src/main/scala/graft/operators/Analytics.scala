@@ -88,6 +88,37 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  // ---- skew mitigation: salted join ----------------------------------------
+
+  /** Skew-salted fact-dim join: the dim side is replicated across `nSalt`
+    * salt values and the fact side derives its salt from a row attribute,
+    * so one hot user_id's rows spread over nSalt reducer partitions
+    * instead of one straggler task. Results are identical to the plain
+    * join (the oracle IS the plain join) — only the partitioning changes.
+    * At 100 TB this is the manual fallback when AQE's skew-join split
+    * can't kick in (e.g. the skewed side feeds a co-grouped aggregate). */
+  val qJoinSkewSalted: Q = (s, d) => {
+    val nSalt = 8
+    val fact = Tables.events(s, d)
+      .withColumn("fsalt", expr(s"pmod(event_id, $nSalt)"))
+    val dim = Tables.customer(s, d)
+      .withColumn("dsalt", explode(expr(s"sequence(0L, ${nSalt - 1}L)")))
+    fact.join(dim, col("user_id") === col("c_custkey") && col("fsalt") === col("dsalt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Day-of-week × type seasonal profile. Spark `dayofweek` is 1=Sunday,
+    * DuckDB `dow` is 0=Sunday — normalized to the DuckDB convention. */
+  val qTsCalendar: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        Num.roundd(Num.roundd(sum("value"), 8) / count(lit(1)), 4).as("av"))
+      .orderBy("dow", "event_type")
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val all: Seq[(String, Q, String)] = Seq(
@@ -108,6 +139,12 @@ object Analytics {
       "SELECT l_returnflag, round(stddev_samp(l_quantity), 4) sd_qty, round(var_samp(l_quantity), 4) var_qty, " +
         "round(corr(l_quantity, l_extendedprice), 6) corr_qp, round(covar_samp(l_quantity, l_extendedprice), 2) cov_qp, " +
         "count(*) cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    ("q_join_skew_salted", qJoinSkewSalted,
+      "SELECT c_mktsegment, count(*) cnt, round(sum(value), 2) sv FROM events " +
+        "JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    ("q_ts_calendar", qTsCalendar,
+      "SELECT CAST(extract(dow FROM ts) AS BIGINT) dow, event_type, count(*) cnt, " +
+        "round(round(sum(value), 8)/count(*), 4) av FROM events GROUP BY 1, 2 ORDER BY dow, event_type"),
     ("q_agg_bottomk", qAggBottomk,
       "SELECT c_mktsegment, (list(c_custkey ORDER BY c_acctbal, c_custkey))[1:3] bot3 " +
         "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),

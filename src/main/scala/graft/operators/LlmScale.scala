@@ -199,6 +199,64 @@ object LlmScale {
       .orderBy("doc_id")
       .limit(1000)
 
+  // ---- text analysis: PII masking (training-data scrub) -------------------
+
+  /** Regex scrub: emails → <EMAIL>, digit runs → <NUM>. Pure per-row
+    * projection (codegen'd regexp_replace), no shuffle — linear at any
+    * corpus size. Patterns kept to the RE subset whose semantics are
+    * identical between Java regex and DuckDB's RE2. */
+  val qTextPiiMask: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        substring(
+          regexp_replace(
+            regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            "[0-9]+", "<NUM>"),
+          1, 80).as("masked"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_num"))
+      .orderBy("doc_id")
+      .limit(1000)
+
+  // ---- sampling: deterministic hash sample (train/eval splits) ------------
+
+  /** 10% deterministic sample by seeded md5 of the id — the reproducible
+    * alternative to rand(): membership is a pure function of the row, so
+    * the split is stable across runs, engines, partitionings, and
+    * re-ingestion (and the complement is exactly the other 90%). */
+  val qDocsSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("hmod",
+        expr(s"pmod(${Dedup.h60("'smp'", "cast(doc_id as string)")}, 100)"))
+      .filter(col("hmod") < 10)
+      .select("doc_id", "lang", "source", "hmod")
+      .orderBy("doc_id")
+
+  // ---- embeddings: int8 scalar quantization -------------------------------
+
+  /** Per-vector symmetric int8 quantization (q = round(v·127/max|v|)) plus
+    * mean absolute reconstruction error — the storage-side half of ANN at
+    * 100 TB (4× smaller vectors, error column for quality gates). Pure
+    * per-row projection over the array column; both engines evaluate the
+    * same left-to-right float→double pipeline, rounded via the DuckDB
+    * round mimic. */
+  val qEmbQuantize: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("mx") > 0)
+      .withColumn("q", expr(
+        "transform(v, x -> cast(if(x < 0, -floor(abs(x * 127.0 / mx) + 0.5d), floor(abs(x * 127.0 / mx) + 0.5d)) as int))"))
+      .select(
+        col("vec_id"),
+        Num.roundd(col("mx"), 6).as("mxr"),
+        element_at(col("q"), 1).as("q1"),
+        element_at(col("q"), 2).as("q2"),
+        size(expr("filter(q, y -> y != 0)")).cast("long").as("n_nonzero"),
+        Num.roundd(expr(
+          "aggregate(sequence(0, size(v) - 1), 0.0d, (acc, i) -> acc + abs(element_at(v, i + 1) - element_at(q, i + 1) * mx / 127.0)) / size(v)"), 6).as("mae"))
+      .orderBy("vec_id")
+
   // ---- multimodal: binary column plumbing (decode stubbed) ----------------
 
   /** Media pipeline plumbing over an opaque binary column: the "decode"
@@ -296,6 +354,19 @@ object LlmScale {
     ("q_text_fingerprint", qTextFingerprint, Some(
       s"$ngramCte, f AS (SELECT doc_id, list_sort(list_transform(g, x -> ${dh("'f'", "x")})) fps FROM ng) " +
         "SELECT doc_id, fps[1] fp1, fps[2] fp2, CAST(len(fps) AS BIGINT) n_grams FROM f ORDER BY doc_id LIMIT 1000")),
+    ("q_text_pii_mask", qTextPiiMask, Some(
+      "SELECT doc_id, substr(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g'), 1, 80) masked, " +
+        "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) n_num FROM documents ORDER BY doc_id LIMIT 1000")),
+    ("q_docs_sample", qDocsSample, Some(
+      s"SELECT doc_id, lang, source, ${dh("'smp'", "CAST(doc_id AS VARCHAR)")} % 100 hmod " +
+        s"FROM documents WHERE ${dh("'smp'", "CAST(doc_id AS VARCHAR)")} % 100 < 10 ORDER BY doc_id")),
+    ("q_emb_quantize", qEmbQuantize, Some(
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
+        "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) mx FROM e), " +
+        "qq AS (SELECT vec_id, v, mx, list_transform(v, x -> CAST(round(x * 127.0 / mx) AS INTEGER)) q FROM m WHERE mx > 0) " +
+        "SELECT vec_id, round(mx, 6) mxr, q[1] q1, q[2] q2, CAST(len(list_filter(q, y -> y != 0)) AS BIGINT) n_nonzero, " +
+        "round(list_sum(list_transform(range(len(v)), i -> abs(v[i+1] - q[i+1] * mx / 127.0))) / len(v), 6) mae " +
+        "FROM qq ORDER BY vec_id")),
     ("q_multimodal_features", qMultimodalFeatures, Some(
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) byte_len, sha256(text) sha, " +
         "CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) width, CAST(octet_length(CAST(text AS BLOB)) % 480 AS BIGINT) height, " +
