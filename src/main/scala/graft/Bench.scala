@@ -68,9 +68,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // ms precision keeps the whole line under the driver's 2000-char output
-    // tail (full-precision doubles overflowed it in r01/r02 → parsed:null)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Line-length budget: the driver keeps only a 2000-char output tail and
+    // the trailing sbt "[success]" line (~70 chars) shares it. Full-precision
+    // doubles overflowed the tail in r01/r02 → parsed:null. At ~89 queries,
+    // 10 ms per-query precision keeps the line ≈1800 chars; revisit if the
+    // catalog passes ~110 queries.
+    // keys drop the constant "q_" prefix (89 × 2 chars of budget);
+    // "scan_project" in this line = catalog "q_scan_project"
+    val qs = results.map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
