@@ -103,6 +103,10 @@ object Analytics {
       .withColumn("fsalt", expr(s"pmod(event_id, $nSalt)"))
     val dim = Tables.customer(s, d)
       .withColumn("dsalt", explode(expr(s"sequence(0L, ${nSalt - 1}L)")))
+      // the scenario salting targets is a SHUFFLE join (a broadcastable dim
+      // needs no salt) — pin the join strategy so the demo plan is the one
+      // the technique is for, at any autoBroadcast threshold
+      .hint("shuffle_hash")
     fact.join(dim, col("user_id") === col("c_custkey") && col("fsalt") === col("dsalt"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"))

@@ -269,16 +269,22 @@ object TimeSeries {
 
   /** Day-over-day retention: share of day-d active users also active on
     * day d+1 (exact integer counts; ratio is a division of exact longs). */
+  /** Next-day retention in window form: one shuffle on user_id orders each
+    * user's distinct active days; `lead(d) = d+1` marks retained days.
+    * Result-identical to the self-join formulation (which the oracle
+    * keeps), but the daily-activity table is shuffled ONCE instead of
+    * twice and joined never — at 100 TB the self-join's second shuffle of
+    * the (user, day) table is the bottleneck this removes. */
   val qTsRetention: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("d")
     val daily = Tables.events(s, d)
       .select(date_trunc("day", col("ts")).cast("date").as("d"), col("user_id"))
       .distinct()
-    val counts = daily.groupBy("d").agg(count(lit(1)).as("n_users"))
-    val nxt = daily.select(col("d").as("d2"), col("user_id").as("u2"))
-    val retained = daily
-      .join(nxt, col("u2") === col("user_id") && col("d2") === date_add(col("d"), 1))
-      .groupBy("d").agg(count(lit(1)).as("retained"))
-    counts.join(retained, Seq("d"))
+    daily
+      .withColumn("ret", when(lead("d", 1).over(w) === date_add(col("d"), 1), 1L).otherwise(0L))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_users"), sum("ret").as("retained"))
+      .filter(col("retained") > 0)
       .select(col("d"), col("n_users"), col("retained"),
         Num.roundd(col("retained").cast("double") / col("n_users"), 4).as("rate"))
       .orderBy("d")

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.{Analytics, TimeSeries}
+
+/** Physical-plan assertions for the scale claims the operator docs make
+  * (SURVEY §4): not "does it answer right" (check.py's job) but "is the
+  * plan the one that survives 100×". */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countExchanges(p: String): Int =
+    "(?i)Exchange (hash|range)partitioning".r.findAllIn(p).length
+
+  test("salted join runs as a shuffle join (a broadcast would make the salt vacuous)") {
+    val p = plan(Analytics.qJoinSkewSalted(spark, sf0001))
+    assert(p.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin in:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), "dim side must not broadcast in the salt demo")
+  }
+
+  test("decorrelated scalar subquery broadcasts the 25-row aggregate, not the fact side") {
+    val p = plan(Analytics.qSubqueryScalar(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$p")
+  }
+
+  test("window-form retention shuffles the daily table once, not twice (no self-join)") {
+    val p = plan(TimeSeries.qTsRetention(spark, sf0001))
+    assert(!p.toLowerCase.contains("sortmergejoin") && !p.contains("ShuffledHashJoin"),
+      s"retention must not self-join:\n$p")
+    // distinct + user_id (window) + d (agg) + the orderBy range exchange
+    assert(countExchanges(p) <= 4, s"too many exchanges:\n$p")
+  }
+
+  test("pivot with explicit values reads the source once (no distinct discovery scan)") {
+    val p = plan(Analytics.qPivot(spark, sf0001))
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"explicit value list must not trigger a discovery scan:\n$p")
+    // (day,type) pre-agg shuffle + pivotfirst-on-day shuffle + order
+    assert(countExchanges(p) <= 3, s"too many exchanges:\n$p")
+  }
+
+  test("scan projection is pruned to the selected columns at the parquet reader") {
+    val p = plan(graft.Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity"))
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"scan reads pruned columns only, got: $readSchema")
+  }
+}
