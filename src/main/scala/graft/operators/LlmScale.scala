@@ -277,6 +277,23 @@ object LlmScale {
       .orderBy("doc_id")
       .limit(1000)
 
+  /** Frame-sample plumbing as a catalog query: every 2nd frame index of
+    * each (stub-decoded) media row with a per-frame fingerprint. Same
+    * explode-then-process shape a real video pipeline needs so one long
+    * video becomes many parallel frame rows. */
+  val qMultimodalFramesample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("frames", (octet_length(col("blob")) % 16 + 1).cast("int"))
+      .withColumn("sha", sha2(col("blob"), 256))
+      .select(col("doc_id"), col("sha"),
+        explode(expr("sequence(0, frames - 1, 2)")).as("fi"))
+      .select(
+        col("doc_id"),
+        col("fi").cast("long").as("frame_idx"),
+        sha2(concat_ws(":", col("sha"), col("fi")), 256).as("frame_sha"))
+      .orderBy("doc_id", "frame_idx")
+
   // ---- oracle SQL ----------------------------------------------------------
 
   private val duckH60 = "CAST('0x' || substr(md5(%s || ':' || %s), 1, 15) AS BIGINT)"
@@ -367,6 +384,11 @@ object LlmScale {
         "SELECT vec_id, round(mx, 6) mxr, q[1] q1, q[2] q2, CAST(len(list_filter(q, y -> y != 0)) AS BIGINT) n_nonzero, " +
         "round(list_sum(list_transform(range(len(v)), i -> abs(v[i+1] - q[i+1] * mx / 127.0))) / len(v), 6) mae " +
         "FROM qq ORDER BY vec_id")),
+    ("q_multimodal_framesample", qMultimodalFramesample, Some(
+      "WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) % 16 + 1 frames, sha256(text) sha FROM documents), " +
+        "u AS (SELECT doc_id, sha, unnest(range(0, frames, 2)) f FROM m) " +
+        "SELECT doc_id, CAST(f AS BIGINT) frame_idx, sha256(sha || ':' || CAST(f AS VARCHAR)) frame_sha " +
+        "FROM u ORDER BY doc_id, frame_idx")),
     ("q_multimodal_features", qMultimodalFeatures, Some(
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) byte_len, sha256(text) sha, " +
         "CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) width, CAST(octet_length(CAST(text AS BLOB)) % 480 AS BIGINT) height, " +

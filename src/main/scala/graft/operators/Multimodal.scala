@@ -52,6 +52,18 @@ object Multimodal {
       .mapPartitions(it => it.map(decoder.decode))
   }
 
+  /** Frame sampling stage: every `step`-th frame index per media row, each
+    * with a deterministic per-frame fingerprint (decode-stub analogue of
+    * hashing the decoded frame). Runs AFTER decode as a pure projection +
+    * generator — the explode multiplies rows before any shuffle, so the
+    * downstream per-frame pipeline parallelizes over frames, not videos
+    * (one 2-hour video ≠ one task). */
+  def sampleFrames(features: Dataset[MediaFeatures], step: Int): DataFrame =
+    features.toDF()
+      .select(col("id"), col("sha"),
+        explode(expr(s"sequence(0, frames - 1, $step)")).as("frame_idx"))
+      .withColumn("frame_sha", sha2(concat_ws(":", col("sha"), col("frame_idx")), 256))
+
   /** Demo wiring over the documents table (text bytes as the payload). */
   def documentsAsMedia(s: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import s.implicits._
