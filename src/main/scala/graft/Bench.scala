@@ -73,12 +73,16 @@ object Bench {
     // doubles overflowed the tail in r01/r02 → parsed:null. At ~89 queries,
     // 10 ms per-query precision keeps the line ≈1800 chars; revisit if the
     // catalog passes ~110 queries.
-    // keys drop the constant "q_" prefix (89 × 2 chars of budget);
-    // "scan_project" in this line = catalog "q_scan_project"
-    val qs = results.map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + f"$v%.2f" }
+    // keys drop the constant "q_" prefix (91 × 2 chars of budget);
+    // "scan_project" in this line = catalog "q_scan_project". Values are
+    // 10ms precision with trailing zeros stripped ("0.50"→"0.5").
+    def fmt(v: Double): String =
+      f"$v%.2f".replaceAll("0+$", "").replaceAll("\\.$", "")
+    val qs = results.map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfTag = sfDir.split('/').last
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

@@ -294,6 +294,29 @@ object LlmScale {
         sha2(concat_ws(":", col("sha"), col("fi")), 256).as("frame_sha"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Resize planning over the (stub-decoded) dimensions: fit the long side
+    * to 224 px preserving aspect ratio. A real resize kernel consumes this
+    * plan inside the partition-batched decoder (Multimodal.decodeFeatures);
+    * the plan math itself is a pure projection, and computing it OUTSIDE
+    * the decode stage lets the planner drop rows that need no work
+    * (scale = 1) before the expensive kernel runs. */
+  val qMultimodalResize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("w", (octet_length(col("blob")) % 640).cast("long"))
+      .withColumn("h", (octet_length(col("blob")) % 480).cast("long"))
+      .filter(col("w") > 0 && col("h") > 0)
+      .withColumn("scale", Num.roundd(
+        lit(224.0) / greatest(col("w"), col("h")), 6))
+      .select(
+        col("doc_id"), col("w"), col("h"),
+        col("scale"),
+        Num.roundd(col("w") * col("scale"), 0).cast("long").as("rw"),
+        Num.roundd(col("h") * col("scale"), 0).cast("long").as("rh"),
+        (col("scale") < 1.0).as("shrinks"))
+      .orderBy("doc_id")
+      .limit(1000)
+
   // ---- oracle SQL ----------------------------------------------------------
 
   private val duckH60 = "CAST('0x' || substr(md5(%s || ':' || %s), 1, 15) AS BIGINT)"
@@ -384,6 +407,12 @@ object LlmScale {
         "SELECT vec_id, round(mx, 6) mxr, q[1] q1, q[2] q2, CAST(len(list_filter(q, y -> y != 0)) AS BIGINT) n_nonzero, " +
         "round(list_sum(list_transform(range(len(v)), i -> abs(v[i+1] - q[i+1] * mx / 127.0))) / len(v), 6) mae " +
         "FROM qq ORDER BY vec_id")),
+    ("q_multimodal_resize", qMultimodalResize, Some(
+      "WITH m AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) w, " +
+        "CAST(octet_length(CAST(text AS BLOB)) % 480 AS BIGINT) h FROM documents), " +
+        "p AS (SELECT doc_id, w, h, round(224.0 / greatest(w, h), 6) scale FROM m WHERE w > 0 AND h > 0) " +
+        "SELECT doc_id, w, h, scale, CAST(round(w * scale, 0) AS BIGINT) rw, CAST(round(h * scale, 0) AS BIGINT) rh, " +
+        "scale < 1.0 shrinks FROM p ORDER BY doc_id LIMIT 1000")),
     ("q_multimodal_framesample", qMultimodalFramesample, Some(
       "WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) % 16 + 1 frames, sha256(text) sha FROM documents), " +
         "u AS (SELECT doc_id, sha, unnest(range(0, frames, 2)) f FROM m) " +
