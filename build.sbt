@@ -14,6 +14,10 @@ run / fork := true
 // Pass forked-run stdout through verbatim: sbt's default logger prefixes
 // every line with "[info] ", which corrupts Bench's one-line JSON contract.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time: ..." trailer: the harness keeps only a
+// 2000-char tail of run output, and Bench's one-line JSON must be the
+// last thing in it — the trailer was eating ~75 chars of that budget.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

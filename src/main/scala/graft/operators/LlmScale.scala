@@ -154,6 +154,38 @@ object LlmScale {
       .limit(5)
   }
 
+  /** Batch multi-probe ANN — the production shape: N probe vectors
+    * answered in ONE plan instead of N sequential probes. Probes and
+    * corpus share the SRP bucketing expression; the (tiny) bucketed probe
+    * set broadcasts, the corpus joins on bucket with no shuffle, exact
+    * codegen'd cosine ranks within each probe's bucket. Oracle-backed:
+    * the ±1 plane matrix is deterministic, so DuckDB re-derives every
+    * bucket from inline literals, and ranking happens on the ROUNDED
+    * cosine with vec_id tiebreak — a total order both engines share. */
+  val qSimAnnBatch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = Tables.embeddings(s, d)
+      .withColumn("bucket", Similarity.srpBucket("embedding", 6))
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("bucket").as("pb"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
+    bucketed
+      .join(broadcast(probes), col("bucket") === col("pb") && col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", Num.roundd(Llm.cosineNative(s, "embedding", "pv"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("probe_id", "rnk", "vec_id", "sim")
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** DuckDB twin of the srpBucket expression over column `c` (inline ±1
+    * plane literals, same left-to-right double accumulation). */
+  private def duckBucket(nPlanes: Int, dim: Int, c: String): String =
+    Similarity.srpPlanes(nPlanes, dim).zipWithIndex.map { case (plane, h) =>
+      val lits = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range($dim), i -> CAST($c[i+1] AS DOUBLE) * ($lits::DOUBLE[])[i+1])) > 0 THEN ${1 << h} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** IVF-style ANN: seeded k-means clusters, search the nProbe nearest.
     * Oracle-less like the LSH variant (approximate by construction);
     * self-consistency + recall asserted in tests. */
@@ -371,6 +403,13 @@ object LlmScale {
       "SELECT a.vec_id id_a, b.vec_id id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) sim " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b")),
+    ("q_sim_ann_batch", qSimAnnBatch, Some(
+      s"WITH b AS (SELECT vec_id, embedding, ${duckBucket(6, 64, "embedding")} bucket FROM embeddings), " +
+        "p AS (SELECT vec_id probe_id, embedding pv, bucket pb FROM b WHERE vec_id < 10), " +
+        "j AS (SELECT p.probe_id, b.vec_id, round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])), 6) sim " +
+        "FROM b JOIN p ON b.bucket = p.pb AND b.vec_id != p.probe_id), " +
+        "r AS (SELECT probe_id, vec_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) rnk FROM j) " +
+        "SELECT probe_id, CAST(rnk AS BIGINT) rnk, vec_id, sim FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk")),
     ("q_sim_ann_lsh", qSimAnnLsh, None), // approximate by construction; recall asserted in tests
     ("q_sim_ann_ivf", qSimAnnIvf, None), // approximate by construction; recall asserted in tests
     ("q_text_langid", qTextLangid, Some(
