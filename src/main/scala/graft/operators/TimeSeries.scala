@@ -177,6 +177,20 @@ object TimeSeries {
       .orderBy("event_type", "h")
   }
 
+  /** Calendar-hierarchy rollup: counts and sums at (year, month, day),
+    * (year, month), (year), and grand-total grain in ONE pass — the
+    * "downsample at every retention tier" query a TSDB serves constantly,
+    * as a single Expand + hash aggregate instead of four scans. */
+  val qTsRollupTime: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("dd"))
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"))
+      .rollup("y", "m", "dd")
+      .agg(sum("cnt").as("cnt"), Num.roundd(Num.roundd(sum("sv"), 8), 2).as("sv"))
+      .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first, col("dd").asc_nulls_first)
+
   /** Exact interpolated percentiles per series (Spark `percentile` and
     * DuckDB `quantile_cont` share the (1-g)·v[k] + g·v[k+1] definition). */
   val qTsPercentile: Q = (s, d) =>
@@ -351,6 +365,11 @@ object TimeSeries {
       "WITH daily AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) d, user_id FROM events), c AS (SELECT d, count(*) n_users FROM daily GROUP BY d), r AS (SELECT a.d, count(*) retained FROM daily a JOIN daily b ON b.user_id = a.user_id AND b.d = a.d + 1 GROUP BY a.d) SELECT c.d, c.n_users, r.retained, round(CAST(r.retained AS DOUBLE) / c.n_users, 4) rate FROM c JOIN r ON c.d = r.d ORDER BY c.d"),
     ("q_ts_funnel", qTsFunnel,
       "WITH v AS (SELECT user_id, min(ts) t_view FROM events WHERE event_type = 'view' GROUP BY user_id) SELECT v.user_id, v.t_view, min(e.ts) t_purchase FROM v JOIN events e ON e.user_id = v.user_id AND e.event_type = 'purchase' AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR GROUP BY v.user_id, v.t_view ORDER BY v.user_id"),
+    ("q_ts_rollup_time", qTsRollupTime,
+      "WITH dg AS (SELECT CAST(extract(year FROM ts) AS BIGINT) y, CAST(extract(month FROM ts) AS BIGINT) m, " +
+        "CAST(extract(day FROM ts) AS BIGINT) dd, count(*) cnt, round(sum(value), 2) sv FROM events GROUP BY 1, 2, 3) " +
+        "SELECT y, m, dd, CAST(sum(cnt) AS BIGINT) cnt, round(round(sum(sv), 8), 2) sv FROM dg " +
+        "GROUP BY ROLLUP(y, m, dd) ORDER BY y NULLS FIRST, m NULLS FIRST, dd NULLS FIRST"),
     ("q_ts_ewma", qTsEwma,
       "WITH hv AS (SELECT event_type, date_trunc('hour', ts) h, round(sum(value), 6) sv FROM events GROUP BY 1, 2), " +
         "dl AS (SELECT event_type, CAST(date_trunc('day', h) AS DATE) AS \"day\", list(sv ORDER BY h) vs FROM hv GROUP BY 1, 2) " +
