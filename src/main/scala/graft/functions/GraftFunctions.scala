@@ -54,8 +54,18 @@ object GraftFunctions {
   private val shinglesInfo = new ExpressionInfo(
     classOf[ShinglesExpr].getName, "graft_shingles")
 
+  private val histBuilder: Seq[Expression] => Expression = {
+    case Seq(c, l, h, b) => HistogramAgg(c, l, h, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_hist expects 4 arguments, got ${other.size}")
+  }
+
+  private val histInfo = new ExpressionInfo(
+    classOf[HistogramAgg].getName, "graft_hist")
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
+      (FunctionIdentifier("graft_hist"), histInfo, histBuilder),
       (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
       (FunctionIdentifier("graft_nearest_centroid"), nearestCentroidInfo, nearestCentroidBuilder),
       (FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder),

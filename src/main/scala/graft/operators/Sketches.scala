@@ -55,9 +55,30 @@ object Sketches {
       count(lit(1)).as("n_day_sketches"))
   }
 
+  /** Fixed-bin value histogram per event type via the custom
+    * `graft_hist` TypedImperativeAggregate (graft.functions.HistogramAgg)
+    * — the one sketch whose semantics are EXACT, so unlike the three
+    * above it carries a full cross-engine oracle: DuckDB rebuilds the
+    * same 12-counter layout (underflow + 10 bins + overflow) from the
+    * identical floor((v-lo)·bins/(hi-lo)) IEEE expression. */
+  val qSketchHistAgg: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("graft_hist(value, 0.0d, 100.0d, 10)").as("hist"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_sketch_distinct", qSketchDistinct, None), // approximate by design; error bounded in SketchSpec
     ("q_sketch_quantile", qSketchQuantile, None), // approximate by design; rank error bounded in SketchSpec
-    ("q_sketch_hll_merge", qSketchHllMerge, None) // approximate by design; merge-losslessness asserted in SketchSpec
+    ("q_sketch_hll_merge", qSketchHllMerge, None), // approximate by design; merge-losslessness asserted in SketchSpec
+    ("q_sketch_hist_agg", qSketchHistAgg, Some(
+      "WITH b AS (SELECT event_type, CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 11 " +
+        "ELSE 1 + CAST(floor((value - 0.0) * 10 / (100.0 - 0.0)) AS INT) END idx FROM events), " +
+        "c AS (SELECT event_type, idx, CAST(count(*) AS BIGINT) n FROM b GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, i FROM (SELECT DISTINCT event_type FROM events), (SELECT unnest(range(12)) i)), " +
+        "j AS (SELECT g.event_type, g.i, coalesce(c.n, 0) n FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.idx = g.i) " +
+        "SELECT event_type, list(n ORDER BY i) hist FROM j GROUP BY event_type ORDER BY event_type"))
   )
 }

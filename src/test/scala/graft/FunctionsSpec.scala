@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
 /** Native expression registration + equivalence. */
 class FunctionsSpec extends SparkSuite {
 
+  test("graft_hist: boundary binning, null skip, and partition-merge invariance") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // lo=0 hi=10 bins=5: v=0→bin1, v=9.999→bin5, v=10→overflow, v=-0.1→underflow
+    val vals: Seq[java.lang.Double] =
+      Seq(0.0, 9.999, 10.0, -0.1, 2.0, 2.0, null)
+    val df = vals.toDF("v").selectExpr("cast(v as double) as v")
+    def hist(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.selectExpr("graft_hist(v, 0.0d, 10.0d, 5) as h").as[Seq[Long]].head()
+    val h1 = hist(df.coalesce(1))
+    val h7 = hist(df.repartition(7)) // forces serialize + merge across partials
+    assert(h1 == Seq(1L, 1L, 2L, 0L, 0L, 1L, 1L), s"got $h1")
+    assert(h7 == h1, "merge across partitions must equal single-partition result")
+  }
+
   test("graft_cosine resolves in SQL after registration and matches HOF bit-for-bit") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, sf0001).createOrReplaceTempView("emb_fn_test")
