@@ -186,6 +186,12 @@ object Dedup {
       iter += 1
     }
     sym.unpersist(blocking = false)
+    // fail loudly: an unconverged exit would silently return wrong labels.
+    // Diameter > maxIters means the graph is not near-dup-shaped; callers
+    // should raise maxIters or switch to the star-halving variant.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIters rounds " +
+        "(component diameter exceeds maxIters)")
     labels
   }
 
