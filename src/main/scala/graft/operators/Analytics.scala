@@ -123,6 +123,54 @@ object Analytics {
         Num.roundd(Num.roundd(sum("value"), 8) / count(lit(1)), 4).as("av"))
       .orderBy("dow", "event_type")
 
+  /** Distribution ranks per event type: quartile bucket, percent_rank,
+    * cume_dist. The ORDER BY (value, event_id) key is total (event_id is
+    * unique), so every rank function is deterministic — rank outputs on a
+    * tied prefix would differ between engines otherwise. */
+  val qWindowNtile: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        Num.roundd(percent_rank().over(w), 6).as("pr"),
+        Num.roundd(cume_dist().over(w), 6).as("cd"))
+      .orderBy("event_id")
+  }
+
+  /** Deterministic stratified sample: the 20 rows with the smallest
+    * md5(event_id) per event_type — a reproducible, engine-portable
+    * "random" sample (md5 is uniform and identical everywhere, unlike
+    * murmur/xxhash defaults or rand()). Scale shape: the naive form
+    * shuffles the ENTIRE table into one task per stratum; instead a
+    * hash-prefix prefilter (hk < '4' keeps 4/16 = 25%) cuts the window
+    * input at the scan. Exactness holds whenever ≥20 rows per stratum
+    * survive — the 20 smallest hashes are necessarily a subset of any
+    * surviving prefix range; at 100 TB tighten the prefix and widen only
+    * on a per-stratum miss. Fail-loud: a stratum with < 20 survivors
+    * (input too small for this prefix) raises instead of silently
+    * returning a biased subsample; the guard is a count over the same
+    * window partitioning — no extra shuffle. */
+  val qSampleStratified: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hk", "event_id")
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    Tables.events(s, d)
+      .withColumn("hk", md5(col("event_id").cast("string")))
+      .filter(col("hk") < "4")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rn",
+        when(count(lit(1)).over(cw) < 20, expr(
+          "raise_error(concat('stratified sample: stratum ', event_type, " +
+            "' has fewer than 20 prefilter survivors — widen the hash prefix'))"
+        ).cast("long")).otherwise(col("rn")))
+      .filter(col("rn") <= 20)
+      .select("event_type", "rn", "event_id", "ts", "value")
+      .orderBy("event_type", "rn")
+  }
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val all: Seq[(String, Q, String)] = Seq(
@@ -149,6 +197,16 @@ object Analytics {
     ("q_ts_calendar", qTsCalendar,
       "SELECT CAST(extract(dow FROM ts) AS BIGINT) dow, event_type, count(*) cnt, " +
         "round(round(sum(value), 8)/count(*), 4) av FROM events GROUP BY 1, 2 ORDER BY dow, event_type"),
+    ("q_window_ntile", qWindowNtile,
+      "SELECT event_id, event_type, value, CAST(ntile(4) OVER w AS BIGINT) quartile, " +
+        "round(percent_rank() OVER w, 6) pr, round(cume_dist() OVER w, 6) cd " +
+        "FROM events WHERE event_id < 2000 " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_id"),
+    ("q_sample_stratified", qSampleStratified,
+      "SELECT event_type, rn, event_id, ts, value FROM " +
+        "(SELECT event_type, event_id, ts, value, CAST(row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS BIGINT) rn " +
+        "FROM events) WHERE rn <= 20 ORDER BY event_type, rn"),
     ("q_agg_bottomk", qAggBottomk,
       "SELECT c_mktsegment, (list(c_custkey ORDER BY c_acctbal, c_custkey))[1:3] bot3 " +
         "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),

@@ -250,6 +250,35 @@ object LlmScale {
       .orderBy("doc_id")
       .limit(1000)
 
+  /** TF-IDF top-3 terms per document. Tokenize → tf per (doc, term) → df
+    * per term → score = tf · ln(N/df) → top-3 by (score desc, term).
+    * Scale shape: two keyed shuffles (doc_id+term, then term) plus a
+    * broadcast of the 1-row corpus count — no collect, no cross join of
+    * unbounded sides; the doc_id-partitioned top-k window rides the tf
+    * aggregation's existing clustering. Ranking keys are ROUNDED scores
+    * (idf to 6 dp before the multiply, score to 4 dp) so both engines rank
+    * identical doubles — ranking raw products would let a last-ulp ln()
+    * difference reorder near-ties (ln parity precedent: q_scalar_math). */
+  val qTextTfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(dfq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        Num.roundd(col("tf") * Num.roundd(log(col("n").cast("double") / col("dfreq")), 6), 4))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "term", "tf", "score")
+      .orderBy("doc_id", "rn")
+  }
+
   // ---- sampling: deterministic hash sample (train/eval splits) ------------
 
   /** 10% deterministic sample by seeded md5 of the id — the reproducible
@@ -412,6 +441,15 @@ object LlmScale {
         "SELECT probe_id, CAST(rnk AS BIGINT) rnk, vec_id, sim FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk")),
     ("q_sim_ann_lsh", qSimAnnLsh, None), // approximate by construction; recall asserted in tests
     ("q_sim_ann_ivf", qSimAnnIvf, None), // approximate by construction; recall asserted in tests
+    ("q_text_tfidf", qTextTfidf, Some(
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) tf FROM toks WHERE len(term) > 0 GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, count(*) dfreq FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) n FROM documents), " +
+        "sc AS (SELECT doc_id, term, tf, round(tf * round(ln(CAST(n.n AS DOUBLE)/dfreq), 6), 4) score " +
+        "FROM tf JOIN dfq USING (term) CROSS JOIN n), " +
+        "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) rn FROM sc) " +
+        "SELECT doc_id, rn, term, tf, score FROM rk WHERE rn <= 3 ORDER BY doc_id, rn")),
     ("q_text_langid", qTextLangid, Some(
       "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) tok FROM documents), " +
         "sc AS (SELECT doc_id, CAST(len(list_intersect(tok, ['der','die','das','und','ist','ein','nicht'])) AS BIGINT) s_de, " +

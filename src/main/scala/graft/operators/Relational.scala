@@ -297,6 +297,20 @@ object Relational {
       .orderBy("event_id")
       .limit(1000)
 
+  /** Multi-match regex extraction over the corpus — the scan-speed shape
+    * for pattern mining (all matches per row, count + first), vs the
+    * single-match regexp_extract in qScalarString. `get(arr, 0)` (not
+    * element_at) so an empty match list yields NULL under ANSI mode,
+    * matching DuckDB's list[1] out-of-bounds semantics. */
+  val qScalarRegex: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+ing\\\\b', 0))").cast("long").as("n_ing"),
+        expr("get(regexp_extract_all(lower(text), '[a-z]+ing\\\\b', 0), 0)").as("first_ing"),
+        expr("size(regexp_extract_all(text, '[0-9]+', 0))").cast("long").as("n_num"))
+      .orderBy("doc_id")
+
   /** name → (impl, oracle SQL). Oracle texts: SURVEY.md §8, with explicit
     * casts added where DuckDB's and Spark's natural output types diverge. */
   val all: Seq[(String, Q, String)] = Seq(
@@ -356,5 +370,9 @@ object Relational {
       "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),4) r1, round(ln(l_extendedprice+1),4) r2, abs(l_discount-0.05) r3, CAST(floor(l_quantity) AS BIGINT) f, CAST(ceil(l_tax*100) AS BIGINT) c FROM lineitem ORDER BY l_orderkey, l_linenumber, r1, r2, r3, f, c LIMIT 1000"),
     ("q_scalar_json", qScalarJson,
       "SELECT event_id, CAST(json_extract(props,'$.k') AS INTEGER) k FROM events ORDER BY event_id LIMIT 1000"),
+    ("q_scalar_regex", qScalarRegex,
+      "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+ing\\b')) AS BIGINT) n_ing, " +
+        "regexp_extract_all(lower(text), '[a-z]+ing\\b')[1] first_ing, " +
+        "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) n_num FROM documents ORDER BY doc_id"),
   )
 }

@@ -318,6 +318,43 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Time-weighted average per (user, day) over irregular samples: each
+    * value is held until the user's next event that day, TWA = Σv·Δt / ΣΔt.
+    * One user_id shuffle (window + agg share the partitioning). Δt stays in
+    * exact µs longs; the Σv·Δt double sum's order-noise is ~1e-11 relative
+    * (bounded by n·ulp(maxterm)/ΣΔt), far inside the 6-dp rounding. */
+  val qTsTwa: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "dday").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("dday", date_trunc("day", col("ts")).cast("date"))
+      .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("dt", lead("us", 1).over(w) - col("us"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id", "dday")
+      .agg(count(lit(1)).as("n_seg"),
+        Num.roundd(sum(col("value") * col("dt")) / sum("dt"), 6).as("twa"))
+      .orderBy("user_id", "dday")
+  }
+
+  /** Hourly OHLC bars per event type: open/close via min_by/max_by on ts —
+    * a single map-side-combinable hash aggregate (partial min_by states
+    * merge associatively), NOT a window sort: one shuffle on (h, type) and
+    * no per-group ordering pass, the shape that holds at 100 TB. Relies on
+    * ts being unique within events (verified for the synthetic generator);
+    * with duplicate timestamps the tie-break needs a (ts, event_id) key
+    * carried as a struct — DuckDB's arg_min can't, so the oracle pins the
+    * ts-unique contract. */
+  val qTsOhlc: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("h", "event_type")
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
@@ -383,6 +420,14 @@ object TimeSeries {
         "FROM hv WINDOW w AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) " +
         "SELECT event_type, h, c, round((c - mu) / sd, 3) z FROM wz " +
         "WHERE n24 = 24 AND sd > 0 AND abs(round((c - mu) / sd, 3)) > 2 ORDER BY event_type, h"),
+    ("q_ts_twa", qTsTwa,
+      "WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) dday, ts, event_id, value, epoch_us(ts) us FROM events), " +
+        "seg AS (SELECT user_id, dday, value, lead(us) OVER (PARTITION BY user_id, dday ORDER BY ts, event_id) - us dt FROM e) " +
+        "SELECT user_id, dday, count(*) n_seg, round(sum(value * dt) / sum(dt), 6) twa " +
+        "FROM seg WHERE dt IS NOT NULL GROUP BY user_id, dday ORDER BY user_id, dday"),
+    ("q_ts_ohlc", qTsOhlc,
+      "SELECT date_trunc('hour', ts) h, event_type, arg_min(value, ts) \"open\", max(value) high, " +
+        "min(value) low, arg_max(value, ts) \"close\", count(*) n FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     ("q_ts_asof_join", qTsAsofJoin,
       "SELECT o.o_orderkey, e.ts FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 1000 = 0) o ASOF JOIN events e ON e.ts <= o.o_orderdate + INTERVAL 10585 DAY ORDER BY o.o_orderkey"),
   )
