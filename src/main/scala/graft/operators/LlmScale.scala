@@ -252,24 +252,27 @@ object LlmScale {
 
   /** TF-IDF top-3 terms per document. Tokenize → tf per (doc, term) → df
     * per term → score = tf · ln(N/df) → top-3 by (score desc, term).
-    * Scale shape: two keyed shuffles (doc_id+term, then term) plus a
-    * broadcast of the 1-row corpus count — no collect, no cross join of
-    * unbounded sides; the doc_id-partitioned top-k window rides the tf
-    * aggregation's existing clustering. Ranking keys are ROUNDED scores
-    * (idf to 6 dp before the multiply, score to 4 dp) so both engines rank
-    * identical doubles — ranking raw products would let a last-ulp ln()
-    * difference reorder near-ties (ln parity precedent: q_scalar_math). */
+    * Scale shape: df is a count over a term-partitioned WINDOW on the tf
+    * rows, not a second aggregation joined back — a tf-self-join's two
+    * branches prune differently, defeat ReuseExchange, and tokenize the
+    * 100 TB corpus twice (PlanSpec pins the single-tokenize shape). Total:
+    * one corpus scan + three keyed shuffles (doc+term agg, term window,
+    * doc top-k window) + a broadcast 1-row corpus count. Ranking keys are
+    * ROUNDED scores (idf to 6 dp before the multiply, score to 4 dp) so
+    * both engines rank identical doubles — ranking raw products would let
+    * a last-ulp ln() difference reorder near-ties (ln parity precedent:
+    * q_scalar_math). */
   val qTextTfidf: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(count(lit(1)).as("n"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
-    tf.join(dfq, "term")
+    tf.withColumn("dfreq", count(lit(1)).over(wt))
       .crossJoin(broadcast(n))
       .withColumn("score",
         Num.roundd(col("tf") * Num.roundd(log(col("n").cast("double") / col("dfreq")), 6), 4))

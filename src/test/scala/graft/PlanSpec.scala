@@ -40,6 +40,37 @@ class PlanSpec extends SparkSuite {
     assert(countExchanges(p) <= 3, s"too many exchanges:\n$p")
   }
 
+  test("tfidf reuses the tf aggregation for df (no second tokenize of the corpus)") {
+    val df = graft.operators.LlmScale.qTextTfidf(spark, sf0001)
+    df.collect() // AQE settles the final plan only after execution
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" —
+    // count scans in the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    // one tokenize scan + the zero-column corpus-count scan (footer-only)
+    assert(scans <= 2, s"tf must be computed once, not re-derived for df ($scans scans):\n$p")
+  }
+
+  test("stratified sample filters on the hash prefix BEFORE the window sort") {
+    val qe = Analytics.qSampleStratified(spark, sf0001).queryExecution
+    val opt = qe.optimizedPlan.toString
+    // the md5 < '4' prefilter must sit below the Window node so only 25%
+    // of rows reach the per-stratum sort (at sf0.001 the guard then fires
+    // at collect-time — the plan, not the result, is under test here)
+    val filterIdx = opt.indexOf("< 4")
+    val windowIdx = opt.indexOf("Window")
+    assert(filterIdx >= 0, s"hash prefilter missing from optimized plan:\n$opt")
+    assert(windowIdx >= 0 && filterIdx > windowIdx,
+      s"prefilter must be pushed below the window (appear after it in the tree):\n$opt")
+  }
+
+  test("ohlc is a single hash aggregate, not a window sort") {
+    val p = plan(TimeSeries.qTsOhlc(spark, sf0001))
+    assert(!p.contains("Window"), s"OHLC must not use a window:\n$p")
+    // partial+final agg share one (h, type) exchange; plus the orderBy
+    assert(countExchanges(p) <= 2, s"too many exchanges:\n$p")
+  }
+
   test("scan projection is pruned to the selected columns at the parquet reader") {
     val p = plan(graft.Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity"))
     val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
