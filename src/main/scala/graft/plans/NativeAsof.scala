@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.PlanApi
+
+/** A native backward as-of join operator — the full custom-operator ladder
+  * (SURVEY §2.1: LogicalPlan + SparkStrategy + SparkPlan) for the one
+  * semantics Spark's batch planner has no primitive for.
+  *
+  * Semantics: for each left row, the single right row with the greatest
+  * `rightTime <= leftTime` among rows with equal join keys; left rows with
+  * no such match keep null right columns (left-outer flavor).
+  *
+  * Why a physical operator when `AsofJoin.keyedAsof` (union-sort-carry)
+  * already scales: the composed form carries ONE value column and pays a
+  * union + full-window materialization; the native exec is a streaming
+  * two-pointer merge over the two sorted children — zero extra
+  * materialization, every right column carried, and the planner sees an
+  * honest node it can AQE around. Each side is hash-clustered on its keys
+  * and sorted (keys, time), i.e. the exact SortMergeJoin geometry: one
+  * shuffle per side, per-partition merge is O(|L| + |R|) with O(1) state
+  * (the current best match), spill-free by construction.
+  *
+  * Determinism: ties among right rows at equal (key, rightTime) resolve to
+  * the last row in sort order — unique (key, rightTime) (true for the
+  * events fixture) makes the result fully deterministic. Null keys compare
+  * equal (sort semantics, unlike SQL equi-join) — time-series keys are
+  * non-null in practice; callers with nullable keys should filter.
+  *
+  * Caveat: children are used as-is (no analyzer dedup pass), so the two
+  * sides must come from independent plans or be explicitly aliased, and
+  * column names must be disjoint — `NativeAsof.asofJoin` enforces the
+  * latter. */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]; a no-op on everything else. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsofJoinPlan =>
+      AsofJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
+        planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // the SortMergeJoin geometry: co-cluster on keys, sort (keys, time)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val rt = rightTime
+    val out = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, leftOut)
+      val rKeyProj = UnsafeProjection.create(rk, rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
+      val resultProj = UnsafeProjection.create(out, out)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOut.size)
+      var cur: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var best: InternalRow = null      // latest right row for bestKey so far
+      var bestKey: UnsafeRow = null
+      lIter.map { l =>
+        val lKey = lKeyProj(l).copy()   // projections reuse buffers; best/bestKey persist
+        val lTs = lTimeProj(l).copy()
+        if (bestKey != null && keyOrd.compare(bestKey, lKey) != 0) {
+          best = null; bestKey = null
+        }
+        var advancing = cur != null
+        while (advancing) {
+          val c = keyOrd.compare(rKeyProj(cur), lKey)
+          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(cur), lTs) <= 0)) {
+            if (c == 0) { best = cur.copy(); bestKey = lKey }
+            cur = if (rIter.hasNext) rIter.next() else null
+            advancing = cur != null
+          } else advancing = false
+        }
+        resultProj(joined(l, if (best != null) best else nullRight))
+      }
+    }
+  }
+}
+
+/** DataFrame face of the native as-of join. */
+object NativeAsof {
+
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"asofJoin requires disjoint column names; rename ${overlap.mkString(", ")}")
+    val spark = left.sparkSession
+    PlanApi.addStrategy(spark, AsofJoinStrategy)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asofJoin: no column '$n'"))
+    PlanApi.ofRows(spark, AsofJoinPlan(lp, rp,
+      Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
+      attr(lp, leftTime), attr(rp, rightTime)))
+  }
+}

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** The two `private[sql]` touch points a library-defined operator needs:
+  * turning a hand-built LogicalPlan into a DataFrame, and registering a
+  * planner strategy on a live session. Isolated here (the standard
+  * spark-namespace shim pattern) so graft.* stays on public API; Spark 4
+  * split Dataset into api/classic, hence the casts to the classic
+  * implementations that actually carry `ofRows`/`experimental`. */
+object PlanApi {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently append a planner strategy to the session. */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+  }
+}

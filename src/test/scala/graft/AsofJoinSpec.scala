@@ -28,6 +28,57 @@ class AsofJoinSpec extends SparkSuite {
     assert(h.except(w).count() == 0 && w.except(h).count() == 0)
   }
 
+  test("native AsofJoinExec: inclusive at equal ts, null right for unmatched keys") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-01 12:00:00"),  // == right ts → inclusive
+      (2L, "2024-01-01 08:00:00"),  // before key 2's only right row → null
+      (3L, "2024-01-01 08:00:00")   // key absent on the right → null
+    ).toDF("k", "s").withColumn("lt", col("s").cast("timestamp_ntz")).drop("s")
+    val right = Seq(
+      (1L, "2024-01-01 09:00:00", 100.0),
+      (1L, "2024-01-01 12:00:00", 200.0),
+      (2L, "2024-01-01 09:00:00", 999.0)
+    ).toDF("rk", "s", "v").withColumn("rt", col("s").cast("timestamp_ntz")).drop("s")
+    val out = graft.plans.NativeAsof.asofJoin(left, right, "k", "rk", "lt", "rt")
+      .select(col("k"), col("lt").cast("string"), col("v"))
+      .as[(Long, String, Option[Double])].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out == Seq(
+      (1L, "2024-01-01 10:00:00", Some(100.0)),
+      (1L, "2024-01-01 12:00:00", Some(200.0)),
+      (2L, "2024-01-01 08:00:00", None),
+      (3L, "2024-01-01 08:00:00", None)))
+  }
+
+  test("native asof ≡ keyedAsof on sf0.001 events (per-user hour marks vs raw events)") {
+    val ev = Tables.events(spark, sf0001)
+    val probes = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("pt"))
+      .agg(count(lit(1))).select(col("user_id").as("k"), col("pt"))
+    val rightRaw = ev.select(col("user_id").as("rk"), col("ts").as("rt"), col("value").as("v"))
+    val native = graft.plans.NativeAsof.asofJoin(probes, rightRaw, "k", "rk", "pt", "rt")
+      .select(col("k"), col("pt"), col("v").as("asof_v"))
+    val composed = AsofJoin.keyedAsof(
+      probes.withColumnRenamed("k", "user_id"),
+      rightRaw.select(col("rk").as("user_id"), col("rt"), col("v")),
+      "user_id", "pt", "rt", "v")
+      .select(col("user_id").as("k"), col("pt"), col("asof_v"))
+    assert(native.count() == probes.count())
+    assert(native.except(composed).count() == 0 && composed.except(native).count() == 0)
+  }
+
+  test("native asof plans as one exchange per side feeding AsofJoinExec") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "lt")
+    val r = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v")
+    val df = graft.plans.NativeAsof.asofJoin(l, r, "k", "rk", "lt", "rt")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("AsofJoin ["), s"custom exec missing (nodeName strips Exec):\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"expected exactly the two key shuffles:\n$p")
+  }
+
   test("keyedAsof: carries latest right value per key, inclusive at equal ts") {
     import spark.implicits._
     val left = Seq(
