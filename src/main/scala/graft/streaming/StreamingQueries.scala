@@ -143,6 +143,25 @@ object StreamingQueries {
     eventsStream(s, dir)
       .join(Tables.customer(s, sfDir), col("user_id") === col("c_custkey"))
 
+  /** OHLC bars as a streaming aggregation: min_by/max_by are declarative
+    * aggregates, so per-(window, type) state is four scalars + a count —
+    * never the window's rows — and the watermark closes bars in event
+    * time. The batch twin is TimeSeries.qTsOhlc (date_trunc('hour') ≡
+    * window('1 hour').start under UTC); StreamParitySpec holds them
+    * equal on closed bars. */
+  def ohlcStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** Stream-stream interval join face: both sides from the same replayed
     * source, watermarked so join state evicts once pt can no longer land
     * in any open (ct, ct+30m] window. */

@@ -31,6 +31,17 @@ class StreamParitySpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("OHLC bars: closed bars equal the batch qTsOhlc bars") {
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.ohlcStream(spark, replayDir), "t_ohlc")
+      .withColumn("h", col("h").cast("timestamp_ntz"))
+    val batch = graft.operators.TimeSeries.qTsOhlc(spark, sf0001)
+    assert(got.except(batch).count() == 0,
+      "stream emitted a bar the batch twin disagrees with")
+    val (g, b) = (got.count(), batch.count())
+    assert(g > b / 2 && g <= b, s"stream=$g batch=$b")
+  }
+
   test("stream-stream interval join: emitted pairs ⊆ batch pairs") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.intervalJoinStream(spark, replayDir), "t_ivj")
