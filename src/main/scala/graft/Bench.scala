@@ -73,9 +73,20 @@ object Bench {
     // doubles overflowed the tail in r01/r02 → parsed:null. At ~89 queries,
     // 10 ms per-query precision keeps the line ≈1800 chars; revisit if the
     // catalog passes ~110 queries.
-    // keys drop the constant "q_" prefix (91 × 2 chars of budget);
-    // "scan_project" in this line = catalog "q_scan_project". Values are
-    // 10ms precision with trailing zeros stripped ("0.50"→"0.5").
+    // keys drop the constant "q_" prefix and abbreviate the six longest
+    // family prefixes (mapping below, also recorded in BASELINE.md):
+    // "scan_project" = catalog "q_scan_project", "st_session" =
+    // "q_stream_session". ~130 chars reclaimed keeps the 100-query line at
+    // 10ms precision inside the tail budget. Values strip trailing zeros
+    // ("0.50"→"0.5").
+    val abbrev = Seq("multimodal_" -> "mm_", "stream_" -> "st_", "sketch_" -> "sk_",
+      "scalar_" -> "sc_", "dedup_" -> "dd_", "window_" -> "w_")
+    def shortKey(k: String): String = {
+      val base = k.stripPrefix("q_")
+      abbrev.collectFirst {
+        case (p, a) if base.startsWith(p) => a + base.stripPrefix(p)
+      }.getOrElse(base)
+    }
     def fmt(decimals: Int)(v: Double): String = {
       val s0 = s"%.${decimals}f".format(v).replaceAll("0+$", "").replaceAll("\\.$", "")
       if (s0.isEmpty || s0 == "-") "0" else s0 // "0.0" strips all the way down
@@ -83,7 +94,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfTag = sfDir.split('/').last
     def line(decimals: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + fmt(decimals)(v) }
+      val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(decimals)(v) }
         .mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }

@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   *    volume, no pair explosion, scales to any per-key cardinality that
   *    sorts in an executor (spills otherwise).
   *
+  *  - (fourth shape) `graft.plans.NativeAsof.asofJoin` — a custom physical
+  *    operator (LogicalPlan + SparkStrategy + SparkPlan) with SortMergeJoin
+  *    geometry and an O(1)-state two-pointer merge; carries every right
+  *    column, unlike keyedAsof's single value column. AsofJoinSpec holds
+  *    the two result-equal.
+  *
   *  - `bucketedAsof` — large and UNkeyed: co-partition both sides on
   *    floor(time/bucket); candidates join inside each bucket only. Left
   *    rows whose bucket holds no earlier right row fall back to a
