@@ -20,15 +20,22 @@ import org.apache.spark.sql.graft.PlanApi
   * `rightTime <= leftTime` among rows with equal join keys; left rows with
   * no such match keep null right columns (left-outer flavor).
   *
-  * Why a physical operator when `AsofJoin.keyedAsof` (union-sort-carry)
-  * already scales: the composed form carries ONE value column and pays a
-  * union + full-window materialization; the native exec is a streaming
-  * two-pointer merge over the two sorted children — zero extra
-  * materialization, every right column carried, and the planner sees an
-  * honest node it can AQE around. Each side is hash-clustered on its keys
-  * and sorted (keys, time), i.e. the exact SortMergeJoin geometry: one
-  * shuffle per side, per-partition merge is O(|L| + |R|) with O(1) state
-  * (the current best match), spill-free by construction.
+  * Each side is hash-clustered on its keys and sorted (keys, time) — the
+  * exact SortMergeJoin geometry: one shuffle per side, per-partition merge
+  * is O(|L| + |R|) with O(1) state (the current best match), spill-free by
+  * construction, every right column carried without keyedAsof's
+  * pack-into-one-column contract or union materialization.
+  *
+  * Honest measurement (graft.tools.AsofBench, sf0.1, 95k probes × 100k
+  * events, local[32]): the composed `AsofJoin.keyedAsof` beats this exec
+  * ~2× (0.35 s vs 0.8 s, narrow AND wide payloads) — its window runs
+  * inside whole-stage codegen while this merge pays interpreted
+  * projections per row. keyedAsof stays the recommended batch path; this
+  * operator is the extension-ladder template (LogicalPlan → Strategy →
+  * SparkPlan) for as-of-like semantics that window functions cannot
+  * express at all — nearest-within-tolerance, bidirectional nearest, or
+  * merge logic that must consult both sorted streams — where no composed
+  * form exists to lose to.
   *
   * Determinism: ties among right rows at equal (key, rightTime) resolve to
   * the last row in sort order — unique (key, rightTime) (true for the
@@ -101,28 +108,32 @@ case class AsofJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
+      // best's key is re-projected through its OWN projection (bKeyProj)
+      // instead of copied per left row; the buffered best row itself is a
+      // single reusable UnsafeRow filled via copyFrom — the merge allocates
+      // nothing per row in steady state.
+      val bKeyProj = UnsafeProjection.create(rk, rightOut)
       val resultProj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.size)
       var cur: InternalRow = if (rIter.hasNext) rIter.next() else null
-      var best: InternalRow = null      // latest right row for bestKey so far
-      var bestKey: UnsafeRow = null
+      val best = new UnsafeRow(rightOut.size) // latest right row for the current key
+      best.pointTo(new Array[Byte](64), 64)   // copyFrom grows the buffer as needed
+      var hasBest = false
       lIter.map { l =>
-        val lKey = lKeyProj(l).copy()   // projections reuse buffers; best/bestKey persist
-        val lTs = lTimeProj(l).copy()
-        if (bestKey != null && keyOrd.compare(bestKey, lKey) != 0) {
-          best = null; bestKey = null
-        }
+        val lKey = lKeyProj(l)   // valid until the next left row (own buffer)
+        val lTs = lTimeProj(l)   // ditto; right-side projections are separate
+        if (hasBest && keyOrd.compare(bKeyProj(best), lKey) != 0) hasBest = false
         var advancing = cur != null
         while (advancing) {
           val c = keyOrd.compare(rKeyProj(cur), lKey)
           if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(cur), lTs) <= 0)) {
-            if (c == 0) { best = cur.copy(); bestKey = lKey }
+            if (c == 0) { best.copyFrom(cur.asInstanceOf[UnsafeRow]); hasBest = true }
             cur = if (rIter.hasNext) rIter.next() else null
             advancing = cur != null
           } else advancing = false
         }
-        resultProj(joined(l, if (best != null) best else nullRight))
+        resultProj(joined(l, if (hasBest) best else nullRight))
       }
     }
   }
