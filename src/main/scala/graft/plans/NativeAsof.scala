@@ -16,9 +16,14 @@ import org.apache.spark.sql.graft.PlanApi
   * (SURVEY §2.1: LogicalPlan + SparkStrategy + SparkPlan) for the one
   * semantics Spark's batch planner has no primitive for.
   *
-  * Semantics: for each left row, the single right row with the greatest
-  * `rightTime <= leftTime` among rows with equal join keys; left rows with
-  * no such match keep null right columns (left-outer flavor).
+  * Semantics: for each left row, ONE right row among rows with equal join
+  * keys — backward (greatest rightTime <= leftTime), forward (smallest
+  * rightTime >= leftTime), or nearest (min |Δt|, ties backward), each with
+  * an optional tolerance bound; unmatched left rows keep null right
+  * columns (left-outer flavor). All three directions fall out of the same
+  * single-pass merge: the buffered backward candidate plus the first
+  * unconsumed right row ARE the two neighbors of leftTime in the sorted
+  * right stream.
   *
   * Each side is hash-clustered on its keys and sorted (keys, time) — the
   * exact SortMergeJoin geometry: one shuffle per side, per-partition merge
@@ -50,7 +55,9 @@ import org.apache.spark.sql.graft.PlanApi
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: String = "backward",
+    tolerance: Long = Long.MaxValue) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -65,7 +72,7 @@ object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsofJoinPlan =>
       AsofJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
-        planLater(p.left), planLater(p.right)) :: Nil
+        p.direction, p.tolerance, planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }
@@ -73,6 +80,7 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
+    direction: String, tolerance: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -113,6 +121,7 @@ case class AsofJoinExec(
       // single reusable UnsafeRow filled via copyFrom — the merge allocates
       // nothing per row in steady state.
       val bKeyProj = UnsafeProjection.create(rk, rightOut)
+      val bTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
       val resultProj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.size)
@@ -120,6 +129,11 @@ case class AsofJoinExec(
       val best = new UnsafeRow(rightOut.size) // latest right row for the current key
       best.pointTo(new Array[Byte](64), 64)   // copyFrom grows the buffer as needed
       var hasBest = false
+      val dir = direction
+      val tol = tolerance
+      // forward/nearest (and any finite tolerance) measure distance on the
+      // raw long the time column stores — enforced long-backed by the API
+      def tv(r: InternalRow): Long = r.getLong(0)
       lIter.map { l =>
         val lKey = lKeyProj(l)   // valid until the next left row (own buffer)
         val lTs = lTimeProj(l)   // ditto; right-side projections are separate
@@ -133,21 +147,64 @@ case class AsofJoinExec(
             advancing = cur != null
           } else advancing = false
         }
-        resultProj(joined(l, if (hasBest) best else nullRight))
+        // backward candidate: `best` (greatest rt <= lt). forward candidate:
+        // `cur` (the first unconsumed right row — by construction the
+        // earliest rt > lt) when its key matches; an rt == lt row was
+        // consumed into `best` and surfaces as distance 0.
+        val matched: InternalRow = dir match {
+          case "backward" =>
+            if (hasBest && (tol == Long.MaxValue ||
+              tv(lTs) - tv(bTimeProj(best)) <= tol)) best else null
+          case _ =>
+            val ltv = tv(lTs)
+            val db = if (hasBest) ltv - tv(bTimeProj(best)) else Long.MaxValue
+            val curMatch = cur != null && keyOrd.compare(rKeyProj(cur), lKey) == 0
+            val df = if (curMatch) tv(rTimeProj(cur)) - ltv else Long.MaxValue
+            if (dir == "forward") {
+              if (db == 0L) best
+              else if (curMatch && df <= tol) cur
+              else null
+            } else { // nearest: smaller distance wins, tie → backward
+              if (db <= tol && db <= df) best
+              else if (curMatch && df <= tol) cur
+              else null
+            }
+        }
+        resultProj(joined(l, if (matched != null) matched else nullRight))
       }
     }
   }
 }
 
-/** DataFrame face of the native as-of join. */
+/** DataFrame face of the native as-of join.
+  *
+  * `direction`: "backward" (greatest rt <= lt — the default), "forward"
+  * (smallest rt >= lt), "nearest" (min |rt - lt|, ties to backward) —
+  * pandas merge_asof semantics. `tolerance` bounds the match distance in
+  * the raw units of the time column (µs for timestamps); forward/nearest
+  * and any finite tolerance require a long-backed time type
+  * (TIMESTAMP/TIMESTAMP_NTZ/BIGINT) since distance is measured on the
+  * stored long. Forward and nearest are the modes no window-function
+  * composition can express in one pass — the reason this operator exists
+  * beyond the extension-ladder demonstration. */
 object NativeAsof {
+
+  private val longBacked: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.TimestampType,
+    org.apache.spark.sql.types.TimestampNTZType,
+    org.apache.spark.sql.types.LongType)
 
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               direction: String = "backward",
+               tolerance: Long = Long.MaxValue): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"asofJoin requires disjoint column names; rename ${overlap.mkString(", ")}")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoin: unknown direction '$direction'")
+    require(tolerance >= 0, "asofJoin: tolerance must be non-negative")
     val spark = left.sparkSession
     PlanApi.addStrategy(spark, AsofJoinStrategy)
     val lp = left.queryExecution.analyzed
@@ -155,8 +212,13 @@ object NativeAsof {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"asofJoin: no column '$n'"))
+    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
+    if (direction != "backward" || tolerance != Long.MaxValue)
+      require(longBacked(lt.dataType) && longBacked(rt.dataType),
+        s"asofJoin: direction=$direction/tolerance need a long-backed time " +
+          s"column, got ${lt.dataType.simpleString}/${rt.dataType.simpleString}")
     PlanApi.ofRows(spark, AsofJoinPlan(lp, rp,
-      Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-      attr(lp, leftTime), attr(rp, rightTime)))
+      Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)), lt, rt,
+      direction, tolerance))
   }
 }

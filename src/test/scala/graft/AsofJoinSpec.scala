@@ -51,6 +51,35 @@ class AsofJoinSpec extends SparkSuite {
       (3L, "2024-01-01 08:00:00", None)))
   }
 
+  test("native asof directions: forward, nearest, tolerance (pandas merge_asof semantics)") {
+    import spark.implicits._
+    def ts(s: String) = col("s").cast("timestamp_ntz")
+    val left = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 09:00:00"))
+      .toDF("k", "s").withColumn("lt", ts("s")).drop("s")
+    val right = Seq(
+      (1L, "2024-01-01 09:00:00", 1.0),   // 60 min before 10:00, == 09:00
+      (1L, "2024-01-01 10:30:00", 2.0))   // 30 min after 10:00
+      .toDF("rk", "s", "v").withColumn("rt", ts("s")).drop("s")
+    def run(dir: String, tol: Long = Long.MaxValue): Map[String, Option[Double]] =
+      graft.plans.NativeAsof.asofJoin(left, right, "k", "rk", "lt", "rt", dir, tol)
+        .select(col("lt").cast("string"), col("v"))
+        .as[(String, Option[Double])].collect().toMap
+    val min = 60L * 1000000
+    assert(run("backward") ==
+      Map("2024-01-01 10:00:00" -> Some(1.0), "2024-01-01 09:00:00" -> Some(1.0)))
+    // forward: 10:00 → 10:30; 09:00 → the equal-ts row (distance 0)
+    assert(run("forward") ==
+      Map("2024-01-01 10:00:00" -> Some(2.0), "2024-01-01 09:00:00" -> Some(1.0)))
+    // nearest to 10:00: 10:30 (30m) beats 09:00 (60m)
+    assert(run("nearest") ==
+      Map("2024-01-01 10:00:00" -> Some(2.0), "2024-01-01 09:00:00" -> Some(1.0)))
+    // tolerance 20 min: nothing within reach of 10:00 in any direction
+    assert(run("nearest", 20 * min) ==
+      Map("2024-01-01 10:00:00" -> None, "2024-01-01 09:00:00" -> Some(1.0)))
+    assert(run("backward", 30 * min) ==
+      Map("2024-01-01 10:00:00" -> None, "2024-01-01 09:00:00" -> Some(1.0)))
+  }
+
   test("native asof ≡ keyedAsof on sf0.001 events (per-user hour marks vs raw events)") {
     val ev = Tables.events(spark, sf0001)
     val probes = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("pt"))
@@ -65,6 +94,28 @@ class AsofJoinSpec extends SparkSuite {
       .select(col("user_id").as("k"), col("pt"), col("asof_v"))
     assert(native.count() == probes.count())
     assert(native.except(composed).count() == 0 && composed.except(native).count() == 0)
+  }
+
+  test("nearest direction ≡ brute-force min-|Δt| on sf0.001 events") {
+    val ev = Tables.events(spark, sf0001)
+    val probes = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("pt"))
+      .agg(count(lit(1))).select(col("user_id").as("k"), col("pt"))
+    val rightRaw = ev.select(col("user_id").as("rk"), col("ts").as("rt"), col("value").as("v"))
+    val native = graft.plans.NativeAsof
+      .asofJoin(probes, rightRaw, "k", "rk", "pt", "rt", "nearest")
+      .select(col("k"), col("pt"), col("v"))
+    // brute force: all same-key pairs ranked by |Δt|, ties to the backward
+    // row (smaller rt sorts first); v last in the sort for full determinism
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "pt")
+      .orderBy(abs(expr(
+        "unix_micros(cast(rt as timestamp)) - unix_micros(cast(pt as timestamp))")).asc,
+        col("rt").asc, col("v").asc)
+    val brute = probes.join(rightRaw, col("k") === col("rk"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("k"), col("pt"), col("v"))
+    assert(native.count() == probes.count())
+    assert(native.except(brute).count() == 0 && brute.except(native).count() == 0)
   }
 
   test("native asof plans as one exchange per side feeding AsofJoinExec") {
