@@ -355,6 +355,28 @@ object TimeSeries {
         count(lit(1)).as("n"))
       .orderBy("h", "event_type")
 
+  /** Nearest-asof via the NATIVE custom operator (graft.plans.NativeAsof):
+    * each (user, active-day-midnight) probe matched to the user's event
+    * with minimum |Δt| in either direction — the one as-of mode no window
+    * composition expresses in one pass. This entry puts the custom
+    * LogicalPlan→Strategy→SparkPlan pipeline under the driver's DuckDB
+    * hash-compare gate; the oracle is an independent brute-force min-|Δt|
+    * ranking (ties → backward ≡ the exec's db <= df rule, made unique by
+    * globally-unique event ts). */
+  val qTsAsofNearest: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val probes = ev
+      .groupBy(col("user_id").as("k"), date_trunc("day", col("ts")).as("pt"))
+      .agg(count(lit(1)))
+      .select("k", "pt")
+    val rightRaw = ev.select(
+      col("user_id").as("rk"), col("ts").as("rt"), col("value").as("v"))
+    graft.plans.NativeAsof
+      .asofJoin(probes, rightRaw, "k", "rk", "pt", "rt", "nearest")
+      .select(col("k"), col("pt"), col("v"))
+      .orderBy("k", "pt")
+  }
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
@@ -428,6 +450,11 @@ object TimeSeries {
     ("q_ts_ohlc", qTsOhlc,
       "SELECT date_trunc('hour', ts) h, event_type, arg_min(value, ts) \"open\", max(value) high, " +
         "min(value) low, arg_max(value, ts) \"close\", count(*) n FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    ("q_ts_asof_nearest", qTsAsofNearest,
+      "WITH probes AS (SELECT user_id k, CAST(date_trunc('day', ts) AS TIMESTAMP) pt FROM events GROUP BY 1, 2), " +
+        "pairs AS (SELECT k, pt, e.value v, row_number() OVER (PARTITION BY k, pt " +
+        "ORDER BY abs(epoch_us(e.ts) - epoch_us(pt)), e.ts) rn FROM probes JOIN events e ON e.user_id = k) " +
+        "SELECT k, pt, v FROM pairs WHERE rn = 1 ORDER BY k, pt"),
     ("q_ts_asof_join", qTsAsofJoin,
       "SELECT o.o_orderkey, e.ts FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 1000 = 0) o ASOF JOIN events e ON e.ts <= o.o_orderdate + INTERVAL 10585 DAY ORDER BY o.o_orderkey"),
   )
