@@ -195,6 +195,24 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup deduplication — the one-call pipeline face over
+    * the tier's components: MinHash+LSH candidates → exact Jaccard verify
+    * (≥ threshold) → connected components → keep each cluster's lowest-id
+    * document. Returns the surviving corpus with `docs`' schema
+    * (singletons and cluster representatives). Scale: candidate
+    * generation is the banding shuffle (bands×corpus, never corpus²);
+    * clustering iterates only over the near-dup EDGE set (≪ corpus); the
+    * final filter is one left-anti join on the id. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8,
+                  numHashes: Int = 32, bands: Int = 8, n: Int = 3): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, threshold, numHashes, bands, n)
+    val drops = connectedComponents(pairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("lbl"))   // non-representatives
+      .select(col("id").as("__drop"))
+    docs.join(drops, col(idCol) === col("__drop"), "left_anti")
+  }
+
   /** 60-bit SimHash of the distinct-token set, as a bit array column
     * `simhash_bits` (index 0 = lowest bit). */
   def simhashBits(df: DataFrame, textCol: String): DataFrame =

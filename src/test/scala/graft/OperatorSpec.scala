@@ -81,6 +81,21 @@ class OperatorSpec extends SparkSuite {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("dedupCorpus keeps one representative per near-dup cluster, singletons intact") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (5L, base),                 // cluster {5, 2, 9}: 2 exact dupes +
+      (2L, base),                 //   one high-Jaccard variant
+      (9L, base + " extra"),
+      (20L, (100 to 140).map(i => s"x$i").mkString(" ")), // singleton
+      (21L, (200 to 240).map(i => s"y$i").mkString(" "))  // singleton
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(df, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L, 20L, 21L), s"got $kept")
+  }
+
   test("graft_shingles kernel ≡ HOF shingler on fixture docs (order included)") {
     val docs = Tables.documents(spark, sf0001)
     val hof = Dedup.withShingles(docs, "text").select("doc_id", "shingles")
