@@ -42,6 +42,20 @@ class StreamParitySpec extends SparkSuite {
     assert(g > b / 2 && g <= b, s"stream=$g batch=$b")
   }
 
+  test("OHLC bars under out-of-order replay: closed bars still equal batch") {
+    // ±4 min file jitter within a 10-min watermark: events arrive out of
+    // order across microbatches, but every bar that closes must have seen
+    // all its events — min_by/max_by state absorbs late rows in any order
+    val jdir = StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4)
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.ohlcStream(spark, jdir), "t_ohlc_ooo")
+      .withColumn("h", col("h").cast("timestamp_ntz"))
+    val batch = graft.operators.TimeSeries.qTsOhlc(spark, sf0001)
+    assert(got.except(batch).count() == 0,
+      "out-of-order stream emitted a bar the batch twin disagrees with")
+    assert(got.count() > 0)
+  }
+
   test("stream-stream interval join: emitted pairs ⊆ batch pairs") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.intervalJoinStream(spark, replayDir), "t_ivj")
