@@ -53,6 +53,24 @@ class CatalogSpec extends SparkSuite {
       Seq((17L, 0.334456), (225L, 0.315127), (12L, 0.311027)))
   }
 
+  test("golden: q_ts_twa head matches DuckDB on sf0.001") {
+    val rows = SparkEntry.queries("q_ts_twa")(spark, sf0001).limit(3).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((0L, "2024-01-01", 1L, 29.61), (0L, "2024-01-03", 3L, 99.545865),
+        (0L, "2024-01-04", 1L, 0.88)))
+  }
+
+  test("golden: q_ts_asof_nearest (native custom exec) matches DuckDB on sf0.001") {
+    val df = SparkEntry.queries("q_ts_asof_nearest")(spark, sf0001)
+    assert(df.count() == 397L)
+    val head = df.limit(3).collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getDouble(2))).toSeq
+    assert(head == Seq(
+      (0L, "2024-01-01 00:00:00.0", 29.61),
+      (0L, "2024-01-02 00:00:00.0", 143.51),
+      (0L, "2024-01-03 00:00:00.0", 113.39)))
+  }
+
   test("table loaders see expected row counts on sf0.001") {
     assert(Tables.lineitem(spark, sf0001).count() == 6000)
     assert(Tables.orders(spark, sf0001).count() == 1500)
