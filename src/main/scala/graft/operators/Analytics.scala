@@ -85,7 +85,11 @@ object Analytics {
     Tables.customer(s, d)
       .groupBy("c_mktsegment")
       .agg(bottom3(col("c_acctbal"), col("c_custkey")).as("bot3"))
-      .orderBy("c_mktsegment")
+      // posexplode to scalar (segment, pos, custkey) rows: the driver's
+      // comparator can't hash array-typed cells
+      .select(col("c_mktsegment"), posexplode(col("bot3")).as(Seq("p", "custkey")))
+      .select(col("c_mktsegment"), col("p").cast("long").as("pos"), col("custkey"))
+      .orderBy("c_mktsegment", "pos")
   }
 
   // ---- skew mitigation: salted join ----------------------------------------
@@ -208,7 +212,9 @@ object Analytics {
         "(PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS BIGINT) rn " +
         "FROM events) WHERE rn <= 20 ORDER BY event_type, rn"),
     ("q_agg_bottomk", qAggBottomk,
-      "SELECT c_mktsegment, (list(c_custkey ORDER BY c_acctbal, c_custkey))[1:3] bot3 " +
-        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+      "WITH a AS (SELECT c_mktsegment, (list(c_custkey ORDER BY c_acctbal, c_custkey))[1:3] bot3 " +
+        "FROM customer GROUP BY c_mktsegment) " +
+        "SELECT c_mktsegment, CAST(gs - 1 AS BIGINT) pos, bot3[CAST(gs AS INT)] custkey " +
+        "FROM a, generate_series(1, 3) t(gs) ORDER BY c_mktsegment, pos"),
   )
 }

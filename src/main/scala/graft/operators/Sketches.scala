@@ -66,7 +66,11 @@ object Sketches {
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(expr("graft_hist(value, 0.0d, 100.0d, 10)").as("hist"))
-      .orderBy("event_type")
+      // posexplode to scalar (event_type, bin_idx, n) rows: the driver's
+      // comparator can't hash array-typed cells
+      .select(col("event_type"), posexplode(col("hist")).as(Seq("b", "n")))
+      .select(col("event_type"), col("b").cast("long").as("bin_idx"), col("n"))
+      .orderBy("event_type", "bin_idx")
   }
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -79,6 +83,6 @@ object Sketches {
         "c AS (SELECT event_type, idx, CAST(count(*) AS BIGINT) n FROM b GROUP BY 1, 2), " +
         "g AS (SELECT event_type, i FROM (SELECT DISTINCT event_type FROM events), (SELECT unnest(range(12)) i)), " +
         "j AS (SELECT g.event_type, g.i, coalesce(c.n, 0) n FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.idx = g.i) " +
-        "SELECT event_type, list(n ORDER BY i) hist FROM j GROUP BY event_type ORDER BY event_type"))
+        "SELECT event_type, CAST(i AS BIGINT) bin_idx, n FROM j ORDER BY event_type, bin_idx"))
   )
 }

@@ -165,7 +165,7 @@ case class AsofJoinExec(
               else if (curMatch && df <= tol) cur
               else null
             } else { // nearest: smaller distance wins, tie → backward
-              if (db <= tol && db <= df) best
+              if (hasBest && db <= tol && db <= df) best
               else if (curMatch && df <= tol) cur
               else null
             }

@@ -149,4 +149,25 @@ class AsofJoinSpec extends SparkSuite {
     assert(out(1)._3.contains(200.0))
     assert(out(2)._3.isEmpty)
   }
+
+  test("nearest with default tolerance: key absent on the right yields null, not a stale buffer") {
+    import spark.implicits._
+    // repartition(1, k) on BOTH sides pins everything into one merge
+    // partition, so key 2 is processed right after key 1 filled the `best`
+    // buffer — the exact state where a missing hasBest guard emits key 1's
+    // row (or a zeroed UnsafeRow) as a phantom match for keys 2 and 3.
+    val left = Seq(
+      (1L, "2024-01-01 10:00:00"), // key 1 matches its 09:00 right row
+      (2L, "2024-01-01 10:00:00"), // absent on the right, after best filled
+      (3L, "2024-01-01 10:00:00")  // absent, at the tail of the partition
+    ).toDF("k", "s").withColumn("lt", col("s").cast("timestamp_ntz")).drop("s")
+      .repartition(1, col("k"))
+    val right = Seq((1L, "2024-01-01 09:00:00", 42.0))
+      .toDF("rk", "s", "v").withColumn("rt", col("s").cast("timestamp_ntz")).drop("s")
+      .repartition(1, col("rk"))
+    val out = graft.plans.NativeAsof
+      .asofJoin(left, right, "k", "rk", "lt", "rt", "nearest")
+      .select(col("k"), col("v")).as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(42.0), 2L -> None, 3L -> None))
+  }
 }
