@@ -212,9 +212,11 @@ object Analytics {
         "(PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS BIGINT) rn " +
         "FROM events) WHERE rn <= 20 ORDER BY event_type, rn"),
     ("q_agg_bottomk", qAggBottomk,
+      // gs <= len(bot3), not a fixed series: a segment with < k customers
+      // yields len rows from the engine's posexplode — the oracle must too
       "WITH a AS (SELECT c_mktsegment, (list(c_custkey ORDER BY c_acctbal, c_custkey))[1:3] bot3 " +
         "FROM customer GROUP BY c_mktsegment) " +
         "SELECT c_mktsegment, CAST(gs - 1 AS BIGINT) pos, bot3[CAST(gs AS INT)] custkey " +
-        "FROM a, generate_series(1, 3) t(gs) ORDER BY c_mktsegment, pos"),
+        "FROM a, generate_series(1, 3) t(gs) WHERE gs <= len(bot3) ORDER BY c_mktsegment, pos"),
   )
 }

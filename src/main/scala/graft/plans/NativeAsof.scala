@@ -134,6 +134,10 @@ case class AsofJoinExec(
       // forward/nearest (and any finite tolerance) measure distance on the
       // raw long the time column stores — enforced long-backed by the API
       def tv(r: InternalRow): Long = r.getLong(0)
+      // distances via subtractExact: opposite-sign extremes (e.g. a probe at
+      // Long.MaxValue µs vs a right row before the epoch) would wrap silently
+      // and flip a match decision — fail loudly instead
+      def dist(a: Long, b: Long): Long = Math.subtractExact(a, b)
       lIter.map { l =>
         val lKey = lKeyProj(l)   // valid until the next left row (own buffer)
         val lTs = lTimeProj(l)   // ditto; right-side projections are separate
@@ -154,12 +158,12 @@ case class AsofJoinExec(
         val matched: InternalRow = dir match {
           case "backward" =>
             if (hasBest && (tol == Long.MaxValue ||
-              tv(lTs) - tv(bTimeProj(best)) <= tol)) best else null
+              dist(tv(lTs), tv(bTimeProj(best))) <= tol)) best else null
           case _ =>
             val ltv = tv(lTs)
-            val db = if (hasBest) ltv - tv(bTimeProj(best)) else Long.MaxValue
+            val db = if (hasBest) dist(ltv, tv(bTimeProj(best))) else Long.MaxValue
             val curMatch = cur != null && keyOrd.compare(rKeyProj(cur), lKey) == 0
-            val df = if (curMatch) tv(rTimeProj(cur)) - ltv else Long.MaxValue
+            val df = if (curMatch) dist(tv(rTimeProj(cur)), ltv) else Long.MaxValue
             if (dir == "forward") {
               if (db == 0L) best
               else if (curMatch && df <= tol) cur
