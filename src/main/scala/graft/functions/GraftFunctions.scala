@@ -63,9 +63,39 @@ object GraftFunctions {
   private val histInfo = new ExpressionInfo(
     classOf[HistogramAgg].getName, "graft_hist")
 
+  private val tdigestBuilder: Seq[Expression] => Expression = {
+    case Seq(c, comp) => TDigestAgg(c, comp)
+    case other => throw new IllegalArgumentException(
+      s"graft_tdigest expects 2 arguments, got ${other.size}")
+  }
+
+  private val tdigestInfo = new ExpressionInfo(
+    classOf[TDigestAgg].getName, "graft_tdigest")
+
+  private val tdigestMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => TDigestMergeAgg(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_tdigest_merge expects 1 argument, got ${other.size}")
+  }
+
+  private val tdigestMergeInfo = new ExpressionInfo(
+    classOf[TDigestMergeAgg].getName, "graft_tdigest_merge")
+
+  private val tdigestQuantileBuilder: Seq[Expression] => Expression = {
+    case Seq(sk, q) => TDigestQuantile(sk, q)
+    case other => throw new IllegalArgumentException(
+      s"graft_tdigest_quantile expects 2 arguments, got ${other.size}")
+  }
+
+  private val tdigestQuantileInfo = new ExpressionInfo(
+    classOf[TDigestQuantile].getName, "graft_tdigest_quantile")
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("graft_hist"), histInfo, histBuilder),
+      (FunctionIdentifier("graft_tdigest"), tdigestInfo, tdigestBuilder),
+      (FunctionIdentifier("graft_tdigest_merge"), tdigestMergeInfo, tdigestMergeBuilder),
+      (FunctionIdentifier("graft_tdigest_quantile"), tdigestQuantileInfo, tdigestQuantileBuilder),
       (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
       (FunctionIdentifier("graft_nearest_centroid"), nearestCentroidInfo, nearestCentroidBuilder),
       (FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder),

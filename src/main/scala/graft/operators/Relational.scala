@@ -297,6 +297,28 @@ object Relational {
       .orderBy("event_id")
       .limit(1000)
 
+  /** Structured JSON path: `from_json` with an EXPLICIT nested schema —
+    * one Jackson parse per row projects every requested key at once and
+    * lets the planner prune unrequested ones, vs one get_json_object walk
+    * PER KEY in qScalarJson (at 100 TB, k single-key walks re-parse the
+    * payload k times; schema projection parses once, and an explicit
+    * schema skips the inference scan entirely). The nested doc is
+    * composed from data columns (the fixture's `props` carries a single
+    * key), so the parse exercises a multi-key struct + a filter on a
+    * parsed field; filter and parse stay in one codegen'd stage. */
+  val qScalarJsonStruct: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("doc", concat(
+        lit("{\"meta\":"), col("props"),
+        lit(",\"type\":\""), col("event_type"), lit("\"}")))
+      .withColumn("j", from_json(col("doc"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "meta STRUCT<k: INT>, type STRING")))
+      .filter(col("j.meta.k") >= 50)
+      .select(col("event_id"), col("j.meta.k").as("k"), col("j.type").as("etype"))
+      .orderBy("event_id")
+      .limit(1000)
+
   /** Multi-match regex extraction over the corpus — the scan-speed shape
     * for pattern mining (all matches per row, count + first), vs the
     * single-match regexp_extract in qScalarString. `get(arr, 0)` (not
@@ -370,6 +392,10 @@ object Relational {
       "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),4) r1, round(ln(l_extendedprice+1),4) r2, abs(l_discount-0.05) r3, CAST(floor(l_quantity) AS BIGINT) f, CAST(ceil(l_tax*100) AS BIGINT) c FROM lineitem ORDER BY l_orderkey, l_linenumber, r1, r2, r3, f, c LIMIT 1000"),
     ("q_scalar_json", qScalarJson,
       "SELECT event_id, CAST(json_extract(props,'$.k') AS INTEGER) k FROM events ORDER BY event_id LIMIT 1000"),
+    ("q_scalar_json_struct", qScalarJsonStruct,
+      "SELECT event_id, CAST(json_extract(doc, '$.meta.k') AS INTEGER) k, json_extract_string(doc, '$.type') etype " +
+        "FROM (SELECT event_id, '{\"meta\":' || props || ',\"type\":\"' || event_type || '\"}' doc FROM events) " +
+        "WHERE CAST(json_extract(doc, '$.meta.k') AS INTEGER) >= 50 ORDER BY event_id LIMIT 1000"),
     ("q_scalar_regex", qScalarRegex,
       "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+ing\\b')) AS BIGINT) n_ing, " +
         "regexp_extract_all(lower(text), '[a-z]+ing\\b')[1] first_ing, " +

@@ -28,18 +28,24 @@ object Sketches {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy("event_type")
 
-  /** Approximate p50/p95/p99 per event type (Greenwald-Khanna style,
-    * accuracy 10000 → rank error ≤ n/10000). */
-  val qSketchQuantile: Q = (s, d) =>
+  /** Approximate p50/p95/p99 per event type from the custom t-digest
+    * TypedImperativeAggregate (graft.functions.TDigest, δ=200). Replaces
+    * the r1–r5 `percentile_approx` form: Greenwald-Khanna states merge
+    * lossily and can't be stored/re-aggregated, t-digests can — this IS
+    * the serving path a TSDB wants (see qSketchTdigestMerge for the
+    * sketch-at-ingest/merge-at-query half). Rank error bounded in
+    * SketchSpec against the exact distribution. */
+  val qSketchQuantile: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(percentile_approx(col("value"),
-        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("q"))
+      .agg(expr("graft_tdigest(value, 200)").as("sk"))
       .select(col("event_type"),
-        element_at(col("q"), 1).as("p50_approx"),
-        element_at(col("q"), 2).as("p95_approx"),
-        element_at(col("q"), 3).as("p99_approx"))
+        expr("graft_tdigest_quantile(sk, 0.5d)").as("p50_approx"),
+        expr("graft_tdigest_quantile(sk, 0.95d)").as("p95_approx"),
+        expr("graft_tdigest_quantile(sk, 0.99d)").as("p99_approx"))
       .orderBy("event_type")
+  }
 
   /** Mergeable distinct-count: per-day DataSketches-HLL sketches of
     * user_id, unioned up to one estimate — the sketch-at-ingest /
@@ -53,6 +59,25 @@ object Sketches {
     perDay.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"),
       count(lit(1)).as("n_day_sketches"))
+  }
+
+  /** Mergeable quantiles: per-day t-digest sketches of `value`, unioned
+    * up to whole-range quantiles — the p99-over-time TSDB read served
+    * from stored sketches instead of a raw re-scan. SketchSpec asserts
+    * the merged estimate sits within rank tolerance of the exact
+    * whole-range quantiles (t-digest union is approximate, not lossless
+    * like HLL union — the rank-error bound is the contract). */
+  val qSketchTdigestMerge: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(expr("graft_tdigest(value, 200)").as("sk"))
+      .agg(expr("graft_tdigest_merge(sk)").as("msk"), count(lit(1)).as("n_day_sketches"))
+      .select(
+        expr("graft_tdigest_quantile(msk, 0.5d)").as("p50_merged"),
+        expr("graft_tdigest_quantile(msk, 0.95d)").as("p95_merged"),
+        expr("graft_tdigest_quantile(msk, 0.99d)").as("p99_merged"),
+        col("n_day_sketches"))
   }
 
   /** Fixed-bin value histogram per event type via the custom
@@ -75,8 +100,9 @@ object Sketches {
 
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_sketch_distinct", qSketchDistinct, None), // approximate by design; error bounded in SketchSpec
-    ("q_sketch_quantile", qSketchQuantile, None), // approximate by design; rank error bounded in SketchSpec
+    ("q_sketch_quantile", qSketchQuantile, None), // approximate by design; t-digest rank error bounded in SketchSpec
     ("q_sketch_hll_merge", qSketchHllMerge, None), // approximate by design; merge-losslessness asserted in SketchSpec
+    ("q_sketch_tdigest_merge", qSketchTdigestMerge, None), // approximate by design; merged rank error bounded in SketchSpec
     ("q_sketch_hist_agg", qSketchHistAgg, Some(
       "WITH b AS (SELECT event_type, CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 11 " +
         "ELSE 1 + CAST(floor((value - 0.0) * 10 / (100.0 - 0.0)) AS INT) END idx FROM events), " +

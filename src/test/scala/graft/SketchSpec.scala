@@ -21,25 +21,74 @@ class SketchSpec extends SparkSuite {
     }
   }
 
-  test("percentile_approx within tight rank tolerance of exact percentiles") {
+  /** Rank of `v` in the exact per-group value set: the fraction of values
+    * ≤ v — the error metric t-digest actually bounds (value-space error
+    * depends on local density; rank-space error does not). */
+  private def rankOf(sorted: Array[Double], v: Double): Double = {
+    val i = java.util.Arrays.binarySearch(sorted, v)
+    val pos = if (i >= 0) i + 1 else -(i + 1)
+    pos.toDouble / sorted.length
+  }
+
+  private def exactValues(groupCol: String = "event_type"): Map[String, Array[Double]] =
+    Tables.events(spark, sf001).select(groupCol, "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+
+  test("t-digest quantiles within rank tolerance of exact distribution") {
     val approx = Sketches.qSketchQuantile(spark, sf001)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val exact = Tables.events(spark, sf001)
-      .groupBy("event_type")
-      .agg(expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.95)").as("p95"),
-        expr("percentile(value, 0.99)").as("p99"),
-        min("value").as("lo"), max("value").as("hi"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5))).toMap
-    exact.foreach { case (k, (p50, p95, p99, lo, hi)) =>
+    val exact = exactValues()
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, sorted) =>
       val (a50, a95, a99) = approx(k)
-      val tol = (hi - lo) * 0.02 // accuracy 10000 on ~2k rows/group: near-exact
-      assert(math.abs(a50 - p50) <= tol, s"$k p50: $a50 vs $p50")
-      assert(math.abs(a95 - p95) <= tol, s"$k p95: $a95 vs $p95")
-      assert(math.abs(a99 - p99) <= tol, s"$k p99: $a99 vs $p99")
+      // δ=200 bounds rank error ≲ q(1−q)/δ; 0.01 absolute is ~4× headroom
+      // on ~2k rows/group while staying immune to aggregation-order noise
+      assert(math.abs(rankOf(sorted, a50) - 0.50) <= 0.01, s"$k p50: $a50 rank=${rankOf(sorted, a50)}")
+      assert(math.abs(rankOf(sorted, a95) - 0.95) <= 0.01, s"$k p95: $a95 rank=${rankOf(sorted, a95)}")
+      assert(math.abs(rankOf(sorted, a99) - 0.99) <= 0.01, s"$k p99: $a99 rank=${rankOf(sorted, a99)}")
     }
+  }
+
+  test("t-digest cross-check: within value tolerance of oracle-backed q_ts_percentile") {
+    // q_ts_percentile (TimeSeries, oracle-backed) computes EXACT
+    // percentile_cont p50/p95 per event_type — the sketch must land close
+    val approx = Sketches.qSketchQuantile(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = operators.TimeSeries.qTsPercentile(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ranges = exactValues().map { case (k, vs) => k -> (vs.last - vs.head) }
+    exact.foreach { case (k, (p50, p95)) =>
+      val (a50, a95) = approx(k)
+      val tol = ranges(k) * 0.02
+      assert(math.abs(a50 - p50) <= tol, s"$k p50: $a50 vs exact $p50")
+      assert(math.abs(a95 - p95) <= tol, s"$k p95: $a95 vs exact $p95")
+    }
+  }
+
+  test("t-digest: merged per-day sketches within rank tolerance of whole-range exact") {
+    val r = Sketches.qSketchTdigestMerge(spark, sf001).head()
+    assert(r.getLong(3) > 1, "fixture must span multiple days")
+    val sorted = Tables.events(spark, sf001).select("value").collect().map(_.getDouble(0)).sorted
+    // merged digests re-compress, so allow 2× the single-digest tolerance
+    Seq(0.50 -> r.getDouble(0), 0.95 -> r.getDouble(1), 0.99 -> r.getDouble(2)).foreach {
+      case (q, a) =>
+        assert(math.abs(rankOf(sorted, a) - q) <= 0.02, s"merged p$q: $a rank=${rankOf(sorted, a)}")
+    }
+  }
+
+  test("t-digest core: serialization round-trip and exactness on small inputs") {
+    val d = new graft.functions.TDigest(100)
+    (1 to 1000).foreach(i => d.add(i.toDouble, 1.0))
+    val rt = graft.functions.TDigest.deserialize(d.serialize())
+    assert(rt.totalWeight == 1000.0 && rt.vMin == 1.0 && rt.vMax == 1000.0)
+    // round-trip must preserve quantiles bit-for-bit (same centroid set)
+    Seq(0.01, 0.25, 0.5, 0.75, 0.99).foreach { q =>
+      assert(d.quantile(q) == rt.quantile(q), s"round-trip q=$q")
+      assert(math.abs(d.quantile(q) - (1 + q * 999)) <= 10.0, s"uniform q=$q: ${d.quantile(q)}")
+    }
+    // tails anchored at observed extremes
+    assert(d.quantile(0.0) == 1.0 && d.quantile(1.0) == 1000.0)
   }
 
   test("HLL: merged per-day sketches ≡ direct whole-table sketch; within 5% of exact") {
