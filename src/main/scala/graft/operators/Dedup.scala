@@ -159,30 +159,34 @@ object Dedup {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     // round 0 folded into initialization: lbl = min(id, min neighbor) in
-    // the same aggregate that discovers the node set — one round fewer
+    // the same aggregate that discovers the node set — one round fewer.
+    // LAZY checkpoint: round 1's convergence aggregate materializes it —
+    // no standalone action for initialization.
     var labels = sym.groupBy(col("src").as("id"))
       .agg(least(col("src"), min(col("dst"))).as("lbl"))
-      .localCheckpoint(true)
-    // decimal(38,0) sum: overflow-proof fixpoint detector at any id scale
-    def lblSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-    var prev = lblSum(labels)
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
+      // every node appears as src in sym (symmetric closure), so the
+      // neighbor-min aggregate covers the full node set: inner join, no
+      // null-coalesce arm
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src").as("id")).agg(min("nlbl").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true) // truncate lineage: O(1) plan per round
-      val cur = lblSum(next)
+      // the convergence check rides the SAME action that materializes the
+      // round's checkpoint: `chg` marks rows whose label shrank; labels
+      // are non-increasing under min-propagation, so zero changes IS the
+      // fixpoint (cheaper and overflow-free vs the r1–r5 decimal label
+      // sum, and one job per round instead of two)
+      val next = labels.join(neighborMin, Seq("id"))
+        .select(col("id"), least(col("lbl"), col("nmin")).as("lbl"),
+          (col("nmin") < col("lbl")).as("chg"))
+        .localCheckpoint(false) // lazy; lineage still truncates: O(1) plan per round
+      val nChanged = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).head().getLong(0)
       labels.unpersist(blocking = false)
-      labels = next
-      converged = cur.compareTo(prev) == 0
-      prev = cur
+      labels = next.select("id", "lbl")
+      converged = nChanged == 0L
       iter += 1
     }
     sym.unpersist(blocking = false)
