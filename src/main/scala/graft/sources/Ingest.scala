@@ -124,6 +124,43 @@ object Ingest {
       .limit(k)
   }
 
+  /** Batch multiprobe ANN over the by-bucket layout — the production
+    * serving shape: N probes answered in ONE plan against the pruned
+    * scan. Each probe searches its own bucket plus every hamming-1
+    * neighbor (one flipped hyperplane sign — the buckets most likely to
+    * hold near-misses), so recall rises from single-bucket LSH while the
+    * scan still reads only the probed partition directories:
+    * `bucket IN (...)` is a partition filter, I/O is
+    * probes × (nPlanes+1) / 2^nPlanes of the corpus, not a full scan
+    * (WritePathSpec asserts the pruning). The tiny exploded probe set
+    * broadcasts; exact codegen'd cosine ranks within the probed buckets
+    * on the ROUNDED sim with vec_id tiebreak — a total order both
+    * engines share, so the entry is oracle-backed end-to-end. */
+  def annBatchPruned(spark: SparkSession, path: String,
+                     probes: Seq[(Long, Array[Double])], k: Int,
+                     nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val probeRows = probes.flatMap { case (id, v) =>
+      val b = srpBucketOf(v, nPlanes, dim)
+      (b +: (0 until nPlanes).map(h => b ^ (1 << h)))
+        .map(bb => (id, v.map(_.toFloat).toSeq, bb))
+    }
+    val buckets = probeRows.map(_._3).distinct.sorted
+    val pdf = spark.createDataFrame(probeRows).toDF("probe_id", "pv", "bucket")
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(pdf), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        graft.operators.Num.roundd(expr("graft_cosine(embedding, pv)"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "rnk", "vec_id", "sim")
+      .orderBy("probe_id", "rnk")
+  }
+
   // ---- hash-bucketed tables (co-located joins) ----------------------------
 
   /** Save `df` as a bucketed table: hash-bucketed AND sorted by `key` into

@@ -43,6 +43,21 @@ object IngestQueries {
       .withColumn("sim", Num.roundd(col("sim"), 6))
   }
 
+  /** Batch multiprobe ANN over the by-bucket layout (see
+    * Ingest.annBatchPruned): 3 probes × (own + 6 hamming-1 buckets),
+    * pruned scan, one plan. Probe vectors are a driver-side collect of 3
+    * rows — bounded by design, the same contract as the IVF seed
+    * collect. */
+  val qAnnBatchMultiprobe: Q = (s, d) => {
+    val path = Ingest.embeddingsByBucket(s, d, nPlanes = 6)
+    val probes = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 3).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .sortBy(_._1).toSeq
+    Ingest.annBatchPruned(s, path, probes, k = 3, nPlanes = 6)
+  }
+
   /** DuckDB-side bucket expression: per-plane sign bits from the same
     * literal ±1 matrix, same left-to-right double accumulation
     * (list_sum over in-order products) as the srpBucket column. */
@@ -77,6 +92,15 @@ object IngestQueries {
       "SELECT CAST(ts AS DATE) AS \"day\", event_type, count(*) cnt, round(sum(value), 2) sv " +
         "FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09' " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ann_batch_multiprobe", qAnnBatchMultiprobe, Some(
+      s"WITH b AS (SELECT vec_id, embedding, ${duckBucketExpr(6, 64)} AS bucket FROM embeddings), " +
+        "p AS (SELECT vec_id probe_id, embedding pv, bucket pb FROM b WHERE vec_id < 3), " +
+        // masks: 0 = own bucket, powers of two = one flipped plane each
+        "pp AS (SELECT probe_id, pv, xor(pb, m) AS bucket FROM p, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) m)), " +
+        "j AS (SELECT pp.probe_id, b.vec_id, round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(pp.pv AS DOUBLE[])), 6) sim " +
+        "FROM b JOIN pp ON b.bucket = pp.bucket AND b.vec_id != pp.probe_id), " +
+        "r AS (SELECT probe_id, vec_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) rnk FROM j) " +
+        "SELECT probe_id, CAST(rnk AS BIGINT) rnk, vec_id, sim FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk")),
     ("q_ann_bucket_pruned", qAnnBucketPruned, Some(
       s"WITH b AS (SELECT vec_id, embedding, ${duckBucketExpr(6, 64)} AS bucket FROM embeddings) " +
         "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +

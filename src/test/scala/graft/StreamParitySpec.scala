@@ -131,6 +131,42 @@ class StreamParitySpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  /** Closed TWA days must match the batch lead()-formulation. Joined
+    * comparison with relative tolerance instead of except(): the stream
+    * integrates in sorted order while batch sums in partial-agg order, so
+    * the big Σ value·dt terms can differ in the last ulps. */
+  private def assertTwaParity(dir: String, tag: String): Unit = {
+    import graft.streaming.StatefulTwa
+    val stream = StreamingQueries.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+    val got = StreamReplay.runToCompletion(
+      spark, StatefulTwa.twaStream(stream).toDF(), tag)
+      .select(col("user_id"),
+        expr("cast(timestamp_micros(day_us) as date)").as("dday"),
+        col("n_seg"), col("twa"))
+    val batch = graft.operators.TimeSeries.qTsTwa(spark, sf0001)
+      .withColumnRenamed("twa", "twa_b").withColumnRenamed("n_seg", "n_seg_b")
+    val j = got.join(batch, Seq("user_id", "dday"), "left").collect()
+    assert(j.nonEmpty, "stream closed no TWA days at all")
+    j.foreach { r =>
+      assert(!r.isNullAt(4), s"stream emitted a day batch lacks: $r")
+      assert(r.getLong(2) == r.getLong(4), s"n_seg mismatch: $r")
+      val (s, b) = (r.getDouble(3), r.getDouble(5))
+      assert(math.abs(s - b) <= 1e-6 * math.max(1.0, math.abs(b)), s"twa mismatch: $r")
+    }
+  }
+
+  test("stateful TWA: closed days equal the batch qTsTwa formulation") {
+    assertTwaParity(replayDir, "t_twa")
+  }
+
+  test("stateful TWA under out-of-order replay: closed days still equal batch") {
+    // ±4-min jitter within the 10-min watermark: late events land BETWEEN
+    // already-buffered points, exercising the segment-split path an
+    // ordered replay never hits
+    assertTwaParity(StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4), "t_twa_ooo")
+  }
+
   test("dedup-within-watermark: unique event_ids all pass through") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.dedupStream(spark, replayDir), "t_dedup")

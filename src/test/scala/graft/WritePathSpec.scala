@@ -101,6 +101,49 @@ class WritePathSpec extends SparkSuite {
     assert(got == want, s"catalog $got != in-bucket brute force $want")
   }
 
+  test("batch multiprobe ANN: scan pruned to probed buckets, recall ≥ single-bucket") {
+    val nPlanes = 6
+    val path = Ingest.embeddingsByBucket(spark, sf0001, nPlanes, root = root)
+    val emb = Tables.embeddings(spark, sf0001)
+    val probes = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .sortBy(_._1).toSeq
+
+    // scan reads ONLY the probed bucket directories: ≤ 3 probes × 7
+    // buckets of the 2^6 layout dirs, and every file is from a probed one
+    val probedBuckets = probes.flatMap { case (_, v) =>
+      val b = Ingest.srpBucketOf(v, nPlanes)
+      b +: (0 until nPlanes).map(h => b ^ (1 << h))
+    }.toSet
+    val q = Ingest.annBatchPruned(spark, path, probes, k = 3, nPlanes = nPlanes)
+    val listing = scanListings(q).head
+    assert(listing.partitionCount <= probedBuckets.size && listing.partitionCount < 64,
+      s"multiprobe scan read ${listing.partitionCount} partitions, probed ${probedBuckets.size}")
+    assert(listing.toPartitionArray.forall { f =>
+      probedBuckets.exists(b => f.filePath.toString.contains(s"bucket=$b"))
+    }, "multiprobe scan read a file outside the probed buckets")
+
+    // multiprobe must dominate single-bucket LSH: for each probe, its
+    // hamming-1 candidate set is a superset of the own-bucket set, so
+    // every within-own-bucket top-k sim is ≤ the multiprobe rank-k sim
+    // scala twin of Num.roundd: round-half-up on the magnitude
+    def r6(x: Double): Double = {
+      val m = math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      if (x < 0) -m else m
+    }
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty, "multiprobe returned no neighbors")
+    probes.foreach { case (pid, v) =>
+      val own = Ingest.annTopKPruned(spark, path, v, excludeId = pid, k = 3, nPlanes = nPlanes)
+        .collect().map(r => r6(r.getDouble(1)))
+      val multi = got.filter(_._1 == pid).sortBy(_._2).map(_._4)
+      own.zip(multi).foreach { case (o, m) =>
+        assert(m >= o, s"probe $pid: multiprobe sim $m < single-bucket sim $o")
+      }
+    }
+  }
+
   test("bucketed tables: equi-join on the bucket key has no Exchange") {
     val orders = Tables.orders(spark, sf0001)
     val customer = Tables.customer(spark, sf0001)
