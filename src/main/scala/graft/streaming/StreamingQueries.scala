@@ -162,6 +162,27 @@ object StreamingQueries {
       .select(col("window.start").as("h"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
 
+  /** Per-window t-digest sketching at ingest — the streaming half of the
+    * sketch-at-ingest / merge-at-query serving pattern (Sketches.scala):
+    * each closed (hour, event_type) window emits its value-distribution
+    * sketch as a storable BINARY column plus the exact count.
+    * TypedImperativeAggregate buffers serialize into the state store
+    * between microbatches, so per-open-window state is O(δ), never the
+    * window's rows — with the watermark bounding the number of open
+    * windows, an unbounded feed sketches in constant memory per key.
+    * Any later quantile-over-range query is `graft_tdigest_merge` over
+    * the stored sketches — no raw-data re-scan (StreamParitySpec holds
+    * both the per-window and the merged quantiles to rank tolerance
+    * against the exact distribution). */
+  def tdigestStream(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(expr("graft_tdigest(value, 100)").as("sketch"), count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("event_type"), col("sketch"), col("n"))
+  }
+
   /** Stream-stream interval join face: both sides from the same replayed
     * source, watermarked so join state evicts once pt can no longer land
     * in any open (ct, ct+30m] window. */

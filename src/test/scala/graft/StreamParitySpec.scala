@@ -167,6 +167,79 @@ class StreamParitySpec extends SparkSuite {
     assertTwaParity(StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4), "t_twa_ooo")
   }
 
+  /** Streaming sketch face: every closed window's t-digest must carry the
+    * exact row count (deterministic parity) and answer quantiles within
+    * rank tolerance of that window's true distribution; MERGING the
+    * emitted sketches must answer whole-range quantiles — the full
+    * sketch-at-ingest / merge-at-query serving pattern, exercised
+    * end-to-end through the state store. */
+  private def rankOf(sorted: Array[Double], v: Double): Double = {
+    val i = java.util.Arrays.binarySearch(sorted, v)
+    val pos = if (i >= 0) i + 1 else -(i + 1)
+    pos.toDouble / sorted.length
+  }
+
+  private def assertTdigestParity(dir: String, tag: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.tdigestStream(spark, dir), tag)
+    val rows = got
+      .withColumn("p50", expr("graft_tdigest_quantile(sketch, 0.5d)"))
+      .select(col("h").cast("timestamp_ntz").as("h"), col("event_type"),
+        col("n"), col("p50"))
+      .collect()
+    assert(rows.nonEmpty, "stream closed no sketch windows")
+
+    // exact per-(hour, type) values from the static table; string keys
+    // sidestep LocalDateTime/Timestamp class mismatch across the two sides
+    val exact = Tables.events(spark, sf0001)
+      .select(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"),
+        col("event_type"), col("value"))
+      .collect()
+      .groupBy(r => (r.get(0).toString, r.getString(1)))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(2)).sorted }
+
+    rows.foreach { r =>
+      val k = (r.get(0).toString, r.getString(1))
+      val vs = exact.getOrElse(k, fail(
+        s"stream closed a window batch lacks: $k; sample batch keys: ${exact.keys.take(3)}"))
+      assert(r.getLong(2) == vs.length, s"$k: stream n=${r.getLong(2)} batch n=${vs.length}")
+      // windows are tiny at sf0.001, so scale the rank tolerance by 1.5/n
+      // (an interpolated quantile can land a full inter-point gap off)
+      val tol = math.max(0.02, 1.5 / vs.length)
+      assert(math.abs(rankOf(vs, r.getDouble(3)) - 0.5) <= tol,
+        s"$k: p50=${r.getDouble(3)} rank=${rankOf(vs, r.getDouble(3))} n=${vs.length}")
+    }
+
+    // merge-at-query over the emitted sketches, vs exact over the SAME
+    // closed windows (the stream may not have closed the trailing hours)
+    val closed = rows.map(r => (r.get(0).toString, r.getString(1))).toSet
+    val mergedExact = exact.filter { case (k, _) => closed(k) }
+      .toSeq.groupBy(_._1._2)
+      .map { case (et, kvs) => et -> kvs.flatMap(_._2).toArray.sorted }
+    got.groupBy("event_type")
+      .agg(expr("graft_tdigest_merge(sketch)").as("sk"))
+      .select(col("event_type"),
+        expr("graft_tdigest_quantile(sk, 0.5d)").as("p50"),
+        expr("graft_tdigest_quantile(sk, 0.95d)").as("p95"))
+      .collect()
+      .foreach { r =>
+        val vs = mergedExact(r.getString(0))
+        assert(math.abs(rankOf(vs, r.getDouble(1)) - 0.50) <= 0.02,
+          s"${r.getString(0)} merged p50 rank=${rankOf(vs, r.getDouble(1))}")
+        assert(math.abs(rankOf(vs, r.getDouble(2)) - 0.95) <= 0.02,
+          s"${r.getString(0)} merged p95 rank=${rankOf(vs, r.getDouble(2))}")
+      }
+  }
+
+  test("streaming t-digest: closed windows sketch exactly-counted, quantiles within rank tolerance") {
+    assertTdigestParity(replayDir, "t_td")
+  }
+
+  test("streaming t-digest under out-of-order replay: same guarantees") {
+    assertTdigestParity(StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4), "t_td_ooo")
+  }
+
   test("dedup-within-watermark: unique event_ids all pass through") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.dedupStream(spark, replayDir), "t_dedup")
