@@ -90,8 +90,48 @@ object GraftFunctions {
   private val tdigestQuantileInfo = new ExpressionInfo(
     classOf[TDigestQuantile].getName, "graft_tdigest_quantile")
 
+  private val freqBuilder: Seq[Expression] => Expression = {
+    case Seq(c, cap) => FreqSketchAgg(c, cap)
+    case other => throw new IllegalArgumentException(
+      s"graft_freq expects 2 arguments, got ${other.size}")
+  }
+
+  private val freqInfo = new ExpressionInfo(
+    classOf[FreqSketchAgg].getName, "graft_freq")
+
+  private val freqMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => FreqMergeAgg(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_freq_merge expects 1 argument, got ${other.size}")
+  }
+
+  private val freqMergeInfo = new ExpressionInfo(
+    classOf[FreqMergeAgg].getName, "graft_freq_merge")
+
+  private val freqTopKBuilder: Seq[Expression] => Expression = {
+    case Seq(sk, k) => FreqTopK(sk, k)
+    case other => throw new IllegalArgumentException(
+      s"graft_freq_topk expects 2 arguments, got ${other.size}")
+  }
+
+  private val freqTopKInfo = new ExpressionInfo(
+    classOf[FreqTopK].getName, "graft_freq_topk")
+
+  private val freqErrBuilder: Seq[Expression] => Expression = {
+    case Seq(sk) => FreqErr(sk)
+    case other => throw new IllegalArgumentException(
+      s"graft_freq_err expects 1 argument, got ${other.size}")
+  }
+
+  private val freqErrInfo = new ExpressionInfo(
+    classOf[FreqErr].getName, "graft_freq_err")
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
+      (FunctionIdentifier("graft_freq"), freqInfo, freqBuilder),
+      (FunctionIdentifier("graft_freq_merge"), freqMergeInfo, freqMergeBuilder),
+      (FunctionIdentifier("graft_freq_topk"), freqTopKInfo, freqTopKBuilder),
+      (FunctionIdentifier("graft_freq_err"), freqErrInfo, freqErrBuilder),
       (FunctionIdentifier("graft_hist"), histInfo, histBuilder),
       (FunctionIdentifier("graft_tdigest"), tdigestInfo, tdigestBuilder),
       (FunctionIdentifier("graft_tdigest_merge"), tdigestMergeInfo, tdigestMergeBuilder),

@@ -98,11 +98,51 @@ object Sketches {
       .orderBy("event_type", "bin_idx")
   }
 
+  /** Top event types by exact count via the Misra-Gries frequency summary
+    * (graft.functions.FreqSketch): capacity 64 ≥ the column's 5 distinct
+    * values, so no decrement ever fires, errBound stays 0, and the summary
+    * IS the exact group-count — which is what lets this sketch entry carry
+    * a full cross-engine oracle (same pattern as graft_hist). The
+    * (count desc, item asc) output order is total, hence deterministic. */
+  val qSketchFreqExact: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .agg(expr("graft_freq(event_type, 64)").as("sk"))
+      .select(posexplode(expr("graft_freq_topk(sk, 5)")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.item").as("event_type"), col("col.cnt_min").as("cnt"))
+      .orderBy("rnk")
+  }
+
+  /** Heavy-hitter users from MERGED per-day Misra-Gries summaries —
+    * sketch-at-ingest / merge-at-query for top-k, the third leg of the
+    * serving triad (HLL distinct, t-digest quantiles, MG heavy hitters).
+    * capacity 32 < the ~150 distinct users at sf0.01, so estimates are
+    * genuinely approximate: cnt_min ≤ true ≤ cnt_min + err, err ≤
+    * N/(capacity+1), bounds asserted in SketchSpec. */
+  val qSketchFreqHh: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(expr("graft_freq(cast(user_id as string), 32)").as("sk"))
+      .agg(expr("graft_freq_merge(sk)").as("msk"), count(lit(1)).as("n_day_sketches"))
+      .select(col("n_day_sketches"), expr("graft_freq_err(msk)").as("err"),
+        posexplode(expr("graft_freq_topk(msk, 10)")))
+      .select(col("n_day_sketches"), col("err"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.item").as("user_id"), col("col.cnt_min").as("cnt_min"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_sketch_distinct", qSketchDistinct, None), // approximate by design; error bounded in SketchSpec
     ("q_sketch_quantile", qSketchQuantile, None), // approximate by design; t-digest rank error bounded in SketchSpec
     ("q_sketch_hll_merge", qSketchHllMerge, None), // approximate by design; merge-losslessness asserted in SketchSpec
     ("q_sketch_tdigest_merge", qSketchTdigestMerge, None), // approximate by design; merged rank error bounded in SketchSpec
+    ("q_sketch_freq_exact", qSketchFreqExact, Some(
+      "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type) AS BIGINT) rnk, event_type, cnt " +
+        "FROM (SELECT event_type, CAST(count(*) AS BIGINT) cnt FROM events GROUP BY 1) ORDER BY rnk")),
+    ("q_sketch_freq_hh", qSketchFreqHh, None), // approximate by design; MG under/over bounds asserted in SketchSpec
     ("q_sketch_hist_agg", qSketchHistAgg, Some(
       "WITH b AS (SELECT event_type, CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 11 " +
         "ELSE 1 + CAST(floor((value - 0.0) * 10 / (100.0 - 0.0)) AS INT) END idx FROM events), " +

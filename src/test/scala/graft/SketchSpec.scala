@@ -91,6 +91,63 @@ class SketchSpec extends SparkSuite {
     assert(d.quantile(0.0) == 1.0 && d.quantile(1.0) == 1000.0)
   }
 
+  test("misra-gries core: exact at capacity; under/over bounds and heavy-hitter presence under eviction and merge") {
+    import graft.functions.FreqSketch
+    // capacity ≥ distinct → no decrement ever fires: the summary IS exact
+    val a = new FreqSketch(8)
+    val feed = Seq.tabulate(500)(i => s"k${i % 5}")
+    feed.foreach(a.add(_, 1))
+    assert(a.errBound == 0)
+    assert(a.top(8).toMap == feed.groupBy(identity).map { case (k, v) => k -> v.size.toLong })
+    // round-trip preserves entries and bookkeeping bit-for-bit
+    val rt = FreqSketch.deserialize(a.serialize())
+    assert(rt.top(8) == a.top(8) && rt.errBound == a.errBound && rt.totalWeight == a.totalWeight)
+
+    // skewed stream (3 hot keys ≈ 80%, long singleton tail), capacity 8,
+    // split across 3 sketches merged into one — the invariants
+    //   est ≤ true,  true − est ≤ errBound ≤ N/(cap+1)
+    // and "every item with true > errBound is present" must survive both
+    // per-add eviction and the PODS'12 merge-trim
+    val rnd = new scala.util.Random(42)
+    val stream = Seq.fill(3000)(
+      if (rnd.nextInt(10) < 8) s"hot${rnd.nextInt(3)}" else s"cold${rnd.nextInt(500)}")
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sks = stream.grouped(1000).toSeq.map { p =>
+      val s = new FreqSketch(8); p.foreach(s.add(_, 1)); s
+    }
+    val m = new FreqSketch(0) // adopts capacity from the first merged sketch
+    sks.foreach(m.mergeFrom)
+    assert(m.totalWeight == 3000)
+    assert(m.errBound > 0, "tail must have forced decrements")
+    assert(m.errBound <= 3000 / 9, s"errBound ${m.errBound} exceeds N/(cap+1)")
+    val entries = m.top(8)
+    entries.foreach { case (k, c) =>
+      val t = exact(k)
+      assert(c <= t && t - c <= m.errBound, s"$k: est $c true $t err ${m.errBound}")
+    }
+    val present = entries.map(_._1).toSet
+    exact.filter(_._2 > m.errBound).keys.foreach(k =>
+      assert(present(k), s"missing heavy hitter $k (true=${exact(k)} > err=${m.errBound})"))
+    assert(exact.count(_._2 > m.errBound) == 3, "all three hot keys should clear the bound")
+  }
+
+  test("misra-gries heavy hitters: reported counts within error bound of exact user counts") {
+    val rows = Sketches.qSketchFreqHh(spark, sf001).collect()
+    assert(rows.nonEmpty, "merged summary emitted no entries")
+    assert(rows.head.getLong(0) > 1, "fixture must span multiple days")
+    val err = rows.head.getLong(1)
+    val exact = Tables.events(spark, sf001)
+      .groupBy(col("user_id").cast("string").as("u")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(err <= n / 33, s"err $err > N/(capacity+1) = ${n / 33}")
+    rows.foreach { r =>
+      val (u, c) = (r.getString(3), r.getLong(4))
+      val t = exact(u)
+      assert(c <= t && t - c <= err, s"user $u: cnt_min $c true $t err $err")
+    }
+  }
+
   test("HLL: merged per-day sketches ≡ direct whole-table sketch; within 5% of exact") {
     val merged = Sketches.qSketchHllMerge(spark, sf001).head()
     val mergedEst = merged.getLong(0)
