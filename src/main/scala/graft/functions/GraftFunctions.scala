@@ -63,6 +63,15 @@ object GraftFunctions {
   private val histInfo = new ExpressionInfo(
     classOf[HistogramAgg].getName, "graft_hist")
 
+  private val histQuantileBuilder: Seq[Expression] => Expression = {
+    case Seq(h, lo, hi, q) => HistQuantile(h, lo, hi, q)
+    case other => throw new IllegalArgumentException(
+      s"graft_hist_quantile expects 4 arguments, got ${other.size}")
+  }
+
+  private val histQuantileInfo = new ExpressionInfo(
+    classOf[HistQuantile].getName, "graft_hist_quantile")
+
   private val tdigestBuilder: Seq[Expression] => Expression = {
     case Seq(c, comp) => TDigestAgg(c, comp)
     case other => throw new IllegalArgumentException(
@@ -133,6 +142,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_freq_topk"), freqTopKInfo, freqTopKBuilder),
       (FunctionIdentifier("graft_freq_err"), freqErrInfo, freqErrBuilder),
       (FunctionIdentifier("graft_hist"), histInfo, histBuilder),
+      (FunctionIdentifier("graft_hist_quantile"), histQuantileInfo, histQuantileBuilder),
       (FunctionIdentifier("graft_tdigest"), tdigestInfo, tdigestBuilder),
       (FunctionIdentifier("graft_tdigest_merge"), tdigestMergeInfo, tdigestMergeBuilder),
       (FunctionIdentifier("graft_tdigest_quantile"), tdigestQuantileInfo, tdigestQuantileBuilder),

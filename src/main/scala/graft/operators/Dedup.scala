@@ -150,10 +150,17 @@ object Dedup {
     * truncation the logical plan doubles per round and Catalyst analysis
     * goes exponential in rounds — caching alone does not help because
     * cache substitution happens after analysis. Checkpointing makes each
-    * round's plan O(1); driver holds only the label-sum per round. At
-    * cluster scale swap localCheckpoint for a reliable checkpoint dir
-    * (localCheckpoint data dies with an executor).
+    * round's plan O(1); driver holds only the label-sum per round.
+    * Checkpoint durability follows the session: when a reliable
+    * checkpoint dir is configured (`sparkContext.setCheckpointDir`, the
+    * cluster deployment shape — localCheckpoint blocks die with their
+    * executor and would restart the whole iteration), rounds checkpoint
+    * there; otherwise they fall back to executor-local blocks.
     */
+  private def roundCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -162,9 +169,8 @@ object Dedup {
     // the same aggregate that discovers the node set — one round fewer.
     // LAZY checkpoint: round 1's convergence aggregate materializes it —
     // no standalone action for initialization.
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(least(col("src"), min(col("dst"))).as("lbl"))
-      .localCheckpoint(false)
+    var labels = roundCheckpoint(sym.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl")))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -179,10 +185,10 @@ object Dedup {
       // are non-increasing under min-propagation, so zero changes IS the
       // fixpoint (cheaper and overflow-free vs the r1–r5 decimal label
       // sum, and one job per round instead of two)
-      val next = labels.join(neighborMin, Seq("id"))
-        .select(col("id"), least(col("lbl"), col("nmin")).as("lbl"),
-          (col("nmin") < col("lbl")).as("chg"))
-        .localCheckpoint(false) // lazy; lineage still truncates: O(1) plan per round
+      val next = roundCheckpoint( // lazy; lineage still truncates: O(1) plan per round
+        labels.join(neighborMin, Seq("id"))
+          .select(col("id"), least(col("lbl"), col("nmin")).as("lbl"),
+            (col("nmin") < col("lbl")).as("chg")))
       val nChanged = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).head().getLong(0)
       labels.unpersist(blocking = false)
       labels = next.select("id", "lbl")

@@ -134,6 +134,24 @@ object Sketches {
       .orderBy("rnk")
   }
 
+  /** histogram_quantile — the metrics-TSDB read: quantiles served from
+    * the STORED exact histogram (graft_hist) by uniform-within-bin
+    * interpolation, no raw re-scan. Unlike the t-digest tier this is
+    * fully deterministic (exact integer bin counts + fixed IEEE
+    * interpolation), so it carries a complete cross-engine oracle: DuckDB
+    * rebuilds the same bins and applies the same selection + arithmetic
+    * in SQL. */
+  val qSketchHistQuantile: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("graft_hist(value, 0.0d, 100.0d, 10)").as("hist"))
+      .select(col("event_type"),
+        Num.roundd(expr("graft_hist_quantile(hist, 0.0d, 100.0d, 0.5d)"), 6).as("p50_hist"),
+        Num.roundd(expr("graft_hist_quantile(hist, 0.0d, 100.0d, 0.9d)"), 6).as("p90_hist"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_sketch_distinct", qSketchDistinct, None), // approximate by design; error bounded in SketchSpec
     ("q_sketch_quantile", qSketchQuantile, None), // approximate by design; t-digest rank error bounded in SketchSpec
@@ -143,6 +161,19 @@ object Sketches {
       "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type) AS BIGINT) rnk, event_type, cnt " +
         "FROM (SELECT event_type, CAST(count(*) AS BIGINT) cnt FROM events GROUP BY 1) ORDER BY rnk")),
     ("q_sketch_freq_hh", qSketchFreqHh, None), // approximate by design; MG under/over bounds asserted in SketchSpec
+    ("q_sketch_hist_quantile", qSketchHistQuantile, Some(
+      "WITH b AS (SELECT event_type, CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 11 " +
+        "ELSE 1 + CAST(floor((value - 0.0) * 10 / (100.0 - 0.0)) AS INT) END idx FROM events), " +
+        "c AS (SELECT event_type, idx, count(*) n FROM b GROUP BY 1, 2), " +
+        "cum AS (SELECT event_type, idx, n, sum(n) OVER (PARTITION BY event_type ORDER BY idx) - n cb, " +
+        "sum(n) OVER (PARTITION BY event_type) total FROM c), " +
+        "sel AS (SELECT cum.*, qq, qq * total target FROM cum, (SELECT unnest([0.5, 0.9]) qq)), " +
+        "hit AS (SELECT *, row_number() OVER (PARTITION BY event_type, qq ORDER BY idx) rn FROM sel " +
+        "WHERE cb < target AND target <= cb + n), " +
+        "v AS (SELECT event_type, qq, round(CASE WHEN idx = 0 THEN 0.0 WHEN idx = 11 THEN 100.0 " +
+        "ELSE 0.0 + (idx - 1) * 10.0 + 10.0 * (target - cb) / n END, 6) val FROM hit WHERE rn = 1) " +
+        "SELECT event_type, max(CASE WHEN qq = 0.5 THEN val END) p50_hist, " +
+        "max(CASE WHEN qq = 0.9 THEN val END) p90_hist FROM v GROUP BY event_type ORDER BY event_type")),
     ("q_sketch_hist_agg", qSketchHistAgg, Some(
       "WITH b AS (SELECT event_type, CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 11 " +
         "ELSE 1 + CAST(floor((value - 0.0) * 10 / (100.0 - 0.0)) AS INT) END idx FROM events), " +

@@ -140,6 +140,25 @@ class OperatorSpec extends SparkSuite {
     assert(got.length == 10 && got.forall(_._2 == 0L))
   }
 
+  test("connected components: identical labels under a reliable checkpoint dir") {
+    import spark.implicits._
+    // cluster deployments set a reliable checkpoint dir (localCheckpoint
+    // blocks die with an executor); the iteration must behave identically
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val sc = spark.sparkContext
+    try {
+      sc.setCheckpointDir(dir)
+      val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    } finally {
+      // sc has no un-set; route later tests back to executor-local blocks
+      sc.setCheckpointDir(null)
+    }
+  }
+
   test("BottomK aggregator: k smallest by (key, id), merge-safe across partitions") {
     import spark.implicits._
     val bottom3 = udaf(new graft.functions.BottomK(3))

@@ -148,6 +148,25 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("histogram quantile: within one bin width of the exact percentile") {
+    // uniform-within-bin interpolation can err by at most the bin width
+    // (10.0 here) against the true percentile — and usually far less
+    val got = Sketches.qSketchHistQuantile(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = exactValues()
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (k, vs) =>
+      // a percentile landing in the under/overflow bin clamps to lo/hi
+      // (the Prometheus +Inf-bucket rule), so compare against the exact
+      // percentile clamped into the histogram's range
+      def pct(q: Double) =
+        math.min(100.0, math.max(0.0, vs(math.ceil(q * vs.length).toInt - 1)))
+      val (p50, p90) = got(k)
+      assert(math.abs(p50 - pct(0.5)) <= 10.0, s"$k p50: hist $p50 vs exact ${pct(0.5)}")
+      assert(math.abs(p90 - pct(0.9)) <= 10.0, s"$k p90: hist $p90 vs exact ${pct(0.9)}")
+    }
+  }
+
   test("HLL: merged per-day sketches ≡ direct whole-table sketch; within 5% of exact") {
     val merged = Sketches.qSketchHllMerge(spark, sf001).head()
     val mergedEst = merged.getLong(0)
