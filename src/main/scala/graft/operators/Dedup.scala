@@ -95,10 +95,21 @@ object Dedup {
     * evaluates it once per side) and a single shuffle of bands × corpus
     * rows keyed on the raw band signature. Bucket pair expansion is
     * quadratic per bucket by construction — that is LSH's contract
-    * (buckets ARE the candidate sets); a pathological mega-bucket (all
-    * docs identical) should be salted or capped upstream. */
-  def lshCandidates(sigDf: DataFrame, idCol: String, bands: Int): DataFrame =
-    sigDf
+    * (buckets ARE the candidate sets) — but the WORK is no longer
+    * single-task: buckets larger than `maxBucket` (boilerplate text
+    * duplicated across a 100 TB corpus lands millions of docs in one
+    * bucket) split into sorted chunks, and each (chunk_i, chunk_j ≥ i)
+    * pair becomes its own row, re-shuffled so every quadratic tile runs
+    * in its own task — triangle blocking inside the bucket. The sorted
+    * split preserves the exact pair set: within a chunk the i<j triangle
+    * applies; across chunks ci<cj every left id is strictly below every
+    * right id, so the full cross product is already (id_a < id_b)-ordered
+    * (invariance asserted in OperatorSpec). Remaining 100 TB caveat,
+    * documented: the bucket's id LIST still transits one aggregation
+    * buffer (~8 bytes/doc) before splitting. */
+  def lshCandidates(sigDf: DataFrame, idCol: String, bands: Int,
+                    maxBucket: Int = 4096): DataFrame = {
+    val buckets = sigDf
       .select(col(idCol).as("__id"), col("sig"))
       .withColumn("band", explode(expr(s"sequence(0, $bands - 1)")))
       .select(col("__id"), col("band"),
@@ -106,10 +117,32 @@ object Dedup {
       .groupBy("band", "band_sig")
       .agg(sort_array(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(1, size(ids) - 1), j -> transform(slice(ids, 1, j), a -> struct(a AS id_a, element_at(ids, j + 1) AS id_b))))")).as("p"))
+    val triangle =
+      "flatten(transform(sequence(1, size(ids) - 1), j -> " +
+        "transform(slice(ids, 1, j), a -> struct(a AS id_a, element_at(ids, j + 1) AS id_b))))"
+    val small = buckets.filter(size(col("ids")) <= maxBucket)
+      .select(explode(expr(triangle)).as("p"))
+    val big = buckets.filter(size(col("ids")) > maxBucket)
+      .withColumn("nc",
+        ceil(size(col("ids")).cast("double") / lit(maxBucket.toDouble)).cast("int"))
+      .select(col("ids"), explode(expr(
+        "flatten(transform(sequence(0, nc - 1), i -> " +
+          "transform(sequence(i, nc - 1), j -> struct(i AS ci, j AS cj))))")).as("cp"))
+      .select(expr(s"slice(ids, cp.ci * $maxBucket + 1, $maxBucket)").as("ia"),
+        expr(s"slice(ids, cp.cj * $maxBucket + 1, $maxBucket)").as("ib"),
+        (col("cp.ci") === col("cp.cj")).as("same"))
+      // spread the heavy tiles: without this shuffle every tile of a
+      // mega-bucket expands in the task that aggregated the bucket
+      .repartition(col("ia").getItem(0), col("ib").getItem(0))
+      .select(explode(when(col("same"),
+          expr(triangle.replace("ids", "ia")))
+        .otherwise(expr(
+          "flatten(transform(ia, a -> transform(ib, b -> struct(a AS id_a, b AS id_b))))")))
+        .as("p"))
+    small.unionByName(big)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
+  }
 
   /** LSH candidates verified with exact n-gram Jaccard ≥ threshold, from
     * the raw text column. Both the sketch and the verify-side shingles

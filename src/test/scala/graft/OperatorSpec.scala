@@ -140,6 +140,25 @@ class OperatorSpec extends SparkSuite {
     assert(got.length == 10 && got.forall(_._2 == 0L))
   }
 
+  test("LSH mega-bucket split: chunked expansion yields the exact same candidate pairs") {
+    import spark.implicits._
+    // 120 identical docs collapse into ONE bucket per band (the
+    // boilerplate mega-bucket); 10 distinct docs ride along in small
+    // buckets. maxBucket=16 forces the chunk-pair path (8 chunks, 36
+    // tiles); the pair set must be bit-identical to unsplit expansion.
+    val docs = ((0L until 120L).map(i => (i, "the same boilerplate text repeated everywhere forever")) ++
+      (200L until 210L).map(i => (i, s"unique document number $i with its own words ${i * 7}")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashFromText(docs, "text", numHashes = 8)
+    val split = Dedup.lshCandidates(sigs, "doc_id", bands = 4, maxBucket = 16)
+      .as[(Long, Long)].collect().toSet
+    val unsplit = Dedup.lshCandidates(sigs, "doc_id", bands = 4, maxBucket = 1 << 20)
+      .as[(Long, Long)].collect().toSet
+    assert(split == unsplit, s"split=${split.size} unsplit=${unsplit.size}")
+    assert(split.size >= 120 * 119 / 2, "mega-bucket must contribute its full pair set")
+    assert(split.forall { case (a, b) => a < b }, "pair order invariant broken")
+  }
+
   test("connected components: identical labels under a reliable checkpoint dir") {
     import spark.implicits._
     // cluster deployments set a reliable checkpoint dir (localCheckpoint
