@@ -102,17 +102,28 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfTag = sfDir.split('/').last
-    def line(decimals: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(decimals)(v) }
+    // Value-adaptive precision: the queries worth auditing (the slow ones)
+    // keep 10 ms resolution longest; sub-noise queries degrade first. At
+    // 107 catalog entries a uniform 1-dp line already overflowed the tail
+    // budget and collapsed everything to integers — worthless for the
+    // per-query regression axis.
+    def decFor(tier: Int, v: Double): Int = tier match {
+      case 0 => 2
+      case 1 => if (v >= 0.35) 2 else 1
+      case 2 => 1
+      case 3 => if (v >= 0.35) 1 else 0
+      case _ => 0
+    }
+    def line(tier: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(decFor(tier, v))(v) }
         .mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }
     // Self-fitting: the driver keeps a 2000-char output tail and the line's
-    // trailing newline shares it, so the line must stay ≤ 1999 chars. If
-    // 10 ms per-query precision would overflow (minus slack for
-    // timing-digit variance across runs), degrade to 100 ms; the 0-dp arm
-    // is a never-expected catastrophe fallback that keeps the JSON valid.
-    val out = Seq(2, 1).map(line).find(_.length <= 1985).getOrElse(line(0))
+    // trailing newline shares it, so the line must stay ≤ 1999 chars
+    // (minus slack for timing-digit variance across runs); the all-0-dp
+    // arm is a never-expected catastrophe fallback that keeps JSON valid.
+    val out = (0 to 3).map(line).find(_.length <= 1985).getOrElse(line(4))
     println(out)
     spark.stop()
   }

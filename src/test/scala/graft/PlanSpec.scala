@@ -71,6 +71,36 @@ class PlanSpec extends SparkSuite {
     assert(countExchanges(p) <= 2, s"too many exchanges:\n$p")
   }
 
+  test("sketch aggregates: object hash aggregate with map-side partials, one data shuffle") {
+    import graft.operators.Sketches
+    val qs = Seq(
+      "tdigest" -> Sketches.qSketchQuantile,
+      "freq" -> Sketches.qSketchFreqExact,
+      "hist_quantile" -> Sketches.qSketchHistQuantile)
+    qs.foreach { case (name, q) =>
+      val p = plan(q(spark, sf0001))
+      // TypedImperativeAggregates run in ObjectHashAggregate; TWO nodes
+      // (partial + final) mean the sketch states merge map-side, so the
+      // shuffle carries O(state) per partition per group — the 100 TB shape
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"$name: expected partial+final ObjectHashAggregate:\n$p")
+      assert(countExchanges(p) <= 2, s"$name: too many exchanges:\n$p")
+    }
+  }
+
+  test("merged per-day sketches: day agg + global merge, no extra shuffles") {
+    import graft.operators.Sketches
+    Seq("tdigest_merge" -> Sketches.qSketchTdigestMerge,
+        "freq_hh" -> Sketches.qSketchFreqHh).foreach { case (name, q) =>
+      val p = plan(q(spark, sf0001))
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"$name: expected partial+final ObjectHashAggregate:\n$p")
+      // day-keyed exchange (+ rnk orderBy for freq_hh); the global merge
+      // runs through Exchange SinglePartition, which is not a data shuffle
+      assert(countExchanges(p) <= 2, s"$name: too many exchanges:\n$p")
+    }
+  }
+
   test("scan projection is pruned to the selected columns at the parquet reader") {
     val p = plan(graft.Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity"))
     val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
