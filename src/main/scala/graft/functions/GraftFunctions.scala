@@ -135,8 +135,38 @@ object GraftFunctions {
   private val freqErrInfo = new ExpressionInfo(
     classOf[FreqErr].getName, "graft_freq_err")
 
+  private val bloomBuilder: Seq[Expression] => Expression = {
+    case Seq(k, m, h) => BloomAgg(k, m, h)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom expects 3 arguments, got ${other.size}")
+  }
+
+  private val bloomInfo = new ExpressionInfo(
+    classOf[BloomAgg].getName, "graft_bloom")
+
+  private val bloomMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => BloomMergeAgg(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_merge expects 1 argument, got ${other.size}")
+  }
+
+  private val bloomMergeInfo = new ExpressionInfo(
+    classOf[BloomMergeAgg].getName, "graft_bloom_merge")
+
+  private val mightContainBuilder: Seq[Expression] => Expression = {
+    case Seq(sk, k) => BloomMightContain(sk, k)
+    case other => throw new IllegalArgumentException(
+      s"graft_might_contain expects 2 arguments, got ${other.size}")
+  }
+
+  private val mightContainInfo = new ExpressionInfo(
+    classOf[BloomMightContain].getName, "graft_might_contain")
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
+      (FunctionIdentifier("graft_bloom"), bloomInfo, bloomBuilder),
+      (FunctionIdentifier("graft_bloom_merge"), bloomMergeInfo, bloomMergeBuilder),
+      (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
       (FunctionIdentifier("graft_freq"), freqInfo, freqBuilder),
       (FunctionIdentifier("graft_freq_merge"), freqMergeInfo, freqMergeBuilder),
       (FunctionIdentifier("graft_freq_topk"), freqTopKInfo, freqTopKBuilder),

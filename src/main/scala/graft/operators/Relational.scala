@@ -166,6 +166,35 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("p_brand")
 
+  /** Bloom-pruned join — the RUNTIME-FILTER pattern for 100 TB fact⋈dim:
+    * build a mergeable Bloom filter (graft.functions.BloomSketch) over the
+    * selective side's keys (one single-shuffle aggregate; the one-row
+    * collect is numBits/8 bytes — 8 KiB here — bounded by design like the
+    * IVF centroid pull), embed it as a literal in the fact scan's filter
+    * (codegen'd probe, no UDF), and drop non-matching rows BEFORE the
+    * join's shuffle. Bloom false positives survive the filter but are
+    * removed by the exact join that follows, so the result is exactly the
+    * plain join — hence the full oracle. At cluster scale this is what
+    * turns a 100 TB shuffle into a shuffle of the matching fraction;
+    * PlanSpec asserts the probe sits scan-side below the join. */
+  val qJoinBloomPruned: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val build = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_totalprice")
+    val bloomBytes = build
+      .agg(call_function("graft_bloom", col("o_orderkey"), lit(65536), lit(6)))
+      .head().getAs[Array[Byte]](0)
+    Tables.lineitem(s, d)
+      .filter(call_function("graft_might_contain", lit(bloomBytes), col("l_orderkey")))
+      .join(build, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_totalprice")
+      .agg(
+        count(lit(1)).as("n_items"),
+        Num.roundd(Num.roundd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 8), 2).as("revenue"))
+      .orderBy("l_orderkey")
+  }
+
   // ---- E. sort / set ops / window functions --------------------------------
 
   val qSortTopk: Q = (s, d) =>
@@ -370,6 +399,10 @@ object Relational {
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey) ORDER BY c_custkey"),
     ("q_join_theta_range", qJoinThetaRange,
       "SELECT p_brand, count(*) cnt FROM part JOIN lineitem ON l_partkey=p_partkey AND l_quantity BETWEEN p_size-5 AND p_size+5 GROUP BY p_brand ORDER BY p_brand"),
+    ("q_join_bloom_pruned", qJoinBloomPruned,
+      "SELECT l_orderkey, o_totalprice, count(*) n_items, round(round(sum(l_extendedprice*(1-l_discount)),8),2) revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey=o_orderkey WHERE o_totalprice>400000 " +
+        "GROUP BY l_orderkey, o_totalprice ORDER BY l_orderkey"),
     ("q_sort_topk", qSortTopk,
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
     ("q_set_union", qSetUnion,

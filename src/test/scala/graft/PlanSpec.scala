@@ -108,4 +108,21 @@ class PlanSpec extends SparkSuite {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
       s"scan reads pruned columns only, got: $readSchema")
   }
+
+  test("bloom probe filters the fact scan BELOW the join, inside whole-stage codegen") {
+    val df = graft.operators.Relational.qJoinBloomPruned(spark, sf0001)
+    df.collect() // AQE settles the final plan only after execution
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val probeAt = p.indexOf("graft_might_contain")
+    assert(probeAt >= 0, s"expected graft_might_contain in:\n$p")
+    // plans print top-down: the join node must appear BEFORE (above) the
+    // probe filter, i.e. the probe runs scan-side, pre-shuffle
+    val joinAt = "Join".r.findFirstMatchIn(p).map(_.start).getOrElse(Int.MaxValue)
+    assert(joinAt < probeAt, s"probe must sit below the join:\n$p")
+    // the probe's Filter line is codegen'd (starts with the `*(n)` span
+    // marker) — a CodegenFallback here would break the scan stage's span
+    val probeLine = p.substring(0, probeAt).split("\n").last + "graft_might_contain"
+    assert(probeLine.contains("*("),
+      s"probe filter must be inside a WholeStageCodegen span, got: $probeLine")
+  }
 }

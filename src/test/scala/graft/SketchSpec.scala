@@ -167,6 +167,64 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("bloom: zero false negatives, FPR within 2x theoretical, merge is bit-lossless") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val m = 65536; val k = 6; val n = 2000
+    // member keys ≡ 13, probes ≡ 14 (mod 7919) — provably disjoint sets
+    val keys = (0L until n.toLong).map(_ * 7919L + 13L)
+    val bloom = keys.toDF("key")
+      .agg(call_function("graft_bloom", col("key"), lit(m), lit(k)))
+      .head().getAs[Array[Byte]](0)
+    val falseNeg = keys.toDF("key")
+      .filter(not(call_function("graft_might_contain", lit(bloom), col("key"))))
+      .count()
+    assert(falseNeg == 0L, s"bloom must never reject a member ($falseNeg rejected)")
+    val nProbes = 20000
+    val fp = (0L until nProbes.toLong).map(_ * 7919L + 14L).toDF("key")
+      .filter(call_function("graft_might_contain", lit(bloom), col("key")))
+      .count()
+    val theo = math.pow(1.0 - math.exp(-k.toDouble * n / m), k)
+    assert(fp.toDouble / nProbes <= 2.0 * theo + 0.001,
+      s"measured FPR ${fp.toDouble / nProbes} vs theoretical $theo")
+    // deterministic hashes ⇒ OR of partial blooms is BIT-identical to the
+    // direct build over the union (what makes map-side combine sound)
+    val merged = keys.toDF("key").withColumn("g", pmod(col("key"), lit(8)))
+      .groupBy("g").agg(call_function("graft_bloom", col("key"), lit(m), lit(k)).as("sk"))
+      .agg(call_function("graft_bloom_merge", col("sk")))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, bloom), "merge(partials) != direct build")
+  }
+
+  test("bloom: string keys round-trip with zero false negatives") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val words = (0 until 500).map(i => s"doc-$i-${i * 31}")
+    val bloom = words.toDF("w")
+      .agg(call_function("graft_bloom", col("w"), lit(8192), lit(5)))
+      .head().getAs[Array[Byte]](0)
+    val falseNeg = words.toDF("w")
+      .filter(not(call_function("graft_might_contain", lit(bloom), col("w"))))
+      .count()
+    assert(falseNeg == 0L)
+  }
+
+  test("q_join_bloom_pruned ≡ the unpruned plain join (false positives removed by the join)") {
+    val pruned = operators.Relational.qJoinBloomPruned(spark, sf001).collect()
+    val plain = Tables.lineitem(spark, sf001)
+      .join(
+        Tables.orders(spark, sf001).filter(col("o_totalprice") > 400000),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_totalprice")
+      .agg(count(lit(1)).as("n_items"),
+        operators.Num.roundd(operators.Num.roundd(
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 8), 2).as("revenue"))
+      .orderBy("l_orderkey")
+      .collect()
+    assert(pruned.nonEmpty, "fixture must produce joined groups")
+    assert(pruned.toSeq == plain.toSeq)
+  }
+
   test("HLL: merged per-day sketches ≡ direct whole-table sketch; within 5% of exact") {
     val merged = Sketches.qSketchHllMerge(spark, sf001).head()
     val mergedEst = merged.getLong(0)
