@@ -70,6 +70,53 @@ object Ingest {
   def readEventsByDay(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  // ---- per-day bloom index (sketch-as-partition-index) --------------------
+
+  /** Build (once per JVM) the per-day Bloom index over `event_id` for the
+    * by-day layout: one row per day — (day, serialized graft_bloom). This
+    * is the sketch-index half of the TSDB ingest story: the same
+    * single-shuffle mergeable aggregate that serves the runtime-filter
+    * join, stored next to the layout as a partition-level index (what
+    * parquet/Iceberg column bloom filters do, lifted to the layout level
+    * where the PLANNER can use it to skip whole directories). */
+  def eventsDayBloomIndex(spark: SparkSession, sfDir: String,
+                          numBits: Int = 65536, numHashes: Int = 6,
+                          root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"events_day_bloom:$sfDir:$numBits:$numHashes:$root", {
+      val p = s"$root/${slug(sfDir)}/events_day_bloom"
+      graft.functions.GraftFunctions.register(spark)
+      readEventsByDay(spark, eventsByDay(spark, sfDir, root))
+        .groupBy("day")
+        .agg(call_function("graft_bloom",
+          col("event_id"), lit(numBits), lit(numHashes)).as("bloom"))
+        .coalesce(1) // one row per day; the whole index is days × numBits/8 bytes
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Point lookups through the bloom index: read the index (a driver-side
+    * collect of days × numBits/8 bytes — 30 rows here, 365/year at 100 TB;
+    * bounded by design like the IVF centroid pull), keep the days whose
+    * bloom MIGHT contain one of the probed ids, scan ONLY those partition
+    * directories, and apply the exact id filter (removing bloom false
+    * positives). The result is exact; the I/O is candidate-days/all-days
+    * of the corpus — for unique ids that is ≈ |ids| directories, the
+    * needle-in-haystack read a raw scan can never give you. */
+  def eventsByIdPruned(spark: SparkSession, sfDir: String, eventIds: Seq[Long],
+                       root: String = defaultRoot): DataFrame = {
+    val layout = eventsByDay(spark, sfDir, root)
+    val idxPath = eventsDayBloomIndex(spark, sfDir, root = root)
+    val candidateDays = spark.read.parquet(idxPath).select("day", "bloom").collect()
+      .filter { r =>
+        val sk = graft.functions.BloomSketch.deserialize(r.getAs[Array[Byte]]("bloom"))
+        eventIds.exists(sk.mightContainLong)
+      }
+      .map(_.getDate(0))
+    readEventsByDay(spark, layout)
+      .filter(col("day").isin(candidateDays.toSeq: _*) &&
+        col("event_id").isin(eventIds: _*))
+  }
+
   // ---- embeddings by LSH bucket -------------------------------------------
 
   /** Write `embeddings` partitioned by SRP-LSH bucket (the ANN layout). */

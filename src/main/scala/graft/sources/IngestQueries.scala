@@ -82,7 +82,22 @@ object IngestQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Needle-in-haystack point lookup through the per-day Bloom index
+    * (Ingest.eventsDayBloomIndex): the index collect keeps only the days
+    * whose bloom might contain a probed id, the scan prunes to those
+    * directories (WritePathSpec asserts ≈|ids| of 30 read), and the exact
+    * id filter removes bloom false positives — so the oracle is the plain
+    * IN-list scan of the original parquet, proving index + layout +
+    * round-trip all at once. */
+  val qIngestBloomIndex: Q = (s, d) =>
+    Ingest.eventsByIdPruned(s, d, Seq(7L, 404L, 777L))
+      .select(col("event_id"), col("day"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ingest_bloom_index", qIngestBloomIndex, Some(
+      "SELECT event_id, CAST(ts AS DATE) AS \"day\", user_id, event_type, value " +
+        "FROM events WHERE event_id IN (7, 404, 777) ORDER BY event_id")),
     ("q_ingest_bucketed_join", qIngestBucketedJoin, Some(
       "SELECT c_mktsegment, count(*) cnt, round(sum(o_totalprice), 2) rev " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +

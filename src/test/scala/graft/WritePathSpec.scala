@@ -175,4 +175,24 @@ class WritePathSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("bloom index: point lookup scans only candidate day directories, result exact") {
+    val ids = Seq(7L, 404L, 777L)
+    val pruned = Ingest.eventsByIdPruned(spark, sf0001, ids, root)
+    // unique ids land on ≤3 true days; bloom FPs can add a few candidate
+    // dirs but must stay far from the full 30-directory scan
+    val listing = scanListings(pruned.select("event_id")).head
+    assert(listing.partitionCount <= 6,
+      s"bloom index read ${listing.partitionCount}/30 partitions — index not pruning")
+    assert(listing.partitionCount >= 1, "probed ids exist; at least their days must be read")
+    // exactness: the bloom candidates + exact filter ≡ plain IN-list scan
+    val got = pruned.select("event_id", "user_id", "event_type", "value")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val want = Tables.events(spark, sf0001)
+      .filter(col("event_id").isin(ids: _*))
+      .select("event_id", "user_id", "event_type", "value")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(got.nonEmpty && got.toSeq == want.toSeq,
+      s"bloom-pruned lookup diverged: got ${got.length} want ${want.length}")
+  }
 }
