@@ -212,6 +212,20 @@ object LlmScale {
       .orderBy("doc_id")
       .limit(1000)
 
+  /** Within-doc repetition filter (TextAnalysis.repetition): the boolean
+    * compares the UNROUNDED ratios on both engines — identical IEEE
+    * division of the same integers, so the flag is deterministic even at
+    * the thresholds. */
+  val qTextRepetition: Q = (s, d) =>
+    TextAnalysis.repetition(Tables.documents(s, d), "text")
+      .withColumn("repetitive", col("top_ratio") > 0.12 || col("ttr") < 0.35)
+      .select(col("doc_id"), col("n_tok"), col("distinct_tok"), col("top_cnt"),
+        Num.roundd(col("ttr"), 4).as("ttr"),
+        Num.roundd(col("top_ratio"), 4).as("top_ratio"),
+        col("repetitive"))
+      .orderBy("doc_id")
+      .limit(1000)
+
   val qTextTokencount: Q = (s, d) =>
     TextAnalysis.tokenCounts(Tables.documents(s, d), "text")
       .select("doc_id", "ws_tokens", "bpe_tokens", "n_chars")
@@ -468,6 +482,15 @@ object LlmScale {
         "CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)/len(w) stop_ratio FROM q) " +
         "SELECT doc_id, n_tok, round(avg_wlen, 4) avg_wlen, round(stop_ratio, 4) stop_ratio, " +
         "round(stop_ratio*0.3 + avg_wlen*0.05 + n_chars*0.0005, 4) score FROM r ORDER BY doc_id LIMIT 1000")),
+    ("q_text_repetition", qTextRepetition, Some(
+      "WITH q AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+        "r AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_tok, CAST(len(list_distinct(w)) AS BIGINT) distinct_tok, " +
+        "CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS BIGINT) top_cnt FROM q) " +
+        "SELECT doc_id, n_tok, distinct_tok, top_cnt, " +
+        "round(CAST(distinct_tok AS DOUBLE)/n_tok, 4) ttr, " +
+        "round(CAST(top_cnt AS DOUBLE)/n_tok, 4) top_ratio, " +
+        "(CAST(top_cnt AS DOUBLE)/n_tok > 0.12 OR CAST(distinct_tok AS DOUBLE)/n_tok < 0.35) repetitive " +
+        "FROM r ORDER BY doc_id LIMIT 1000")),
     ("q_text_tokencount", qTextTokencount, Some(
       "SELECT doc_id, CAST(len(w) AS BIGINT) ws_tokens, CAST(list_sum(list_transform(w, x -> greatest(1, CAST(ceil(length(x)/4.0) AS BIGINT)))) AS BIGINT) bpe_tokens, n_chars " +
         "FROM (SELECT doc_id, n_chars, string_split(text,' ') w FROM documents) ORDER BY doc_id LIMIT 1000")),

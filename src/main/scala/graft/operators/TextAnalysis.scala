@@ -49,6 +49,23 @@ object TextAnalysis {
         col("stop_ratio") * 0.3 + col("avg_wlen") * 0.05 + length(col(textCol)) * 0.0005)
       .drop("__w")
 
+  /** Within-document repetition signals (the Gopher-style boilerplate
+    * filters): type-token ratio (distinct/total tokens) and the
+    * most-frequent-token share. Pure per-row HOF expressions — no
+    * token-level explode/shuffle; the whole filter is a codegen'd
+    * projection, linear at any corpus size. The top-count is O(d·n) per
+    * row in distinct tokens d — fine for natural documents, where d
+    * saturates long before n. */
+  def repetition(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__w", split(col(textCol), " "))
+      .withColumn("n_tok", size(col("__w")).cast("long"))
+      .withColumn("distinct_tok", expr("size(array_distinct(__w))").cast("long"))
+      .withColumn("top_cnt", expr(
+        "array_max(transform(array_distinct(__w), x -> size(filter(__w, y -> y = x))))").cast("long"))
+      .withColumn("ttr", col("distinct_tok").cast("double") / col("n_tok"))
+      .withColumn("top_ratio", col("top_cnt").cast("double") / col("n_tok"))
+      .drop("__w")
+
   /** Whitespace token count + a chars-per-token BPE-ish estimate
     * (⌈len/4⌉ per word, min 1 — the classic "~4 chars per BPE token"). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =

@@ -354,4 +354,23 @@ class OperatorSpec extends SparkSuite {
     val better = joined.join(events.select(col("ts").as("ets")), col("ets") <= col("cutoff") && col("ets") > col("ts"))
     assert(better.count() == 0)
   }
+
+  test("repetition: invariants hold and the flag splits the fixture non-trivially") {
+    val r = operators.TextAnalysis.repetition(Tables.documents(spark, sf0001), "text")
+      .select("n_tok", "distinct_tok", "top_cnt", "ttr", "top_ratio")
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, d, t) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      assert(d >= 1 && d <= n, s"distinct_tok $d out of [1, $n]")
+      // the most frequent token can't appear more often than the slots
+      // left after each OTHER distinct token appears at least once
+      assert(t >= 1 && t <= n - d + 1, s"top_cnt $t out of [1, ${n - d + 1}]")
+      assert(row.getDouble(3) > 0 && row.getDouble(3) <= 1.0)
+      assert(row.getDouble(4) > 0 && row.getDouble(4) <= 1.0)
+    }
+    val flags = operators.LlmScale.qTextRepetition(spark, sf0001)
+      .groupBy("repetitive").count().collect()
+    assert(flags.length == 2, "threshold must split the fixture non-trivially")
+  }
 }
