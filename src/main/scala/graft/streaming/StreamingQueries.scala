@@ -183,6 +183,24 @@ object StreamingQueries {
       .select(col("window.start").as("h"), col("event_type"), col("sketch"), col("n"))
   }
 
+  /** Streaming heavy-hitters face — per-window Misra-Gries summaries
+    * sketched at ingest, the third leg of the streaming sketch triad next
+    * to tdigestStream (quantiles) and the HLL batch tier (distinct):
+    * windows close under the watermark carrying a mergeable binary
+    * summary (graft.functions.FreqSketch); any later range query unions
+    * the stored summaries with graft_freq_merge instead of re-scanning
+    * raw events. State per open window is O(capacity), not O(users) —
+    * the only viable top-k shape for an unbounded feed. */
+  def freqStream(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("graft_freq(cast(user_id as string), 64)").as("sketch"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("sketch"), col("n"))
+  }
+
   /** Stream-stream interval join face: both sides from the same replayed
     * source, watermarked so join state evicts once pt can no longer land
     * in any open (ct, ct+30m] window. */

@@ -232,6 +232,53 @@ class StreamParitySpec extends SparkSuite {
       }
   }
 
+  test("streaming heavy hitters: closed windows are EXACT at capacity; merged summaries bound true counts") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.freqStream(spark, replayDir), "t_freq")
+    val rows = got
+      .select(col("h").cast("timestamp_ntz").as("h"), col("n"),
+        expr("graft_freq_topk(sketch, 64)").as("top"),
+        expr("graft_freq_err(sketch)").as("err"))
+      .collect()
+    assert(rows.nonEmpty, "stream closed no sketch windows")
+
+    val exact = Tables.events(spark, sf0001)
+      .select(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"),
+        col("user_id").cast("string").as("u"))
+      .collect()
+      .groupBy(_.get(0).toString)
+      .map { case (k, rs) => k -> rs.groupBy(_.getString(1)).map { case (u, g) => u -> g.length.toLong } }
+
+    rows.foreach { r =>
+      val k = r.get(0).toString
+      val want = exact.getOrElse(k, fail(s"stream closed a window batch lacks: $k"))
+      // ≤64 distinct users per hour at sf0.001 ⇒ no eviction ever fires:
+      // the summary IS the exact per-user count map, err stays 0
+      assert(r.getLong(3) == 0L, s"$k: expected exact summary, err=${r.getLong(3)}")
+      val gotCounts = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(e => e.getString(0) -> e.getLong(1)).toMap
+      assert(gotCounts == want, s"$k: stream counts $gotCounts != batch $want")
+      assert(r.getLong(1) == want.values.sum)
+    }
+
+    // merge-at-query across the closed windows: Misra-Gries bounds must
+    // hold against the exact totals over the SAME windows
+    val closed = rows.map(_.get(0).toString).toSet
+    val totals = exact.filter { case (k, _) => closed(k) }
+      .values.flatten.groupBy(_._1).map { case (u, kvs) => u -> kvs.map(_._2).sum }
+    val merged = got.agg(expr("graft_freq_merge(sketch)").as("msk"))
+      .select(expr("graft_freq_topk(msk, 64)").as("top"), expr("graft_freq_err(msk)").as("err"))
+      .head()
+    val err = merged.getLong(1)
+    merged.getSeq[org.apache.spark.sql.Row](0).foreach { e =>
+      val (u, cntMin) = (e.getString(0), e.getLong(1))
+      val truth = totals.getOrElse(u, 0L)
+      assert(cntMin <= truth && truth <= cntMin + err,
+        s"user $u: cnt_min=$cntMin err=$err violates bounds around true=$truth")
+    }
+  }
+
   test("streaming t-digest: closed windows sketch exactly-counted, quantiles within rank tolerance") {
     assertTdigestParity(replayDir, "t_td")
   }
