@@ -135,6 +135,15 @@ object GraftFunctions {
   private val freqErrInfo = new ExpressionInfo(
     classOf[FreqErr].getName, "graft_freq_err")
 
+  private val pqAdcBuilder: Seq[Expression] => Expression = {
+    case Seq(codes, dl, nl) => PqAdcSim(codes, dl, nl)
+    case other => throw new IllegalArgumentException(
+      s"graft_pq_adc expects 3 arguments, got ${other.size}")
+  }
+
+  private val pqAdcInfo = new ExpressionInfo(
+    classOf[PqAdcSim].getName, "graft_pq_adc")
+
   private val bloomBuilder: Seq[Expression] => Expression = {
     case Seq(k, m, h) => BloomAgg(k, m, h)
     case other => throw new IllegalArgumentException(
@@ -164,6 +173,7 @@ object GraftFunctions {
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
+      (FunctionIdentifier("graft_pq_adc"), pqAdcInfo, pqAdcBuilder),
       (FunctionIdentifier("graft_bloom"), bloomInfo, bloomBuilder),
       (FunctionIdentifier("graft_bloom_merge"), bloomMergeInfo, bloomMergeBuilder),
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),

@@ -194,6 +194,15 @@ object LlmScale {
         probeId = 0L, topK = 5, k = 8, nProbe = 3, iters = 1)
       .withColumn("sim", Num.roundd(col("sim"), 6))
 
+  /** PQ compression + ADC scan + exact re-rank (Similarity.PqModel): the
+    * returned sims are EXACT cosines of the re-ranked shortlist, but the
+    * shortlist itself is approximate — recall asserted in tests, same
+    * contract as the LSH/IVF tier. */
+  val qSimAnnPq: Q = (s, d) =>
+    Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        probeId = 0L, k = 5, numSub = 8, codebook = 16, iters = 2, rerank = 50)
+      .withColumn("sim", Num.roundd(col("sim"), 6))
+
   // ---- text analysis (delegating to the TextAnalysis library operators) ---
 
   val qTextLangid: Q = (s, d) =>
@@ -458,6 +467,7 @@ object LlmScale {
         "SELECT probe_id, CAST(rnk AS BIGINT) rnk, vec_id, sim FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk")),
     ("q_sim_ann_lsh", qSimAnnLsh, None), // approximate by construction; recall asserted in tests
     ("q_sim_ann_ivf", qSimAnnIvf, None), // approximate by construction; recall asserted in tests
+    ("q_sim_ann_pq", qSimAnnPq, None), // approximate by construction; recall asserted in tests
     ("q_text_tfidf", qTextTfidf, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) tf FROM toks WHERE len(term) > 0 GROUP BY 1, 2), " +

@@ -219,6 +219,136 @@ object Similarity {
     IvfModel.build(emb, idCol, vecCol, k, iters)
       .topK(idCol, vecCol, probeId, topK, nProbe)
 
+  /** Product quantization (Jégou et al., TPAMI 2011): the vector
+    * COMPRESSION leg of the ANN tier. The 64-dim f32 vector becomes M=8
+    * int codes (one per 8-dim subspace, 16-entry codebook each) — 32×
+    * smaller, so the ADC scan reads an 8-byte column instead of a 256-byte
+    * one. At 100 TB of embeddings that is the difference between an
+    * in-memory code sweep and a full-corpus vector read; the codes column
+    * would be stored in its own parquet (or alongside the LSH-bucket
+    * layout) with column pruning keeping raw vectors untouched until
+    * re-rank.
+    *
+    * Training reuses the deterministic seeded-k-means recipe (IvfModel):
+    * init = the k lowest-id vectors' subvectors, Lloyd rounds with ALL M
+    * subspaces updated in ONE distributed aggregate per round (explode the
+    * full vector once; sub = pos/subDim selects each value's codebook via
+    * its row's code array). Only M×K×subDim doubles ever reach the driver.
+    */
+  final case class PqModel(codes: DataFrame, books: Array[Array[Array[Double]]],
+                           idCol: String, vecCol: String, subDim: Int) {
+
+    private def luts(probeVec: Array[Double]): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+      var pn = 0.0; var i = 0
+      while (i < probeVec.length) { pn += probeVec(i) * probeVec(i); i += 1 }
+      val pNorm = math.sqrt(pn)
+      val dot = books.zipWithIndex.map { case (book, m) =>
+        book.map { ct =>
+          var d = 0.0; var j = 0
+          while (j < ct.length) { d += probeVec(m * subDim + j) * ct(j); j += 1 }
+          d / pNorm
+        }.toSeq
+      }.toSeq
+      val n2 = books.map(_.map { ct =>
+        var n = 0.0; var j = 0
+        while (j < ct.length) { n += ct(j) * ct(j); j += 1 }
+        n
+      }.toSeq).toSeq
+      (dot, n2)
+    }
+
+    /** ADC scan (codes column only) → top `rerank` candidates → exact
+      * codegen'd cosine re-rank → top-k. The rerank set is a constant
+      * handful of rows, so the second stage is O(rerank), not O(corpus). */
+    def topK(probeId: Long, k: Int, rerank: Int = 50): DataFrame = {
+      val s = codes.sparkSession
+      graft.functions.GraftFunctions.register(s)
+      val probeVec = codes.filter(col(idCol) === probeId)
+        .select(col(vecCol)).head().getSeq[Float](0).toArray.map(_.toDouble)
+      val (dotLut, n2Lut) = luts(probeVec)
+      val cands = codes
+        .filter(col(idCol) =!= probeId)
+        .select(col(idCol),
+          call_function("graft_pq_adc", col("codes"),
+            typedlit(dotLut), typedlit(n2Lut)).as("sim_adc"))
+        .orderBy(col("sim_adc").desc, col(idCol).asc)
+        .limit(rerank)
+      val probe = codes.filter(col(idCol) === probeId).select(col(vecCol).as("__a"))
+      cands
+        .join(codes.select(col(idCol), col(vecCol).as("__b")), idCol)
+        .crossJoin(broadcast(probe))
+        .withColumn("sim", Llm.cosineNative(s, "__a", "__b"))
+        .select(col(idCol), col("sim"))
+        .orderBy(col("sim").desc, col(idCol).asc)
+        .limit(k)
+    }
+  }
+
+  object PqModel {
+    private val cache = scala.collection.concurrent.TrieMap.empty[(Int, String, String, String, Int, Int, Int), PqModel]
+
+    def build(emb: DataFrame, idCol: String, vecCol: String,
+              numSub: Int = 8, k: Int = 16, iters: Int = 2): PqModel = {
+      val key = (System.identityHashCode(emb.sparkSession),
+        emb.queryExecution.analyzed.canonicalized.toString, idCol, vecCol, numSub, k, iters)
+      cache.getOrElseUpdate(key, buildUncached(emb, idCol, vecCol, numSub, k, iters))
+    }
+
+    private def buildUncached(emb: DataFrame, idCol: String, vecCol: String,
+                              numSub: Int, k: Int, iters: Int): PqModel = {
+      val s = emb.sparkSession
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val dim = emb.select(size(col(vecCol))).head().getInt(0)
+      require(dim % numSub == 0, s"graft pq: dim $dim not divisible into $numSub subspaces")
+      val subDim = dim / numSub
+
+      // init: the k lowest-id vectors, sliced per subspace driver-side
+      val seed = emb.orderBy(col(idCol).asc).limit(k)
+        .select(col(vecCol)).as[Seq[Float]].collect()
+        .map(_.toArray.map(_.toDouble))
+      var books: Array[Array[Array[Double]]] = Array.tabulate(numSub) { m =>
+        seed.map(_.slice(m * subDim, (m + 1) * subDim))
+      }
+
+      def withCodes(bks: Array[Array[Array[Double]]]): DataFrame =
+        emb.withColumn("codes", array((0 until numSub).map { m =>
+          call_function("graft_nearest_centroid",
+            expr(s"slice($vecCol, ${m * subDim + 1}, $subDim)"),
+            typedlit(bks(m).map(_.toSeq).toSeq))
+        }: _*))
+
+      for (_ <- 1 to iters) {
+        // all M codebooks refit in one aggregate: M×K×subDim result rows
+        val means = withCodes(books)
+          .select(col("codes"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+          .withColumn("sub", (col("pos") / subDim).cast("int"))
+          .withColumn("code", element_at(col("codes"), col("sub") + 1))
+          .withColumn("subpos", col("pos") % subDim)
+          .groupBy("sub", "code", "subpos")
+          .agg(avg(col("x").cast("double")).as("m"))
+          .collect()
+        val bySubCode = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+        books = Array.tabulate(numSub) { m =>
+          Array.tabulate(k) { c =>
+            bySubCode.get((m, c))
+              .map(_.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+              .getOrElse(books(m)(c)) // empty cell keeps its old centroid
+          }
+        }
+      }
+      PqModel(withCodes(books).persist(), books, idCol, vecCol, subDim)
+    }
+  }
+
+  /** PQ search against the memoized codebooks: ADC candidate scan over the
+    * compressed codes, exact re-rank of the shortlist. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, probeId: Long,
+             k: Int, numSub: Int = 8, codebook: Int = 16, iters: Int = 2,
+             rerank: Int = 50): DataFrame =
+    PqModel.build(emb, idCol, vecCol, numSub, codebook, iters)
+      .topK(probeId, k, rerank)
+
   /** Approximate top-k: search only the probe's LSH bucket. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               probeId: Long, k: Int, nPlanes: Int = 12, dim: Int = 64): DataFrame = {

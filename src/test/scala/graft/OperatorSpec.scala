@@ -257,6 +257,34 @@ class OperatorSpec extends SparkSuite {
       assert(brute.get(id).forall(b => math.abs(b - s) < 1e-12)) }
   }
 
+  test("PQ ANN: re-ranked sims are exact cosines; generous shortlist recovers exact top-5") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(pq.length == 5)
+    // every returned sim is the true cosine for that id (exact re-rank)
+    pq.foreach { case (id, s) =>
+      val b = Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, n)
+        .filter(col("vec_id") === id).head().getDouble(1)
+      assert(math.abs(b - s) < 1e-12, s"id $id: pq sim $s != exact $b")
+    }
+    // rerank = corpus searches everything → must equal exact top-5
+    val full = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, k = 5, rerank = n)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, 5)
+      .collect().map(_.getLong(0)).toSeq)
+    // default shortlist (50 of the corpus) must recall the exact top-1
+    assert(pq.map(_._1).contains(
+      brute.toSeq.sortBy { case (id, s) => (-s, id) }.head._1),
+      s"top-1 not recalled: pq=${pq.map(_._1).toSeq}")
+    // compression: codes are numSub ints per vector
+    val codes = Similarity.PqModel.build(emb, "vec_id", "embedding").codes
+    assert(codes.select(size(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
+  }
+
   test("IVF index: assignment is codegen expression (no UDF), build is memoized") {
     val emb = Tables.embeddings(spark, sf0001)
     val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 4, iters = 1)
