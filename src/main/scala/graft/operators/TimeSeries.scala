@@ -377,6 +377,84 @@ object TimeSeries {
       .orderBy("k", "pt")
   }
 
+  /** Gap / outage detection: per series (event_type), every silence longer
+    * than 60 minutes between consecutive events, as (gap_start, gap_end,
+    * gap_s) intervals — the "when was this feed down" TSDB read. One
+    * shuffle on event_type, per-series local sort; state per row is O(1)
+    * (a single lag), so the shape is linear at any scale. gap_s uses the
+    * same exact integer µs→s floor-diff as session duration. */
+  val qTsGaps: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(expr("ts - prev_ts > INTERVAL '60' MINUTE"))
+      .select(col("event_type"), col("prev_ts").as("gap_start"), col("ts").as("gap_end"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000 - unix_micros(cast(prev_ts as timestamp)) div 1000000")
+          .as("gap_s"))
+      .orderBy("event_type", "gap_start")
+  }
+
+  /** Cross-series correlation: per-day Pearson r between the hourly count
+    * series of two event types ('click' vs 'view'). Every moment (Σx, Σy,
+    * Σxy, Σx², Σy²) is an EXACT integer sum of integer hourly counts —
+    * order-free, so the final one-shot double formula is bit-reproducible
+    * across engines with no rounding tricks (unlike double-valued corr,
+    * which is why this does NOT use corr()). Two single-shuffle hash
+    * aggregates (hour, then day). Long moments hold to ~2^26 events/hour;
+    * beyond that switch the moment sums to DOUBLE (documented, not hit at
+    * any realistic per-hour rate). */
+  val qTsCorrPair: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("x"),
+        count(when(col("event_type") === "view", 1)).as("y"))
+    hourly
+      .groupBy(date_trunc("day", col("h")).cast("date").as("dday"))
+      .agg(count(lit(1)).as("n_hours"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n_hours") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n_hours") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("dday"), col("n_hours"),
+        Num.roundd(
+          (col("n_hours") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n_hours") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("r"))
+      .orderBy("dday")
+  }
+
+  /** Holt's linear (double-exponential) smoothing per (event_type, day)
+    * over the day's hourly sums: level l' = α·x + (1-α)(l + b), trend
+    * b' = β(l' - l) + (1-β)b, α=0.5 β=0.3, classic init l=v₂, b=v₂-v₁.
+    * Same day-chunked codegen'd `aggregate` fold as EWMA — O(day length)
+    * per group, never a global scan — but with 2-field struct state, and
+    * l' is recomputed inside the b' update so both engines execute the
+    * identical IEEE multiply-add sequence on pre-rounded inputs
+    * (bit-reproducible, §2.0.2). Emits final level, trend, and the
+    * one-step forecast l+b a TSDB alerts on. */
+  val qTsHolt: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(Num.roundd(sum("value"), 6).as("sv"))
+      .groupBy(col("event_type"), date_trunc("day", col("h")).cast("date").as("dday"))
+      .agg(sort_array(collect_list(struct(col("h"), col("sv")))).as("pts"))
+      .withColumn("vs", expr("transform(pts, p -> p.sv)"))
+      .filter(size(col("vs")) >= 2)
+      .withColumn("st", expr(
+        "aggregate(slice(vs, 3, size(vs) - 2), " +
+          "named_struct('l', element_at(vs, 2), 'b', element_at(vs, 2) - element_at(vs, 1)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', 0.5d * x + 0.5d * (acc.l + acc.b), " +
+          "'b', 0.3d * ((0.5d * x + 0.5d * (acc.l + acc.b)) - acc.l) + 0.7d * acc.b))"))
+      .select(col("event_type"), col("dday"),
+        Num.roundd(col("st.l"), 6).as("lvl"),
+        Num.roundd(col("st.b"), 6).as("trend"),
+        Num.roundd(col("st.l") + col("st.b"), 6).as("fc1"))
+      .orderBy("event_type", "dday")
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
@@ -455,6 +533,40 @@ object TimeSeries {
         "pairs AS (SELECT k, pt, e.value v, row_number() OVER (PARTITION BY k, pt " +
         "ORDER BY abs(epoch_us(e.ts) - epoch_us(pt)), e.ts) rn FROM probes JOIN events e ON e.user_id = k) " +
         "SELECT k, pt, v FROM pairs WHERE rn = 1 ORDER BY k, pt"),
+    ("q_ts_gaps", qTsGaps,
+      "WITH g AS (SELECT event_type, lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) prev_ts, ts FROM events) " +
+        "SELECT event_type, prev_ts gap_start, ts gap_end, CAST(date_diff('second', prev_ts, ts) AS BIGINT) gap_s " +
+        "FROM g WHERE ts - prev_ts > INTERVAL 60 MINUTE ORDER BY event_type, gap_start"),
+    ("q_ts_corr_pair", qTsCorrPair,
+      "WITH hourly AS (SELECT date_trunc('hour', ts) h, " +
+        "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) x, " +
+        "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) y FROM events GROUP BY 1), " +
+        "m AS (SELECT CAST(date_trunc('day', h) AS DATE) dday, CAST(count(*) AS BIGINT) n_hours, " +
+        "sum(x) sx, sum(y) sy, sum(x*y) sxy, sum(x*x) sxx, sum(y*y) syy FROM hourly GROUP BY 1) " +
+        "SELECT dday, n_hours, round(CAST(n_hours*sxy - sx*sy AS DOUBLE) / " +
+        "(sqrt(CAST(n_hours*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n_hours*syy - sy*sy AS DOUBLE))), 6) r " +
+        "FROM m WHERE n_hours*sxx - sx*sx > 0 AND n_hours*syy - sy*sy > 0 ORDER BY dday"),
+    // Oracle is a recursive CTE, NOT list_reduce: DuckDB 1.0.0's list_reduce
+    // with a struct accumulator updates fields in place, so from the second
+    // iteration the 'b' expression reads the freshly-written 'l' (verified
+    // on a 3-element fold: acc.l = new l). Row-wise recursion has no such
+    // aliasing; the arithmetic tree matches Spark's fold exactly.
+    ("q_ts_holt", qTsHolt,
+      "WITH RECURSIVE hv AS (SELECT event_type, date_trunc('hour', ts) h, round(sum(value), 6) sv FROM events GROUP BY 1, 2), " +
+        "seq AS (SELECT event_type, CAST(date_trunc('day', h) AS DATE) dday, sv, " +
+        "CAST(row_number() OVER (PARTITION BY event_type, date_trunc('day', h) ORDER BY h) AS BIGINT) i, " +
+        "CAST(count(*) OVER (PARTITION BY event_type, date_trunc('day', h)) AS BIGINT) n FROM hv), " +
+        "rec AS (" +
+        "SELECT s2.event_type, s2.dday, s2.i, s2.n, s2.sv AS l, s2.sv - s1.sv AS b " +
+        "FROM seq s2 JOIN seq s1 ON s1.event_type = s2.event_type AND s1.dday = s2.dday AND s1.i = 1 " +
+        "WHERE s2.i = 2 AND s2.n >= 2 " +
+        "UNION ALL " +
+        "SELECT s.event_type, s.dday, s.i, s.n, " +
+        "0.5::DOUBLE * s.sv + 0.5::DOUBLE * (r.l + r.b) AS l, " +
+        "0.3::DOUBLE * ((0.5::DOUBLE * s.sv + 0.5::DOUBLE * (r.l + r.b)) - r.l) + 0.7::DOUBLE * r.b AS b " +
+        "FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.dday = r.dday AND s.i = r.i + 1) " +
+        "SELECT event_type, dday, round(l, 6) lvl, round(b, 6) trend, round(l + b, 6) fc1 " +
+        "FROM rec WHERE i = n ORDER BY event_type, dday"),
     ("q_ts_asof_join", qTsAsofJoin,
       "SELECT o.o_orderkey, e.ts FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 1000 = 0) o ASOF JOIN events e ON e.ts <= o.o_orderdate + INTERVAL 10585 DAY ORDER BY o.o_orderkey"),
   )

@@ -62,6 +62,52 @@ class CatalogFixtureSpec extends SparkSuite {
       s"expected the raise_error guard, got: $ex")
   }
 
+  test("gaps: only silences > 60min emitted, per type, exact second duration") {
+    val t0 = 1704067200L
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 1.0),
+      (2L, ns(t0 + 1800), 1L, "click", 1.0),        // 30min: no gap
+      (3L, ns(t0 + 1800 + 3700), 1L, "click", 1.0), // 3700s > 1h: gap
+      (4L, ns(t0), 1L, "view", 1.0),
+      (5L, ns(t0 + 3600), 1L, "view", 1.0)          // exactly 1h: NOT > 60min
+    ))
+    val out = TimeSeries.qTsGaps(spark, dir)
+      .select("event_type", "gap_s").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("click", 3700L)))
+  }
+
+  test("corr_pair: perfectly aligned day → r=1, perfectly opposed day → r=-1") {
+    val d1 = 1704067200L; val d2 = d1 + 86400
+    def rep(n: Int, ts: Long, ty: String): Seq[(Long, Long, String, Double)] =
+      (1 to n).map(i => (ts + i, 1L, ty, 1.0)) // distinct ts within the hour
+    val rows = (
+      rep(1, d1, "click") ++ rep(1, d1, "view") ++
+        rep(2, d1 + 3600, "click") ++ rep(2, d1 + 3600, "view") ++
+        rep(3, d1 + 7200, "click") ++ rep(3, d1 + 7200, "view") ++
+        rep(2, d2, "click") ++ rep(2, d2 + 3600, "view")
+    ).zipWithIndex.map { case ((ts, u, ty, v), i) => (i.toLong, ns(ts), u, ty, v) }
+    writeEvents(rows)
+    val out = TimeSeries.qTsCorrPair(spark, dir)
+      .select("n_hours", "r").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((3L, 1.0), (2L, -1.0)))
+  }
+
+  test("holt: hand-computed fold; 2-point day returns init; 1-point day drops") {
+    val d1 = 1704067200L; val d2 = d1 + 86400; val d3 = d2 + 86400
+    writeEvents(Seq(
+      (1L, ns(d1), 1L, "click", 10.0),         // day1: [10, 12, 11]
+      (2L, ns(d1 + 3600), 1L, "click", 12.0),
+      (3L, ns(d1 + 7200), 1L, "click", 11.0),
+      (4L, ns(d2), 1L, "click", 10.0),         // day2: [10, 12] → init only
+      (5L, ns(d2 + 3600), 1L, "click", 12.0),
+      (6L, ns(d3), 1L, "click", 99.0)          // day3: single point → dropped
+    ))
+    val out = TimeSeries.qTsHolt(spark, dir)
+      .select("lvl", "trend", "fc1").as[(Double, Double, Double)].collect().toSeq
+    // day1: l=12,b=2; x=11 → l'=0.5·11+0.5·14=12.5, b'=0.3·0.5+0.7·2=1.55
+    assert(out == Seq((12.5, 1.55, 14.05), (12.0, 2.0, 14.0)))
+  }
+
   test("TF-IDF: corpus-wide terms score 0; rarer+repeated terms rank first") {
     Seq((1L, "apple banana banana"), (2L, "apple cherry"))
       .toDF("doc_id", "text")
