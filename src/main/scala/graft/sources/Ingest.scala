@@ -117,6 +117,57 @@ object Ingest {
         col("event_id").isin(eventIds: _*))
   }
 
+  // ---- continuous aggregate (rollup + raw tail) ---------------------------
+
+  /** Materialize (once per JVM) the hourly CONTINUOUS-AGGREGATE rollup of
+    * events strictly before `cutoffDay`: one row per (hour, event_type)
+    * with (cnt, sv8 = 8-dp-rounded hourly sum). This is the
+    * TimescaleDB-continuous-aggregate / Druid-rollup ingest pattern: the
+    * closed past is folded into a tiny summary table at ingest time (in
+    * production the streaming job appends each day's rows as its watermark
+    * closes); queries then never re-scan closed raw history. The rollup
+    * for a 100 TB/year feed is hours × types rows — 10⁵ rows per 10¹³. */
+  def eventsHourlyRollup(spark: SparkSession, sfDir: String,
+                         cutoffDay: String = "2024-01-26",
+                         root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"events_hourly_rollup:$sfDir:$cutoffDay:$root", {
+      val p = s"$root/${slug(sfDir)}/events_hourly_rollup_$cutoffDay"
+      readEventsByDay(spark, eventsByDay(spark, sfDir, root))
+        .filter(col("day") < lit(cutoffDay).cast("date")) // partition-pruned
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.operators.Num.roundd(sum("value"), 8).as("sv8"))
+        .coalesce(1) // hours × types rows — one small summary file
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Serve the full-range daily aggregate from rollup + raw tail: hourly
+    * partials for days < cutoff come from the STORED rollup (a summary-file
+    * read), the open tail ≥ cutoff is aggregated on the fly from the by-day
+    * layout under a partition filter (tail directories only — asserted in
+    * WritePathSpec). Union of partials → one hash aggregate to day grain.
+    * Both engines merge identical 8-dp hourly partials, so the day-level
+    * re-round is cross-engine stable (same two-level scheme as
+    * q_ts_rollup_time). At 100 TB the query reads the summary table plus
+    * only the open days of raw — the whole point of a continuous agg. */
+  def caggDailyServe(spark: SparkSession, sfDir: String,
+                     cutoffDay: String = "2024-01-26",
+                     root: String = defaultRoot): DataFrame = {
+    import graft.operators.Num
+    val rollup = spark.read.parquet(eventsHourlyRollup(spark, sfDir, cutoffDay, root))
+    val tail = readEventsByDay(spark, eventsByDay(spark, sfDir, root))
+      .filter(col("day") >= lit(cutoffDay).cast("date")) // partition-pruned
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 8).as("sv8"))
+    rollup.select("h", "event_type", "cnt", "sv8")
+      .unionByName(tail.select("h", "event_type", "cnt", "sv8"))
+      .groupBy(date_trunc("day", col("h")).cast("date").as("dday"), col("event_type"))
+      .agg(sum("cnt").as("cnt"),
+        Num.roundd(Num.roundd(sum("sv8"), 8), 2).as("sv"))
+      .orderBy("dday", "event_type")
+  }
+
   // ---- embeddings by LSH bucket -------------------------------------------
 
   /** Write `embeddings` partitioned by SRP-LSH bucket (the ANN layout). */

@@ -94,7 +94,20 @@ object IngestQueries {
       .select(col("event_id"), col("day"), col("user_id"), col("event_type"), col("value"))
       .orderBy("event_id")
 
+  /** Continuous-aggregate serving (Ingest.caggDailyServe): the whole-month
+    * daily aggregate answered from the stored hourly rollup (days < 26th)
+    * plus an on-the-fly partial over ONLY the open tail directories (≥
+    * 26th, partition-pruned — WritePathSpec asserts 5/30 dirs). The oracle
+    * aggregates the raw table directly through the same two-level rounding,
+    * so a pass proves rollup write + tail merge ≡ direct aggregation. */
+  val qIngestCaggServe: Q = (s, d) => Ingest.caggDailyServe(s, d)
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ingest_cagg_serve", qIngestCaggServe, Some(
+      "WITH hv AS (SELECT date_trunc('hour', ts) h, event_type, CAST(count(*) AS BIGINT) cnt, round(sum(value), 8) sv8 " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT CAST(date_trunc('day', h) AS DATE) dday, event_type, CAST(sum(cnt) AS BIGINT) cnt, " +
+        "round(round(sum(sv8), 8), 2) sv FROM hv GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_ingest_bloom_index", qIngestBloomIndex, Some(
       "SELECT event_id, CAST(ts AS DATE) AS \"day\", user_id, event_type, value " +
         "FROM events WHERE event_id IN (7, 404, 777) ORDER BY event_id")),

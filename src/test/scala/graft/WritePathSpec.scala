@@ -176,6 +176,37 @@ class WritePathSpec extends SparkSuite {
     }
   }
 
+  test("continuous aggregate: tail scan pruned to open days, rollup+tail ≡ direct") {
+    val cutoff = "2024-01-26"
+    val served = Ingest.caggDailyServe(spark, sf0001, cutoff, root)
+    served.collect() // force planning + execution
+
+    // the raw-events scan under the serve plan reads ONLY the ≥cutoff tail
+    // directories; closed history comes from the rollup summary file
+    val listings = scanListings(served)
+    val rawListing = listings.filter(_.toPartitionArray.nonEmpty)
+      .find(_.toPartitionArray.exists(_.filePath.toString.contains("day=")))
+    assert(rawListing.isDefined, "no partitioned raw scan found under the serve plan")
+    val files = rawListing.get.toPartitionArray.map(_.filePath.toString)
+    assert(rawListing.get.partitionCount == 5,
+      s"tail scan reads ${rawListing.get.partitionCount}/30 day dirs — rollup not serving the past")
+    assert(files.forall(f => (26 to 30).exists(dd => f.contains(s"day=2024-01-$dd"))),
+      s"tail scan read a closed-history directory: ${files.mkString(", ")}")
+
+    // serving from rollup+tail equals aggregating raw events directly
+    // through the same two-level rounding
+    import graft.operators.Num
+    val direct = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 8).as("sv8"))
+      .groupBy(date_trunc("day", col("h")).cast("date").as("dday"), col("event_type"))
+      .agg(sum("cnt").as("cnt"), Num.roundd(Num.roundd(sum("sv8"), 8), 2).as("sv"))
+      .orderBy("dday", "event_type")
+    val a = served.collect().map(_.toSeq).toSeq
+    val b = direct.collect().map(_.toSeq).toSeq
+    assert(a == b, s"cagg serve diverged from direct aggregation (first served=${a.headOption}, direct=${b.headOption})")
+  }
+
   test("bloom index: point lookup scans only candidate day directories, result exact") {
     val ids = Seq(7L, 404L, 777L)
     val pruned = Ingest.eventsByIdPruned(spark, sf0001, ids, root)
