@@ -319,6 +319,33 @@ object LlmScale {
       .select("doc_id", "lang", "source", "hmod")
       .orderBy("doc_id")
 
+  // ---- contamination: eval-set n-gram overlap ------------------------------
+
+  /** Benchmark-contamination check — the decontamination pass every LLM
+    * training pipeline runs before training: treating source='src0' as
+    * the held-out eval set, the share of each eval doc's distinct
+    * word-8-grams that appears anywhere in the train split (every other
+    * source). Tokenize once, per-doc distinct 8-grams pre-shuffle, then
+    * ONE equi-join of eval n-grams against the train-distinct n-gram set
+    * — shuffle is n-grams × corpus (the LSH-banding shape), never
+    * corpus²; the train set is distinct'd before the join so a repeated
+    * train n-gram can't multiply eval rows. */
+  val qTextContamination: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), col("source"), explode(
+        expr("array_distinct(transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' ')))")).as("ng"))
+    val evalNg = grams.filter(col("source") === "src0").select("doc_id", "ng")
+    val trainNg = grams.filter(col("source") =!= "src0").select("ng").distinct()
+    evalNg.join(trainNg.withColumn("hit", lit(1L)), Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+        Num.roundd(col("n_hit").cast("double") / col("n_ngrams"), 6).as("ratio"))
+      .orderBy("doc_id")
+  }
+
   // ---- embeddings: int8 scalar quantization -------------------------------
 
   /** Per-vector symmetric int8 quantization (q = round(v·127/max|v|)) plus
@@ -421,6 +448,14 @@ object LlmScale {
       "sg AS (SELECT doc_id, list_transform(range(8), i -> list_aggregate(list_transform(hs, h -> ((2*i + 1) * h + 12582917 * i) % 2147483647), 'min')) sig FROM h31)"
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_text_contamination", qTextContamination, Some(
+      "WITH g AS (SELECT doc_id, source, list_distinct(list_transform(range(len(w) - 7), i -> array_to_string(w[i+1:i+8], ' '))) gs " +
+        "FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents) WHERE len(w) >= 8), " +
+        "e AS (SELECT doc_id, unnest(gs) ng FROM g WHERE source = 'src0'), " +
+        "t AS (SELECT DISTINCT unnest(gs) ng FROM g WHERE source != 'src0') " +
+        "SELECT e.doc_id, CAST(count(*) AS BIGINT) n_ngrams, CAST(count(t.ng) AS BIGINT) n_hit, " +
+        "round(CAST(count(t.ng) AS DOUBLE) / count(*), 6) ratio " +
+        "FROM e LEFT JOIN t ON t.ng = e.ng GROUP BY e.doc_id ORDER BY e.doc_id")),
     ("q_text_ngram_jaccard", qTextNgramJaccard, Some(
       s"$ngramCte SELECT a.doc_id id_a, b.doc_id id_b, round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) jac FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1 ORDER BY id_a")),
     ("q_dedup_minhash", qDedupMinhash, Some(

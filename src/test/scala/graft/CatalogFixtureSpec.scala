@@ -108,6 +108,21 @@ class CatalogFixtureSpec extends SparkSuite {
     assert(out == Seq((12.5, 1.55, 14.05), (12.0, 2.0, 14.0)))
   }
 
+  test("contamination: shared 8-gram counted once, short docs dropped, clean doc 0.0") {
+    Seq(
+      (1L, "a b c d e f g h i j", "src0"),   // eval: 3 distinct 8-grams
+      (2L, "too short to shingle", "src0"),  // eval: < 8 words → dropped
+      (3L, "p q r s t u v w x y", "src0"),   // eval: clean (no train overlap)
+      (4L, "a b c d e f g h x y", "src1"),   // train: shares exactly [a..h]
+      (5L, "a b c d e f g h z z", "src2")    // train: shares [a..h] AGAIN (distinct'd)
+    ).toDF("doc_id", "text", "source")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmScale.qTextContamination(spark, dir)
+      .select("doc_id", "n_ngrams", "n_hit", "ratio")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 1L, 0.333333), (3L, 3L, 0L, 0.0)))
+  }
+
   test("TF-IDF: corpus-wide terms score 0; rarer+repeated terms rank first") {
     Seq((1L, "apple banana banana"), (2L, "apple cherry"))
       .toDF("doc_id", "text")
