@@ -135,6 +135,42 @@ object GraftFunctions {
   private val freqErrInfo = new ExpressionInfo(
     classOf[FreqErr].getName, "graft_freq_err")
 
+  private val kmvBuilder: Seq[Expression] => Expression = {
+    case Seq(h, k) => KmvAgg(h, k)
+    case other => throw new IllegalArgumentException(
+      s"graft_kmv expects 2 arguments, got ${other.size}")
+  }
+
+  private val kmvInfo = new ExpressionInfo(
+    classOf[KmvAgg].getName, "graft_kmv")
+
+  private val kmvMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => KmvMergeAgg(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_kmv_merge expects 1 argument, got ${other.size}")
+  }
+
+  private val kmvMergeInfo = new ExpressionInfo(
+    classOf[KmvMergeAgg].getName, "graft_kmv_merge")
+
+  private val kmvEstBuilder: Seq[Expression] => Expression = {
+    case Seq(sk) => KmvEstimate(sk)
+    case other => throw new IllegalArgumentException(
+      s"graft_kmv_est expects 1 argument, got ${other.size}")
+  }
+
+  private val kmvEstInfo = new ExpressionInfo(
+    classOf[KmvEstimate].getName, "graft_kmv_est")
+
+  private val kmvInterBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => KmvIntersect(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_kmv_inter expects 2 arguments, got ${other.size}")
+  }
+
+  private val kmvInterInfo = new ExpressionInfo(
+    classOf[KmvIntersect].getName, "graft_kmv_inter")
+
   private val pqAdcBuilder: Seq[Expression] => Expression = {
     case Seq(codes, dl, nl) => PqAdcSim(codes, dl, nl)
     case other => throw new IllegalArgumentException(
@@ -177,6 +213,10 @@ object GraftFunctions {
       (FunctionIdentifier("graft_bloom"), bloomInfo, bloomBuilder),
       (FunctionIdentifier("graft_bloom_merge"), bloomMergeInfo, bloomMergeBuilder),
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
+      (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
+      (FunctionIdentifier("graft_kmv_merge"), kmvMergeInfo, kmvMergeBuilder),
+      (FunctionIdentifier("graft_kmv_est"), kmvEstInfo, kmvEstBuilder),
+      (FunctionIdentifier("graft_kmv_inter"), kmvInterInfo, kmvInterBuilder),
       (FunctionIdentifier("graft_freq"), freqInfo, freqBuilder),
       (FunctionIdentifier("graft_freq_merge"), freqMergeInfo, freqMergeBuilder),
       (FunctionIdentifier("graft_freq_topk"), freqTopKInfo, freqTopKBuilder),

@@ -28,7 +28,7 @@ object Dedup {
   /** 60-bit md5-derived hash (SQL fragment), seeded; reproducible in
     * DuckDB as CAST('0x'||substr(md5(seed||':'||x),1,15) AS BIGINT). Shared
     * by the sketch operators and the oracle-backed catalog queries. */
-  private[operators] def h60(seedExpr: String, x: String) =
+  private[graft] def h60(seedExpr: String, x: String) =
     s"cast(conv(substr(md5(concat($seedExpr, ':', $x)), 1, 15), 16, 10) as bigint)"
 
   /** Distinct word-`n`-gram shingles of `textCol` as column `shingles`. */

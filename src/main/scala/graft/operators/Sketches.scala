@@ -152,11 +152,48 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** Distinct-set INTERSECTION from two stored sketches — "how many users
+    * did both X and Y" without a raw re-scan — via the KMV bottom-k sketch
+    * (graft.functions.KmvSketch). Because the sketch state is a pure
+    * function of the input set (k smallest distinct md5 hashes) and the
+    * Beyer et al. estimators are closed-form over that state, this is the
+    * one distinct-sketch entry whose ESTIMATES hash-match a cross-engine
+    * oracle: DuckDB rebuilds both states with ORDER BY hash LIMIT k and
+    * applies the identical arithmetic. One scan, one hash aggregate
+    * (conditional inputs), O(k) state per side. */
+  val qSketchKmvIntersect: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val h = Dedup.h60("'kmv'", "cast(user_id as string)")
+    Tables.events(s, d)
+      .agg(
+        expr(s"graft_kmv(CASE WHEN event_type = 'click' THEN $h END, 64)").as("ska"),
+        expr(s"graft_kmv(CASE WHEN event_type = 'view' THEN $h END, 64)").as("skb"))
+      .select(
+        Num.roundd(expr("graft_kmv_est(ska)"), 4).as("est_click"),
+        Num.roundd(expr("graft_kmv_est(skb)"), 4).as("est_view"),
+        Num.roundd(expr("graft_kmv_inter(ska, skb)"), 4).as("est_both"))
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_sketch_distinct", qSketchDistinct, None), // approximate by design; error bounded in SketchSpec
     ("q_sketch_quantile", qSketchQuantile, None), // approximate by design; t-digest rank error bounded in SketchSpec
     ("q_sketch_hll_merge", qSketchHllMerge, None), // approximate by design; merge-losslessness asserted in SketchSpec
     ("q_sketch_tdigest_merge", qSketchTdigestMerge, None), // approximate by design; merged rank error bounded in SketchSpec
+    ("q_sketch_kmv_intersect", qSketchKmvIntersect, Some(
+      "WITH h AS (SELECT DISTINCT event_type, CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) hv " +
+        "FROM events WHERE event_type IN ('click', 'view')), " +
+        "ka AS (SELECT list_sort(list(hv))[:64] l FROM h WHERE event_type = 'click'), " +
+        "kb AS (SELECT list_sort(list(hv))[:64] l FROM h WHERE event_type = 'view'), " +
+        "u AS (SELECT ka.l la, kb.l lb, list_sort(list_distinct(ka.l || kb.l)) mg FROM ka, kb), " +
+        "v AS (SELECT la, lb, mg, least(64, len(mg)) kk FROM u), " +
+        "w AS (SELECT la, lb, mg, kk, " +
+        "len(list_filter(mg[:kk], x -> list_contains(la, x) AND list_contains(lb, x))) cb, " +
+        "CASE WHEN len(mg) < 64 THEN CAST(len(mg) AS DOUBLE) " +
+        "ELSE (kk - 1) / (CAST(mg[kk] AS DOUBLE) / 1152921504606846976.0) END du FROM v) " +
+        "SELECT " +
+        "round(CASE WHEN len(la) < 64 THEN CAST(len(la) AS DOUBLE) ELSE 63.0 / (CAST(la[64] AS DOUBLE) / 1152921504606846976.0) END, 4) est_click, " +
+        "round(CASE WHEN len(lb) < 64 THEN CAST(len(lb) AS DOUBLE) ELSE 63.0 / (CAST(lb[64] AS DOUBLE) / 1152921504606846976.0) END, 4) est_view, " +
+        "round(CAST(cb AS DOUBLE) / kk * du, 4) est_both FROM w")),
     ("q_sketch_freq_exact", qSketchFreqExact, Some(
       "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type) AS BIGINT) rnk, event_type, cnt " +
         "FROM (SELECT event_type, CAST(count(*) AS BIGINT) cnt FROM events GROUP BY 1) ORDER BY rnk")),

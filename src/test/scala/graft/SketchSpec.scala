@@ -225,6 +225,46 @@ class SketchSpec extends SparkSuite {
     assert(pruned.toSeq == plain.toSeq)
   }
 
+  test("KMV: undersaturated sketches are exact, incl. a partial-overlap intersection") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // A = 1..40, B = 21..60 hashed through the engine's h60; k=64 > 60
+    // distinct values, so sketches keep everything and every estimate is
+    // EXACT: |A|=40, |B|=60-21+1=40, |A∩B|=20
+    val df = ((1 to 40).map(i => ("a", i.toLong)) ++ (21 to 60).map(i => ("b", i.toLong)))
+      .toDF("side", "id")
+    val h = graft.operators.Dedup.h60("'t'", "cast(id as string)")
+    val row = df.agg(
+      expr(s"graft_kmv(CASE WHEN side = 'a' THEN $h END, 64)").as("ska"),
+      expr(s"graft_kmv(CASE WHEN side = 'b' THEN $h END, 64)").as("skb"))
+      .select(expr("graft_kmv_est(ska)"), expr("graft_kmv_est(skb)"),
+        expr("graft_kmv_inter(ska, skb)"))
+      .head()
+    assert(row.getDouble(0) == 40.0 && row.getDouble(1) == 40.0,
+      s"undersaturated estimates must be exact: $row")
+    assert(row.getDouble(2) == 20.0, s"undersaturated intersection must be exact: $row")
+  }
+
+  test("KMV: merged per-day sketches ≡ direct whole-table sketch; saturated est within 20%") {
+    graft.functions.GraftFunctions.register(spark)
+    val h = graft.operators.Dedup.h60("'kmv'", "cast(user_id as string)")
+    val ev = Tables.events(spark, sf001)
+    // merge-at-query: per-day sketches unioned up
+    val merged = ev
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(expr(s"graft_kmv($h, 64)").as("sk"))
+      .agg(expr("graft_kmv_merge(sk)").as("msk"))
+      .select(expr("graft_kmv_est(msk)")).head().getDouble(0)
+    // sketch-the-world directly
+    val direct = ev.agg(expr(s"graft_kmv($h, 64)").as("sk"))
+      .select(expr("graft_kmv_est(sk)")).head().getDouble(0)
+    assert(merged == direct,
+      s"KMV union is lossless (k smallest of union ⊆ union of per-part k smallest): merged=$merged direct=$direct")
+    val exact = ev.select("user_id").distinct().count().toDouble
+    assert(math.abs(merged - exact) / exact <= 0.20,
+      s"saturated KMV estimate merged=$merged exact=$exact (k=64 → ~12.5% expected error)")
+  }
+
   test("HLL: merged per-day sketches ≡ direct whole-table sketch; within 5% of exact") {
     val merged = Sketches.qSketchHllMerge(spark, sf001).head()
     val mergedEst = merged.getLong(0)
