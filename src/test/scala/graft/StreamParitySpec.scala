@@ -287,6 +287,49 @@ class StreamParitySpec extends SparkSuite {
     assertTdigestParity(StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4), "t_td_ooo")
   }
 
+  test("seal: pairs finalize strictly below the watermark; carry keeps the left endpoint") {
+    import graft.streaming.StatefulGaps.{seal, thresholdUs}
+    val h = thresholdUs // 1h in µs
+    // nothing sealed when the watermark hasn't passed the second point
+    assert(seal(Seq(0L, 2 * h), wmUs = 2 * h) == (Nil, Seq(0L, 2 * h)))
+    // sealed once strictly below wm; sub-threshold pairs seal silently
+    assert(seal(Seq(0L, 2 * h, 2 * h + 10), wmUs = 3 * h) ==
+      (Seq((0L, 2 * h)), Seq(2 * h + 10)))
+    // an out-of-order arrival INSIDE a would-be gap splits it
+    assert(seal(Seq(0L, 2 * h, h), wmUs = 3 * h) == (Nil, Seq(2 * h)))
+    // duplicates collapse; empty input is a no-op
+    assert(seal(Seq(5L, 5L), wmUs = 10L) == (Nil, Seq(5L)))
+    assert(seal(Nil, wmUs = 10L) == (Nil, Nil))
+  }
+
+  /** Closed gaps must match the batch lag-formulation exactly (all-integer
+    * output — no float tolerance needed). */
+  private def assertGapsParity(dir: String, tag: String): Unit = {
+    import graft.streaming.StatefulGaps
+    val stream = StreamingQueries.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+    val got = StreamReplay.runToCompletion(
+      spark, StatefulGaps.gapsStream(stream).toDF(), tag)
+      .select(col("event_type"),
+        expr("cast(timestamp_micros(gap_start_us) as timestamp_ntz)").as("gap_start"),
+        expr("cast(timestamp_micros(gap_end_us) as timestamp_ntz)").as("gap_end"),
+        col("gap_s"))
+    val batch = graft.operators.TimeSeries.qTsGaps(spark, sf0001)
+    assert(got.except(batch).count() == 0,
+      "stream emitted a gap the batch twin disagrees with")
+    assert(got.count() > 0, "stream sealed no gaps at all")
+  }
+
+  test("stateful gaps: sealed gaps equal the batch qTsGaps formulation") {
+    assertGapsParity(replayDir, "t_gaps")
+  }
+
+  test("stateful gaps under out-of-order replay: sealed gaps still equal batch") {
+    // ±4-min jitter within the 10-min watermark: late events land inside
+    // would-be gaps, exercising the split path ordered replay never hits
+    assertGapsParity(StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4), "t_gaps_ooo")
+  }
+
   test("dedup-within-watermark: unique event_ids all pass through") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.dedupStream(spark, replayDir), "t_dedup")
