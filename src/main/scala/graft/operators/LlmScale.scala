@@ -319,6 +319,85 @@ object LlmScale {
       .select("doc_id", "lang", "source", "hmod")
       .orderBy("doc_id")
 
+  // ---- embeddings: cluster-cohesion report ---------------------------------
+
+  /** Cluster-quality report per label — the cohesion metrics an
+    * embedding-curation pass (cluster pruning, SemDeDup-style dedup)
+    * gates on: for every vector, cosine to its OWN label centroid vs the
+    * best OTHER centroid; per label, the share of vectors whose own
+    * centroid wins (purity) and the mean own-minus-other margin.
+    *
+    * Shape: one posexplode shuffle builds per-(label, dim) pre-rounded
+    * centroid means (§2.0.2 — partial-agg order can't flip the 6th
+    * decimal); the k×dim rounded centroids come back to the driver
+    * (bounded by design, the IVF-centroid contract) and re-enter the plan
+    * as k literal codegen'd graft_cosine columns — no join at all, a
+    * single projection + one hash aggregate over the corpus. Both engines
+    * round-trip the centroids through FLOAT, so the cosine kernels see
+    * bit-identical inputs. */
+  val qEmbClusterQuality: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(Num.roundd(Num.roundd(sum(col("v").cast("double")), 10) / count(lit(1)), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> cast(x.cv as float))").as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .sortBy(_._1)
+    require(cents.map(_._1).toSeq == cents.indices.toSeq,
+      s"graft cluster quality: labels must be contiguous 0..k-1, got ${cents.map(_._1).mkString(",")}")
+    val k = cents.length
+    val simCols = cents.map { case (_, c) =>
+      Num.roundd(call_function("graft_cosine", col("embedding"), typedlit(c)), 6)
+    }
+    emb
+      .withColumn("sims", array(simCols: _*))
+      .withColumn("own", element_at(col("sims"), col("label") + 1))
+      .withColumn("other", expr(
+        s"array_max(transform(sequence(0, ${k - 1}), " +
+          "i -> CASE WHEN i = label THEN CAST(-2.0 AS DOUBLE) ELSE element_at(sims, i + 1) END))"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("own") > col("other"), 1L).otherwise(0L)).as("n_pure"),
+        Num.roundd(Num.roundd(sum(col("own") - col("other")), 8) / count(lit(1)), 6).as("avg_margin"))
+      .select(col("label"), col("n_vecs"), col("n_pure"),
+        Num.roundd(col("n_pure").cast("double") / col("n_vecs"), 4).as("purity"),
+        col("avg_margin"))
+      .orderBy("label")
+  }
+
+  // ---- docs: quality-filter funnel -----------------------------------------
+
+  /** The per-stage survivor report of a document quality pipeline — the
+    * funnel every curation run publishes before training: language keep,
+    * then length band, then minimum token count, then exact-dedup
+    * canonicality (doc is its text's min-id representative), each stage
+    * nested in the previous. One scan; the dedup flag is a single
+    * md5-keyed window (same key as q_dedup_exact); all counts are exact
+    * integers — a single-row report, trivially mergeable at any scale. */
+  val qDocsFilterFunnel: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    Tables.documents(s, d)
+      .withColumn("keep_id", min("doc_id").over(w))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("lang") === "en" &&
+          col("n_chars").between(150, 500), 1L).otherwise(0L)).as("n_len"),
+        sum(when(col("lang") === "en" &&
+          col("n_chars").between(150, 500) &&
+          size(split(col("text"), " ")) >= 40, 1L).otherwise(0L)).as("n_tok"),
+        sum(when(col("lang") === "en" &&
+          col("n_chars").between(150, 500) &&
+          size(split(col("text"), " ")) >= 40 &&
+          col("keep_id") === col("doc_id"), 1L).otherwise(0L)).as("n_canonical"))
+      .select(col("n_total"), col("n_lang"), col("n_len"), col("n_tok"), col("n_canonical"),
+        Num.roundd(col("n_canonical").cast("double") / col("n_total"), 4).as("yield_rate"))
+  }
+
   // ---- contamination: eval-set n-gram overlap ------------------------------
 
   /** Benchmark-contamination check — the decontamination pass every LLM
@@ -448,6 +527,28 @@ object LlmScale {
       "sg AS (SELECT doc_id, list_transform(range(8), i -> list_aggregate(list_transform(hs, h -> ((2*i + 1) * h + 12582917 * i) % 2147483647), 'min')) sig FROM h31)"
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_emb_cluster_quality", qEmbClusterQuality, Some(
+      "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) ev FROM embeddings), " +
+        "dm AS (SELECT label, pos, round(round(sum(ev[pos + 1]), 10) / count(*), 6) cv " +
+        "FROM e, (SELECT unnest(range(64)) pos) p GROUP BY 1, 2), " +
+        "cent AS (SELECT label c_label, CAST(CAST(list(cv ORDER BY pos) AS FLOAT[]) AS DOUBLE[]) c FROM dm GROUP BY 1), " +
+        "sims AS (SELECT e.vec_id, e.label, cent.c_label, round(list_cosine_similarity(ev, c), 6) sim_r FROM e, cent), " +
+        "agg AS (SELECT vec_id, label, max(CASE WHEN c_label = label THEN sim_r END) own, " +
+        "max(CASE WHEN c_label != label THEN sim_r END) other FROM sims GROUP BY 1, 2) " +
+        "SELECT label, CAST(count(*) AS BIGINT) n_vecs, " +
+        "CAST(sum(CASE WHEN own > other THEN 1 ELSE 0 END) AS BIGINT) n_pure, " +
+        "round(CAST(sum(CASE WHEN own > other THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) purity, " +
+        "round(round(sum(own - other), 8) / count(*), 6) avg_margin " +
+        "FROM agg GROUP BY label ORDER BY label")),
+    ("q_docs_filter_funnel", qDocsFilterFunnel, Some(
+      "WITH k AS (SELECT doc_id, lang, n_chars, text, min(doc_id) OVER (PARTITION BY md5(text)) keep_id FROM documents) " +
+        "SELECT CAST(count(*) AS BIGINT) n_total, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) n_lang, " +
+        "CAST(sum(CASE WHEN lang = 'en' AND n_chars BETWEEN 150 AND 500 THEN 1 ELSE 0 END) AS BIGINT) n_len, " +
+        "CAST(sum(CASE WHEN lang = 'en' AND n_chars BETWEEN 150 AND 500 AND len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END) AS BIGINT) n_tok, " +
+        "CAST(sum(CASE WHEN lang = 'en' AND n_chars BETWEEN 150 AND 500 AND len(string_split(text, ' ')) >= 40 AND keep_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) n_canonical, " +
+        "round(CAST(sum(CASE WHEN lang = 'en' AND n_chars BETWEEN 150 AND 500 AND len(string_split(text, ' ')) >= 40 AND keep_id = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) yield_rate " +
+        "FROM k")),
     ("q_text_contamination", qTextContamination, Some(
       "WITH g AS (SELECT doc_id, source, list_distinct(list_transform(range(len(w) - 7), i -> array_to_string(w[i+1:i+8], ' '))) gs " +
         "FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents) WHERE len(w) >= 8), " +

@@ -123,6 +123,26 @@ class CatalogFixtureSpec extends SparkSuite {
     assert(out == Seq((1L, 3L, 1L, 0.333333), (3L, 3L, 0L, 0.0)))
   }
 
+  test("cluster quality: orthogonal clusters → purity 1 and hand-computed margin; gap labels fail loudly") {
+    def writeEmb(rows: Seq[(Long, Seq[Float], Int)]): Unit =
+      rows.toDF("vec_id", "embedding", "label")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    writeEmb(Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0), (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (3L, Seq(0f, 0f, 1f, 0f), 1), (4L, Seq(0f, 0f, 0f, 1f), 1)))
+    val out = LlmScale.qEmbClusterQuality(spark, dir)
+      .select("label", "n_vecs", "purity", "avg_margin")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    // own = cos(e_i, (0.5, 0.5)-centroid) = 0.5/√0.5 → 0.707107; other = 0
+    assert(out == Seq((0, 2L, 1.0, 0.707107), (1, 2L, 1.0, 0.707107)))
+
+    writeEmb(Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 2))) // gap: 0, 2
+    val ex = intercept[IllegalArgumentException] {
+      LlmScale.qEmbClusterQuality(spark, dir).collect()
+    }
+    assert(ex.getMessage.contains("contiguous"), s"wrong failure: $ex")
+  }
+
   test("TF-IDF: corpus-wide terms score 0; rarer+repeated terms rank first") {
     Seq((1L, "apple banana banana"), (2L, "apple cherry"))
       .toDF("doc_id", "text")
