@@ -168,6 +168,94 @@ object Ingest {
       .orderBy("dday", "event_type")
   }
 
+  // ---- events by z-order prefix (multi-dimensional pruning) ----------------
+
+  /** Bits per z-order dimension: 5 → a 10-bit z-value, partitioned on its
+    * top `zPrefixBits` bits. 30 day cells × 32 value cells at local scale;
+    * at 100 TB the same curve with wider bits and finer prefixes. */
+  val zBits = 5
+  val zPrefixBits = 4
+
+  /** Interleave two `zBits`-bit cells (a = even/high bits, b = odd) —
+    * the Morton/Z curve. Pure integer function, same on driver and in the
+    * generated column expression. */
+  def zInterleave(a: Int, b: Int): Int = {
+    var z = 0
+    var i = 0
+    while (i < zBits) {
+      z |= ((a >> i) & 1) << (2 * i + 1)
+      z |= ((b >> i) & 1) << (2 * i)
+      i += 1
+    }
+    z
+  }
+
+  /** day cell: days since 2024-01-01; value cell: floor(value / 100 · 32)
+    * clamped to [0, 31] (value lives in [0, 100)). */
+  private def zCellExprs = (
+    expr("datediff(to_date(ts), DATE '2024-01-01')").cast("int"),
+    expr("least(31, greatest(0, cast(floor(value / 3.125) as int)))"))
+
+  /** Write `events` partitioned by the top `zPrefixBits` bits of the
+    * z-interleave of (day cell, value cell) — the MULTI-dimensional
+    * layout: a query box on BOTH time and value prunes directories, where
+    * the by-day layout can prune on time only. This is what Z-ORDER
+    * clustering does in lakehouse table formats, expressed as a plain
+    * partition column so the stock planner prunes it. */
+  def writeEventsZordered(events: DataFrame, path: String): Unit = {
+    val (dayCell, valCell) = zCellExprs
+    // the z-value of the full cells, built by the same bit algebra as
+    // zInterleave, as a codegen'd integer expression
+    val zCol = (0 until zBits).foldLeft(lit(0)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(dayCell, i).bitwiseAND(lit(1)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(valCell, i).bitwiseAND(lit(1)), 2 * i))
+    }
+    events
+      .withColumn("zp", shiftright(zCol.cast("int"), 2 * zBits - zPrefixBits))
+      .repartition(col("zp"))
+      .write.mode("overwrite").partitionBy("zp").parquet(path)
+  }
+
+  /** Materialize (once per JVM) the z-ordered layout for a scale dir. */
+  def eventsZordered(spark: SparkSession, sfDir: String, root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"events_zorder:$sfDir:$root", {
+      val p = s"$root/${slug(sfDir)}/events_zorder"
+      writeEventsZordered(Tables.events(spark, sfDir), p)
+      p
+    })
+
+  /** The z-prefix partitions a (day, value) query box can touch: walk all
+    * cell pairs in the box (≤ 2^(2·zBits) = 1024 — driver-side, O(1) in
+    * data size) and collect their prefixes. Exact, no false dismissals;
+    * the residual filter inside the scan removes box-external rows that
+    * share a touched prefix. */
+  def zPrefixesFor(dayLo: Int, dayHi: Int, cellLo: Int, cellHi: Int): Seq[Int] =
+    (for {
+      d <- dayLo to dayHi
+      v <- cellLo to cellHi
+    } yield zInterleave(d, v) >> (2 * zBits - zPrefixBits)).distinct.sorted
+
+  /** Time+value box query over the z-ordered layout: the zp IN (...)
+    * partition filter prunes directories on BOTH dimensions at planning
+    * time (WritePathSpec asserts the listing), the exact predicates
+    * remove the curve's false positives inside the pruned scan. */
+  def eventsZboxQuery(spark: SparkSession, sfDir: String,
+                      dayLo: String, dayHi: String,
+                      valLo: Double, valHi: Double,
+                      root: String = defaultRoot): DataFrame = {
+    val path = eventsZordered(spark, sfDir, root)
+    val d0 = java.time.LocalDate.parse(dayLo).toEpochDay - java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val d1 = java.time.LocalDate.parse(dayHi).toEpochDay - java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val c0 = math.min(31, math.max(0, math.floor(valLo / 3.125).toInt))
+    val c1 = math.min(31, math.max(0, math.floor(valHi / 3.125).toInt))
+    val zps = zPrefixesFor(d0.toInt, d1.toInt, c0, c1)
+    spark.read.parquet(path)
+      .filter(col("zp").isin(zps: _*) &&
+        to_date(col("ts")).between(lit(dayLo).cast("date"), lit(dayHi).cast("date")) &&
+        col("value") >= valLo && col("value") < valHi)
+  }
+
   // ---- embeddings by LSH bucket -------------------------------------------
 
   /** Write `embeddings` partitioned by SRP-LSH bucket (the ANN layout). */

@@ -102,7 +102,22 @@ object IngestQueries {
     * so a pass proves rollup write + tail merge ≡ direct aggregation. */
   val qIngestCaggServe: Q = (s, d) => Ingest.caggDailyServe(s, d)
 
+  /** Time+value box query over the z-ordered layout (Ingest.eventsZordered):
+    * the zp IN (...) partition filter prunes on BOTH dimensions — this box
+    * reads 1 of 16 directories, where the by-day layout could prune only
+    * the time axis (WritePathSpec asserts both the listing and the 1-D
+    * comparison). Oracle scans the original parquet, so a pass proves the
+    * z-curve cell math, the prefix enumeration, and the layout round-trip. */
+  val qIngestZorderBox: Q = (s, d) =>
+    Ingest.eventsZboxQuery(s, d, "2024-01-10", "2024-01-14", 80.0, 100.0)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ingest_zorder_box", qIngestZorderBox, Some(
+      "SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14' " +
+        "AND value >= 80 AND value < 100 ORDER BY event_id")),
     ("q_ingest_cagg_serve", qIngestCaggServe, Some(
       "WITH hv AS (SELECT date_trunc('hour', ts) h, event_type, CAST(count(*) AS BIGINT) cnt, round(sum(value), 8) sv8 " +
         "FROM events GROUP BY 1, 2) " +

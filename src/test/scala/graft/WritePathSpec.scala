@@ -207,6 +207,38 @@ class WritePathSpec extends SparkSuite {
     assert(a == b, s"cagg serve diverged from direct aggregation (first served=${a.headOption}, direct=${b.headOption})")
   }
 
+  test("z-order layout: a 2-D box prunes where 1-D layouts cannot; values round-trip") {
+    val q = Ingest.eventsZboxQuery(spark, sf0001, "2024-01-10", "2024-01-14", 80.0, 100.0, root)
+
+    // the box touches exactly the enumerated prefixes — here a single one
+    val zps = Ingest.zPrefixesFor(9, 13, 25, 31)
+    val listing = scanListings(q).head
+    assert(listing.partitionCount == zps.size,
+      s"box scan reads ${listing.partitionCount} partitions, prefix walk says ${zps.size}")
+    assert(listing.toPartitionArray.forall { f =>
+      zps.exists(z => f.filePath.toString.contains(s"zp=$z"))
+    }, "box scan read a directory outside the enumerated prefixes")
+    // all 16 prefixes exist in the layout, so this is genuine pruning
+    val total = spark.read.parquet(Ingest.eventsZordered(spark, sf0001, root))
+      .select("zp").distinct().count()
+    assert(zps.size < total, s"box touches ${zps.size} of $total prefixes — not pruning")
+
+    // the same TIME range with no value bound touches more prefixes: the
+    // 2-D curve is strictly finer than a 1-D day layout for box queries
+    assert(Ingest.zPrefixesFor(9, 13, 0, 31).size > zps.size,
+      "value bound added no pruning — z-interleave is broken")
+
+    // round-trip: pruned+filtered scan ≡ direct filter on the source
+    val direct = Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")).between(
+        lit("2024-01-10").cast("date"), lit("2024-01-14").cast("date")) &&
+        col("value") >= 80.0 && col("value") < 100.0)
+    val a = q.select("event_id", "ts", "user_id", "event_type", "value")
+    val b = direct.select("event_id", "ts", "user_id", "event_type", "value")
+    assert(a.count() == b.count() && a.except(b).count() == 0 && b.except(a).count() == 0,
+      s"z-box scan diverged: got ${a.count()} want ${b.count()}")
+  }
+
   test("bloom index: point lookup scans only candidate day directories, result exact") {
     val ids = Seq(7L, 404L, 777L)
     val pruned = Ingest.eventsByIdPruned(spark, sf0001, ids, root)
