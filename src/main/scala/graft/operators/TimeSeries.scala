@@ -455,6 +455,30 @@ object TimeSeries {
         Num.roundd(col("st.l") + col("st.b"), 6).as("fc1"))
       .orderBy("event_type", "dday")
 
+  /** Cohort retention matrix: users grouped by first-active day, share
+    * still active at day +0..+7 — the cohort triangle behind every
+    * retention dashboard (generalizes q_ts_retention's next-day rate).
+    * One shuffle on user_id serves both the distinct daily-activity set
+    * and the per-user first day (window over the same partitioning);
+    * the (cohort, offset) regroup is a second small-keyspace aggregate.
+    * All counts exact integers; rate = count / day-0 cohort size. */
+  val qTsCohort: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+    val wc = Window.partitionBy("cohort_day")
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .distinct()
+      .withColumn("cohort_day", min("d").over(w))
+      .withColumn("offset_d", datediff(col("d"), col("cohort_day")).cast("long"))
+      .filter(col("offset_d") <= 7)
+      .groupBy("cohort_day", "offset_d")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("rate", Num.roundd(
+        col("n_users").cast("double") /
+          sum(when(col("offset_d") === 0, col("n_users")).otherwise(0L)).over(wc), 4))
+      .orderBy("cohort_day", "offset_d")
+  }
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
@@ -533,6 +557,14 @@ object TimeSeries {
         "pairs AS (SELECT k, pt, e.value v, row_number() OVER (PARTITION BY k, pt " +
         "ORDER BY abs(epoch_us(e.ts) - epoch_us(pt)), e.ts) rn FROM probes JOIN events e ON e.user_id = k) " +
         "SELECT k, pt, v FROM pairs WHERE rn = 1 ORDER BY k, pt"),
+    ("q_ts_cohort", qTsCohort,
+      "WITH daily AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) d FROM events), " +
+        "f AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) fd FROM daily), " +
+        "g AS (SELECT fd cohort_day, CAST(d - fd AS BIGINT) offset_d, CAST(count(*) AS BIGINT) n_users " +
+        "FROM f WHERE d - fd <= 7 GROUP BY 1, 2) " +
+        "SELECT cohort_day, offset_d, n_users, " +
+        "round(CAST(n_users AS DOUBLE) / sum(CASE WHEN offset_d = 0 THEN n_users ELSE 0 END) OVER (PARTITION BY cohort_day), 4) rate " +
+        "FROM g ORDER BY cohort_day, offset_d"),
     ("q_ts_gaps", qTsGaps,
       "WITH g AS (SELECT event_type, lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) prev_ts, ts FROM events) " +
         "SELECT event_type, prev_ts gap_start, ts gap_end, CAST(date_diff('second', prev_ts, ts) AS BIGINT) gap_s " +
