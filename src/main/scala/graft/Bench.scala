@@ -82,14 +82,16 @@ object Bench {
     // doubles overflowed the tail in r01/r02 → parsed:null. At ~89 queries,
     // 10 ms per-query precision keeps the line ≈1800 chars; revisit if the
     // catalog passes ~110 queries.
-    // keys drop the constant "q_" prefix and abbreviate the six longest
-    // family prefixes (mapping below, also recorded in BASELINE.md):
+    // keys drop the constant "q_" prefix and abbreviate the family
+    // prefixes (mapping below, also recorded in BASELINE.md):
     // "scan_project" = catalog "q_scan_project", "st_session" =
-    // "q_stream_session". ~130 chars reclaimed keeps the 100-query line at
-    // 10ms precision inside the tail budget. Values strip trailing zeros
-    // ("0.50"→"0.5").
+    // "q_stream_session", "t_tumbling" = "q_ts_tumbling". The chars
+    // reclaimed keep the 120-query line's slow tail at 10ms precision
+    // inside the tail budget. Values strip trailing zeros ("0.50"→"0.5").
     val abbrev = Seq("multimodal_" -> "mm_", "stream_" -> "st_", "sketch_" -> "sk_",
-      "scalar_" -> "sc_", "dedup_" -> "dd_", "window_" -> "w_")
+      "scalar_" -> "sc_", "dedup_" -> "dd_", "window_" -> "w_",
+      "ingest_" -> "in_", "text_" -> "tx_", "ts_" -> "t_", "join_" -> "j_",
+      "agg_" -> "a_", "sim_" -> "si_", "emb_" -> "e_")
     def shortKey(k: String): String = {
       val base = k.stripPrefix("q_")
       abbrev.collectFirst {
@@ -102,20 +104,23 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfTag = sfDir.split('/').last
-    // Value-adaptive precision: the queries worth auditing (the slow ones)
-    // keep 10 ms resolution longest; sub-noise queries degrade first. At
-    // 107 catalog entries a uniform 1-dp line already overflowed the tail
-    // budget and collapsed everything to integers — worthless for the
-    // per-query regression axis.
-    def decFor(tier: Int, v: Double): Int = tier match {
+    // Rank-and-value-adaptive precision: the queries worth auditing (the
+    // slow ones) keep 10 ms resolution longest; sub-noise queries degrade
+    // first. Rank-aware since the 121-entry catalog: the 24 slowest keep
+    // 2 dp even when the uniform tiers overflow — a per-query regression
+    // axis that stays readable as the catalog grows (at 107+ entries a
+    // uniform 1-dp line already collapsed everything to integers).
+    val rank = results.toSeq.sortBy { case (_, v) => -v }
+      .zipWithIndex.map { case ((k, _), i) => k -> i }.toMap
+    def decFor(tier: Int, k: String, v: Double): Int = tier match {
       case 0 => 2
-      case 1 => if (v >= 0.35) 2 else 1
-      case 2 => 1
-      case 3 => if (v >= 0.35) 1 else 0
+      case 1 => if (rank(k) < 24 || v >= 0.35) 2 else 1
+      case 2 => if (rank(k) < 24) 2 else if (v >= 0.35) 1 else 0
+      case 3 => if (rank(k) < 24) 1 else 0
       case _ => 0
     }
     def line(tier: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(decFor(tier, v))(v) }
+      val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(decFor(tier, k, v))(v) }
         .mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }

@@ -458,10 +458,12 @@ object TimeSeries {
   /** Cohort retention matrix: users grouped by first-active day, share
     * still active at day +0..+7 — the cohort triangle behind every
     * retention dashboard (generalizes q_ts_retention's next-day rate).
-    * One shuffle on user_id serves both the distinct daily-activity set
-    * and the per-user first day (window over the same partitioning);
-    * the (cohort, offset) regroup is a second small-keyspace aggregate.
-    * All counts exact integers; rate = count / day-0 cohort size. */
+    * Window form, no self-join (PlanSpec pins it): the daily-activity
+    * table flows distinct → user_id window (first day) → tiny
+    * (cohort, offset) regroup, so nothing re-shuffles the full event
+    * table twice — the same scale win as q_ts_retention vs its
+    * self-join oracle. All counts exact integers; rate = count / day-0
+    * cohort size. */
   val qTsCohort: Q = (s, d) => {
     val w = Window.partitionBy("user_id")
     val wc = Window.partitionBy("cohort_day")

@@ -32,6 +32,15 @@ class PlanSpec extends SparkSuite {
     assert(countExchanges(p) <= 4, s"too many exchanges:\n$p")
   }
 
+  test("cohort matrix: window form, no self-join, bounded exchanges") {
+    val p = plan(TimeSeries.qTsCohort(spark, sf0001))
+    assert(!p.toLowerCase.contains("sortmergejoin") && !p.contains("ShuffledHashJoin"),
+      s"cohort must not self-join:\n$p")
+    // distinct + user_id (first-day window) + (cohort,offset) agg +
+    // cohort (rate window) + the orderBy range exchange
+    assert(countExchanges(p) <= 5, s"too many exchanges:\n$p")
+  }
+
   test("pivot with explicit values reads the source once (no distinct discovery scan)") {
     val p = plan(Analytics.qPivot(spark, sf0001))
     assert("FileScan parquet".r.findAllIn(p).length == 1,
