@@ -168,6 +168,69 @@ object Ingest {
       .orderBy("dday", "event_type")
   }
 
+  // ---- retention + compaction (layout maintenance) -------------------------
+
+  /** Apply a retention policy to a COPY of the by-day layout: partition
+    * directories older than `keepFromDay` are dropped as pure metadata/file
+    * operations — no row is ever read or rewritten, which is why TSDB
+    * retention is partition-drop and never DELETE. Materialized once per
+    * JVM; returns the retained dataset path. */
+  def eventsWithRetention(spark: SparkSession, sfDir: String,
+                          keepFromDay: String = "2024-01-08",
+                          root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"events_retention:$sfDir:$keepFromDay:$root", {
+      val src = new java.io.File(eventsByDay(spark, sfDir, root))
+      val dst = new java.io.File(s"$root/${slug(sfDir)}/events_retained_$keepFromDay")
+      def copy(f: java.io.File, t: java.io.File): Unit = {
+        if (f.isDirectory) { t.mkdirs(); f.listFiles.foreach(c => copy(c, new java.io.File(t, c.getName))) }
+        else java.nio.file.Files.copy(f.toPath, t.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      copy(src, dst)
+      val cutoff = java.time.LocalDate.parse(keepFromDay)
+      dst.listFiles.filter { f =>
+        f.isDirectory && f.getName.startsWith("day=") &&
+          java.time.LocalDate.parse(f.getName.stripPrefix("day=")).isBefore(cutoff)
+      }.foreach { dir =>
+        dir.listFiles.foreach(_.delete()); dir.delete() // the partition DROP
+      }
+      dst.getPath
+    })
+
+  /** A deliberately FRAGMENTED by-day layout — what a streaming ingest
+    * actually produces: one file per (microbatch, partition), here
+    * simulated by hash-splitting each day across 8 writer tasks. The
+    * input fixture for compaction. */
+  def eventsFragmented(spark: SparkSession, sfDir: String,
+                       root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"events_fragmented:$sfDir:$root", {
+      val p = s"$root/${slug(sfDir)}/events_fragmented"
+      Tables.events(spark, sfDir)
+        .withColumn("day", to_date(col("ts")))
+        // explicit count: AQE must not coalesce the salted shuffle back to
+        // one task per day (that would silently write a compact layout)
+        .repartition(64, col("day"), pmod(col("event_id"), lit(8))) // ~8 files/dir
+        .write.mode("overwrite").partitionBy("day").parquet(p)
+      p
+    })
+
+  /** Compact the fragmented layout into one file per partition directory
+    * (a rewrite into a NEW dataset; the source is untouched): the nightly
+    * small-files merge every streaming-ingest TSDB runs — file-per-
+    * microbatch write amplification is repaid once, then every later scan
+    * opens one footer per partition instead of hundreds. Rows rewrite
+    * verbatim, asserted by the oracle-backed round-trip query and the
+    * file-count assertions in WritePathSpec. */
+  def eventsCompacted(spark: SparkSession, sfDir: String,
+                      root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"events_compacted:$sfDir:$root", {
+      val p = s"$root/${slug(sfDir)}/events_compacted"
+      spark.read.parquet(eventsFragmented(spark, sfDir, root))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(p)
+      p
+    })
+
   // ---- events by z-order prefix (multi-dimensional pruning) ----------------
 
   /** Bits per z-order dimension: 5 → a 10-bit z-value, partitioned on its

@@ -113,7 +113,38 @@ object IngestQueries {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("event_id")
 
+  /** Aggregate over the layout AFTER a retention drop (days < Jan-08
+    * removed as pure partition-directory deletes — no row rewritten).
+    * Oracle filters the raw table to the retained range, so a pass proves
+    * the drop removed exactly the expired partitions and nothing else. */
+  val qIngestRetention: Q = (s, d) => {
+    val path = Ingest.eventsWithRetention(s, d)
+    s.read.parquet(path)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Same aggregate over the COMPACTED layout (fragmented 8-file/dir
+    * ingest output rewritten to 1 file/dir — see Ingest.eventsCompacted).
+    * Oracle aggregates the raw table, so a pass proves compaction
+    * rewrote every row verbatim. */
+  val qIngestCompacted: Q = (s, d) => {
+    val path = Ingest.eventsCompacted(s, d)
+    s.read.parquet(path)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"))
+      .orderBy("day", "event_type")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ingest_retention", qIngestRetention, Some(
+      "SELECT CAST(ts AS DATE) AS \"day\", event_type, count(*) cnt, round(sum(value), 2) sv " +
+        "FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-08' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ingest_compacted", qIngestCompacted, Some(
+      "SELECT CAST(ts AS DATE) AS \"day\", event_type, count(*) cnt, round(sum(value), 2) sv " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_ingest_zorder_box", qIngestZorderBox, Some(
       "SELECT event_id, ts, user_id, event_type, value FROM events " +
         "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14' " +

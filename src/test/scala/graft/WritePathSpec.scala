@@ -239,6 +239,38 @@ class WritePathSpec extends SparkSuite {
       s"z-box scan diverged: got ${a.count()} want ${b.count()}")
   }
 
+  test("retention drop removes exactly the expired partition directories") {
+    val path = Ingest.eventsWithRetention(spark, sf0001, "2024-01-08", root)
+    val dirs = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).sorted
+    assert(dirs.nonEmpty && dirs.head == "2024-01-08",
+      s"expired partitions survive or wrong cutoff: ${dirs.take(3).mkString(",")}")
+    // retained data is byte-identical to the source layout's same range
+    val kept = spark.read.parquet(path).select("event_id", "ts", "value")
+    val want = Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")) >= lit("2024-01-08").cast("date"))
+      .select("event_id", "ts", "value")
+    assert(kept.count() == want.count() && kept.except(want).count() == 0)
+  }
+
+  test("compaction: 8-file ingest directories rewrite to 1 file each, rows verbatim") {
+    val frag = Ingest.eventsFragmented(spark, sf0001, root)
+    val comp = Ingest.eventsCompacted(spark, sf0001, root)
+    def filesPerDir(p: String): Seq[Int] =
+      new java.io.File(p).listFiles.filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .map(_.listFiles.count(_.getName.endsWith(".parquet"))).toSeq
+    val fragCounts = filesPerDir(frag)
+    val compCounts = filesPerDir(comp)
+    assert(fragCounts.nonEmpty && fragCounts.max > 1,
+      s"fragmented fixture is not fragmented: $fragCounts")
+    assert(compCounts.forall(_ == 1),
+      s"compaction left multi-file directories: $compCounts")
+    val a = spark.read.parquet(comp).select("event_id", "ts", "user_id", "event_type", "value")
+    val b = Tables.events(spark, sf0001).select("event_id", "ts", "user_id", "event_type", "value")
+    assert(a.count() == b.count() && a.except(b).count() == 0, "compaction altered rows")
+  }
+
   test("bloom index: point lookup scans only candidate day directories, result exact") {
     val ids = Seq(7L, 404L, 777L)
     val pruned = Ingest.eventsByIdPruned(spark, sf0001, ids, root)
