@@ -160,6 +160,17 @@ object Ingest {
       .filter(col("day") >= lit(cutoffDay).cast("date")) // partition-pruned
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 8).as("sv8"))
+    caggDailyMerge(rollup, tail)
+  }
+
+  /** The serve-side merge, rollup-source-agnostic: any (h, event_type,
+    * cnt, sv8) hourly-partial set — the batch-materialized rollup OR the
+    * rows a streaming hourlyRollupStream emitted as windows closed
+    * (StreamParitySpec holds the streaming-fed serve equal to direct
+    * batch aggregation) — unions with the open tail's partials and
+    * re-aggregates to day grain under the two-level rounding scheme. */
+  def caggDailyMerge(rollup: DataFrame, tail: DataFrame): DataFrame = {
+    import graft.operators.Num
     rollup.select("h", "event_type", "cnt", "sv8")
       .unionByName(tail.select("h", "event_type", "cnt", "sv8"))
       .groupBy(date_trunc("day", col("h")).cast("date").as("dday"), col("event_type"))
@@ -181,6 +192,13 @@ object Ingest {
     materialized.getOrElseUpdate(s"events_retention:$sfDir:$keepFromDay:$root", {
       val src = new java.io.File(eventsByDay(spark, sfDir, root))
       val dst = new java.io.File(s"$root/${slug(sfDir)}/events_retained_$keepFromDay")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      // a leftover copy from an earlier JVM would MERGE (filenames differ
+      // per write) and double the data — start from nothing
+      if (dst.exists) rm(dst)
       def copy(f: java.io.File, t: java.io.File): Unit = {
         if (f.isDirectory) { t.mkdirs(); f.listFiles.foreach(c => copy(c, new java.io.File(t, c.getName))) }
         else java.nio.file.Files.copy(f.toPath, t.toPath,

@@ -201,6 +201,22 @@ object StreamingQueries {
       .select(col("window.start").as("h"), col("sketch"), col("n"))
   }
 
+  /** The streaming half of the continuous-aggregate pattern
+    * (sources/Ingest.eventsHourlyRollup): per closed (hour, type) window,
+    * the SAME (cnt, sv8) hourly partials the batch rollup stores — in
+    * production this writeStream appends each window to the rollup table
+    * as its watermark closes, and Ingest.caggDailyMerge serves day-grain
+    * queries from rollup + raw tail without re-scanning closed history
+    * (StreamParitySpec wires exactly that end-to-end). State per open
+    * window is two scalars, watermark-bounded. */
+  def hourlyRollupStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Num.roundd(sum("value"), 8).as("sv8"))
+      .select(col("window.start").as("h"), col("event_type"), col("cnt"), col("sv8"))
+
   /** Stream-stream interval join face: both sides from the same replayed
     * source, watermarked so join state evicts once pt can no longer land
     * in any open (ct, ct+30m] window. */

@@ -330,6 +330,47 @@ class StreamParitySpec extends SparkSuite {
     assertGapsParity(StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4), "t_gaps_ooo")
   }
 
+  test("continuous aggregate fed by the STREAMING rollup equals direct batch aggregation") {
+    import graft.operators.Num
+    import graft.sources.Ingest
+    // 1. the streaming job: hourly (cnt, sv8) partials emitted as windows
+    //    close under the watermark — the rollup rows a production
+    //    writeStream would append to the rollup table
+    val closed = StreamReplay.runToCompletion(
+      spark, StreamingQueries.hourlyRollupStream(spark, replayDir), "t_cagg")
+      .withColumn("h", col("h").cast("timestamp_ntz"))
+    val cutoff = "2024-01-26"
+    val rollup = closed.filter(to_date(col("h")) < lit(cutoff).cast("date"))
+    // every pre-cutoff hour must have closed (data runs days past cutoff)
+    val batchHours = Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")) < lit(cutoff).cast("date"))
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type")).distinct().count()
+    assert(rollup.count() == batchHours,
+      s"stream closed ${rollup.count()} pre-cutoff windows, batch has $batchHours")
+    // 2. serve: streaming-written rollup + on-the-fly batch tail
+    val tail = Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")) >= lit(cutoff).cast("date"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 8).as("sv8"))
+    val served = Ingest.caggDailyMerge(rollup, tail).collect()
+    // 3. direct whole-range aggregation through the same two-level scheme
+    val direct = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 8).as("sv8"))
+      .groupBy(date_trunc("day", col("h")).cast("date").as("dday"), col("event_type"))
+      .agg(sum("cnt").as("cnt"), Num.roundd(Num.roundd(sum("sv8"), 8), 2).as("sv"))
+      .orderBy("dday", "event_type").collect()
+    assert(served.length == direct.length,
+      s"served ${served.length} day rows, direct ${direct.length}")
+    served.zip(direct).foreach { case (s, d) =>
+      assert(s.get(0) == d.get(0) && s.getString(1) == d.getString(1) &&
+        s.getLong(2) == d.getLong(2), s"cnt/key mismatch: $s vs $d")
+      // the stream sums a window's values in state-update order, batch in
+      // partial-agg order — sv8 can differ in the last ulps pre-round
+      assert(math.abs(s.getDouble(3) - d.getDouble(3)) <= 1e-6, s"sv mismatch: $s vs $d")
+    }
+  }
+
   test("dedup-within-watermark: unique event_ids all pass through") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.dedupStream(spark, replayDir), "t_dedup")
