@@ -171,6 +171,15 @@ object GraftFunctions {
   private val kmvInterInfo = new ExpressionInfo(
     classOf[KmvIntersect].getName, "graft_kmv_inter")
 
+  private val lttbBuilder: Seq[Expression] => Expression = {
+    case Seq(p, n) => Lttb(p, n)
+    case other => throw new IllegalArgumentException(
+      s"graft_lttb expects 2 arguments, got ${other.size}")
+  }
+
+  private val lttbInfo = new ExpressionInfo(
+    classOf[Lttb].getName, "graft_lttb")
+
   private val pqAdcBuilder: Seq[Expression] => Expression = {
     case Seq(codes, dl, nl) => PqAdcSim(codes, dl, nl)
     case other => throw new IllegalArgumentException(
@@ -213,6 +222,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_bloom"), bloomInfo, bloomBuilder),
       (FunctionIdentifier("graft_bloom_merge"), bloomMergeInfo, bloomMergeBuilder),
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
+      (FunctionIdentifier("graft_lttb"), lttbInfo, lttbBuilder),
       (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
       (FunctionIdentifier("graft_kmv_merge"), kmvMergeInfo, kmvMergeBuilder),
       (FunctionIdentifier("graft_kmv_est"), kmvEstInfo, kmvEstBuilder),

@@ -481,6 +481,29 @@ object TimeSeries {
       .orderBy("cohort_day", "offset_d")
   }
 
+  /** Per-series LTTB visual downsampling (graft.functions.Lttb): reduce
+    * each series to `nOut` shape-preserving points for rendering — the
+    * dashboard read that turns 2M raw points into 1k without losing the
+    * spike or the dip. Library API, not a catalog entry: the algorithm
+    * is sequential (each kept point depends on the previous), so there
+    * is no SQL-expressible oracle; shape properties (endpoints kept,
+    * exact output count, spike retention, small-input identity) are
+    * asserted in FunctionsSpec. Series are collected per group (the
+    * EWMA/Holt contract — chunk per day/week when a single series
+    * outgrows an executor). */
+  def lttbDownsample(df: DataFrame, seriesCol: String, tsCol: String,
+                     valCol: String, nOut: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.groupBy(seriesCol)
+      .agg(sort_array(collect_list(struct(
+        expr(s"unix_micros(cast($tsCol as timestamp))").as("t"),
+        col(valCol).cast("double").as("v")))).as("pts"))
+      .select(col(seriesCol), explode(expr(s"graft_lttb(pts, $nOut)")).as("p"))
+      .select(col(seriesCol),
+        expr("cast(timestamp_micros(p.t) as timestamp_ntz)").as(tsCol),
+        col("p.v").as(valCol))
+  }
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),

@@ -22,6 +22,51 @@ class FunctionsSpec extends SparkSuite {
     assert(h7 == h1, "merge across partitions must equal single-partition result")
   }
 
+  test("graft_lttb: endpoints + exact count, spike survives, small input is identity") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // flat line with one spike at t=500: any downsample that loses the
+    // spike failed its one job
+    val pts = (0L until 1000L).map(t => (t, if (t == 500) 100.0 else 1.0))
+    val df = Seq(("s", pts)).toDF("k", "pts")
+      .selectExpr("k", "graft_lttb(array_sort(transform(pts, p -> struct(p._1 as t, p._2 as v))), 20) as keep")
+    val kept = df.selectExpr("explode(keep) as p").selectExpr("p.t", "p.v")
+      .as[(Long, Double)].collect().toSeq
+    assert(kept.length == 20, s"expected exactly 20 points, got ${kept.length}")
+    assert(kept.head == (0L, 1.0) && kept.last == (999L, 1.0), "endpoints must be kept")
+    assert(kept.map(_._1) == kept.map(_._1).sorted, "output must stay time-ordered")
+    assert(kept.contains((500L, 100.0)), s"spike lost: $kept")
+
+    // n_out >= n → identity; n_out <= 2 → endpoints only
+    val tiny = Seq(("s", Seq((1L, 1.0), (2L, 5.0), (3L, 2.0)))).toDF("k", "pts")
+      .selectExpr("transform(pts, p -> struct(p._1 as t, p._2 as v)) as pts")
+    assert(tiny.selectExpr("size(graft_lttb(pts, 10))").head().getInt(0) == 3)
+    assert(tiny.selectExpr("transform(graft_lttb(pts, 2), p -> p.t)")
+      .head().getSeq[Long](0) == Seq(1L, 3L))
+  }
+
+  test("lttbDownsample: per-series counts and endpoint timestamps over real data") {
+    val hourly = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+      .agg(sum("value").as("sv"))
+    val down = graft.operators.TimeSeries.lttbDownsample(hourly, "event_type", "h", "sv", 48)
+    val counts = down.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rawN = hourly.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rawN.foreach { case (k, n) =>
+      assert(counts(k) == math.min(48L, n), s"$k: ${counts(k)} of raw $n")
+    }
+    // endpoints are the series' true first/last hours
+    val firstLast = hourly.groupBy("event_type").agg(min("h").as("mn"), max("h").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    down.groupBy("event_type").agg(min("h").as("mn"), max("h").as("mx"))
+      .collect().foreach { r =>
+        assert((r.get(1), r.get(2)) == firstLast(r.getString(0)),
+          s"${r.getString(0)}: endpoints moved")
+      }
+  }
+
   test("graft_cosine resolves in SQL after registration and matches HOF bit-for-bit") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, sf0001).createOrReplaceTempView("emb_fn_test")
