@@ -481,6 +481,23 @@ object TimeSeries {
       .orderBy("cohort_day", "offset_d")
   }
 
+  /** Threshold-crossing detection — the alerting read: fire on the hour a
+    * series CROSSES above the level (prev ≤ T < curr), not on every hour
+    * it stays above (a naive `sv > T` filter pages someone all night).
+    * One shuffle on event_type, O(1) lag state; comparisons on the
+    * 2-dp-rounded hourly sums so the cut is engine-stable. */
+  val qTsThresholdCross: Q = (s, d) => {
+    val T = 400.0
+    val w = Window.partitionBy("event_type").orderBy("h")
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(Num.roundd(sum("value"), 2).as("sv"))
+      .withColumn("prev_sv", lag("sv", 1).over(w))
+      .filter(col("sv") > T && col("prev_sv") <= T)
+      .select("event_type", "h", "prev_sv", "sv")
+      .orderBy("event_type", "h")
+  }
+
   /** Per-series LTTB visual downsampling (graft.functions.Lttb): reduce
     * each series to `nOut` shape-preserving points for rendering — the
     * dashboard read that turns 2M raw points into 1k without losing the
@@ -582,6 +599,10 @@ object TimeSeries {
         "pairs AS (SELECT k, pt, e.value v, row_number() OVER (PARTITION BY k, pt " +
         "ORDER BY abs(epoch_us(e.ts) - epoch_us(pt)), e.ts) rn FROM probes JOIN events e ON e.user_id = k) " +
         "SELECT k, pt, v FROM pairs WHERE rn = 1 ORDER BY k, pt"),
+    ("q_ts_threshold_cross", qTsThresholdCross,
+      "WITH hv AS (SELECT event_type, date_trunc('hour', ts) h, round(sum(value), 2) sv FROM events GROUP BY 1, 2), " +
+        "lg AS (SELECT event_type, h, sv, lag(sv) OVER (PARTITION BY event_type ORDER BY h) prev_sv FROM hv) " +
+        "SELECT event_type, h, prev_sv, sv FROM lg WHERE sv > 400.0 AND prev_sv <= 400.0 ORDER BY event_type, h"),
     ("q_ts_cohort", qTsCohort,
       "WITH daily AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) d FROM events), " +
         "f AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) fd FROM daily), " +

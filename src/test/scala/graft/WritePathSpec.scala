@@ -271,6 +271,29 @@ class WritePathSpec extends SparkSuite {
     assert(a.count() == b.count() && a.except(b).count() == 0, "compaction altered rows")
   }
 
+  test("schema evolution: a later-added column merges across partitions, old days null-fill") {
+    import spark.implicits._
+    val p = s"$root/evolution_test"
+    // day 1 written before the `score` column existed; day 2 after
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$p/day=2024-01-01")
+    Seq((2L, "b", 0.5)).toDF("id", "v", "score")
+      .write.mode("overwrite").parquet(s"$p/day=2024-01-02")
+    val merged = spark.read.option("mergeSchema", "true").parquet(p)
+      .orderBy("id").collect()
+    // the evolved schema is the union; pre-evolution rows read as null —
+    // the contract that lets a year of ingest add columns without a
+    // petabyte rewrite
+    assert(merged.map(_.schema.fieldNames.toSet).head.contains("score"))
+    assert(merged.length == 2)
+    assert(merged(0).getAs[Any]("score") == null, "old partition must null-fill")
+    assert(merged(1).getAs[Double]("score") == 0.5)
+    // and the pre-evolution column still filters/projects across both days
+    val n = spark.read.option("mergeSchema", "true").parquet(p)
+      .filter(col("v").isin("a", "b")).count()
+    assert(n == 2)
+  }
+
   test("bloom index: point lookup scans only candidate day directories, result exact") {
     val ids = Seq(7L, 404L, 777L)
     val pruned = Ingest.eventsByIdPruned(spark, sf0001, ids, root)
