@@ -174,11 +174,36 @@ object Sketches {
         Num.roundd(expr("graft_kmv_inter(ska, skb)"), 4).as("est_both"))
   }
 
+  /** Sketch-at-ingest / merge-at-query for KMV, DRIVER-VERIFIED: per-day
+    * sketches of distinct users merged up to one whole-range estimate.
+    * KMV union is lossless (the k smallest of a union are among the
+    * per-part k smallest), so the merged state equals the
+    * sketch-the-world state and the estimate keeps its closed-form
+    * oracle — the only merge path in the sketch tier DuckDB can check
+    * exactly (HLL/t-digest merges are engine-internal). */
+  val qSketchKmvMergeDays: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val h = Dedup.h60("'kmv'", "cast(user_id as string)")
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(expr(s"graft_kmv($h, 64)").as("sk"))
+      .agg(expr("graft_kmv_merge(sk)").as("msk"), count(lit(1)).as("n_day_sketches"))
+      .select(Num.roundd(expr("graft_kmv_est(msk)"), 4).as("est_users"),
+        col("n_day_sketches"))
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_sketch_distinct", qSketchDistinct, None), // approximate by design; error bounded in SketchSpec
     ("q_sketch_quantile", qSketchQuantile, None), // approximate by design; t-digest rank error bounded in SketchSpec
     ("q_sketch_hll_merge", qSketchHllMerge, None), // approximate by design; merge-losslessness asserted in SketchSpec
     ("q_sketch_tdigest_merge", qSketchTdigestMerge, None), // approximate by design; merged rank error bounded in SketchSpec
+    ("q_sketch_kmv_merge_days", qSketchKmvMergeDays, Some(
+      "WITH h AS (SELECT DISTINCT CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) hv FROM events), " +
+        "k AS (SELECT list_sort(list(hv))[:64] l, count(*) n FROM h), " +
+        "d AS (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) nd FROM events) " +
+        "SELECT round(CASE WHEN k.n < 64 THEN CAST(k.n AS DOUBLE) " +
+        "ELSE 63.0 / (CAST(k.l[64] AS DOUBLE) / 1152921504606846976.0) END, 4) est_users, d.nd n_day_sketches " +
+        "FROM k, d")),
     ("q_sketch_kmv_intersect", qSketchKmvIntersect, Some(
       "WITH h AS (SELECT DISTINCT event_type, CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) hv " +
         "FROM events WHERE event_type IN ('click', 'view')), " +
