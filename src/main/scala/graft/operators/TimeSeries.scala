@@ -379,17 +379,40 @@ object TimeSeries {
 
   /** Gap / outage detection: per series (event_type), every silence longer
     * than 60 minutes between consecutive events, as (gap_start, gap_end,
-    * gap_s) intervals — the "when was this feed down" TSDB read. One
-    * shuffle on event_type, per-series local sort; state per row is O(1)
-    * (a single lag), so the shape is linear at any scale. gap_s uses the
-    * same exact integer µs→s floor-diff as session duration. */
+    * gap_s) intervals — the "when was this feed down" TSDB read.
+    *
+    * DAY-CHUNKED (the Interpolate carry pattern), not one window over the
+    * whole series: this column has only 5 series, so a plain
+    * `partitionBy(event_type)` window puts an entire series — billions of
+    * rows at 100 TB — into ONE task's sort. Instead: (1) intra-day gaps
+    * via lag within (series, day) — keyspace is series × days, so no task
+    * ever sorts more than one series-day; (2) cross-midnight gaps from
+    * the per-day edge summary (first/last ts per present day — one tiny
+    * row per series-day; an empty day is simply absent, so consecutive
+    * PRESENT days pair correctly). Every consecutive-event pair lies
+    * either within one day or between two present days' edges, so the
+    * union is exactly the global-lag result — which the oracle keeps,
+    * making this a driver-verified cross-algorithm equivalence. gap_s
+    * uses the same exact integer µs→s floor-diff as session duration. */
   val qTsGaps: Q = (s, d) => {
-    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    Tables.events(s, d)
-      .withColumn("prev_ts", lag("ts", 1).over(w))
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("dday", to_date(col("ts")))
+    val wDay = Window.partitionBy("event_type", "dday").orderBy("ts", "event_id")
+    val intra = ev
+      .withColumn("prev_ts", lag("ts", 1).over(wDay))
       .filter(expr("ts - prev_ts > INTERVAL '60' MINUTE"))
-      .select(col("event_type"), col("prev_ts").as("gap_start"), col("ts").as("gap_end"),
-        expr("unix_micros(cast(ts as timestamp)) div 1000000 - unix_micros(cast(prev_ts as timestamp)) div 1000000")
+      .select(col("event_type"), col("prev_ts").as("gap_start"), col("ts").as("gap_end"))
+    val wEdge = Window.partitionBy("event_type").orderBy("dday")
+    val cross = ev
+      .groupBy("event_type", "dday")
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .withColumn("prev_last", lag("last_ts", 1).over(wEdge))
+      .filter(expr("first_ts - prev_last > INTERVAL '60' MINUTE"))
+      .select(col("event_type"), col("prev_last").as("gap_start"), col("first_ts").as("gap_end"))
+    intra.unionByName(cross)
+      .select(col("event_type"), col("gap_start"), col("gap_end"),
+        expr("unix_micros(cast(gap_end as timestamp)) div 1000000 - unix_micros(cast(gap_start as timestamp)) div 1000000")
           .as("gap_s"))
       .orderBy("event_type", "gap_start")
   }

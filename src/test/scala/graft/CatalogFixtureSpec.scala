@@ -62,18 +62,25 @@ class CatalogFixtureSpec extends SparkSuite {
       s"expected the raise_error guard, got: $ex")
   }
 
-  test("gaps: only silences > 60min emitted, per type, exact second duration") {
-    val t0 = 1704067200L
+  test("gaps: only silences > 60min emitted, per type, incl. across midnight and empty days") {
+    val t0 = 1704067200L // 2024-01-01 00:00 UTC
     writeEvents(Seq(
       (1L, ns(t0), 1L, "click", 1.0),
       (2L, ns(t0 + 1800), 1L, "click", 1.0),        // 30min: no gap
-      (3L, ns(t0 + 1800 + 3700), 1L, "click", 1.0), // 3700s > 1h: gap
+      (3L, ns(t0 + 1800 + 3700), 1L, "click", 1.0), // 3700s > 1h: intra-day gap
       (4L, ns(t0), 1L, "view", 1.0),
-      (5L, ns(t0 + 3600), 1L, "view", 1.0)          // exactly 1h: NOT > 60min
+      (5L, ns(t0 + 3600), 1L, "view", 1.0),         // exactly 1h: NOT > 60min
+      // midnight-crossing gap: day1 23:30 → day2 01:00 (5400s), hits the
+      // cross-day edge-stitch path, not the intra-day lag
+      (6L, ns(t0 + 84600), 1L, "error", 1.0),
+      (7L, ns(t0 + 90000), 1L, "error", 1.0),
+      // gap spanning a fully EMPTY day: day2 12:00 → day4 12:00
+      (8L, ns(t0 + 86400 + 43200), 1L, "signup", 1.0),
+      (9L, ns(t0 + 3 * 86400 + 43200), 1L, "signup", 1.0)
     ))
     val out = TimeSeries.qTsGaps(spark, dir)
       .select("event_type", "gap_s").as[(String, Long)].collect().toSeq
-    assert(out == Seq(("click", 3700L)))
+    assert(out == Seq(("click", 3700L), ("error", 5400L), ("signup", 2L * 86400)))
   }
 
   test("corr_pair: perfectly aligned day → r=1, perfectly opposed day → r=-1") {
