@@ -21,6 +21,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * bounded by the watermark horizon (events/series within ~10 min), plus
   * one carry element; an event-time timeout re-fires quiet groups so
   * sealing progresses as the watermark advances even with no new data.
+  *
+  * Scale note: parallelism equals the number of series. For a feed with
+  * few, very hot series, shard the stream by (series, time-chunk) and
+  * stitch chunk edges downstream — the batch TimeSeries.qTsGaps does
+  * exactly that with its day-chunk + edge-summary split; this face stays
+  * correct at any key cardinality but is the simple-keyed shape.
   */
 object StatefulGaps {
 
