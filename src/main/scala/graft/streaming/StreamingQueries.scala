@@ -217,6 +217,23 @@ object StreamingQueries {
         graft.operators.Num.roundd(sum("value"), 8).as("sv8"))
       .select(col("window.start").as("h"), col("event_type"), col("cnt"), col("sv8"))
 
+  /** Streaming distinct-users face — per-window KMV sketches
+    * (graft.functions.KmvSketch), the fourth leg of the streaming sketch
+    * set (t-digest quantiles, Misra-Gries heavy hitters, hourly rollup
+    * partials): each closed window carries a storable bottom-k state;
+    * any later range-distinct or cross-window intersection query merges
+    * the stored sketches (losslessly, unlike HLL only up to k) instead
+    * of re-scanning raw events. State per open window is O(k). */
+  def kmvStream(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val h = graft.operators.Dedup.h60("'kmv'", "cast(user_id as string)")
+    eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr(s"graft_kmv($h, 64)").as("sketch"), count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("sketch"), col("n"))
+  }
+
   /** Stream-stream interval join face: both sides from the same replayed
     * source, watermarked so join state evicts once pt can no longer land
     * in any open (ct, ct+30m] window. */

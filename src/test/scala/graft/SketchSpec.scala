@@ -265,6 +265,29 @@ class SketchSpec extends SparkSuite {
       s"saturated KMV estimate merged=$merged exact=$exact (k=64 → ~12.5% expected error)")
   }
 
+  test("KMV: saturated partial-overlap intersection lands near truth") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // A = 1..2000, B = 1001..3000: |A|=|B|=2000, |A∩B|=1000, k=64 — both
+    // sketches saturated, ρ genuinely estimated. KMV intersection error
+    // at k=64 is large-ish (ρ adds binomial noise on ~k draws), so the
+    // bound is deliberately generous — this guards against broken
+    // estimator algebra (off by 2×), not sampling noise.
+    val df = ((1 to 2000).map(i => ("a", i.toLong)) ++ (1001 to 3000).map(i => ("b", i.toLong)))
+      .toDF("side", "id")
+    val h = graft.operators.Dedup.h60("'t'", "cast(id as string)")
+    val row = df.agg(
+      expr(s"graft_kmv(CASE WHEN side = 'a' THEN $h END, 64)").as("ska"),
+      expr(s"graft_kmv(CASE WHEN side = 'b' THEN $h END, 64)").as("skb"))
+      .select(expr("graft_kmv_est(ska)"), expr("graft_kmv_est(skb)"),
+        expr("graft_kmv_inter(ska, skb)"))
+      .head()
+    assert(math.abs(row.getDouble(0) - 2000) / 2000.0 <= 0.30, s"est(A)=${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - 2000) / 2000.0 <= 0.30, s"est(B)=${row.getDouble(1)}")
+    assert(row.getDouble(2) > 300 && row.getDouble(2) < 1700,
+      s"intersection est ${row.getDouble(2)} not near true 1000")
+  }
+
   test("HLL: merged per-day sketches ≡ direct whole-table sketch; within 5% of exact") {
     val merged = Sketches.qSketchHllMerge(spark, sf001).head()
     val mergedEst = merged.getLong(0)

@@ -279,6 +279,43 @@ class StreamParitySpec extends SparkSuite {
     }
   }
 
+  test("streaming KMV: closed windows are EXACT below saturation; merged sketches too") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.kmvStream(spark, replayDir), "t_kmv")
+    // string keys via Spark's own cast on BOTH sides (a driver-side
+    // LocalDateTime.toString would use the ISO 'T' form and match nothing)
+    val rows = got
+      .select(col("h").cast("timestamp_ntz").cast("string").as("h"), col("n"),
+        expr("graft_kmv_est(sketch)").as("est"))
+      .collect()
+    assert(rows.nonEmpty, "stream closed no sketch windows")
+    // < 64 distinct users per hour at sf0.001 ⇒ every sketch is
+    // undersaturated ⇒ the estimate IS the exact distinct count
+    val exact = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").cast("string").as("h"))
+      .agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val want = exact.getOrElse(r.getString(0), fail(s"stream closed a window batch lacks: ${r.getString(0)}"))
+      assert(r.getDouble(2) == want.toDouble,
+        s"${r.getString(0)}: streaming KMV est ${r.getDouble(2)} != exact $want")
+    }
+    // merge-at-query across closed windows: distinct users over the SAME
+    // window set (saturated now, so assert the lossless-merge identity
+    // against sketching those windows' rows directly)
+    val closed = rows.map(_.getString(0)).toSet
+    val h = graft.operators.Dedup.h60("'kmv'", "cast(user_id as string)")
+    val direct = Tables.events(spark, sf0001)
+      .withColumn("hh", date_trunc("hour", col("ts")).cast("timestamp_ntz").cast("string"))
+      .filter(col("hh").isin(closed.toSeq: _*))
+      .agg(expr(s"graft_kmv($h, 64)").as("sk"))
+      .select(expr("graft_kmv_est(sk)")).head().getDouble(0)
+    val merged = got.agg(expr("graft_kmv_merge(sketch)").as("msk"))
+      .select(expr("graft_kmv_est(msk)")).head().getDouble(0)
+    assert(merged == direct, s"KMV merge not lossless through the state store: $merged vs $direct")
+  }
+
   test("streaming t-digest: closed windows sketch exactly-counted, quantiles within rank tolerance") {
     assertTdigestParity(replayDir, "t_td")
   }
