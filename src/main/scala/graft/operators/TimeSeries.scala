@@ -504,6 +504,28 @@ object TimeSeries {
       .orderBy("cohort_day", "offset_d")
   }
 
+  /** Backward as-of WITH TOLERANCE through the native operator — the
+    * pandas merge_asof tolerance surface: each (user, day-midnight) probe
+    * matches the user's latest event at-or-before it ONLY if that event
+    * is within 6 hours; staler matches become nulls (left-outer). Puts
+    * the AsofJoinExec tolerance path (inclusive ≤, exact-long distance,
+    * subtractExact overflow guard) under the driver's hash gate — the
+    * plain backward and nearest paths already are. */
+  val qTsAsofTolerance: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val probes = ev
+      .groupBy(col("user_id").as("k"), date_trunc("day", col("ts")).as("pt"))
+      .agg(count(lit(1)))
+      .select("k", "pt")
+    val rightRaw = ev.select(
+      col("user_id").as("rk"), col("ts").as("rt"), col("value").as("v"))
+    graft.plans.NativeAsof
+      .asofJoin(probes, rightRaw, "k", "rk", "pt", "rt", "backward",
+        tolerance = 6L * 3600 * 1000000) // 6h in µs (timestamps store µs longs)
+      .select(col("k"), col("pt"), col("v"))
+      .orderBy("k", "pt")
+  }
+
   /** Threshold-crossing detection — the alerting read: fire on the hour a
     * series CROSSES above the level (prev ≤ T < curr), not on every hour
     * it stays above (a naive `sv > T` filter pages someone all night).
@@ -668,6 +690,15 @@ object TimeSeries {
         "FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.dday = r.dday AND s.i = r.i + 1) " +
         "SELECT event_type, dday, round(l, 6) lvl, round(b, 6) trend, round(l + b, 6) fc1 " +
         "FROM rec WHERE i = n ORDER BY event_type, dday"),
+    ("q_ts_asof_tolerance", qTsAsofTolerance,
+      "WITH probes AS (SELECT user_id k, CAST(date_trunc('day', ts) AS TIMESTAMP) pt FROM events GROUP BY 1, 2), " +
+        "pairs AS (SELECT probes.k, probes.pt, e.value v, " +
+        "row_number() OVER (PARTITION BY probes.k, probes.pt ORDER BY e.ts DESC) rn " +
+        "FROM probes JOIN events e ON e.user_id = probes.k AND e.ts <= probes.pt " +
+        "AND epoch_us(probes.pt) - epoch_us(e.ts) <= 21600000000), " +
+        "hit AS (SELECT k, pt, v FROM pairs WHERE rn = 1) " +
+        "SELECT probes.k, probes.pt, hit.v FROM probes LEFT JOIN hit ON hit.k = probes.k AND hit.pt = probes.pt " +
+        "ORDER BY probes.k, probes.pt"),
     ("q_ts_asof_join", qTsAsofJoin,
       "SELECT o.o_orderkey, e.ts FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 1000 = 0) o ASOF JOIN events e ON e.ts <= o.o_orderdate + INTERVAL 10585 DAY ORDER BY o.o_orderkey"),
   )
