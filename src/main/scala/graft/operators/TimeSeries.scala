@@ -526,6 +526,26 @@ object TimeSeries {
       .orderBy("k", "pt")
   }
 
+  /** FORWARD as-of through the native operator — "the next event at or
+    * after the probe": each (user, day-midnight) probe takes the user's
+    * earliest event ≥ it (trailing probes null out). Completes the
+    * driver-gated coverage of AsofJoinExec's three directions (backward =
+    * q_ts_asof_join via the composed shapes, nearest = q_ts_asof_nearest,
+    * tolerance = q_ts_asof_tolerance). */
+  val qTsAsofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val probes = ev
+      .groupBy(col("user_id").as("k"), date_trunc("day", col("ts")).as("pt"))
+      .agg(count(lit(1)))
+      .select("k", "pt")
+    val rightRaw = ev.select(
+      col("user_id").as("rk"), col("ts").as("rt"), col("value").as("v"))
+    graft.plans.NativeAsof
+      .asofJoin(probes, rightRaw, "k", "rk", "pt", "rt", "forward")
+      .select(col("k"), col("pt"), col("v"))
+      .orderBy("k", "pt")
+  }
+
   /** Threshold-crossing detection — the alerting read: fire on the hour a
     * series CROSSES above the level (prev ≤ T < curr), not on every hour
     * it stays above (a naive `sv > T` filter pages someone all night).
@@ -690,6 +710,14 @@ object TimeSeries {
         "FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.dday = r.dday AND s.i = r.i + 1) " +
         "SELECT event_type, dday, round(l, 6) lvl, round(b, 6) trend, round(l + b, 6) fc1 " +
         "FROM rec WHERE i = n ORDER BY event_type, dday"),
+    ("q_ts_asof_forward", qTsAsofForward,
+      "WITH probes AS (SELECT user_id k, CAST(date_trunc('day', ts) AS TIMESTAMP) pt FROM events GROUP BY 1, 2), " +
+        "pairs AS (SELECT probes.k, probes.pt, e.value v, " +
+        "row_number() OVER (PARTITION BY probes.k, probes.pt ORDER BY e.ts ASC) rn " +
+        "FROM probes JOIN events e ON e.user_id = probes.k AND e.ts >= probes.pt), " +
+        "hit AS (SELECT k, pt, v FROM pairs WHERE rn = 1) " +
+        "SELECT probes.k, probes.pt, hit.v FROM probes LEFT JOIN hit ON hit.k = probes.k AND hit.pt = probes.pt " +
+        "ORDER BY probes.k, probes.pt"),
     ("q_ts_asof_tolerance", qTsAsofTolerance,
       "WITH probes AS (SELECT user_id k, CAST(date_trunc('day', ts) AS TIMESTAMP) pt FROM events GROUP BY 1, 2), " +
         "pairs AS (SELECT probes.k, probes.pt, e.value v, " +
