@@ -179,6 +179,41 @@ object Ingest {
       .orderBy("dday", "event_type")
   }
 
+  // ---- text-format ingestion (JSON / CSV feeds) ----------------------------
+
+  /** Materialize (once per JVM) the events table as JSON-lines and CSV —
+    * the wire formats a TSDB's HTTP/collector ingest actually receives —
+    * then read them back with EXPLICIT schemas (never inference: one bad
+    * row must fail loudly, not silently retype a column at 100 TB).
+    * Timestamps round-trip at µs precision through ISO-8601 strings.
+    * Returns (jsonPath, csvPath). */
+  def eventsTextFormats(spark: SparkSession, sfDir: String,
+                        root: String = defaultRoot): (String, String) = {
+    val key = s"events_textfmt:$sfDir:$root"
+    val p = materialized.getOrElseUpdate(key, {
+      val base = s"$root/${slug(sfDir)}/events_text"
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      ev.coalesce(4).write.mode("overwrite").json(s"$base/json")
+      ev.coalesce(4).write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      base
+    })
+    (s"$p/json", s"$p/csv")
+  }
+
+  private val eventsTextSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+
+  /** Read the JSON-lines feed back under the explicit schema. */
+  def readEventsJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventsTextSchema).json(path)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+
+  /** Read the CSV feed back under the explicit schema. */
+  def readEventsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventsTextSchema).option("header", "true").csv(path)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+
   // ---- retention + compaction (layout maintenance) -------------------------
 
   /** Apply a retention policy to a COPY of the by-day layout: partition

@@ -137,7 +137,29 @@ object IngestQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Text-format ingestion round-trip: the SAME daily aggregate computed
+    * from the JSON-lines feed and the CSV feed, unioned with a format tag.
+    * Oracle aggregates the parquet table twice — a pass proves both wire
+    * formats round-trip every row and µs timestamp under explicit schemas
+    * (the TSDB collector path; inference is never used). */
+  val qIngestTextFormats: Q = (s, d) => {
+    val (jsonPath, csvPath) = Ingest.eventsTextFormats(s, d)
+    def daily(df: org.apache.spark.sql.DataFrame, fmt: String) =
+      df.groupBy(to_date(col("ts")).as("dday"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"))
+        .withColumn("fmt", lit(fmt))
+    daily(Ingest.readEventsJson(s, jsonPath), "json")
+      .unionByName(daily(Ingest.readEventsCsv(s, csvPath), "csv"))
+      .select("fmt", "dday", "event_type", "cnt", "sv")
+      .orderBy("fmt", "dday", "event_type")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ingest_text_formats", qIngestTextFormats, Some(
+      "WITH d AS (SELECT CAST(ts AS DATE) dday, event_type, CAST(count(*) AS BIGINT) cnt, round(sum(value), 2) sv " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT fmt, dday, event_type, cnt, sv FROM (SELECT unnest(['csv', 'json']) fmt), d " +
+        "ORDER BY fmt, dday, event_type")),
     ("q_ingest_retention", qIngestRetention, Some(
       "SELECT CAST(ts AS DATE) AS \"day\", event_type, count(*) cnt, round(sum(value), 2) sv " +
         "FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-08' " +
