@@ -398,6 +398,26 @@ object LlmScale {
         Num.roundd(col("n_canonical").cast("double") / col("n_total"), 4).as("yield_rate"))
   }
 
+  // ---- docs: data-mix report ------------------------------------------------
+
+  /** The data-mixing report every corpus builder publishes before
+    * training: per source, document count, total whitespace tokens, and
+    * each source's share of the corpus token budget — the numbers
+    * sampling weights are tuned against. One scan, one hash aggregate;
+    * the grand total rides along as a window sum over the (tiny)
+    * per-source result, not a second scan. */
+  val qDocsMixReport: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      .withColumn("token_share",
+        Num.roundd(col("tokens").cast("double") / sum("tokens").over(w), 6))
+      .orderBy("source")
+  }
+
   // ---- contamination: eval-set n-gram overlap ------------------------------
 
   /** Benchmark-contamination check — the decontamination pass every LLM
@@ -527,6 +547,11 @@ object LlmScale {
       "sg AS (SELECT doc_id, list_transform(range(8), i -> list_aggregate(list_transform(hs, h -> ((2*i + 1) * h + 12582917 * i) % 2147483647), 'min')) sig FROM h31)"
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_docs_mix_report", qDocsMixReport, Some(
+      "WITH m AS (SELECT source, CAST(count(*) AS BIGINT) docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) tokens FROM documents GROUP BY 1) " +
+        "SELECT source, docs, tokens, round(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 6) token_share " +
+        "FROM m ORDER BY source")),
     ("q_emb_cluster_quality", qEmbClusterQuality, Some(
       "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) ev FROM embeddings), " +
         "dm AS (SELECT label, pos, round(round(sum(ev[pos + 1]), 10) / count(*), 6) cv " +

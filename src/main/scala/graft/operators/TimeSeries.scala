@@ -546,6 +546,21 @@ object TimeSeries {
       .orderBy("k", "pt")
   }
 
+  /** Cross-metric ratio per window — PromQL's most common expression
+    * (`errors / requests`): hourly error share of all events, computed
+    * from ONE scan via conditional aggregation (never two scans joined —
+    * at 100 TB the join would re-shuffle the series table twice). Exact
+    * integer counts; one division at the end. */
+  val qTsErrorRatio: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        count(when(col("event_type") === "error", 1)).as("errors"),
+        count(lit(1)).as("total"))
+      .select(col("h"), col("errors"), col("total"),
+        Num.roundd(col("errors").cast("double") / col("total"), 6).as("ratio"))
+      .orderBy("h")
+
   /** Threshold-crossing detection — the alerting read: fire on the hour a
     * series CROSSES above the level (prev ≤ T < curr), not on every hour
     * it stays above (a naive `sv > T` filter pages someone all night).
@@ -664,6 +679,11 @@ object TimeSeries {
         "pairs AS (SELECT k, pt, e.value v, row_number() OVER (PARTITION BY k, pt " +
         "ORDER BY abs(epoch_us(e.ts) - epoch_us(pt)), e.ts) rn FROM probes JOIN events e ON e.user_id = k) " +
         "SELECT k, pt, v FROM pairs WHERE rn = 1 ORDER BY k, pt"),
+    ("q_ts_error_ratio", qTsErrorRatio,
+      "SELECT date_trunc('hour', ts) h, CAST(count(*) FILTER (event_type = 'error') AS BIGINT) errors, " +
+        "CAST(count(*) AS BIGINT) total, " +
+        "round(CAST(count(*) FILTER (event_type = 'error') AS DOUBLE) / count(*), 6) ratio " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     ("q_ts_threshold_cross", qTsThresholdCross,
       "WITH hv AS (SELECT event_type, date_trunc('hour', ts) h, round(sum(value), 2) sv FROM events GROUP BY 1, 2), " +
         "lg AS (SELECT event_type, h, sv, lag(sv) OVER (PARTITION BY event_type ORDER BY h) prev_sv FROM hv) " +
