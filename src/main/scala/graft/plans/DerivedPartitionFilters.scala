@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+
+/** Optimizer rule — tier (b') of the custom-extension ladder, the
+  * `Rule[LogicalPlan]` leg next to the Expressions and the
+  * Strategy+SparkPlan operator: DERIVED PARTITION FILTERS.
+  *
+  * A time-partitioned layout stores `day = to_date(ts)` as its partition
+  * column, but users (and generated dashboards) filter on raw `ts` —
+  * `ts >= X AND ts < Y` alone prunes NOTHING, because partition pruning
+  * only sees predicates on the partition column itself, and the planner
+  * cannot know `day` is derived from `ts`. This rule encodes that
+  * generated-column contract (what Delta's generated-column partition
+  * filters do): for every Filter over a day-partitioned file relation
+  * whose condition bounds a timestamp column `ts` with literals, it
+  * injects the implied `day >= date(X)` / `day <= date(Y)` conjuncts.
+  * The derived bounds are a SUPERSET of the original condition (day
+  * granularity is coarser), so the rewrite is always sound; the original
+  * ts predicate still filters rows inside the scanned directories.
+  *
+  * At 100 TB this is the difference between "the dashboard's ts-range
+  * query scans the year" and "it scans the week", with no query change.
+  * Guards: fires only when the relation is partitioned by a DateType
+  * `day`, the condition does not already mention `day` (idempotent under
+  * the optimizer's fixed-point loop), and the ts bounds are foldable
+  * literals.
+  */
+object DerivedPartitionFilters extends Rule[LogicalPlan] {
+
+  private val usPerDay = 86400L * 1000000
+
+  /** (lower, upper) epoch-day bounds implied by ts-literal conjuncts. */
+  private def tsBounds(cond: Expression, ts: Attribute): (Option[Int], Option[Int]) = {
+    def epochDay(lit: Literal): Option[Int] = lit.dataType match {
+      case TimestampNTZType | TimestampType =>
+        Some(Math.floorDiv(lit.value.asInstanceOf[Long], usPerDay).toInt)
+      case _ => None
+    }
+    def walk(e: Expression): (Option[Int], Option[Int]) = e match {
+      case And(l, r) =>
+        val (ll, lu) = walk(l); val (rl, ru) = walk(r)
+        (Seq(ll, rl).flatten.reduceOption(_ max _), Seq(lu, ru).flatten.reduceOption(_ min _))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(ts) => (epochDay(l), None)
+      case GreaterThan(a: Attribute, l: Literal) if a.semanticEquals(ts) => (epochDay(l), None)
+      case LessThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(ts) => (None, epochDay(l))
+      case LessThan(a: Attribute, l: Literal) if a.semanticEquals(ts) => (None, epochDay(l))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) if a.semanticEquals(ts) => (None, epochDay(l))
+      case GreaterThan(l: Literal, a: Attribute) if a.semanticEquals(ts) => (None, epochDay(l))
+      case LessThanOrEqual(l: Literal, a: Attribute) if a.semanticEquals(ts) => (epochDay(l), None)
+      case LessThan(l: Literal, a: Attribute) if a.semanticEquals(ts) => (epochDay(l), None)
+      case _ => (None, None)
+    }
+    walk(cond)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, child: LogicalRelation)
+      if child.relation.isInstanceOf[HadoopFsRelation] &&
+        child.relation.asInstanceOf[HadoopFsRelation].partitionSchema
+          .exists(p => p.name == "day" && p.dataType == DateType) =>
+      val out = child.output
+      val dayAttr = out.find(_.name == "day").get
+      val tsAttr = out.find(a => a.name == "ts" &&
+        (a.dataType == TimestampNTZType || a.dataType == TimestampType))
+      val alreadyBounded = cond.references.contains(dayAttr)
+      tsAttr match {
+        case Some(ts) if !alreadyBounded =>
+          val (lo, hi) = tsBounds(cond, ts)
+          val derived = Seq(
+            lo.map(d => GreaterThanOrEqual(dayAttr, Literal(d, DateType)): Expression),
+            hi.map(d => LessThanOrEqual(dayAttr, Literal(d, DateType)): Expression)).flatten
+          if (derived.isEmpty) f
+          else Filter(derived.foldLeft(cond)(And(_, _)), child)
+        case _ => f
+      }
+  }
+}

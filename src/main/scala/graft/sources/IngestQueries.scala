@@ -154,7 +154,28 @@ object IngestQueries {
       .orderBy("fmt", "dday", "event_type")
   }
 
+  /** Derived partition filters (graft.plans.DerivedPartitionFilters — the
+    * Rule[LogicalPlan] leg of the extension ladder): the query bounds only
+    * raw `ts`, never mentioning the layout's `day` partition column; the
+    * injected optimizer rule derives the implied day bounds, and the scan
+    * prunes to 4/30 directories (WritePathSpec asserts pruning WITH the
+    * rule and a full listing WITHOUT it). Oracle filters the raw table —
+    * a pass proves the derived bounds are sound (supersets). */
+  val qIngestDerivedPrune: Q = (s, d) => {
+    val path = Ingest.eventsByDay(s, d)
+    org.apache.spark.sql.graft.PlanApi.addOptimization(s, graft.plans.DerivedPartitionFilters)
+    Ingest.readEventsByDay(s, path)
+      .filter(expr("ts >= TIMESTAMP_NTZ '2024-01-12 06:00:00' AND ts < TIMESTAMP_NTZ '2024-01-15 18:00:00'"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ingest_derived_prune", qIngestDerivedPrune, Some(
+      "SELECT event_type, count(*) cnt, round(sum(value), 2) sv FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-01-12 06:00:00' AND ts < TIMESTAMP '2024-01-15 18:00:00' " +
+        "GROUP BY 1 ORDER BY 1")),
     ("q_ingest_text_formats", qIngestTextFormats, Some(
       "WITH d AS (SELECT CAST(ts AS DATE) dday, event_type, CAST(count(*) AS BIGINT) cnt, round(sum(value), 2) sv " +
         "FROM events GROUP BY 1, 2) " +

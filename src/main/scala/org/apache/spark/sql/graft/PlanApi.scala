@@ -22,4 +22,26 @@ object PlanApi {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Idempotently append an optimizer rule to the session (runtime twin of
+    * `SparkSessionExtensions.injectOptimizerRule`). extraOptimizations run
+    * at the end of optimization, before physical planning — early enough
+    * for FileSourceStrategy to turn an injected partition predicate into
+    * actual directory pruning. */
+  def addOptimization(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+  }
+
+  /** Remove a previously added optimizer rule (test hook). */
+  def removeOptimization(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.experimental.extraOptimizations =
+      cs.experimental.extraOptimizations.filterNot(_ == r)
+  }
 }

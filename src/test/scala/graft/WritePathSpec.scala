@@ -239,6 +239,36 @@ class WritePathSpec extends SparkSuite {
       s"z-box scan diverged: got ${a.count()} want ${b.count()}")
   }
 
+  test("derived partition filters: ts-only bounds prune directories; without the rule they don't") {
+    import org.apache.spark.sql.graft.PlanApi
+    import graft.plans.DerivedPartitionFilters
+    val path = Ingest.eventsByDay(spark, sf0001, root)
+    def tsOnly = Ingest.readEventsByDay(spark, path)
+      .filter(expr("ts >= TIMESTAMP_NTZ '2024-01-12 06:00:00' AND ts < TIMESTAMP_NTZ '2024-01-15 18:00:00'"))
+
+    // without the rule: the ts predicate prunes nothing (all 30 dirs listed)
+    PlanApi.removeOptimization(spark, DerivedPartitionFilters)
+    val before = scanListings(tsOnly).head.partitionCount
+    assert(before == 30, s"expected a full 30-dir listing without the rule, got $before")
+
+    // with the rule: derived day bounds prune to exactly Jan-12..Jan-15
+    PlanApi.addOptimization(spark, DerivedPartitionFilters)
+    try {
+      val listing = scanListings(tsOnly).head
+      assert(listing.partitionCount == 4,
+        s"derived filters should prune to 4/30 dirs, got ${listing.partitionCount}")
+      assert(listing.toPartitionArray.forall { f =>
+        (12 to 15).exists(dd => f.filePath.toString.contains(s"day=2024-01-$dd"))
+      }, "scan read a directory outside the derived day bounds")
+      // soundness: same rows as the raw-table filter
+      val got = tsOnly.select("event_id").collect().map(_.getLong(0)).sorted
+      val want = Tables.events(spark, sf0001)
+        .filter(expr("ts >= TIMESTAMP_NTZ '2024-01-12 06:00:00' AND ts < TIMESTAMP_NTZ '2024-01-15 18:00:00'"))
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == want.toSeq, "derived filters changed the result")
+    } finally PlanApi.removeOptimization(spark, DerivedPartitionFilters)
+  }
+
   test("retention drop removes exactly the expired partition directories") {
     val path = Ingest.eventsWithRetention(spark, sf0001, "2024-01-08", root)
     val dirs = new java.io.File(path).listFiles
