@@ -408,6 +408,48 @@ class StreamParitySpec extends SparkSuite {
     }
   }
 
+  /** Fired crossings must match the batch lag-formulation at the same
+    * threshold over sealed hours (the stream may lack trailing ones). */
+  private def assertAlertsParity(dir: String, tag: String): Unit = {
+    import graft.streaming.StatefulAlerts
+    import graft.operators.Num
+    val T = 60.0 // sf0.001 hourly sums are ~40-120: genuinely crossed
+    val stream = StreamingQueries.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+    val got = StreamReplay.runToCompletion(
+      spark, StatefulAlerts.alertsStream(stream, T).toDF(), tag)
+      .select(col("event_type"),
+        expr("cast(timestamp_micros(hour_us) as timestamp_ntz)").cast("string").as("h"),
+        col("prev_sv"), col("sv"))
+      .collect()
+    assert(got.nonEmpty, "stream fired no crossings at all")
+    // batch twin at the same threshold (the catalog query pins T=400 for
+    // the sf0.01 oracle; the transform is identical)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("h")
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+      .agg(Num.roundd(sum("value"), 2).as("sv"))
+      .withColumn("prev_sv", lag("sv", 1).over(w))
+      .filter(col("sv") > T && col("prev_sv") <= T)
+      .select(col("event_type"), col("h").cast("string").as("h"), col("prev_sv"), col("sv"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val (bp, bs) = batch.getOrElse(k, fail(s"stream fired a crossing batch lacks: $k"))
+      assert(math.abs(r.getDouble(2) - bp) <= 0.01 && math.abs(r.getDouble(3) - bs) <= 0.01,
+        s"$k: stream (${r.getDouble(2)}, ${r.getDouble(3)}) vs batch ($bp, $bs)")
+    }
+  }
+
+  test("stateful alerts: fired crossings equal the batch lag-form on sealed hours") {
+    assertAlertsParity(replayDir, "t_alerts")
+  }
+
+  test("stateful alerts under out-of-order replay: sealed sums are replay-order independent") {
+    assertAlertsParity(StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4), "t_alerts_ooo")
+  }
+
   test("dedup-within-watermark: unique event_ids all pass through") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.dedupStream(spark, replayDir), "t_dedup")
