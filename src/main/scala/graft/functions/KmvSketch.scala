@@ -64,6 +64,11 @@ final class KmvSketch(k0: Int) extends Serializable {
   }
 
   def mergeFrom(o: KmvSketch): Unit = {
+    // Mixed-capacity merges would silently bias the estimate (a larger-k
+    // sketch's tail is not the k-smallest at the smaller k) — fail loudly,
+    // mirroring intersectEstimate's capacity check.
+    require(k <= 0 || o.k <= 0 || k == o.k,
+      s"graft_kmv merge of mixed capacities: $k vs ${o.k}")
     if (k <= 0) k = o.k
     o.values.foreach(add)
   }

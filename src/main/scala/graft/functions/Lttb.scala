@@ -61,7 +61,7 @@ case class Lttb(left: Expression, right: Expression)
       i += 1
     }
     val keep: Array[Int] =
-      if (nOut >= n) Array.range(0, n)
+      if (n <= 1 || nOut >= n) Array.range(0, n)
       else if (nOut <= 2 || n < 3) Array(0, n - 1)
       else {
         val nb = nOut - 2

@@ -25,20 +25,68 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   *
   * At 100 TB this is the difference between "the dashboard's ts-range
   * query scans the year" and "it scans the week", with no query change.
-  * Guards: fires only when the relation is partitioned by a DateType
-  * `day`, the condition does not already mention `day` (idempotent under
-  * the optimizer's fixed-point loop), and the ts bounds are foldable
-  * literals.
+  * Guards: fires only when the relation's root paths are all covered by
+  * the `spark.graft.dayFromTs.paths` marker (set by the layout writer —
+  * the one component that actually guarantees `day = to_date(ts)`; a
+  * processing-date-partitioned table never gets marked, so it is never
+  * mis-pruned), the relation is partitioned by a DateType `day`, the
+  * condition does not already mention `day` (idempotent under the
+  * optimizer's fixed-point loop), and the ts bounds are foldable
+  * literals. TIMESTAMP literals convert to day bounds in the session
+  * timezone (matching what `to_date(ts)` did at write time);
+  * TIMESTAMP_NTZ is wall-clock and converts zone-free.
   */
 object DerivedPartitionFilters extends Rule[LogicalPlan] {
+
+  /** Conf key: comma-separated path prefixes of layouts whose `day`
+    * partition column is derived as `to_date(ts)`. Empty (default) makes
+    * the rule inert; `*` opts in every day-partitioned relation. */
+  val PathsKey = "spark.graft.dayFromTs.paths"
+
+  /** Record that the layout rooted at `path` satisfies day == to_date(ts).
+    * Called by the writer (graft.sources.Ingest) right after materializing
+    * the layout. */
+  def registerPath(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val cur = spark.conf.getOption(PathsKey).getOrElse("")
+      .split(',').filter(_.nonEmpty).toSet
+    spark.conf.set(PathsKey, (cur + normalize(path)).mkString(","))
+  }
+
+  private def normalize(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    if (u == null || u.isEmpty) p else u
+  }
+
+  /** Every root path of the relation is covered by the marker. */
+  private def marked(rel: HadoopFsRelation): Boolean = {
+    val raw = conf.getConfString(PathsKey, "")
+    if (raw.isEmpty) false
+    else if (raw.trim == "*") true
+    else {
+      val prefixes = raw.split(',').filter(_.nonEmpty)
+      val roots = rel.location.rootPaths
+      roots.nonEmpty && roots.forall { rp =>
+        val p = normalize(rp.toString)
+        prefixes.exists(pre => p == pre || p.startsWith(pre + "/"))
+      }
+    }
+  }
 
   private val usPerDay = 86400L * 1000000
 
   /** (lower, upper) epoch-day bounds implied by ts-literal conjuncts. */
   private def tsBounds(cond: Expression, ts: Attribute): (Option[Int], Option[Int]) = {
     def epochDay(lit: Literal): Option[Int] = lit.dataType match {
-      case TimestampNTZType | TimestampType =>
+      case TimestampNTZType =>
+        // wall-clock micros, zone-free by definition
         Some(Math.floorDiv(lit.value.asInstanceOf[Long], usPerDay).toInt)
+      case TimestampType =>
+        // instant micros: the day it falls on depends on the session zone,
+        // which is also what to_date(ts) used at write time
+        val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
+        val inst = java.time.Instant.EPOCH.plus(
+          lit.value.asInstanceOf[Long], java.time.temporal.ChronoUnit.MICROS)
+        Some(inst.atZone(zone).toLocalDate.toEpochDay.toInt)
       case _ => None
     }
     def walk(e: Expression): (Option[Int], Option[Int]) = e match {
@@ -62,7 +110,8 @@ object DerivedPartitionFilters extends Rule[LogicalPlan] {
     case f @ Filter(cond, child: LogicalRelation)
       if child.relation.isInstanceOf[HadoopFsRelation] &&
         child.relation.asInstanceOf[HadoopFsRelation].partitionSchema
-          .exists(p => p.name == "day" && p.dataType == DateType) =>
+          .exists(p => p.name == "day" && p.dataType == DateType) &&
+        marked(child.relation.asInstanceOf[HadoopFsRelation]) =>
       val out = child.output
       val dayAttr = out.find(_.name == "day").get
       val tsAttr = out.find(a => a.name == "ts" &&

@@ -58,12 +58,17 @@ object Ingest {
 
   /** Materialize (once per JVM) the by-day layout for a scale dir; returns
     * the dataset path. */
-  def eventsByDay(spark: SparkSession, sfDir: String, root: String = defaultRoot): String =
-    materialized.getOrElseUpdate(s"events_by_day:$sfDir:$root", {
-      val p = s"$root/${slug(sfDir)}/events_by_day"
-      writeEventsByDay(Tables.events(spark, sfDir), p)
-      p
+  def eventsByDay(spark: SparkSession, sfDir: String, root: String = defaultRoot): String = {
+    val p = materialized.getOrElseUpdate(s"events_by_day:$sfDir:$root", {
+      val path = s"$root/${slug(sfDir)}/events_by_day"
+      writeEventsByDay(Tables.events(spark, sfDir), path)
+      path
     })
+    // The writer guarantees day == to_date(ts) for this layout; mark it so
+    // DerivedPartitionFilters may derive day bounds from ts predicates.
+    graft.plans.DerivedPartitionFilters.registerPath(spark, p)
+    p
+  }
 
   /** Read the by-day layout. `day` comes back as a DATE partition column;
     * filters on it prune directories at planning time. */
