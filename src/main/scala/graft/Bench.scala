@@ -74,14 +74,16 @@ object Bench {
     // box's documented ±25% single-sample noise. Min-of-2 bounds one-off
     // stalls; steady-state regressions still show in both passes.
     // Methodology change recorded in BASELINE.md (r6).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val timed = SparkEntry.queries.map { case (name, fn) =>
       val times = Seq.fill(2) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
+    val results = timed.map { case (name, ts) => name -> ts.min }
+    val passTotals = Seq(0, 1).map(i => timed.values.map(_(i)).sum)
     // Line-length budget: the driver keeps only a 2000-char output tail and
     // the trailing sbt "[success]" line (~70 chars) shares it. Full-precision
     // doubles overflowed the tail in r01/r02 → parsed:null. At ~89 queries,
@@ -140,10 +142,38 @@ object Bench {
       case 3 => if (rank(k) < 24) 1 else 0
       case _ => 0
     }
+    // VERDICT r6 "what's wrong" #2/#3: the squeezed driver tail hid a 3×
+    // per-query regression and made a contention-polluted driver run (59.3 s
+    // recorded vs 34 s reproducible) undiagnosable. Two fixes:
+    //  (a) full-precision per-query times for BOTH passes go to a repo file
+    //      (BENCH_LOCAL_r{N}.json, committed every round) — the permanent
+    //      regression axis lives there, immune to the tail budget;
+    //  (b) the driver line carries both pass totals ("p1"/"p2") — a one-off
+    //      stall inflates exactly one pass, a real regression inflates both,
+    //      so contention is diagnosable from the driver record alone.
+    val round = {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val seen = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
+        .collect { case re(n) => n.toInt }
+      sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+        .getOrElse(if (seen.isEmpty) 0 else seen.max + 1)
+    }
+    val localArtifact = {
+      val qs = timed.toSeq.sortBy(_._1).map { case (k, ts) =>
+        f""""$k":{"p1":${ts.head}%.6f,"p2":${ts(1)}%.6f,"min":${ts.min}%.6f}"""
+      }.mkString("{\n  ", ",\n  ", "\n}")
+      f"""{"round":$round,"sf":"$sfTag","pass1_total":${passTotals.head}%.4f,"pass2_total":${passTotals(1)}%.4f,"min_total":$total%.4f,
+"queries":$qs}
+"""
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json"),
+      localArtifact.getBytes("UTF-8"))
+    catch { case _: Throwable => () } // read-only cwd must not kill the bench
     def line(tier: Int): String = {
       val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(decFor(tier, k, v))(v) }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","p1":${passTotals.head}%.1f,"p2":${passTotals(1)}%.1f,"queries":$qs,"sf":"$sfTag"}"""
     }
     // Self-fitting: the driver keeps a 2000-char output tail and the line's
     // trailing newline shares it, so the line must stay ≤ 1999 chars
