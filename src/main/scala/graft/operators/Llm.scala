@@ -60,6 +60,20 @@ object Llm {
       .filter(col("n") > 1)
       .orderBy("h")
 
+  /** VERDICT r6 "what's wrong" #1: q_dedup_exact's HAVING n>1 is empty at
+    * the driver's sf0.01 gate (the synthetic dup groups only appear at
+    * sf0.1), so the operator passed on an empty compare. This variant keeps
+    * the same hash-groupBy plan shape but reports the first 100 groups with
+    * n>=1 — non-empty at every SF, so the gate exercises real values. The
+    * orderBy+limit compiles to TakeOrderedAndProject (per-partition heaps),
+    * not a global sort. */
+  val qDedupGroups: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .orderBy("h")
+      .limit(100)
+
   val qTextTokens: Q = (s, d) =>
     Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -116,6 +130,8 @@ object Llm {
   val all: Seq[(String, Q, String)] = Seq(
     ("q_dedup_exact", qDedupExact,
       "SELECT md5(text) h, min(doc_id) keep_id, count(*) n FROM documents GROUP BY 1 HAVING count(*)>1 ORDER BY h"),
+    ("q_dedup_groups", qDedupGroups,
+      "SELECT md5(text) h, min(doc_id) keep_id, count(*) n FROM documents GROUP BY 1 ORDER BY h LIMIT 100"),
     ("q_text_tokens", qTextTokens,
       "SELECT w, count(*) cnt FROM (SELECT unnest(string_split(text,' ')) w FROM documents) WHERE w<>'' GROUP BY w ORDER BY cnt DESC, w LIMIT 50"),
     ("q_text_lang", qTextLang,

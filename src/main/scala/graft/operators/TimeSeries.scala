@@ -249,6 +249,32 @@ object TimeSeries {
       .drop("event_id")
   }
 
+  /** Counter-reset-aware rate (PromQL reset detection, VERDICT r6 missing
+    * #1): a monitored counter only goes up; an observed drop means the
+    * process restarted and the counter rebuilt from 0, so the adjusted
+    * delta is the NEW value (everything since the reset), not the negative
+    * difference. q_ts_rate (plain Δ — gauge semantics) stays unchanged;
+    * this is the counter tier. Same one-shuffle window plan shape. */
+  val qTsRateResets: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_v", lag("value", 1).over(w))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("adj",
+        when(col("prev_v").isNull, lit(null))
+          .when(col("value") >= col("prev_v"), col("value") - col("prev_v"))
+          .otherwise(col("value")))
+      .select(
+        col("user_id"), col("ts"), col("event_id"),
+        Num.roundd(
+          col("adj") /
+            (expr("unix_micros(cast(ts as timestamp)) - unix_micros(cast(prev_ts as timestamp))") / lit(1000000.0)),
+          6).as("rate"))
+      .orderBy("user_id", "ts", "event_id")
+      .limit(5000)
+      .drop("event_id")
+  }
+
   /** Counter-reset-aware increase (PromQL `increase` semantics): per
     * (user, day), sum only the positive deltas — a reset to a lower value
     * contributes nothing instead of a negative spike. */
@@ -640,6 +666,12 @@ object TimeSeries {
         "FROM p ORDER BY h"),
     ("q_ts_rate", qTsRate,
       "SELECT user_id, ts, round((value - lag(value) OVER w) / (CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) / 1000000.0), 6) rate FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY user_id, ts, event_id LIMIT 5000"),
+    ("q_ts_rate_resets", qTsRateResets,
+      "SELECT user_id, ts, round((CASE WHEN lag(value) OVER w IS NULL THEN NULL " +
+        "WHEN value >= lag(value) OVER w THEN value - lag(value) OVER w ELSE value END) / " +
+        "(CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) / 1000000.0), 6) rate " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, ts, event_id LIMIT 5000"),
     ("q_ts_increase", qTsIncrease,
       "WITH dl AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) d, value - lag(value) OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE) ORDER BY ts, event_id) delta FROM events) SELECT user_id, d, round(sum(CASE WHEN delta > 0 THEN delta ELSE 0.0 END), 2) inc FROM dl GROUP BY user_id, d ORDER BY user_id, d"),
     ("q_ts_moving_avg", qTsMovingAvg,
