@@ -171,7 +171,29 @@ object IngestQueries {
       .orderBy("event_type")
   }
 
+  /** Row-level GDPR delete round-trip (Ingest.deleteRows): documents AND
+    * embeddings corpora lose gdprIds via bloom-indexed copy-on-write file
+    * rewrite, then each corpus is checksummed (count + id-sum). The oracle
+    * anti-filters the RAW tables — a pass proves the delete removed
+    * exactly the requested rows and damaged nothing else. File-level
+    * behavior (untouched files keep their bytes, index stays consistent,
+    * idempotence) is asserted in WritePathSpec. */
+  val qDocsDelete: Q = (s, d) => {
+    val (pd, pe) = Ingest.gdprDeleted(s, d)
+    def part(path: String, tag: String, idCol: String) =
+      s.read.parquet(path)
+        .agg(count(lit(1)).as("n"), sum(idCol).as("id_sum"))
+        .select(lit(tag).as("part"), col("n"), col("id_sum"))
+    part(pd, "docs", "doc_id")
+      .unionByName(part(pe, "emb", "vec_id"))
+      .orderBy("part")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_docs_delete", qDocsDelete, Some(
+      "SELECT 'docs' part, count(*) n, CAST(sum(doc_id) AS BIGINT) id_sum FROM documents WHERE doc_id NOT IN (7,13,101,256) " +
+        "UNION ALL SELECT 'emb' part, count(*) n, CAST(sum(vec_id) AS BIGINT) id_sum FROM embeddings WHERE vec_id NOT IN (7,13,101,256) " +
+        "ORDER BY part")),
     ("q_ingest_derived_prune", qIngestDerivedPrune, Some(
       "SELECT event_type, count(*) cnt, round(sum(value), 2) sv FROM events " +
         "WHERE ts >= TIMESTAMP '2024-01-12 06:00:00' AND ts < TIMESTAMP '2024-01-15 18:00:00' " +

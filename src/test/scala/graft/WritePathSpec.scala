@@ -343,4 +343,56 @@ class WritePathSpec extends SparkSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq,
       s"bloom-pruned lookup diverged: got ${got.length} want ${want.length}")
   }
+
+  test("row-level delete: copy-on-write rewrites only affected files, index stays consistent") {
+    val path = s"$root/gdpr_docs_unit"
+    Ingest.writeCorpusWithIndex(Tables.documents(spark, sf0001), "doc_id", path, nFiles = 8)
+    val dir = new java.io.File(path)
+    def parts = dir.listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.lastModified, f.length)).toMap
+    val before = parts
+    val rowsBefore = spark.read.parquet(path).count()
+    val ids = Seq(7L, 13L, 101L)
+
+    val stats = Ingest.deleteRows(spark, path, "doc_id", ids)
+    assert(stats.rowsDeleted == ids.length, s"deleted ${stats.rowsDeleted}, want ${ids.length}")
+    assert(stats.filesTotal == 8)
+    // 3 ids hash into at most 3 files; the rest of the corpus must not be touched
+    assert(stats.filesRewritten >= 1 && stats.filesRewritten <= ids.length,
+      s"rewrote ${stats.filesRewritten} files for ${ids.length} ids")
+    val after = parts
+    val survivors = before.keySet intersect after.keySet
+    assert(survivors.size == stats.filesTotal - stats.filesRewritten,
+      s"${survivors.size} surviving files vs ${stats.filesTotal - stats.filesRewritten} expected")
+    survivors.foreach(n => assert(before(n) == after(n), s"untouched file $n was rewritten"))
+
+    // exactly the requested rows are gone
+    val post = spark.read.parquet(path)
+    assert(post.count() == rowsBefore - ids.length)
+    assert(post.filter(col("doc_id").isin(ids: _*)).count() == 0)
+
+    // idempotent: the maintained index no longer reports the deleted ids
+    val again = Ingest.deleteRows(spark, path, "doc_id", ids)
+    assert(again.rowsDeleted == 0, "second delete of the same ids removed rows")
+
+    // the maintained index covers exactly the current file set
+    val idxFiles = spark.read.parquet(path + "_bloomidx")
+      .select("file").collect().map(_.getString(0)).toSet
+    val curFiles = spark.read.parquet(path)
+      .select(col("_metadata.file_path")).distinct().collect().map(_.getString(0)).toSet
+    assert(idxFiles == curFiles, "bloom index out of sync with the corpus files")
+
+    // catalog fixture: post-delete corpora ≡ anti-join on the raw tables
+    val (pd, pe) = Ingest.gdprDeleted(spark, sf0001, root)
+    val gotDocs = spark.read.parquet(pd).select("doc_id").collect().map(_.getLong(0)).sorted
+    val wantDocs = Tables.documents(spark, sf0001)
+      .filter(!col("doc_id").isin(Ingest.gdprIds: _*))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(gotDocs.toSeq == wantDocs.toSeq, "docs corpus after delete != anti-join")
+    val gotEmb = spark.read.parquet(pe).select("vec_id").collect().map(_.getLong(0)).sorted
+    val wantEmb = Tables.embeddings(spark, sf0001)
+      .filter(!col("vec_id").isin(Ingest.gdprIds: _*))
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(gotEmb.toSeq == wantEmb.toSeq, "embeddings corpus after delete != anti-join")
+  }
 }
