@@ -463,4 +463,47 @@ class StreamParitySpec extends SparkSuite {
       .join(Tables.customer(spark, sf0001), col("user_id") === col("c_custkey")).count()
     assert(got.count() == batchCnt)
   }
+
+  test("streaming ingest: kill mid-stream, resume from checkpoint, layout ≡ batch") {
+    import graft.streaming.StreamIngest
+    val feed = StreamReplay.rewriteOrdered(spark, sf0001, 12)
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_stream_").toString
+    val out = s"$base/events_by_day"
+    val ckpt = s"$base/checkpoint"
+
+    // phase 1: start ingesting one feed file per microbatch, kill after a few
+    val q1 = StreamIngest.ingestByDay(spark, feed, out, ckpt)
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (q1.isActive && q1.recentProgress.length < 3 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    q1.awaitTermination()
+    val committedAfterKill = spark.read.parquet(out).count()
+    val total = Tables.events(spark, sf0001).count()
+    assert(committedAfterKill > 0, "nothing committed before the kill")
+    assert(committedAfterKill < total,
+      s"stream drained fully before the kill ($committedAfterKill/$total) — resume not exercised")
+
+    // phase 2: restart from the SAME checkpoint; AvailableNow drains the rest
+    val q2 = StreamIngest.ingestByDay(spark, feed, out, ckpt)
+    q2.awaitTermination()
+
+    // exactly-once: no duplicates, no gaps — the sink (read through its
+    // _spark_metadata log) holds each event exactly once
+    val sink = spark.read.parquet(out)
+    assert(sink.count() == total, s"resumed sink has ${sink.count()} rows, want $total")
+    assert(sink.select("event_id").distinct().count() == total, "duplicate events after resume")
+
+    // layout ≡ batch: same day partitioning, same rows verbatim
+    val batch = Tables.events(spark, sf0001)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+        col("event_type"), col("value"), col("day"))
+    val streamed = sink.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("day"))
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "streamed by-day layout differs from the batch layout")
+    val dayDirs = new java.io.File(out).listFiles.count(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(dayDirs == 30, s"expected 30 day= directories, got $dayDirs")
+  }
 }
