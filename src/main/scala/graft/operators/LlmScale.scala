@@ -490,6 +490,20 @@ object LlmScale {
       .orderBy("doc_id")
       .limit(1000)
 
+  /** REAL image decode round-trip (clears the r6 `weak` mark): generate a
+    * deterministic PNG/BMP corpus in the executors, decode the actual
+    * bytes with the JDK's javax.imageio codecs, and report the MEASURED
+    * dimensions. The oracle recomputes the generator's dimension
+    * arithmetic — a pass proves a real codec parsed real image bytes and
+    * measured what the generator drew, for two container formats. */
+  val qMultimodalDecode: Q = (s, d) =>
+    Multimodal.decodeFeatures(
+        Multimodal.syntheticImages(s, d), Multimodal.ImageIoDecoder,
+        decodeParallelism = 32)
+      .toDF()
+      .select(col("id"), col("kind"), col("width"), col("height"), col("frames"))
+      .orderBy("id")
+
   /** Frame-sample plumbing as a catalog query: every 2nd frame index of
     * each (stub-decoded) media row with a per-frame fingerprint. Same
     * explode-then-process shape a real video pipeline needs so one long
@@ -687,6 +701,10 @@ object LlmScale {
         "p AS (SELECT doc_id, w, h, round(224.0 / greatest(w, h), 6) scale FROM m WHERE w > 0 AND h > 0) " +
         "SELECT doc_id, w, h, scale, CAST(round(w * scale, 0) AS BIGINT) rw, CAST(round(h * scale, 0) AS BIGINT) rh, " +
         "scale < 1.0 shrinks FROM p ORDER BY doc_id LIMIT 1000")),
+    ("q_multimodal_decode", qMultimodalDecode, Some(
+      "SELECT doc_id id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END kind, " +
+        "CAST(16 + doc_id % 32 AS INTEGER) width, CAST(16 + doc_id % 24 AS INTEGER) height, " +
+        "1 frames FROM documents ORDER BY doc_id")),
     ("q_multimodal_framesample", qMultimodalFramesample, Some(
       "WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) % 16 + 1 frames, sha256(text) sha FROM documents), " +
         "u AS (SELECT doc_id, sha, unnest(range(0, frames, 2)) f FROM m) " +

@@ -6,9 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * This container has no media codecs, so the decode kernel is STUBBED
-  * (`StubDecoder` — deterministic features derived from the bytes). The
-  * Spark-side plumbing is real and is the part that matters at scale:
+  * The IMAGE decode path is REAL: `ImageIoDecoder` decodes actual image
+  * bytes with the JDK's built-in `javax.imageio` codecs (PNG/BMP/GIF/JPEG
+  * ship with every JVM — no external library), and `syntheticImages`
+  * generates a deterministic PNG/BMP corpus so the encode→decode
+  * round-trip is exercised end-to-end (oracle-gated: q_multimodal_decode
+  * checks the MEASURED dimensions against the generator's arithmetic).
+  * Formats the JVM lacks (video containers, audio) still go through
+  * `StubDecoder` — deterministic features derived from the bytes. The
+  * Spark-side plumbing is shared and is the part that matters at scale:
   *  - the schema contract (binary payload + metadata struct),
   *  - `mapPartitions` batch shape (one decoder instance per partition, the
   *    same shape a Pandas-UDF/`mapInPandas` kernel has in PySpark: the
@@ -40,6 +46,66 @@ object Multimodal {
         .digest(r.payload).map("%02x".format(_)).mkString
       MediaFeatures(r.id, r.kind, n.toLong, sha, n % 640, n % 480, n % 16 + 1)
     }
+  }
+
+  /** REAL image decoder on the JDK's `javax.imageio` codecs: measures
+    * width/height from the decoded raster. Bytes that no installed codec
+    * accepts (video/audio/corrupt) fall back to the deterministic stub —
+    * per row, so one mixed-media partition needs no format dispatch
+    * upstream. One instance per partition via `decodeFeatures`, matching
+    * the expensive-init contract real codec pools have. */
+  object ImageIoDecoder extends Decoder {
+    def decode(r: MediaRow): MediaFeatures = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Throwable => null }
+      if (img == null) StubDecoder.decode(r)
+      else {
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.id, r.kind, r.payload.length.toLong, sha,
+          img.getWidth, img.getHeight, 1)
+      }
+    }
+  }
+
+  /** Generator contract for the synthetic image corpus: dimensions are a
+    * pure function of the id, so an oracle can predict what the decoder
+    * must measure. */
+  def imageDims(id: Long): (Int, Int) = ((16 + id % 32).toInt, (16 + id % 24).toInt)
+
+  /** Deterministic real image bytes: a `imageDims(id)`-sized RGB raster
+    * with an id-seeded pixel pattern, encoded by the JDK's own PNG or BMP
+    * writer. */
+  def encodeImage(id: Long, fmt: String): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id * 2654435761L) + x * 31 + y * 17).toInt & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic real-image corpus keyed by the documents table: even ids
+    * encode as PNG, odd as BMP — two distinct container formats through
+    * the same decode path. Generated inside the executors (mapPartitions
+    * shape), never collected. */
+  def syntheticImages(s: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.documents(s, sfDir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        MediaRow(id, fmt, encodeImage(id, fmt))
+      }
   }
 
   /** The batch decode stage: partition-parallel, decoder instantiated once

@@ -90,6 +90,55 @@ class PropertySpec extends SparkSuite {
     assert(viaKernel.except(viaQuery).count() == 0)
   }
 
+  test("multimodal real decode: javax.imageio measures the generated dimensions for PNG and BMP") {
+    // the codec really parses the bytes: direct ImageIO round-trip
+    for (id <- Seq(0L, 7L, 31L); fmt <- Seq("png", "bmp")) {
+      val bytes = Multimodal.encodeImage(id, fmt)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK codec failed to decode $fmt bytes")
+      val (w, h) = Multimodal.imageDims(id)
+      assert(img.getWidth == w && img.getHeight == h,
+        s"$fmt id=$id decoded ${img.getWidth}x${img.getHeight}, generated ${w}x$h")
+    }
+    // the distributed path reports measured (not stub) dimensions for all rows
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.syntheticImages(spark, sf0001), Multimodal.ImageIoDecoder, 8)
+      .collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      val (w, h) = Multimodal.imageDims(f.id)
+      assert(f.width == w && f.height == h && f.frames == 1,
+        s"id=${f.id} (${f.kind}): measured ${f.width}x${f.height}, want ${w}x$h")
+    }
+    // corrupt bytes fall back to the stub instead of failing the partition
+    val junk = Multimodal.ImageIoDecoder.decode(
+      Multimodal.MediaRow(1L, "mp4", Array.fill[Byte](64)(42)))
+    assert(junk.byteLen == 64 && junk.frames == (64 % 16 + 1))
+  }
+
+  test("star-contraction CC: equals label propagation on random graphs, survives high-diameter paths") {
+    import spark.implicits._
+    // a 120-node path: diameter 119 ≫ label propagation's default 20 rounds
+    val path = (0L until 119L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] { Dedup.connectedComponents(path).collect() }
+    val lbls = Dedup.connectedComponentsStar(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lbls.length == 120 && lbls.forall(_._2 == 0L),
+      "path graph must collapse to one component rooted at 0")
+    // random graphs (fixed seed): star ≡ propagation on the same edges
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val a = Dedup.connectedComponentsStar(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Dedup.connectedComponents(edges, maxIters = 200).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"trial $trial: star labels differ from propagation")
+    }
+  }
+
   test("token counts: bpe estimate bounded by [ws_tokens, n_chars]") {
     val out = TextAnalysis.tokenCounts(Tables.documents(spark, sf0001), "text")
     assert(out.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
