@@ -285,6 +285,47 @@ class OperatorSpec extends SparkSuite {
     assert(codes.select(size(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
   }
 
+  test("ANN recall floors at fixture scale match the committed ANN_RECALL.md sweep") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val topk = 10
+    val probeIds = 0L until 20L
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    val truths = probeIds.map(p =>
+      p -> ids(Similarity.bruteTopK(emb, "vec_id", "embedding", p, topk)).toSet).toMap
+    def recall(p: Long, got: Seq[Long]): Double =
+      truths(p).intersect(got.toSet).size.toDouble / topk
+    def avg(f: Long => Double): Double = probeIds.map(f).sum / probeIds.size
+
+    // IVF(16): sweep measured 0.680 / 0.760 / 0.815 / 0.915 for nProbe
+    // 1/2/4/8 — floors leave margin for partial-agg float jitter in the
+    // k-means build, monotonicity must hold regardless
+    val ivf = Seq(1, 2, 4, 8).map(np => avg(p => recall(p,
+      ids(Similarity.ivfTopK(emb, "vec_id", "embedding", p, topk, k = 16, nProbe = np)))))
+    assert(ivf(0) >= 0.60 && ivf(1) >= 0.70 && ivf(2) >= 0.75 && ivf(3) >= 0.85,
+      s"IVF recall fell below the sweep floors: $ivf")
+    assert(ivf == ivf.sorted, s"IVF recall must be monotone in nProbe: $ivf")
+
+    // PQ: sweep measured 0.880 (rerank=100) / 0.955 (rerank=200)
+    val pq = Seq(100, 200).map(rr => avg(p => recall(p,
+      ids(Similarity.pqTopK(emb, "vec_id", "embedding", p, topk, rerank = rr)))))
+    assert(pq(0) >= 0.80 && pq(1) >= 0.90, s"PQ recall fell below the sweep floors: $pq")
+    assert(pq(0) <= pq(1), s"PQ recall must be monotone in rerank: $pq")
+
+    // LSH nPlanes=4: multiprobe (0.460 measured) must beat single-bucket
+    // (0.125 measured) by the multiprobe factor, floor 0.40
+    val single = avg(p => recall(p,
+      ids(Similarity.annTopK(emb, "vec_id", "embedding", p, topk, nPlanes = 4))))
+    val path = graft.sources.Ingest.embeddingsByBucket(spark, sf0001, nPlanes = 4)
+    val probes = emb.filter(col("vec_id") < 20).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).sortBy(_._1).toSeq
+    val mp = graft.sources.Ingest.annBatchPruned(spark, path, probes, topk, nPlanes = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSeq).toMap
+    val multi = avg(p => recall(p, mp.getOrElse(p, Seq.empty)))
+    assert(multi >= 0.40, s"multiprobe LSH recall $multi below the sweep floor")
+    assert(multi >= 3 * single, s"multiprobe ($multi) must dominate single-bucket ($single)")
+  }
+
   test("IVF index: assignment is codegen expression (no UDF), build is memoized") {
     val emb = Tables.embeddings(spark, sf0001)
     val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 4, iters = 1)
