@@ -288,6 +288,79 @@ object TimeSeries {
       .orderBy("user_id", "d")
   }
 
+  /** PromQL `changes()`: number of times a series' value changed within
+    * each (user, day). One shuffle on the window key; the aggregate rides
+    * the same sorted partition. First event of a day is not a change. */
+  val qTsChanges: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "dd").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("dd", date_trunc("day", col("ts")).cast("date"))
+      .withColumn("chg",
+        when(col("value") =!= lag("value", 1).over(w), 1L).otherwise(0L))
+      .groupBy("user_id", "dd")
+      .agg(sum("chg").as("changes"), count(lit(1)).as("n"))
+      .orderBy("user_id", "dd")
+  }
+
+  /** PromQL `irate()`: instantaneous rate from the LAST TWO samples of
+    * each (user, day), with counter-reset handling (drop ⇒ adjusted Δ =
+    * new value). Both window passes share one partition key ⇒ one
+    * shuffle; days with a single event yield no row (no pair exists). */
+  val qTsIrate: Q = (s, d) => {
+    val wAsc = Window.partitionBy("user_id", "dd").orderBy("ts", "event_id")
+    val wDesc = Window.partitionBy("user_id", "dd")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("dd", date_trunc("day", col("ts")).cast("date"))
+      .withColumn("prev_v", lag("value", 1).over(wAsc))
+      .withColumn("prev_ts", lag("ts", 1).over(wAsc))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1 && col("prev_ts").isNotNull)
+      .withColumn("adj",
+        when(col("value") >= col("prev_v"), col("value") - col("prev_v"))
+          .otherwise(col("value")))
+      .select(col("user_id"), col("dd"),
+        Num.roundd(
+          col("adj") /
+            (expr("unix_micros(cast(ts as timestamp)) - unix_micros(cast(prev_ts as timestamp))") / lit(1000000.0)),
+          6).as("irate"))
+      .orderBy("user_id", "dd")
+  }
+
+  /** Heatmap source: 2-D histogram over (hour-of-day, value decile-of-100)
+    * — the classic TSDB dashboard panel, one hash aggregate. */
+  val qTsHeatmap: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        hour(col("ts")).cast("long").as("hod"),
+        (floor(col("value") / 10) * 10).cast("long").as("vbucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("hod", "vbucket")
+
+  /** PromQL `deriv()`: least-squares slope of value over time per
+    * (event_type, day). Time is seconds-within-day (bounded ⇒ no
+    * catastrophic cancellation on epoch-scale abscissae); the four moment
+    * sums are pre-rounded (§2.0.2 recipe) so both engines run the closed
+    * formula on identical inputs. One hash aggregate, no window. */
+  val qTsDeriv: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("dd", date_trunc("day", col("ts")).cast("date"))
+      .withColumn("tt",
+        (expr("unix_micros(cast(ts as timestamp))") % lit(86400L * 1000000L)) / lit(1000000.0))
+      .groupBy("event_type", "dd")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.roundd(sum("tt"), 4).as("st"),
+        Num.roundd(sum("value"), 4).as("sv"),
+        Num.roundd(sum(col("tt") * col("value")), 4).as("stv"),
+        Num.roundd(sum(col("tt") * col("tt")), 4).as("stt"))
+      .select(col("event_type"), col("dd"),
+        Num.roundd(
+          (col("n") * col("stv") - col("st") * col("sv")) /
+            (col("n") * col("stt") - col("st") * col("st")),
+          8).as("slope"))
+      .orderBy("event_type", "dd")
+
   /** Trailing 3-hour moving average of hourly sums per series, as a RANGE
     * frame over epoch-seconds (hours with no data do NOT occupy frame
     * slots — a range frame, not a rows frame). */
@@ -627,6 +700,54 @@ object TimeSeries {
         col("p.v").as(valCol))
   }
 
+  /** Chunked LTTB — the scale path for LONG series (r6 audit: the plain
+    * variant aggregates a whole series into one row, fine for dashboard
+    * series, wrong for a year of 1 Hz data). Two-level selection:
+    *
+    *  1. split each series into `chunks` equal TIME ranges and LTTB each
+    *     chunk to ~2·nOut/chunks points — chunk rows hold seriesLen/chunks
+    *     points, so per-row state is user-bounded and chunks parallelize
+    *     across the cluster;
+    *  2. LTTB the concatenated per-chunk selections (≈ 2·nOut points per
+    *     series, bounded by nOut — NOT by series length) down to nOut.
+    *
+    * Exact LTTB is inherently sequential (each bucket's pick depends on
+    * the previous pick), so the two-level form is an approximation — the
+    * standard one (chunked/parallel LTTB in downsampling practice): chunk
+    * boundaries pin first/last of every chunk, and the 2× oversample
+    * gives the final pass the real candidates. chunks=1 degenerates to
+    * the exact algorithm (asserted in FunctionsSpec). */
+  def lttbDownsampleChunked(df: DataFrame, seriesCol: String, tsCol: String,
+                            valCol: String, nOut: Int, chunks: Int): DataFrame = {
+    require(chunks >= 1, s"lttbDownsampleChunked: chunks must be >= 1, got $chunks")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // chunks=1: select exactly nOut in level 1 so level 2 is the identity
+    // (lttb with nOut >= n returns the input) — the exact algorithm
+    val perChunk =
+      if (chunks == 1) nOut else math.max(3, math.ceil(2.0 * nOut / chunks).toInt)
+    val w = Window.partitionBy(seriesCol)
+    val pts = df.select(col(seriesCol),
+        expr(s"unix_micros(cast($tsCol as timestamp))").as("t"),
+        col(valCol).cast("double").as("v"))
+      .withColumn("__mn", min("t").over(w))
+      .withColumn("__mx", max("t").over(w))
+      .withColumn("__chunk", least(lit(chunks - 1),
+        floor((col("t") - col("__mn")) * chunks / (col("__mx") - col("__mn") + 1)).cast("int")))
+    pts.groupBy(col(seriesCol), col("__chunk"))
+      .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("pts"))
+      .select(col(seriesCol), col("__chunk"),
+        expr(s"graft_lttb(pts, $perChunk)").as("sel"))
+      .groupBy(seriesCol)
+      // flatten in chunk order: chunk selections are time-sorted within and
+      // chunk ranges are disjoint ascending, so the concatenation is sorted
+      .agg(flatten(array_sort(collect_list(struct(col("__chunk"), col("sel"))))
+        .getField("sel")).as("flat"))
+      .select(col(seriesCol), explode(expr(s"graft_lttb(flat, $nOut)")).as("p"))
+      .select(col(seriesCol),
+        expr("cast(timestamp_micros(p.t) as timestamp_ntz)").as(tsCol),
+        col("p.v").as(valCol))
+  }
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
@@ -672,6 +793,31 @@ object TimeSeries {
         "(CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) / 1000000.0), 6) rate " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
         "ORDER BY user_id, ts, event_id LIMIT 5000"),
+    ("q_ts_changes", qTsChanges,
+      "WITH m AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) dd, " +
+        "CASE WHEN value <> lag(value) OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE) ORDER BY ts, event_id) THEN 1 ELSE 0 END chg " +
+        "FROM events) " +
+        "SELECT user_id, dd, CAST(sum(chg) AS BIGINT) changes, count(*) n FROM m GROUP BY 1, 2 ORDER BY 1, 2"),
+    ("q_ts_irate", qTsIrate,
+      "WITH m AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) dd, value, ts, " +
+        "lag(value) OVER w prev_v, lag(ts) OVER w prev_ts, " +
+        "row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE) ORDER BY ts DESC, event_id DESC) rn " +
+        "FROM events WINDOW w AS (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE) ORDER BY ts, event_id)) " +
+        "SELECT user_id, dd, round((CASE WHEN value >= prev_v THEN value - prev_v ELSE value END) / " +
+        "(CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) / 1000000.0), 6) irate " +
+        "FROM m WHERE rn = 1 AND prev_ts IS NOT NULL ORDER BY user_id, dd"),
+    ("q_ts_heatmap", qTsHeatmap,
+      "SELECT CAST(extract(hour FROM ts) AS BIGINT) hod, CAST(floor(value / 10) * 10 AS BIGINT) vbucket, count(*) cnt " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    ("q_ts_deriv", qTsDeriv,
+      "WITH m AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) dd, count(*) n, " +
+        "round(sum(CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 1000000.0), 4) st, " +
+        "round(sum(value), 4) sv, " +
+        "round(sum((CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 1000000.0) * value), 4) stv, " +
+        "round(sum((CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 1000000.0) * (CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 1000000.0)), 4) stt " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, dd, round((n * stv - st * sv) / (n * stt - st * st), 8) slope " +
+        "FROM m ORDER BY event_type, dd"),
     ("q_ts_increase", qTsIncrease,
       "WITH dl AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) d, value - lag(value) OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE) ORDER BY ts, event_id) delta FROM events) SELECT user_id, d, round(sum(CASE WHEN delta > 0 THEN delta ELSE 0.0 END), 2) inc FROM dl GROUP BY user_id, d ORDER BY user_id, d"),
     ("q_ts_moving_avg", qTsMovingAvg,

@@ -67,6 +67,38 @@ class FunctionsSpec extends SparkSuite {
       }
   }
 
+  test("chunked lttbDownsample: chunks=1 is exact, chunked output keeps counts/endpoints/membership") {
+    import graft.operators.TimeSeries
+    val hourly = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+      .agg(sum("value").as("sv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getDouble(2))).toSet
+
+    // chunks=1 degenerates to the exact sequential algorithm
+    val exact = rows(TimeSeries.lttbDownsample(hourly, "event_type", "h", "sv", 48))
+    val one = rows(TimeSeries.lttbDownsampleChunked(hourly, "event_type", "h", "sv", 48, chunks = 1))
+    assert(one == exact, "chunks=1 must equal the unchunked algorithm")
+
+    // chunked: per-series counts, true endpoints, and point membership hold
+    val chunked = TimeSeries.lttbDownsampleChunked(hourly, "event_type", "h", "sv", 48, chunks = 4)
+    val counts = chunked.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rawN = hourly.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rawN.foreach { case (k, n) =>
+      assert(counts(k) == math.min(48L, n), s"$k: ${counts(k)} of raw $n") }
+    val firstLast = hourly.groupBy("event_type").agg(min("h").as("mn"), max("h").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    chunked.groupBy("event_type").agg(min("h").as("mn"), max("h").as("mx"))
+      .collect().foreach { r =>
+        assert((r.get(1), r.get(2)) == firstLast(r.getString(0)),
+          s"${r.getString(0)}: endpoints moved under chunking") }
+    // every selected point is a real input point (selection, not synthesis)
+    val raw = rows(hourly.select(col("event_type"), col("h"), col("sv").cast("double")))
+    assert(rows(chunked).subsetOf(raw), "chunked selection produced non-input points")
+  }
+
   test("graft_cosine resolves in SQL after registration and matches HOF bit-for-bit") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, sf0001).createOrReplaceTempView("emb_fn_test")
