@@ -549,6 +549,86 @@ object Ingest {
     DeleteStats(idx.length, cand.length, rowsBefore - rowsAfter)
   }
 
+  /** Row-level UPSERT as copy-on-write (CDC MERGE semantics — the other
+    * half of the mutation story next to deleteRows): rows in `updates`
+    * REPLACE same-id rows in the corpus, new ids INSERT.
+    *
+    *  1. bloom-index lookup finds the files that might hold a stale
+    *     version of an incoming id (no false negatives ⇒ untouched files
+    *     provably hold none);
+    *  2. those files rewrite with stale versions anti-filtered out, the
+    *     whole update batch unioned in (replacements + inserts together);
+    *  3. swap + incremental index maintenance, same as deleteRows.
+    *
+    * The update batch's ids are collected driver-side to probe the index
+    * — the CDC-batch-is-bounded contract (a firehose would instead
+    * semi-join the index). I/O is |affected files| + |batch|, never the
+    * corpus. Idempotent: re-applying the same batch yields the same
+    * corpus state. */
+  def upsertRows(spark: SparkSession, path: String, idCol: String, updates: DataFrame,
+                 numBits: Int = 65536, numHashes: Int = 6): DeleteStats = {
+    val ids = updates.select(idCol).collect().map(_.getLong(0)).toSeq
+    require(ids.nonEmpty, "graft upsertRows: empty update batch")
+    val idx = spark.read.parquet(bloomIdxPath(path)).select("file", "bloom").collect()
+    val cand = idx.filter { r =>
+      val sk = graft.functions.BloomSketch.deserialize(r.getAs[Array[Byte]]("bloom"))
+      ids.exists(sk.mightContainLong)
+    }.map(_.getString(0))
+    val stale =
+      if (cand.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(cand.toSeq: _*)
+    val survivors =
+      if (cand.isEmpty) updates
+      else stale.filter(!col(idCol).isin(ids: _*)).unionByName(updates)
+    val removed = if (cand.isEmpty) 0L
+      else stale.filter(col(idCol).isin(ids: _*)).count()
+    val tmp = path.stripSuffix("/") + "_rewrite_tmp"
+    survivors.write.mode("overwrite").parquet(tmp)
+    def fileOf(u: String) = new java.io.File(new java.net.URI(u).getPath)
+    cand.foreach(u => fileOf(u).delete())
+    val dir = new java.io.File(path)
+    new java.io.File(tmp).listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.move(f.toPath, new java.io.File(dir, f.getName).toPath)
+    }
+    new java.io.File(tmp).listFiles.foreach(_.delete())
+    new java.io.File(tmp).delete()
+    val keepRows = idx.filterNot(r => cand.contains(r.getString(0)))
+      .map(r => (r.getString(0), r.getAs[Array[Byte]]("bloom")))
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val newRows = spark.read.parquet(path)
+      .select(col(idCol), col("_metadata.file_path").as("file"))
+      .filter(!col("file").isin(keepRows.map(_._1).toSeq: _*))
+      .groupBy("file")
+      .agg(call_function("graft_bloom", col(idCol), lit(numBits), lit(numHashes)).as("bloom"))
+      .as[(String, Array[Byte])].collect()
+    (keepRows ++ newRows).toSeq.toDF("file", "bloom")
+      .coalesce(1).write.mode("overwrite").parquet(bloomIdxPath(path))
+    DeleteStats(idx.length, cand.length, removed)
+  }
+
+  /** The CDC fixture batch applied by q_docs_upsert: two replacements of
+    * existing ids + two inserts (mirrored literally in the oracle SQL). */
+  def cdcBatch(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (3L, "updated text three", "en", "cdc", 18L),
+      (8L, "updated text eight", "en", "cdc", 18L),
+      (100000L, "new doc one", "en", "cdc", 11L),
+      (100001L, "new doc two", "en", "cdc", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Materialize (once per JVM) the CDC fixture: a documents corpus with
+    * `cdcBatch` upserted copy-on-write. Returns the corpus path. */
+  def cdcUpserted(spark: SparkSession, sfDir: String, root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"cdc_upserted:$sfDir:$root", {
+      val p = s"$root/${slug(sfDir)}/docs_cdc"
+      writeCorpusWithIndex(Tables.documents(spark, sfDir), "doc_id", p)
+      upsertRows(spark, p, "doc_id", cdcBatch(spark))
+      p
+    })
+
   /** The ids the catalog's GDPR fixture deletes (present at every SF). */
   val gdprIds: Seq[Long] = Seq(7L, 13L, 101L, 256L)
 

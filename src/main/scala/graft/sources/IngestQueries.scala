@@ -189,7 +189,29 @@ object IngestQueries {
       .orderBy("part")
   }
 
+  /** CDC upsert round-trip (Ingest.upsertRows): the corpus after a
+    * replace-2 + insert-2 merge batch, checksummed per (lang, source).
+    * The oracle rebuilds the post-merge corpus literally (anti-filter +
+    * UNION ALL of the same batch rows) — a pass proves MERGE semantics:
+    * stale versions gone, replacements and inserts present, everything
+    * else untouched. */
+  val qDocsUpsert: Q = (s, d) => {
+    val p = Ingest.cdcUpserted(s, d)
+    s.read.parquet(p)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"), sum("n_chars").as("chars"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_docs_upsert", qDocsUpsert, Some(
+      "WITH up AS (SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id NOT IN (3, 8) " +
+        "UNION ALL SELECT 3, 'updated text three', 'en', 'cdc', 18 " +
+        "UNION ALL SELECT 8, 'updated text eight', 'en', 'cdc', 18 " +
+        "UNION ALL SELECT 100000, 'new doc one', 'en', 'cdc', 11 " +
+        "UNION ALL SELECT 100001, 'new doc two', 'en', 'cdc', 11) " +
+        "SELECT lang, source, count(*) n, CAST(sum(doc_id) AS BIGINT) id_sum, CAST(sum(n_chars) AS BIGINT) chars " +
+        "FROM up GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_docs_delete", qDocsDelete, Some(
       "SELECT 'docs' part, count(*) n, CAST(sum(doc_id) AS BIGINT) id_sum FROM documents WHERE doc_id NOT IN (7,13,101,256) " +
         "UNION ALL SELECT 'emb' part, count(*) n, CAST(sum(vec_id) AS BIGINT) id_sum FROM embeddings WHERE vec_id NOT IN (7,13,101,256) " +

@@ -395,4 +395,43 @@ class WritePathSpec extends SparkSuite {
       .select("vec_id").collect().map(_.getLong(0)).sorted
     assert(gotEmb.toSeq == wantEmb.toSeq, "embeddings corpus after delete != anti-join")
   }
+
+  test("row-level upsert: replaces, inserts, leaves unaffected files untouched, idempotent") {
+    val path = s"$root/cdc_docs_unit"
+    Ingest.writeCorpusWithIndex(Tables.documents(spark, sf0001), "doc_id", path, nFiles = 8)
+    val dir = new java.io.File(path)
+    def parts = dir.listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.lastModified, f.length)).toMap
+    val before = parts
+    val rowsBefore = spark.read.parquet(path).count()
+    val batch = Ingest.cdcBatch(spark)
+
+    val stats = Ingest.upsertRows(spark, path, "doc_id", batch)
+    // 2 replaced ids removed their stale versions; inserts remove nothing
+    assert(stats.rowsDeleted == 2, s"removed ${stats.rowsDeleted} stale rows, want 2")
+    assert(stats.filesRewritten < stats.filesTotal, "upsert rewrote the whole corpus")
+    val after = parts
+    val survivors = before.keySet intersect after.keySet
+    survivors.foreach(n => assert(before(n) == after(n), s"untouched file $n was rewritten"))
+
+    val post = spark.read.parquet(path)
+    assert(post.count() == rowsBefore + 2, "2 inserts must grow the corpus by 2")
+    assert(post.filter(col("doc_id") === 3L).head().getString(1) == "updated text three")
+    assert(post.filter(col("doc_id") === 100000L).count() == 1, "insert missing")
+    assert(post.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "duplicate ids after upsert")
+
+    // idempotent: the same batch again yields the identical corpus state
+    Ingest.upsertRows(spark, path, "doc_id", batch)
+    val again = spark.read.parquet(path)
+    assert(again.count() == rowsBefore + 2)
+    assert(again.filter(col("doc_id").isin(3L, 8L, 100000L, 100001L))
+      .filter(col("source") === "cdc").count() == 4)
+    // index still covers exactly the current file set
+    val idxFiles = spark.read.parquet(path + "_bloomidx")
+      .select("file").collect().map(_.getString(0)).toSet
+    val curFiles = spark.read.parquet(path)
+      .select(col("_metadata.file_path")).distinct().collect().map(_.getString(0)).toSet
+    assert(idxFiles == curFiles, "bloom index out of sync after upsert")
+  }
 }
