@@ -55,6 +55,11 @@ object Bench {
       graft.sources.Ingest.eventsWithRetention(spark, sfDir)
       graft.sources.Ingest.eventsCompacted(spark, sfDir)
       graft.sources.Ingest.eventsTextFormats(spark, sfDir)
+      // mutation fixtures (GDPR delete, CDC upsert) are ingest-time state:
+      // corpus + index build + the one-off rewrite happen here, timed
+      // passes measure the post-mutation reads
+      graft.sources.Ingest.gdprDeleted(spark, sfDir)
+      graft.sources.Ingest.cdcUpserted(spark, sfDir)
       // Dedup sketches are ingest-time state too: a real pipeline computes
       // MinHash signatures / shingle sets once at ingest and persists them
       // next to the corpus. Pin both plan shapes the LSH queries build

@@ -127,6 +127,20 @@ object LlmScale {
       .orderBy("doc_id")
   }
 
+  /** The one-call dedup pipeline END-TO-END under the gate: LSH candidates
+    * → Jaccard verify → connected components → drop every non-representative
+    * (Dedup.dedupCorpus). Output is the surviving corpus checksummed per
+    * lang; the oracle rebuilds the same survivors from its independent
+    * recursive-CTE clustering. A pass proves the whole pipeline — not just
+    * each stage — keeps exactly cluster representatives + singletons. */
+  val qDedupSurvivors: Q = (s, d) => {
+    Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.2, numHashes = 8, bands = 4)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"), sum("n_chars").as("chars"))
+      .orderBy("lang")
+  }
+
   // ---- similarity: embedding near-dup (exact, thresholded) ----------------
 
   val qEmbNeardup: Q = (s, d) =>
@@ -629,6 +643,20 @@ object LlmScale {
         "lbl AS (SELECT s AS id, least(s, min(t)) cl FROM r GROUP BY s), " +
         "sz AS (SELECT cl, count(*) n FROM lbl GROUP BY cl) " +
         "SELECT id AS doc_id, cl AS cluster_id, n AS cluster_size FROM lbl JOIN sz USING (cl) ORDER BY doc_id")),
+    ("q_dedup_survivors", qDedupSurvivors, Some(
+      // same shared CTEs + recursive closure as q_dedup_cluster; survivors =
+      // docs minus every clustered id that is not its cluster's minimum
+      s"${ngramCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $sigCte, " +
+        "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)), " +
+        "cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id), " +
+        "ve AS (SELECT id_a, id_b FROM cand JOIN ng x ON x.doc_id = cand.id_a JOIN ng y ON y.doc_id = cand.id_b " +
+        "WHERE CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.2), " +
+        "sym AS (SELECT id_a s, id_b t FROM ve UNION ALL SELECT id_b, id_a FROM ve), " +
+        "r(s, t) AS (SELECT s, t FROM sym UNION SELECT r.s, e.t FROM r JOIN sym e ON e.s = r.t), " +
+        "lbl AS (SELECT s AS id, least(s, min(t)) cl FROM r GROUP BY s), " +
+        "drops AS (SELECT id FROM lbl WHERE id <> cl) " +
+        "SELECT lang, count(*) n, CAST(sum(doc_id) AS BIGINT) id_sum, CAST(sum(n_chars) AS BIGINT) chars " +
+        "FROM documents WHERE doc_id NOT IN (SELECT id FROM drops) GROUP BY lang ORDER BY lang")),
     ("q_emb_neardup", qEmbNeardup, Some(
       "SELECT a.vec_id id_a, b.vec_id id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) sim " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
