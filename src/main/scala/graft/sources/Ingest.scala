@@ -549,6 +549,72 @@ object Ingest {
     DeleteStats(idx.length, cand.length, rowsBefore - rowsAfter)
   }
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmTree)
+    f.delete()
+  }
+
+  private def copyTree(f: java.io.File, t: java.io.File): Unit = {
+    if (f.isDirectory) { t.mkdirs(); f.listFiles.foreach(c => copyTree(c, new java.io.File(t, c.getName))) }
+    else java.nio.file.Files.copy(f.toPath, t.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The user whose events the TSDB GDPR fixture forgets. */
+  val gdprUserIds: Seq[Long] = Seq(7L)
+
+  /** GDPR for the PARTITIONED layout: erase `userIds`' events from a copy
+    * of the by-day dataset, rewriting only the day DIRECTORIES whose
+    * per-day bloom over user_id might contain one of them — partition-
+    * granular copy-on-write, the companion of the file-granular
+    * deleteRows for flat corpora. A day the user never touched keeps its
+    * bytes (at 100 TB a short-lived user's forget request rewrites days,
+    * not years; the synthetic fixture's users are active almost daily, so
+    * the pruning there is thin — the mechanism, not the fixture, is the
+    * contract). Returns the retained dataset path; memoized per JVM. */
+  def eventsGdprDeleted(spark: SparkSession, sfDir: String,
+                        root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"events_gdpr:$sfDir:$root", {
+      val src = new java.io.File(eventsByDay(spark, sfDir, root))
+      val dst = new java.io.File(s"$root/${slug(sfDir)}/events_gdpr")
+      if (dst.exists) rmTree(dst)
+      copyTree(src, dst)
+      deleteUserEventsInPlace(spark, dst.getPath, gdprUserIds)
+      dst.getPath
+    })
+
+  /** The rewrite step: per-day user blooms → candidate day dirs → each
+    * candidate rewritten with the users anti-filtered. Returns stats with
+    * filesTotal/filesRewritten counted in DAY PARTITIONS. */
+  def deleteUserEventsInPlace(spark: SparkSession, layoutPath: String, userIds: Seq[Long],
+                              numBits: Int = 65536, numHashes: Int = 6): DeleteStats = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = spark.read.parquet(layoutPath)
+      .groupBy("day")
+      .agg(call_function("graft_bloom", col("user_id"), lit(numBits), lit(numHashes)).as("bloom"))
+      .collect()
+    val cand = idx.filter { r =>
+      val sk = graft.functions.BloomSketch.deserialize(r.getAs[Array[Byte]]("bloom"))
+      userIds.exists(sk.mightContainLong)
+    }.map(_.getDate(0).toString)
+    var removed = 0L
+    cand.foreach { day =>
+      val dayDir = new java.io.File(layoutPath, s"day=$day")
+      val before = spark.read.parquet(dayDir.getPath)
+      val kept = before.filter(!col("user_id").isin(userIds: _*))
+      removed += before.count() - kept.count()
+      val tmp = new java.io.File(layoutPath, s"_rewrite_day_$day")
+      kept.write.mode("overwrite").parquet(tmp.getPath)
+      rmTree(dayDir)
+      dayDir.mkdirs()
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath, new java.io.File(dayDir, f.getName).toPath)
+      }
+      rmTree(tmp)
+    }
+    DeleteStats(idx.length, cand.length, removed)
+  }
+
   /** Row-level UPSERT as copy-on-write (CDC MERGE semantics — the other
     * half of the mutation story next to deleteRows): rows in `updates`
     * REPLACE same-id rows in the corpus, new ids INSERT.

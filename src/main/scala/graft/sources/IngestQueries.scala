@@ -203,7 +203,24 @@ object IngestQueries {
       .orderBy("lang", "source")
   }
 
+  /** TSDB GDPR round-trip (Ingest.eventsGdprDeleted): the by-day layout
+    * after forgetting gdprUserIds, aggregated per event_type. The oracle
+    * anti-filters the raw events table — a pass proves the partition-
+    * granular rewrite removed exactly the user's rows across all day
+    * directories and damaged nothing else. */
+  val qEventsDeleteUser: Q = (s, d) => {
+    val p = Ingest.eventsGdprDeleted(s, d)
+    s.read.parquet(p)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"),
+        countDistinct("user_id").as("users"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_events_delete_user", qEventsDeleteUser, Some(
+      "SELECT event_type, count(*) cnt, round(sum(value), 2) sv, count(DISTINCT user_id) users " +
+        "FROM events WHERE user_id NOT IN (7) GROUP BY 1 ORDER BY 1")),
     ("q_docs_upsert", qDocsUpsert, Some(
       "WITH up AS (SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id NOT IN (3, 8) " +
         "UNION ALL SELECT 3, 'updated text three', 'en', 'cdc', 18 " +

@@ -134,4 +134,21 @@ class PlanSpec extends SparkSuite {
     assert(probeLine.contains("*("),
       s"probe filter must be inside a WholeStageCodegen span, got: $probeLine")
   }
+
+  test("irate: both window passes ride ONE shuffle (shared partition key)") {
+    val p = plan(TimeSeries.qTsIrate(spark, sf0001))
+    // 1 hash exchange for the (user, day) windows + 1 range exchange for
+    // the ordered output — a second hash exchange would mean the desc-rank
+    // pass re-shuffled what the lag pass already partitioned
+    val hashEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected one hash exchange, got $hashEx:\n$p")
+  }
+
+  test("deriv: moment sums are one hash aggregate, no window, single scan") {
+    val p = plan(TimeSeries.qTsDeriv(spark, sf0001))
+    assert(!p.contains("Window"), s"deriv must not use a window:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+    val hashEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected one aggregation shuffle, got $hashEx:\n$p")
+  }
 }

@@ -396,6 +396,36 @@ class WritePathSpec extends SparkSuite {
     assert(gotEmb.toSeq == wantEmb.toSeq, "embeddings corpus after delete != anti-join")
   }
 
+  test("partitioned user delete: only the user's day directories rewrite; result ≡ anti-join") {
+    val p = Ingest.eventsGdprDeleted(spark, sf0001, root)
+    // exact result: the layout holds everyone else's events, verbatim
+    val got = spark.read.parquet(p).select("event_id").collect().map(_.getLong(0)).sorted
+    val want = Tables.events(spark, sf0001)
+      .filter(!col("user_id").isin(Ingest.gdprUserIds: _*))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq, "retained layout != anti-join on the raw table")
+    // day directories the user never touched keep their exact file set
+    val userDays = Tables.events(spark, sf0001)
+      .filter(col("user_id").isin(Ingest.gdprUserIds: _*))
+      .select(to_date(col("ts")).as("d")).distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    val srcDir = new java.io.File(Ingest.eventsByDay(spark, sf0001, root))
+    new java.io.File(p).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("day=")).foreach { d =>
+        val day = d.getName.stripPrefix("day=")
+        val files = d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+        if (userDays.contains(day))
+          assert(spark.read.parquet(d.getPath)
+            .filter(col("user_id").isin(Ingest.gdprUserIds: _*)).count() == 0,
+            s"day $day still holds the forgotten user")
+        else {
+          val srcFiles = new java.io.File(srcDir, d.getName).listFiles
+            .map(_.getName).filter(_.endsWith(".parquet")).toSet
+          assert(files == srcFiles, s"user-free day $day was rewritten")
+        }
+      }
+  }
+
   test("row-level upsert: replaces, inserts, leaves unaffected files untouched, idempotent") {
     val path = s"$root/cdc_docs_unit"
     Ingest.writeCorpusWithIndex(Tables.documents(spark, sf0001), "doc_id", path, nFiles = 8)
