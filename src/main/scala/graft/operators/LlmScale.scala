@@ -518,6 +518,17 @@ object LlmScale {
       .select(col("id"), col("kind"), col("width"), col("height"), col("frames"))
       .orderBy("id")
 
+  /** REAL audio decode round-trip: executor-generated 16-bit mono PCM WAV
+    * clips, parsed back by the JDK's RIFF reader; the oracle recomputes
+    * the generator's envelope arithmetic. Together with
+    * q_multimodal_decode this puts both JVM-native media families (image
+    * + audio) through real codecs under the hash gate. */
+  val qMultimodalAudio: Q = (s, d) =>
+    Multimodal.decodeAudioFeatures(
+        Multimodal.syntheticWavs(s, d), decodeParallelism = 32)
+      .toDF()
+      .orderBy("id")
+
   /** Frame-sample plumbing as a catalog query: every 2nd frame index of
     * each (stub-decoded) media row with a per-frame fingerprint. Same
     * explode-then-process shape a real video pipeline needs so one long
@@ -733,6 +744,9 @@ object LlmScale {
       "SELECT doc_id id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END kind, " +
         "CAST(16 + doc_id % 32 AS INTEGER) width, CAST(16 + doc_id % 24 AS INTEGER) height, " +
         "1 frames FROM documents ORDER BY doc_id")),
+    ("q_multimodal_audio", qMultimodalAudio, Some(
+      "SELECT doc_id id, 8000 sample_rate, 1 channels, 16 bits, " +
+        "CAST(800 + doc_id % 800 AS BIGINT) frames FROM documents ORDER BY doc_id")),
     ("q_multimodal_framesample", qMultimodalFramesample, Some(
       "WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) % 16 + 1 frames, sha256(text) sha FROM documents), " +
         "u AS (SELECT doc_id, sha, unnest(range(0, frames, 2)) f FROM m) " +

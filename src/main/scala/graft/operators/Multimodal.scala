@@ -108,6 +108,64 @@ object Multimodal {
       }
   }
 
+  /** Decoded audio envelope: what a feature pipeline reads off a clip
+    * before any DSP (sample rate, channels, bit depth, frame count). */
+  case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
+                           bits: Int, frames: Long)
+
+  /** Generator contract for the synthetic WAV corpus (oracle-predictable,
+    * like imageDims). */
+  def wavFrames(id: Long): Int = 800 + (id % 800).toInt
+
+  /** Deterministic real WAV bytes: 16-bit mono PCM at 8 kHz, an id-seeded
+    * sine, RIFF-containered by the JDK's own `javax.sound.sampled` writer
+    * — audio's analogue of encodeImage, no external codec. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val rate = 8000
+    val n = wavFrames(id)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (math.sin(2 * math.Pi * (220.0 + (id % 100)) * i / rate) * 16384).toInt.toShort
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic real-audio corpus keyed by the documents table; generated
+    * inside the executors, never collected. */
+  def syntheticWavs(s: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.documents(s, sfDir)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "wav", encodeWav(id)))
+  }
+
+  /** REAL audio decode on the JDK's RIFF/WAV parser: measures the format
+    * envelope from the container, not from metadata columns. Strict by
+    * design — undecodable bytes throw (a collector-validated feed fails
+    * loudly rather than fabricating features; route lenient feeds through
+    * a try/Option wrapper at the call site). */
+  def decodeAudioFeatures(rows: Dataset[MediaRow],
+                          decodeParallelism: Int): Dataset[AudioFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.repartition(decodeParallelism).mapPartitions(_.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val f = ais.getFormat
+      AudioFeatures(r.id, f.getSampleRate.toInt, f.getChannels,
+        f.getSampleSizeInBits, ais.getFrameLength)
+    })
+  }
+
   /** The batch decode stage: partition-parallel, decoder instantiated once
     * per partition. `decodeParallelism` controls the repartition ahead of
     * the compute-bound stage. */

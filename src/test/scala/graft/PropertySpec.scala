@@ -139,6 +139,26 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("multimodal real audio decode: the JDK RIFF parser measures the generated envelope") {
+    // direct round-trip: real WAV container in, measured format out
+    for (id <- Seq(0L, 7L, 799L, 800L)) {
+      val bytes = Multimodal.encodeWav(id)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ais.getFormat.getSampleRate == 8000f && ais.getFormat.getChannels == 1)
+      assert(ais.getFrameLength == Multimodal.wavFrames(id),
+        s"id=$id: ${ais.getFrameLength} frames, generated ${Multimodal.wavFrames(id)}")
+    }
+    // distributed path: every clip's measured envelope matches the generator
+    val feats = Multimodal.decodeAudioFeatures(
+      Multimodal.syntheticWavs(spark, sf0001), 8).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.sample_rate == 8000 && f.channels == 1 && f.bits == 16 &&
+        f.frames == Multimodal.wavFrames(f.id), s"id=${f.id}: $f")
+    }
+  }
+
   test("token counts: bpe estimate bounded by [ws_tokens, n_chars]") {
     val out = TextAnalysis.tokenCounts(Tables.documents(spark, sf0001), "text")
     assert(out.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
