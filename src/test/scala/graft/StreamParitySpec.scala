@@ -464,6 +464,29 @@ class StreamParitySpec extends SparkSuite {
     assert(got.count() == batchCnt)
   }
 
+  test("streaming ingest under out-of-order replay: layout still ≡ batch") {
+    import graft.streaming.StreamIngest
+    // events arrive out of order ACROSS microbatches (±4 min jitter); the
+    // append-only file sink is order-independent, so the materialized
+    // layout must still equal the batch writer's — rows land in their
+    // event-time day directory regardless of arrival order
+    val feed = StreamReplay.rewriteJittered(spark, sf0001, 8)
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_jit_").toString
+    val q = StreamIngest.ingestByDay(spark, feed, s"$base/out", s"$base/ckpt",
+      filesPerTrigger = 2)
+    q.awaitTermination()
+    val sink = spark.read.parquet(s"$base/out")
+    val batch = Tables.events(spark, sf0001)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+        col("event_type"), col("value"), col("day"))
+    val streamed = sink.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("day"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "jitter-replayed ingest layout differs from the batch layout")
+  }
+
   test("streaming ingest: kill mid-stream, resume from checkpoint, layout ≡ batch") {
     import graft.streaming.StreamIngest
     val feed = StreamReplay.rewriteOrdered(spark, sf0001, 12)
