@@ -615,6 +615,62 @@ object Ingest {
     DeleteStats(idx.length, cand.length, removed)
   }
 
+  /** Late-correction UPSERT for the PARTITIONED layout (the TSDB backfill
+    * path: a collector re-sends fixed readings after the fact). Each
+    * correction row carries its event time, so the affected day
+    * directories come straight from the batch — no index needed; only
+    * those directories rewrite, with stale versions of the corrected
+    * event_ids replaced by the new rows. Day-granular copy-on-write,
+    * the events-table sibling of upsertRows. */
+  def upsertEventsInPlace(spark: SparkSession, layoutPath: String,
+                          corrections: DataFrame): DeleteStats = {
+    val corr = corrections.withColumn("__day", to_date(col("ts"))).cache()
+    val days = corr.select("__day").distinct().collect().map(_.getDate(0).toString)
+    val allDays = new java.io.File(layoutPath).listFiles
+      .count(f => f.isDirectory && f.getName.startsWith("day="))
+    var replaced = 0L
+    days.foreach { day =>
+      val dayDir = new java.io.File(layoutPath, s"day=$day")
+      require(dayDir.isDirectory, s"graft upsertEventsInPlace: no partition for day=$day")
+      val dayCorr = corr.filter(col("__day") === lit(day).cast("date")).drop("__day")
+      val ids = dayCorr.select("event_id").collect().map(_.getLong(0)).toSeq
+      val before = spark.read.parquet(dayDir.getPath)
+      val kept = before.filter(!col("event_id").isin(ids: _*))
+      replaced += before.count() - kept.count()
+      val merged = kept.unionByName(dayCorr.select(before.columns.map(col): _*))
+      val tmp = new java.io.File(layoutPath, s"_rewrite_day_$day")
+      merged.write.mode("overwrite").parquet(tmp.getPath)
+      rmTree(dayDir)
+      dayDir.mkdirs()
+      tmp.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath, new java.io.File(dayDir, f.getName).toPath)
+      }
+      rmTree(tmp)
+    }
+    corr.unpersist(blocking = false)
+    DeleteStats(allDays, days.length, replaced)
+  }
+
+  /** The event_ids the correction fixture re-sends with value 999.5. */
+  val correctionIds: Seq[Long] = Seq(5L, 17L, 23L)
+
+  /** Materialize (once per JVM) the correction fixture: a copy of the
+    * by-day layout with `correctionIds`' readings re-sent at value 999.5
+    * (same envelope, fixed measurement). Returns the layout path. */
+  def eventsCorrected(spark: SparkSession, sfDir: String,
+                      root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"events_corrected:$sfDir:$root", {
+      val src = new java.io.File(eventsByDay(spark, sfDir, root))
+      val dst = new java.io.File(s"$root/${slug(sfDir)}/events_corrected")
+      if (dst.exists) rmTree(dst)
+      copyTree(src, dst)
+      val corrections = Tables.events(spark, sfDir)
+        .filter(col("event_id").isin(correctionIds: _*))
+        .withColumn("value", lit(999.5))
+      upsertEventsInPlace(spark, dst.getPath, corrections)
+      dst.getPath
+    })
+
   /** Row-level UPSERT as copy-on-write (CDC MERGE semantics — the other
     * half of the mutation story next to deleteRows): rows in `updates`
     * REPLACE same-id rows in the corpus, new ids INSERT.

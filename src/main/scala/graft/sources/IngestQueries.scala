@@ -217,7 +217,24 @@ object IngestQueries {
       .orderBy("event_type")
   }
 
+  /** Late-correction round-trip (Ingest.eventsCorrected): the by-day
+    * layout after three readings were re-sent at value 999.5, aggregated
+    * per event_type. The oracle applies the same corrections as a CASE
+    * over the raw table — a pass proves the day-granular upsert replaced
+    * exactly the corrected readings and nothing else. */
+  val qEventsCorrect: Q = (s, d) => {
+    val p = Ingest.eventsCorrected(s, d)
+    s.read.parquet(p)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_events_correct", qEventsCorrect, Some(
+      "SELECT event_type, count(*) cnt, " +
+        "round(sum(CASE WHEN event_id IN (5, 17, 23) THEN 999.5 ELSE value END), 2) sv " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
     ("q_events_delete_user", qEventsDeleteUser, Some(
       "SELECT event_type, count(*) cnt, round(sum(value), 2) sv, count(DISTINCT user_id) users " +
         "FROM events WHERE user_id NOT IN (7) GROUP BY 1 ORDER BY 1")),

@@ -426,6 +426,34 @@ class WritePathSpec extends SparkSuite {
       }
   }
 
+  test("late corrections: only the corrected days rewrite; values replaced in place") {
+    val p = Ingest.eventsCorrected(spark, sf0001, root)
+    val raw = Tables.events(spark, sf0001)
+    // row count unchanged; exactly the corrected ids carry the new value
+    val sink = spark.read.parquet(p)
+    assert(sink.count() == raw.count(), "correction upsert changed the row count")
+    val corrected = sink.filter(col("event_id").isin(Ingest.correctionIds: _*))
+      .select("event_id", "value").collect()
+    assert(corrected.length == Ingest.correctionIds.length)
+    corrected.foreach(r => assert(r.getDouble(1) == 999.5, s"event ${r.getLong(0)} not corrected"))
+    assert(sink.filter(col("value") === 999.5).count() == Ingest.correctionIds.length,
+      "correction leaked beyond the corrected ids")
+    // only the corrected events' days were rewritten
+    val corrDays = raw.filter(col("event_id").isin(Ingest.correctionIds: _*))
+      .select(to_date(col("ts"))).distinct().collect().map(_.getDate(0).toString).toSet
+    val srcDir = new java.io.File(Ingest.eventsByDay(spark, sf0001, root))
+    new java.io.File(p).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("day=")).foreach { d =>
+        val day = d.getName.stripPrefix("day=")
+        if (!corrDays.contains(day)) {
+          val srcFiles = new java.io.File(srcDir, d.getName).listFiles
+            .map(_.getName).filter(_.endsWith(".parquet")).toSet
+          val dstFiles = d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+          assert(dstFiles == srcFiles, s"uncorrected day $day was rewritten")
+        }
+      }
+  }
+
   test("row-level upsert: replaces, inserts, leaves unaffected files untouched, idempotent") {
     val path = s"$root/cdc_docs_unit"
     Ingest.writeCorpusWithIndex(Tables.documents(spark, sf0001), "doc_id", path, nFiles = 8)
