@@ -60,6 +60,8 @@ object Bench {
       // passes measure the post-mutation reads
       graft.sources.Ingest.gdprDeleted(spark, sfDir)
       graft.sources.Ingest.cdcUpserted(spark, sfDir)
+      graft.sources.Ingest.eventsGdprDeleted(spark, sfDir)
+      graft.sources.Ingest.eventsCorrected(spark, sfDir)
       // Dedup sketches are ingest-time state too: a real pipeline computes
       // MinHash signatures / shingle sets once at ingest and persists them
       // next to the corpus. Pin both plan shapes the LSH queries build
