@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ADVICE r7: with SPARK_GRAFT_ROUND unset the round is inferred from
+    // max(BENCH_r*.json)+1, which mis-numbers a re-run performed after the
+    // driver has written the current round's file. Warn up-front (far from
+    // the driver's 2000-char output tail) and self-describe in the artifact.
+    if (sys.env.get("SPARK_GRAFT_ROUND").isEmpty)
+      System.err.println("[bench] SPARK_GRAFT_ROUND unset - round number inferred " +
+        "from BENCH_r*.json; a post-round re-run will be numbered into the NEXT round. " +
+        "Export SPARK_GRAFT_ROUND to pin it.")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -93,9 +101,9 @@ object Bench {
     val passTotals = Seq(0, 1).map(i => timed.values.map(_(i)).sum)
     // Line-length budget: the driver keeps only a 2000-char output tail and
     // the trailing sbt "[success]" line (~70 chars) shares it. Full-precision
-    // doubles overflowed the tail in r01/r02 → parsed:null. At ~89 queries,
-    // 10 ms per-query precision keeps the line ≈1800 chars; revisit if the
-    // catalog passes ~110 queries.
+    // doubles overflowed the tail in r01/r02, and at 144 keys even an
+    // all-integer line did (r07) → parsed:null both times. The emitted line
+    // therefore self-fits by count, not precision (see lineFor below).
     // keys drop the constant "q_" prefix and abbreviate the family
     // prefixes (mapping below, also recorded in BASELINE.md):
     // "scan_project" = catalog "q_scan_project", "st_session" =
@@ -134,21 +142,6 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfTag = sfDir.split('/').last
-    // Rank-and-value-adaptive precision: the queries worth auditing (the
-    // slow ones) keep 10 ms resolution longest; sub-noise queries degrade
-    // first. Rank-aware since the 121-entry catalog: the 24 slowest keep
-    // 2 dp even when the uniform tiers overflow — a per-query regression
-    // axis that stays readable as the catalog grows (at 107+ entries a
-    // uniform 1-dp line already collapsed everything to integers).
-    val rank = results.toSeq.sortBy { case (_, v) => -v }
-      .zipWithIndex.map { case ((k, _), i) => k -> i }.toMap
-    def decFor(tier: Int, k: String, v: Double): Int = tier match {
-      case 0 => 2
-      case 1 => if (rank(k) < 24 || v >= 0.35) 2 else 1
-      case 2 => if (rank(k) < 24) 2 else if (v >= 0.35) 1 else 0
-      case 3 => if (rank(k) < 24) 1 else 0
-      case _ => 0
-    }
     // VERDICT r6 "what's wrong" #2/#3: the squeezed driver tail hid a 3×
     // per-query regression and made a contention-polluted driver run (59.3 s
     // recorded vs 34 s reproducible) undiagnosable. Two fixes:
@@ -158,18 +151,19 @@ object Bench {
     //  (b) the driver line carries both pass totals ("p1"/"p2") — a one-off
     //      stall inflates exactly one pass, a real regression inflates both,
     //      so contention is diagnosable from the driver record alone.
-    val round = {
-      val re = "BENCH_r(\\d+)\\.json".r
-      val seen = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
-        .collect { case re(n) => n.toInt }
-      sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
-        .getOrElse(if (seen.isEmpty) 0 else seen.max + 1)
+    val (round, roundSource) = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt) match {
+      case Some(r) => (r, "env")
+      case None =>
+        val re = "BENCH_r(\\d+)\\.json".r
+        val seen = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
+          .collect { case re(n) => n.toInt }
+        (if (seen.isEmpty) 0 else seen.max + 1, "inferred")
     }
     val localArtifact = {
       val qs = timed.toSeq.sortBy(_._1).map { case (k, ts) =>
         f""""$k":{"p1":${ts.head}%.6f,"p2":${ts(1)}%.6f,"min":${ts.min}%.6f}"""
       }.mkString("{\n  ", ",\n  ", "\n}")
-      f"""{"round":$round,"sf":"$sfTag","pass1_total":${passTotals.head}%.4f,"pass2_total":${passTotals(1)}%.4f,"min_total":$total%.4f,
+      f"""{"round":$round,"round_source":"$roundSource","sf":"$sfTag","pass1_total":${passTotals.head}%.4f,"pass2_total":${passTotals(1)}%.4f,"min_total":$total%.4f,
 "queries":$qs}
 """
     }
@@ -177,16 +171,27 @@ object Bench {
       java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json"),
       localArtifact.getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not kill the bench
-    def line(tier: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(decFor(tier, k, v))(v) }
+    // VERDICT r7 "what's wrong" #1: at 144 keys even the all-integer tier
+    // overflowed the driver's 2000-char tail (2201 chars), cutting the line's
+    // HEAD — value/p1/p2 — and leaving BENCH_r07 unparseable. New shape:
+    // the line carries the N slowest queries at 2 dp (the only ones worth
+    // auditing from the driver record) and rolls the rest into
+    // "fast":{"n":count,"sum":sec}; N self-fits so the whole line stays
+    // ≤1900 chars at ANY catalog size. total = sum(queries)+fast.sum always
+    // reconstructs; full per-query precision for both passes lives in the
+    // committed BENCH_LOCAL_r{N}.json as before.
+    val sorted = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    def lineFor(n: Int): String = {
+      val (shown, rest) = sorted.splitAt(n)
+      val qs = shown.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(2)(v) }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","p1":${passTotals.head}%.1f,"p2":${passTotals(1)}%.1f,"queries":$qs,"sf":"$sfTag"}"""
+      val fast = f""""fast":{"n":${rest.size},"sum":${rest.map(_._2).sum}%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","p1":${passTotals.head}%.1f,"p2":${passTotals(1)}%.1f,"queries":$qs,$fast,"sf":"$sfTag"}"""
     }
-    // Self-fitting: the driver keeps a 2000-char output tail and the line's
-    // trailing newline shares it, so the line must stay ≤ 1999 chars
-    // (minus slack for timing-digit variance across runs); the all-0-dp
-    // arm is a never-expected catastrophe fallback that keeps JSON valid.
-    val out = (0 to 3).map(line).find(_.length <= 1985).getOrElse(line(4))
+    // 1900-char budget leaves ~100 chars of tail slack for sbt's trailing
+    // "[success]" line plus timing-digit variance across runs.
+    val out = (sorted.size to 0 by -1).view.map(lineFor).find(_.length <= 1900)
+      .getOrElse(lineFor(0))
     println(out)
     spark.stop()
   }
