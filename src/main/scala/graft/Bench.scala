@@ -63,6 +63,8 @@ object Bench {
       graft.sources.Ingest.eventsWithRetention(spark, sfDir)
       graft.sources.Ingest.eventsCompacted(spark, sfDir)
       graft.sources.Ingest.eventsTextFormats(spark, sfDir)
+      graft.sources.Ingest.eventsByDayTyped(spark, sfDir)
+      graft.sources.Ingest.eventsTiered(spark, sfDir)
       // mutation fixtures (GDPR delete, CDC upsert) are ingest-time state:
       // corpus + index build + the one-off rewrite happen here, timed
       // passes measure the post-mutation reads

@@ -171,6 +171,29 @@ object IngestQueries {
       .orderBy("event_type")
   }
 
+  /** Label-selector query through the per-file tag index
+    * (Ingest.eventsTagSelect over the type-clustered by-day layout): the
+    * index keeps only the files that can hold event_type='click' AND
+    * overlap the props.k range, so the scan reads ≈1/5 of the selected
+    * days' files instead of all of them (WritePathSpec asserts the strict
+    * subset). Oracle filters the raw table — a pass proves index
+    * completeness (no file skipped that held a matching row) and the
+    * clustered-layout round-trip. */
+  val qIngestTagPrune: Q = (s, d) =>
+    Ingest.eventsTagSelect(s, d, "click", "2024-01-10", "2024-01-20", 10, 60)
+      .groupBy("day")
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"))
+      .orderBy("day")
+
+  /** Unified serve across the age tiers (Ingest.eventsTieredServe —
+    * raw 9-day tail + hourly-rollup middle tier + dropped history): the
+    * full visible range answered from summary rows plus only the retained
+    * raw directories. Oracle aggregates the raw table over the visible
+    * range through the same two-level rounding — a pass proves the tier
+    * composition (retention drop + rollup + merge) loses nothing inside
+    * the window and resurrects nothing outside it. */
+  val qIngestTiered: Q = (s, d) => Ingest.eventsTieredServe(s, d)
+
   /** Row-level GDPR delete round-trip (Ingest.deleteRows): documents AND
     * embeddings corpora lose gdprIds via bloom-indexed copy-on-write file
     * rewrite, then each corpus is checksummed (count + id-sum). The oracle
@@ -282,6 +305,17 @@ object IngestQueries {
       "SELECT c_mktsegment, count(*) cnt, round(sum(o_totalprice), 2) rev " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+    ("q_ingest_tag_prune", qIngestTagPrune, Some(
+      "SELECT CAST(ts AS DATE) AS \"day\", count(*) cnt, round(sum(value), 2) sv " +
+        "FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20' " +
+        "AND event_type = 'click' " +
+        "AND CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 10 AND 60 " +
+        "GROUP BY 1 ORDER BY 1")),
+    ("q_ingest_tiered", qIngestTiered, Some(
+      "WITH hv AS (SELECT date_trunc('hour', ts) h, event_type, CAST(count(*) AS BIGINT) cnt, round(sum(value), 8) sv8 " +
+        "FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-08' GROUP BY 1, 2) " +
+        "SELECT CAST(date_trunc('day', h) AS DATE) dday, event_type, CAST(sum(cnt) AS BIGINT) cnt, " +
+        "round(round(sum(sv8), 8), 2) sv FROM hv GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_ingest_day_prune", qIngestDayPrune, Some(
       // `day` is a DuckDB keyword — a bare alias is a parser error (r02); AS-quote it
       "SELECT CAST(ts AS DATE) AS \"day\", event_type, count(*) cnt, round(sum(value), 2) sv " +

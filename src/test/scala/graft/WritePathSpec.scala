@@ -492,4 +492,212 @@ class WritePathSpec extends SparkSuite {
       .select(col("_metadata.file_path")).distinct().collect().map(_.getString(0)).toSet
     assert(idxFiles == curFiles, "bloom index out of sync after upsert")
   }
+
+  test("upsert batch with duplicate ids is rejected (one-row-per-id invariant)") {
+    val path = s"$root/cdc_dup_unit"
+    Ingest.writeCorpusWithIndex(Tables.documents(spark, sf0001), "doc_id", path, nFiles = 4)
+    import spark.implicits._
+    val dup = Seq(
+      (3L, "first version", "en", "cdc", 13L),
+      (3L, "second version", "en", "cdc", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Ingest.upsertRows(spark, path, "doc_id", dup)
+    }
+    assert(e.getMessage.contains("duplicate ids"), e.getMessage)
+  }
+
+  test("commit marker: a swap crashed at the worst window rolls forward with no lost row") {
+    val path = s"$root/crash_docs_unit"
+    Ingest.writeCorpusWithIndex(Tables.documents(spark, sf0001), "doc_id", path, nFiles = 4)
+    val rowsBefore = spark.read.parquet(path).count()
+    val dir = new java.io.File(path)
+
+    // stage a rewrite of one file exactly as deleteRows would: the file
+    // holding doc 7, rewritten without it, left in a staging dir
+    val victim = spark.read.parquet(path)
+      .filter(col("doc_id") === 7L)
+      .select(col("_metadata.file_path")).head().getString(0)
+    val victimFile = new java.io.File(new java.net.URI(victim).getPath)
+    val tmp = s"$path-crash-stage"
+    spark.read.parquet(victimFile.getPath).filter(col("doc_id") =!= 7L)
+      .write.mode("overwrite").parquet(tmp)
+    val staged = new java.io.File(tmp).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+
+    // crash window simulated at its WORST point: the marker is published
+    // but not one rename or delete has run, and the JVM is gone
+    val manifest = staged.map(f =>
+      s"R\t${f.getPath}\t${new java.io.File(dir, f.getName).getPath}").toSeq ++
+      Seq(s"D\t${victimFile.getPath}")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_graft_commit.manifest").toPath,
+      manifest.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+    // openCorpus rolls the swap forward: doc 7 gone, everyone else intact,
+    // no duplicates, marker retired
+    val recovered = Ingest.openCorpus(spark, path)
+    assert(recovered.count() == rowsBefore - 1, "recovered corpus lost or duplicated rows")
+    assert(recovered.filter(col("doc_id") === 7L).count() == 0, "deleted row resurrected")
+    assert(recovered.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "duplicate ids after recovery")
+    assert(!new java.io.File(dir, "_graft_commit.manifest").exists, "marker not retired")
+    assert(!victimFile.exists, "superseded original not dropped")
+
+    // recovery is idempotent under partial application: re-publish the same
+    // plan with everything already done — reconcile must no-op cleanly
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_graft_commit.manifest").toPath,
+      manifest.mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(Ingest.reconcile(spark, path))
+    assert(spark.read.parquet(path).count() == rowsBefore - 1, "re-reconcile changed the corpus")
+  }
+
+  test("forget request reads the persisted user index + candidate days ONLY") {
+    import spark.implicits._
+    val path = s"$root/events_idx_unit"
+    // user 99 lives on exactly 2 of 5 days
+    val ev = (1 to 5).flatMap { d =>
+      val users = if (d == 2 || d == 4) Seq(1L, 99L, 3L) else Seq(1L, 2L, 3L)
+      users.zipWithIndex.map { case (u, i) =>
+        (d * 100L + i, s"2024-03-0$d 10:0$i:00", u, "click", d * 1.5) }
+    }.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    Ingest.writeEventsByDay(ev, path)
+
+    // corrupt every NON-candidate day's data files: if the delete path
+    // still scanned the layout (as it did before r8), it would throw —
+    // surviving proves the only reads are the index + the user's days
+    val corrupted = Seq(1, 3, 5).flatMap { d =>
+      new java.io.File(path, s"day=2024-03-0$d").listFiles
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          java.nio.file.Files.write(f.toPath, "garbage".getBytes("UTF-8"))
+          f.getPath
+        }
+    }
+
+    val stats = Ingest.deleteUserEventsInPlace(spark, path, Seq(99L))
+    assert(stats.filesRewritten == 2, s"rewrote ${stats.filesRewritten} days, want 2")
+    assert(stats.rowsDeleted == 2, s"deleted ${stats.rowsDeleted} rows, want 2")
+    Seq(2, 4).foreach { d =>
+      val day = spark.read.parquet(s"$path/day=2024-03-0$d")
+      assert(day.filter(col("user_id") === 99L).count() == 0, s"day $d still holds user 99")
+      assert(day.count() == 2, s"day $d lost bystander rows")
+    }
+    corrupted.foreach { p =>
+      val bytes = java.nio.file.Files.readAllBytes(new java.io.File(p).toPath)
+      assert(new String(bytes, "UTF-8") == "garbage", s"non-candidate file $p was touched")
+    }
+    // the maintained index covers exactly the surviving days
+    val idxDays = spark.read.parquet(s"${path}_useridx")
+      .select("day").collect().map(_.getDate(0).toString).toSet
+    assert(idxDays == (1 to 5).map(d => s"2024-03-0$d").toSet, "index days drifted")
+  }
+
+  test("day mutations stage ONE write: job count does not grow with affected days") {
+    import spark.implicits._
+    def mkLayout(tag: String): String = {
+      val path = s"$root/events_jobs_$tag"
+      val ev = (1 to 6).flatMap { d =>
+        (0 to 3).map(i => (d * 100L + i, s"2024-04-0$d 09:0$i:00", i.toLong, "tap", 1.0 * d))
+      }.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+      Ingest.writeEventsByDay(ev, path)
+      path
+    }
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try body finally {
+        // the listener bus is async: settle before reading the counter
+        var last = -1
+        while (jobs.get != last) { last = jobs.get; Thread.sleep(300) }
+        spark.sparkContext.removeSparkListener(l)
+      }
+      jobs.get
+    }
+    def corr(days: Seq[Int]): org.apache.spark.sql.DataFrame =
+      days.map(d => (d * 100L + 1, s"2024-04-0$d 09:01:00", 1L, "tap", 777.0))
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+
+    val p1 = mkLayout("a")
+    val jobs1 = countJobs {
+      val s = Ingest.upsertEventsInPlace(spark, p1, corr(Seq(2)))
+      assert(s.filesRewritten == 1 && s.rowsDeleted == 1, s.toString)
+    }
+    val p4 = mkLayout("b")
+    val jobs4 = countJobs {
+      val s = Ingest.upsertEventsInPlace(spark, p4, corr(Seq(1, 3, 4, 6)))
+      assert(s.filesRewritten == 4 && s.rowsDeleted == 4, s.toString)
+    }
+    assert(jobs4 <= jobs1 + 2,
+      s"4-day upsert ran $jobs4 jobs vs $jobs1 for 1 day — the rewrite is looping per day")
+    // and the values actually landed
+    val sink = spark.read.parquet(p4)
+    assert(sink.filter(col("value") === 777.0).count() == 4)
+    assert(sink.count() == 24, "upsert changed the row count")
+  }
+
+  test("tag index: selector query reads a strict subset of the selected days' files") {
+    val path = Ingest.eventsByDayTyped(spark, sf0001, root)
+    val df = Ingest.eventsTagSelect(spark, sf0001, "click", "2024-01-10", "2024-01-14", 0, 100, root)
+    val readFiles = scanListings(df).head.toPartitionArray
+      .map(f => new java.io.File(new java.net.URI(f.filePath.toString).getPath).getName).toSet
+    val allFiles = (10 to 14).flatMap { dd =>
+      new java.io.File(path, f"day=2024-01-$dd%02d").listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    }.toSet
+    assert(readFiles.nonEmpty && readFiles.subsetOf(allFiles),
+      s"selector read outside the selected days: ${readFiles -- allFiles}")
+    assert(readFiles.size < allFiles.size,
+      s"selector read ALL ${allFiles.size} files — the tag index pruned nothing")
+
+    // index completeness: result ≡ direct filter on the raw table
+    val got = df.select("event_id").collect().map(_.getLong(0)).sorted
+    val want = Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")).between(lit("2024-01-10"), lit("2024-01-14")) &&
+        col("event_type") === "click")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq, s"selector lost/invented rows: got ${got.length} want ${want.length}")
+  }
+
+  test("retention tiering: tier boundaries hold and the unified serve ≡ direct aggregation") {
+    val (rollupP, rawP) = Ingest.eventsTiered(spark, sf0001, root = root)
+    // raw tier: only the tail directories survive the retention drop
+    val rawDays = new java.io.File(rawP).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day="))
+    assert(rawDays.nonEmpty && rawDays.forall(_ >= Ingest.tierRawFromDay),
+      s"raw tier holds pre-boundary days: ${rawDays.filter(_ < Ingest.tierRawFromDay).mkString(",")}")
+    // rollup tier: hours live in [rollupFrom, rawFrom) — both edges aged
+    val hb = spark.read.parquet(rollupP)
+      .agg(min(col("h")).cast("date").cast("string").as("lo"),
+        max(col("h")).cast("date").cast("string").as("hi")).head()
+    assert(hb.getString(0) >= Ingest.tierRollupFromDay, s"rollup tier kept dropped history: ${hb.getString(0)}")
+    assert(hb.getString(1) < Ingest.tierRawFromDay, s"rollup tier overlaps the raw tail: ${hb.getString(1)}")
+
+    // unified serve: equal to direct aggregation over the visible range,
+    // and its raw-side scan touches only tail directories
+    val serve = Ingest.eventsTieredServe(spark, sf0001, root = root)
+    val scanned = scanListings(serve).flatMap(_.toPartitionArray.map(_.filePath.toString))
+    scanned.filter(_.contains("day=")).foreach { f =>
+      val day = f.split("day=")(1).take(10)
+      assert(day >= Ingest.tierRawFromDay, s"serve scanned a pre-tail raw directory: $f")
+    }
+    import graft.operators.Num
+    val hv = Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")) >= lit(Ingest.tierRollupFromDay).cast("date"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 8).as("sv8"))
+    val direct = Ingest.caggDailyMerge(hv, hv.limit(0))
+    val a = serve.collect().map(_.toSeq)
+    val b = direct.collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, s"tiered serve diverged from direct aggregation (${a.length} vs ${b.length} rows)")
+  }
 }
