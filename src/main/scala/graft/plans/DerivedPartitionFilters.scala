@@ -32,24 +32,32 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   * mis-pruned), the relation is partitioned by a DateType `day`, the
   * condition does not already mention `day` (idempotent under the
   * optimizer's fixed-point loop), and the ts bounds are foldable
-  * literals. TIMESTAMP literals convert to day bounds in the session
-  * timezone (matching what `to_date(ts)` did at write time);
-  * TIMESTAMP_NTZ is wall-clock and converts zone-free.
+  * literals. TIMESTAMP literals convert to day bounds in the WRITER's
+  * session timezone, which the marker records per path (ADVICE r7: the
+  * zone `to_date(ts)` used at write time is a property of the LAYOUT,
+  * not of whoever happens to be querying — converting in the current
+  * session zone silently pruned wrong directories once the zones
+  * diverged). TIMESTAMP_NTZ is wall-clock and converts zone-free.
   */
 object DerivedPartitionFilters extends Rule[LogicalPlan] {
 
-  /** Conf key: comma-separated path prefixes of layouts whose `day`
-    * partition column is derived as `to_date(ts)`. Empty (default) makes
-    * the rule inert; `*` opts in every day-partitioned relation. */
+  /** Conf key: comma-separated `pathPrefix=zoneId` entries for layouts
+    * whose `day` partition column is derived as `to_date(ts)`, with the
+    * session timezone that conversion used at write time. Empty (default)
+    * makes the rule inert; `*` opts in every day-partitioned relation at
+    * the current session zone (only safe when zones never change). A
+    * legacy zone-less entry falls back to the current session zone. */
   val PathsKey = "spark.graft.dayFromTs.paths"
 
-  /** Record that the layout rooted at `path` satisfies day == to_date(ts).
+  /** Record that the layout rooted at `path` satisfies day == to_date(ts),
+    * stamping the CURRENT session timezone as the layout's writer zone.
     * Called by the writer (graft.sources.Ingest) right after materializing
     * the layout. */
   def registerPath(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val cur = spark.conf.getOption(PathsKey).getOrElse("")
       .split(',').filter(_.nonEmpty).toSet
-    spark.conf.set(PathsKey, (cur + normalize(path)).mkString(","))
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    spark.conf.set(PathsKey, (cur + s"${normalize(path)}=$zone").mkString(","))
   }
 
   private def normalize(p: String): String = {
@@ -57,17 +65,38 @@ object DerivedPartitionFilters extends Rule[LogicalPlan] {
     if (u == null || u.isEmpty) p else u
   }
 
-  /** Every root path of the relation is covered by the marker. */
-  private def marked(rel: HadoopFsRelation): Boolean = {
+  /** The writer zone for the relation: Some(zone) iff every root path is
+    * covered by the marker AND the covering entries agree on one zone
+    * (disagreement = refuse to derive rather than guess). */
+  private def writerZone(rel: HadoopFsRelation): Option[java.time.ZoneId] = {
     val raw = conf.getConfString(PathsKey, "")
-    if (raw.isEmpty) false
-    else if (raw.trim == "*") true
+    val session = java.time.ZoneId.of(conf.sessionLocalTimeZone)
+    if (raw.isEmpty) None
+    else if (raw.trim == "*") Some(session)
     else {
-      val prefixes = raw.split(',').filter(_.nonEmpty)
+      val entries = raw.split(',').filter(_.nonEmpty).map { e =>
+        e.lastIndexOf('=') match {
+          case -1 => (e, session) // legacy zone-less entry
+          case i => (e.take(i), java.time.ZoneId.of(e.drop(i + 1)))
+        }
+      }
       val roots = rel.location.rootPaths
-      roots.nonEmpty && roots.forall { rp =>
+      if (roots.isEmpty) return None
+      val zones = roots.map { rp =>
         val p = normalize(rp.toString)
-        prefixes.exists(pre => p == pre || p.startsWith(pre + "/"))
+        // ALL covering entries must agree — a path re-registered under a
+        // second zone means the layout's provenance is ambiguous: refuse
+        entries.collect {
+          case (pre, z) if p == pre || p.startsWith(pre + "/") => z
+        }.distinct match {
+          case Array(z) => Some(z)
+          case _ => None
+        }
+      }
+      if (zones.exists(_.isEmpty)) None
+      else zones.flatten.distinct match {
+        case Seq(z) => Some(z)
+        case _ => None // roots written under different zones: refuse
       }
     }
   }
@@ -75,15 +104,16 @@ object DerivedPartitionFilters extends Rule[LogicalPlan] {
   private val usPerDay = 86400L * 1000000
 
   /** (lower, upper) epoch-day bounds implied by ts-literal conjuncts. */
-  private def tsBounds(cond: Expression, ts: Attribute): (Option[Int], Option[Int]) = {
+  private def tsBounds(cond: Expression, ts: Attribute,
+                       zone: java.time.ZoneId): (Option[Int], Option[Int]) = {
     def epochDay(lit: Literal): Option[Int] = lit.dataType match {
       case TimestampNTZType =>
         // wall-clock micros, zone-free by definition
         Some(Math.floorDiv(lit.value.asInstanceOf[Long], usPerDay).toInt)
       case TimestampType =>
-        // instant micros: the day it falls on depends on the session zone,
-        // which is also what to_date(ts) used at write time
-        val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
+        // instant micros: the day directory it falls in is determined by
+        // the zone to_date(ts) used AT WRITE TIME (the marker's recorded
+        // zone) — never by the querying session's zone
         val inst = java.time.Instant.EPOCH.plus(
           lit.value.asInstanceOf[Long], java.time.temporal.ChronoUnit.MICROS)
         Some(inst.atZone(zone).toLocalDate.toEpochDay.toInt)
@@ -111,7 +141,8 @@ object DerivedPartitionFilters extends Rule[LogicalPlan] {
       if child.relation.isInstanceOf[HadoopFsRelation] &&
         child.relation.asInstanceOf[HadoopFsRelation].partitionSchema
           .exists(p => p.name == "day" && p.dataType == DateType) &&
-        marked(child.relation.asInstanceOf[HadoopFsRelation]) =>
+        writerZone(child.relation.asInstanceOf[HadoopFsRelation]).isDefined =>
+      val zone = writerZone(child.relation.asInstanceOf[HadoopFsRelation]).get
       val out = child.output
       val dayAttr = out.find(_.name == "day").get
       val tsAttr = out.find(a => a.name == "ts" &&
@@ -119,7 +150,7 @@ object DerivedPartitionFilters extends Rule[LogicalPlan] {
       val alreadyBounded = cond.references.contains(dayAttr)
       tsAttr match {
         case Some(ts) if !alreadyBounded =>
-          val (lo, hi) = tsBounds(cond, ts)
+          val (lo, hi) = tsBounds(cond, ts, zone)
           val derived = Seq(
             lo.map(d => GreaterThanOrEqual(dayAttr, Literal(d, DateType)): Expression),
             hi.map(d => LessThanOrEqual(dayAttr, Literal(d, DateType)): Expression)).flatten

@@ -269,6 +269,41 @@ class WritePathSpec extends SparkSuite {
     } finally PlanApi.removeOptimization(spark, DerivedPartitionFilters)
   }
 
+  test("derived partition filters: instant bounds use the RECORDED writer zone, not the session zone") {
+    import org.apache.spark.sql.graft.PlanApi
+    import graft.plans.DerivedPartitionFilters
+    import spark.implicits._
+    // an INSTANT-typed layout written under UTC: rows at 00:30 UTC land on
+    // their UTC day; in America/Los_Angeles the same instants fall on the
+    // PREVIOUS wall-clock day — the divergence the recorded zone must absorb
+    val path = s"$root/events_zone_unit"
+    val ev = (1 to 5).map { d =>
+      (d.toLong, s"2024-02-0$d 00:30:00", d.toLong, "tick", 1.0 * d)
+    }.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    Ingest.writeEventsByDay(ev, path)
+    DerivedPartitionFilters.registerPath(spark, path) // records zone=UTC
+    PlanApi.addOptimization(spark, DerivedPartitionFilters)
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      // parsed in LA: 2024-02-02 17:00 LA = 2024-02-03 01:00 UTC. The row
+      // at 2024-02-03 00:30 UTC matches and lives in day=2024-02-03; a
+      // session-zone derivation would bound day <= 2024-02-02 and prune
+      // that directory away — a WRONG RESULT, not a missed optimization
+      val q = spark.read.parquet(path)
+        .filter(expr("ts < TIMESTAMP '2024-02-02 17:00:00'"))
+      val got = q.select("event_id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L),
+        s"writer-zone derivation lost/invented rows: got ${got.mkString(",")}")
+      val listing = scanListings(q).head
+      assert(listing.partitionCount == 3,
+        s"expected day<=2024-02-03 to keep 3 dirs, got ${listing.partitionCount}")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      PlanApi.removeOptimization(spark, DerivedPartitionFilters)
+    }
+  }
+
   test("retention drop removes exactly the expired partition directories") {
     val path = Ingest.eventsWithRetention(spark, sf0001, "2024-01-08", root)
     val dirs = new java.io.File(path).listFiles
