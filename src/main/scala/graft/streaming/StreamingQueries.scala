@@ -244,7 +244,30 @@ object StreamingQueries {
       src.filter(col("event_type") === "purchase").withWatermark("ts", "40 minutes"))
   }
 
+  /** Batch face of the STREAM-STREAM AS-OF enrichment (StreamAsof): the
+    * sensor probes are all non-signup events, the slowly-changing
+    * reference is each user's signup stream, and every probe takes the
+    * latest reference value at-or-before its time. The oracle is DuckDB's
+    * native ASOF LEFT JOIN — an independent implementation of the same
+    * semantics. StreamParitySpec holds StreamAsof.asofEnrich equal to
+    * this transform on the sealed prefix under ordered + jittered
+    * replay. */
+  val qStreamAsof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val probes = ev.filter(col("event_type") =!= "signup")
+    val ref = ev.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "value")
+    graft.operators.AsofJoin.keyedAsof(probes, ref, "user_id", "ts", "ts", "value")
+      .select(col("event_id"), col("asof_value"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stream_asof", qStreamAsof, Some(
+      "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup'), " +
+        "r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') " +
+        "SELECT p.event_id, r.value AS asof_value FROM p ASOF LEFT JOIN r " +
+        "ON p.user_id = r.user_id AND r.ts <= p.ts ORDER BY p.event_id")),
     ("q_stream_tumbling_wm", qStreamTumblingWm, Some(
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt FROM events GROUP BY 1,2 ORDER BY 1,2")),
     ("q_stream_session", qStreamSession, Some(

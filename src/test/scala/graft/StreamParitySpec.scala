@@ -529,4 +529,54 @@ class StreamParitySpec extends SparkSuite {
     val dayDirs = new java.io.File(out).listFiles.count(f => f.isDirectory && f.getName.startsWith("day="))
     assert(dayDirs == 30, s"expected 30 day= directories, got $dayDirs")
   }
+
+  /** Stream-stream as-of parity: every probe the stream SEALS (watermark
+    * passed its ts) must carry exactly the keyedAsof batch enrichment, and
+    * the sealed set must be exactly the batch probes at or below the final
+    * watermark (maxEventTimeMs - delayMs — the same ms-granular formula
+    * Spark's EventTimeStats uses). */
+  private def assertAsofParity(dir: String, name: String): Unit = {
+    import graft.streaming.StreamAsof
+    val delayMs = 10 * 60 * 1000L
+    val src = StreamingQueries.eventsStream(spark, dir)
+    val probes = src.filter(col("event_type") =!= "signup")
+    val ref = src.filter(col("event_type") === "signup").select("user_id", "ts", "value")
+    val got = StreamReplay
+      .runToCompletion(spark, StreamAsof.asofEnrich(probes, ref, "10 minutes").toDF(), name)
+      .select("probe_id", "asof_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    val ev = Tables.events(spark, sf0001)
+    // the global watermark is the MIN across the two watermarked branches
+    // (probes and reference advance independently; the slower one gates)
+    val maxMicros = math.min(
+      ev.filter(col("event_type") =!= "signup")
+        .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0),
+      ev.filter(col("event_type") === "signup")
+        .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0))
+    val wmMicros = (maxMicros / 1000L - delayMs) * 1000L
+    val bProbes = ev.filter(col("event_type") =!= "signup")
+    val bRef = ev.filter(col("event_type") === "signup").select("user_id", "ts", "value")
+    val want = graft.operators.AsofJoin.keyedAsof(bProbes, bRef, "user_id", "ts", "ts", "value")
+      .filter(unix_micros(col("ts").cast("timestamp")) <= wmMicros)
+      .select("event_id", "asof_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    val missing = (want.keySet -- got.keySet).toSeq.sorted
+    val extra = (got.keySet -- want.keySet).toSeq.sorted
+    assert(missing.isEmpty && extra.isEmpty,
+      s"sealed ${got.size} vs batch prefix ${want.size}; " +
+        s"missing=${missing.take(10).mkString(",")} extra=${extra.take(10).mkString(",")}")
+    val diverged = want.collect { case (id, v) if got.get(id) != Some(v) => id }
+    assert(diverged.isEmpty,
+      s"${diverged.size} probes diverged from keyedAsof, e.g. ${diverged.take(5).mkString(",")}")
+  }
+
+  test("stream-stream as-of: sealed probes equal keyedAsof on the closed prefix") {
+    assertAsofParity(StreamReplay.rewriteOrdered(spark, sf0001, 6), "t_asof_s")
+  }
+
+  test("stream-stream as-of under out-of-order replay: sealed probes still equal batch") {
+    assertAsofParity(StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4), "t_asof_s_ooo")
+  }
 }
