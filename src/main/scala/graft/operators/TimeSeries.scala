@@ -748,6 +748,87 @@ object TimeSeries {
         col("p.v").as(valCol))
   }
 
+  /** PromQL `predict_linear(v[1d], 1h)`: extrapolate each (event_type,
+    * day) series 1 hour past end-of-day with the least-squares line.
+    * Same pre-rounded moment sums as qTsDeriv (one hash aggregate, no
+    * window); slope and intercept are each rounded to 8 before the
+    * projection so both engines run the closed formula on identical
+    * doubles. Abscissa is seconds-within-day (bounded), so the
+    * prediction point is t = 90000 s (24 h + 1 h). */
+  val qTsPredictLinear: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("dd", date_trunc("day", col("ts")).cast("date"))
+      .withColumn("tt",
+        (expr("unix_micros(cast(ts as timestamp))") % lit(86400L * 1000000L)) / lit(1000000.0))
+      .groupBy("event_type", "dd")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.roundd(sum("tt"), 4).as("st"),
+        Num.roundd(sum("value"), 4).as("sv"),
+        Num.roundd(sum(col("tt") * col("value")), 4).as("stv"),
+        Num.roundd(sum(col("tt") * col("tt")), 4).as("stt"))
+      .withColumn("slope",
+        Num.roundd(
+          (col("n") * col("stv") - col("st") * col("sv")) /
+            (col("n") * col("stt") - col("st") * col("st")),
+          8))
+      .withColumn("icept",
+        Num.roundd((col("sv") - col("slope") * col("st")) / col("n"), 8))
+      .select(col("event_type"), col("dd"),
+        Num.roundd(col("slope") * lit(90000.0) + col("icept"), 4).as("pred"))
+      .orderBy("event_type", "dd")
+
+  /** PromQL `resets()`: number of counter resets (value drops) per
+    * (user, day) — the restart detector behind counter hygiene alerts.
+    * Exact integer counts; same one-shuffle lag-window plan shape as
+    * qTsChanges. */
+  val qTsResets: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "dd").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("dd", date_trunc("day", col("ts")).cast("date"))
+      .withColumn("rst",
+        when(col("value") < lag("value", 1).over(w), 1L).otherwise(0L))
+      .groupBy("user_id", "dd")
+      .agg(sum("rst").as("resets"), count(lit(1)).as("n"))
+      .orderBy("user_id", "dd")
+  }
+
+  /** PromQL `quantile_over_time(0.9, v[1h])` on a 15-min step: p90 over
+    * 1h windows sliding every 15 min. Same `F.window` Expand shape as
+    * qTsSliding (each event lands in ≤4 windows BEFORE the shuffle —
+    * linear, not a grid range-join); `percentile` is exact interpolated
+    * (matches DuckDB quantile_cont bit-for-bit after Num.roundd). At
+    * 100 TB with wide windows, swap the exact percentile for the
+    * mergeable graft_tdigest tier — same plan shape, bounded state. */
+  val qTsQuantileTime: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(
+        Num.roundd(expr("percentile(value, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col("p90"), col("cnt"))
+      .filter(
+        expr("w >= TIMESTAMP_NTZ '2024-01-01 00:00:00'") &&
+          expr("w <= TIMESTAMP_NTZ '2024-01-31 00:00:00'"))
+      .orderBy("w")
+
+  /** PromQL binary op with vector matching — `sum(click) / on(hour)
+    * sum(view)`: the click-through-rate panel. Both sides come out of
+    * ONE scan and ONE hash aggregate (conditional sums per hour), not
+    * two aggregates + a join — at 100 TB that halves the shuffle and
+    * removes the join entirely. Hours lacking either side drop (PromQL
+    * inner vector matching). */
+  val qTsVectorRatio: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        Num.roundd(sum(when(col("event_type") === "click", col("value"))), 2).as("clicks"),
+        Num.roundd(sum(when(col("event_type") === "view", col("value"))), 2).as("vws"))
+      .filter(col("clicks").isNotNull && col("vws").isNotNull)
+      .select(col("h"), col("clicks"), col("vws"),
+        Num.roundd(col("clicks") / col("vws"), 6).as("ratio"))
+      .orderBy("h")
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
@@ -927,5 +1008,32 @@ object TimeSeries {
         "ORDER BY probes.k, probes.pt"),
     ("q_ts_asof_join", qTsAsofJoin,
       "SELECT o.o_orderkey, e.ts FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 1000 = 0) o ASOF JOIN events e ON e.ts <= o.o_orderdate + INTERVAL 10585 DAY ORDER BY o.o_orderkey"),
+    ("q_ts_predict_linear", qTsPredictLinear,
+      "WITH m AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) dd, count(*) n, " +
+        "round(sum(CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 1000000.0), 4) st, " +
+        "round(sum(value), 4) sv, " +
+        "round(sum((CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 1000000.0) * value), 4) stv, " +
+        "round(sum((CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 1000000.0) * (CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 1000000.0)), 4) stt " +
+        "FROM events GROUP BY 1, 2), " +
+        "k AS (SELECT event_type, dd, n, st, sv, round((n * stv - st * sv) / (n * stt - st * st), 8) slope FROM m), " +
+        "ki AS (SELECT event_type, dd, slope, round((sv - slope * st) / n, 8) icept FROM k) " +
+        "SELECT event_type, dd, round(slope * 90000.0 + icept, 4) pred FROM ki ORDER BY event_type, dd"),
+    ("q_ts_resets", qTsResets,
+      "WITH m AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) dd, " +
+        "CASE WHEN value < lag(value) OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE) ORDER BY ts, event_id) THEN 1 ELSE 0 END rst " +
+        "FROM events) " +
+        "SELECT user_id, dd, CAST(sum(rst) AS BIGINT) resets, count(*) n FROM m GROUP BY 1, 2 ORDER BY 1, 2"),
+    ("q_ts_quantile_time", qTsQuantileTime,
+      "SELECT ws.w, round(quantile_cont(e.value, 0.9), 4) p90, count(*) cnt " +
+        "FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 15 MINUTE)) w) ws " +
+        "JOIN events e ON e.ts >= ws.w AND e.ts < ws.w + INTERVAL 1 HOUR " +
+        "GROUP BY ws.w ORDER BY ws.w"),
+    ("q_ts_vector_ratio", qTsVectorRatio,
+      "WITH h AS (SELECT date_trunc('hour', ts) h, " +
+        "round(sum(CASE WHEN event_type = 'click' THEN value END), 2) clicks, " +
+        "round(sum(CASE WHEN event_type = 'view' THEN value END), 2) vws " +
+        "FROM events GROUP BY 1) " +
+        "SELECT h, clicks, vws, round(clicks / vws, 6) ratio FROM h " +
+        "WHERE clicks IS NOT NULL AND vws IS NOT NULL ORDER BY h"),
   )
 }

@@ -151,4 +151,33 @@ class PlanSpec extends SparkSuite {
     val hashEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx == 1, s"expected one aggregation shuffle, got $hashEx:\n$p")
   }
+
+  test("predict_linear: closed-form moment sums, no window, single scan + one shuffle") {
+    val p = plan(TimeSeries.qTsPredictLinear(spark, sf0001))
+    assert(!p.contains("Window"), s"predict_linear must not use a window:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+    val hashEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected one aggregation shuffle, got $hashEx:\n$p")
+  }
+
+  test("resets: lag window and reset-count aggregate share ONE (user, day) shuffle") {
+    val p = plan(TimeSeries.qTsResets(spark, sf0001))
+    val hashEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"window + agg must ride one hash exchange, got $hashEx:\n$p")
+  }
+
+  test("quantile_over_time: sliding windows Expand each row <=4x, no grid range-join") {
+    val p = plan(TimeSeries.qTsQuantileTime(spark, sf0001))
+    assert(p.contains("Expand"), s"F.window sliding must lower to Expand:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"no grid join allowed:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+  }
+
+  test("vector ratio: both PromQL sides come from ONE scan and ONE aggregate, no join") {
+    val p = plan(TimeSeries.qTsVectorRatio(spark, sf0001))
+    assert(!p.toLowerCase.contains("join"), s"ratio must not join two aggregates:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+    val hashEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected one aggregation shuffle, got $hashEx:\n$p")
+  }
 }
