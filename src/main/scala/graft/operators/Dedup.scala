@@ -323,6 +323,81 @@ object Dedup {
     docs.join(drops, col(idCol) === col("__drop"), "left_anti")
   }
 
+  /** Banded signature index: one row per (id, band) carrying the band's
+    * signature slice (the LSH bucket key) and the full signature (the
+    * verify key). This is the artifact a corpus build PERSISTS next to
+    * the data — ~`bands` rows × (numHashes+2) longs per doc, a fixed
+    * few-hundred-bytes-per-document index regardless of document size —
+    * so later ingest batches can dedup against the corpus without
+    * touching the corpus text (see `incrementalDedup`). */
+  def bandSigIndex(sigDf: DataFrame, idCol: String, bands: Int): DataFrame =
+    sigDf.select(col(idCol).as("id"), col("sig"))
+      .withColumn("band", explode(expr(s"sequence(0, $bands - 1)")))
+      .withColumn("band_sig",
+        expr("slice(sig, band * (size(sig) div " + bands + ") + 1, size(sig) div " + bands + ")"))
+
+  /** Incremental dedup: screen a NEW ingest batch against an existing
+    * corpus using only the corpus's persisted `bandSigIndex` — the
+    * standing problem of a training-data pipeline, where re-running
+    * full-corpus dedup per arriving batch is O(corpus) each time.
+    *
+    * Work is O(batch bands + bucket collisions): the batch is sketched
+    * and banded (one codegen'd pass), bucket-joined against the index on
+    * (band, band_sig) — Spark broadcasts the small batch side against
+    * the corpus-sized index, so the index itself never shuffles — and
+    * candidates are verified by signature agreement (estimated Jaccard =
+    * matching hash fraction, the standard signature-only verify when the
+    * corpus text is out of reach; exact-Jaccard re-verification of the
+    * few survivors is a bounded point-lookup a caller can layer on).
+    * Within-batch duplicates resolve first-writer-wins (smaller id
+    * survives). Ids must be unique across corpus ∪ batch.
+    *
+    * Returns one row per batch doc: (idCol, n_corpus_dup, n_batch_dup,
+    * keep) where keep = 1 iff the doc matched nothing in the corpus and
+    * no earlier doc in its own batch. Docs too short to shingle sketch
+    * nothing and keep = 1, matching full-corpus `dedupCorpus` behavior. */
+  def incrementalDedup(corpusIndex: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       estThreshold: Double = 0.5,
+                       numHashes: Int = 8, bands: Int = 4, n: Int = 3): DataFrame = {
+    val bsig = minHashFromText(batch.select(col(idCol), col(textCol)), textCol, numHashes, n)
+    val bBands = bandSigIndex(bsig, idCol, bands)
+      .select(col("id").as("bid"), col("band"), col("band_sig"))
+    val corpusCand = bBands
+      .join(corpusIndex.select(col("id").as("cid"), col("band"), col("band_sig")),
+        Seq("band", "band_sig"))
+      .select("bid", "cid").distinct()
+      .withColumn("is_corpus", lit(true))
+    val batchCand = bBands
+      .join(bBands.select(col("bid").as("cid"), col("band"), col("band_sig")),
+        Seq("band", "band_sig"))
+      .filter(col("cid") < col("bid"))
+      .select("bid", "cid").distinct()
+      .withColumn("is_corpus", lit(false))
+    // sig lookups: batch sigs for bid; band-0 index rows give one
+    // (id, sig) row per corpus doc without a corpus-wide distinct
+    val bidSigs = bsig.select(col(idCol).as("bid"), col("sig").as("__bs"))
+    val cidSigs = corpusIndex.filter(col("band") === 0)
+      .select(col("id").as("cid"), col("sig").as("__cs"))
+      .unionByName(bsig.select(col(idCol).as("cid"), col("sig").as("__cs")))
+    val hits = corpusCand.unionByName(batchCand)
+      .join(bidSigs, "bid").join(cidSigs, "cid")
+      .withColumn("__agree", expr(
+        s"size(filter(sequence(0, ${numHashes - 1}), i -> element_at(__bs, i+1) = element_at(__cs, i+1)))"))
+      .filter(col("__agree").cast("double") / lit(numHashes.toDouble) >= estThreshold)
+      .groupBy("bid")
+      .agg(
+        sum(when(col("is_corpus"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(col("is_corpus"), 0L).otherwise(1L)).as("__nb"))
+    batch.select(col(idCol))
+      .join(hits, col(idCol) === col("bid"), "left")
+      .select(col(idCol),
+        coalesce(col("__nc"), lit(0L)).as("n_corpus_dup"),
+        coalesce(col("__nb"), lit(0L)).as("n_batch_dup"))
+      .withColumn("keep",
+        when(col("n_corpus_dup") === 0 && col("n_batch_dup") === 0, 1L).otherwise(0L))
+  }
+
   /** 60-bit SimHash of the distinct-token set, as a bit array column
     * `simhash_bits` (index 0 = lowest bit). */
   def simhashBits(df: DataFrame, textCol: String): DataFrame =

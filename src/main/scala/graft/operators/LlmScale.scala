@@ -141,6 +141,26 @@ object LlmScale {
       .orderBy("lang")
   }
 
+  /** Incremental dedup under the gate: src0 plays the NEW ingest batch,
+    * every other source the EXISTING corpus. The corpus contributes only
+    * its banded signature index (Dedup.bandSigIndex — the artifact a
+    * corpus build persists); the batch is sketched, bucket-joined
+    * against the index, and verified by signature agreement ≥ 0.5.
+    * Per batch doc: corpus-dup count, earlier-batch-dup count, and the
+    * keep decision. The oracle rebuilds the same screen from the shared
+    * signature CTEs with banding formulated independently. */
+  val qDedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val idx = Dedup.bandSigIndex(
+      Dedup.minHashFromText(
+        docs.filter(col("source") =!= "src0").select("doc_id", "text"),
+        "text", numHashes = 8),
+      "doc_id", bands = 4)
+    Dedup.incrementalDedup(idx, docs.filter(col("source") === "src0"),
+        "doc_id", "text", estThreshold = 0.5, numHashes = 8, bands = 4)
+      .orderBy("doc_id")
+  }
+
   // ---- similarity: embedding near-dup (exact, thresholded) ----------------
 
   val qEmbNeardup: Q = (s, d) =>
@@ -668,6 +688,23 @@ object LlmScale {
         "drops AS (SELECT id FROM lbl WHERE id <> cl) " +
         "SELECT lang, count(*) n, CAST(sum(doc_id) AS BIGINT) id_sum, CAST(sum(n_chars) AS BIGINT) chars " +
         "FROM documents WHERE doc_id NOT IN (SELECT id FROM drops) GROUP BY lang ORDER BY lang")),
+    ("q_dedup_incremental", qDedupIncremental, Some(
+      // batch = src0, corpus = everything else; candidates are band-bucket
+      // collisions batch×corpus plus batch×earlier-batch, verified by
+      // 8-hash signature agreement >= 0.5 (estimated Jaccard)
+      s"$ngramCte, $sigCte, " +
+        "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)), " +
+        "bsrc AS (SELECT banded.*, source FROM banded JOIN documents USING (doc_id)), " +
+        "cand AS (SELECT DISTINCT a.doc_id bid, c.doc_id cid, c.source != 'src0' isc " +
+        "FROM bsrc a JOIN bsrc c ON a.b = c.b AND a.sl = c.sl " +
+        "WHERE a.source = 'src0' AND (c.source != 'src0' OR c.doc_id < a.doc_id)), " +
+        "est AS (SELECT bid, cid, isc FROM cand JOIN sg x ON x.doc_id = cand.bid JOIN sg y ON y.doc_id = cand.cid " +
+        "WHERE CAST(len(list_filter(range(8), i -> x.sig[i+1] = y.sig[i+1])) AS DOUBLE) / 8.0 >= 0.5), " +
+        "hits AS (SELECT bid, CAST(sum(CASE WHEN isc THEN 1 ELSE 0 END) AS BIGINT) nc, " +
+        "CAST(sum(CASE WHEN isc THEN 0 ELSE 1 END) AS BIGINT) nb FROM est GROUP BY bid) " +
+        "SELECT d.doc_id, CAST(coalesce(nc, 0) AS BIGINT) n_corpus_dup, CAST(coalesce(nb, 0) AS BIGINT) n_batch_dup, " +
+        "CAST(CASE WHEN coalesce(nc, 0) = 0 AND coalesce(nb, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) keep " +
+        "FROM documents d LEFT JOIN hits ON hits.bid = d.doc_id WHERE d.source = 'src0' ORDER BY d.doc_id")),
     ("q_emb_neardup", qEmbNeardup, Some(
       "SELECT a.vec_id id_a, b.vec_id id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) sim " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +

@@ -96,6 +96,43 @@ class OperatorSpec extends SparkSuite {
     assert(kept == Seq(2L, 20L, 21L), s"got $kept")
   }
 
+  test("incremental dedup: corpus/batch/unique hits resolve; persisted index never rescans corpus text") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, (100 to 140).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                                          // dup of corpus doc 1
+      (11L, (200 to 240).map(i => s"y$i").mkString(" ")),   // unique
+      (12L, (200 to 240).map(i => s"y$i").mkString(" ")),   // dup of earlier batch doc 11
+      (13L, "too short")                                    // unshingleable
+    ).toDF("doc_id", "text")
+    val idx = Dedup.bandSigIndex(
+      Dedup.minHashFromText(corpus, "text", numHashes = 8), "doc_id", bands = 4)
+    val dir = java.nio.file.Files.createTempDirectory("sigidx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val out = Dedup.incrementalDedup(persisted, batch, "doc_id", "text",
+        estThreshold = 0.5, numHashes = 8, bands = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (10L, 1L, 0L, 0L),   // corpus dup → drop
+      (11L, 0L, 0L, 1L),   // first writer → keep
+      (12L, 0L, 1L, 0L),   // within-batch dup of 11 → drop
+      (13L, 0L, 0L, 1L)),  // no signature → keep
+      s"got $out")
+    // the scale contract: with a persisted index and an in-memory batch,
+    // the ONLY file read is the index — corpus text is never rescanned
+    val p = Dedup.incrementalDedup(persisted, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans > 0 && p.contains("sigidx"), s"index scan expected:\n$p")
+    // matches inline-index run exactly
+    val inline = Dedup.incrementalDedup(idx, batch, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(inline == out)
+  }
+
   test("graft_shingles kernel ≡ HOF shingler on fixture docs (order included)") {
     val docs = Tables.documents(spark, sf0001)
     val hof = Dedup.withShingles(docs, "text").select("doc_id", "shingles")
