@@ -353,6 +353,47 @@ object LlmScale {
       .select("doc_id", "lang", "source", "hmod")
       .orderBy("doc_id")
 
+  /** Temperature-based training-mix sampling (α = 0.5): re-weight sources
+    * toward tokens^α shares WITHOUT upsampling — the standard multilingual
+    * / multi-source mix step. With p_s ∝ tok_s^0.5 the no-upsampling rate
+    * collapses to r_s = sqrt(min_tok / tok_s) (the smallest source keeps
+    * everything, larger sources downsample toward equal-ish token shares);
+    * both engines compute it from exact BIGINT token sums through
+    * correctly-rounded sqrt/divide, so the doubles agree bit-for-bit.
+    * Membership is the deterministic md5-hash rule hmod < round(r_s·10^6)
+    * — integer compare, no float threshold ambiguity, reshuffle-stable.
+    *
+    * Shape: one stats aggregate (per-source token sums, 6 rows), rates
+    * broadcast back, one sampling aggregate — two scans of the corpus and
+    * zero wide shuffles; at 100 TB the stats pass is the cheap one-pass
+    * aggregate an ingest pipeline would maintain incrementally anyway. */
+  val qDocsTempSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("hmod",
+        expr(s"pmod(${Dedup.h60("'tmp'", "cast(doc_id as string)")}, 1000000)"))
+    val stats = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_total"), sum("tok").as("tokens_total"))
+    val rates = stats
+      .crossJoin(broadcast(stats.agg(min("tokens_total").as("__min_toks"))))
+      .withColumn("rate",
+        Num.roundd(sqrt(col("__min_toks").cast("double") / col("tokens_total")), 6))
+      .withColumn("__thresh", round(col("rate") * lit(1000000.0)).cast("long"))
+    val kept = docs
+      .join(broadcast(rates.select("source", "__thresh")), "source")
+      .filter(col("hmod") < col("__thresh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("tok").as("tokens_kept"))
+    rates.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("tokens_total"), col("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .withColumn("kept_share",
+        Num.roundd(col("tokens_kept").cast("double") /
+          sum("tokens_kept").over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+      .orderBy("source")
+  }
+
   // ---- embeddings: cluster-cohesion report ---------------------------------
 
   /** Cluster-quality report per label — the cohesion metrics an
@@ -764,6 +805,19 @@ object LlmScale {
     ("q_docs_sample", qDocsSample, Some(
       s"SELECT doc_id, lang, source, ${dh("'smp'", "CAST(doc_id AS VARCHAR)")} % 100 hmod " +
         s"FROM documents WHERE ${dh("'smp'", "CAST(doc_id AS VARCHAR)")} % 100 < 10 ORDER BY doc_id")),
+    ("q_docs_temp_sample", qDocsTempSample, Some(
+      s"WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) tok, " +
+        s"${dh("'tmp'", "CAST(doc_id AS VARCHAR)")} % 1000000 hmod FROM documents), " +
+        "st AS (SELECT source, CAST(count(*) AS BIGINT) n_total, CAST(sum(tok) AS BIGINT) tokens_total FROM t GROUP BY 1), " +
+        "r AS (SELECT source, n_total, tokens_total, round(sqrt(CAST(mt AS DOUBLE) / tokens_total), 6) rate, " +
+        "CAST(round(round(sqrt(CAST(mt AS DOUBLE) / tokens_total), 6) * 1000000) AS BIGINT) thresh " +
+        "FROM st CROSS JOIN (SELECT min(tokens_total) mt FROM st)), " +
+        "k AS (SELECT t.source, CAST(count(*) AS BIGINT) n_kept, CAST(sum(tok) AS BIGINT) tokens_kept " +
+        "FROM t JOIN r USING (source) WHERE hmod < thresh GROUP BY 1) " +
+        "SELECT r.source, n_total, tokens_total, rate, " +
+        "CAST(coalesce(n_kept, 0) AS BIGINT) n_kept, CAST(coalesce(tokens_kept, 0) AS BIGINT) tokens_kept, " +
+        "round(CAST(coalesce(tokens_kept, 0) AS DOUBLE) / sum(coalesce(tokens_kept, 0)) OVER (), 6) kept_share " +
+        "FROM r LEFT JOIN k ON k.source = r.source ORDER BY r.source")),
     ("q_emb_quantize", qEmbQuantize, Some(
       "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings), " +
         "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) mx FROM e), " +

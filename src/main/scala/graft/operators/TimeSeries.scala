@@ -829,6 +829,27 @@ object TimeSeries {
         Num.roundd(col("clicks") / col("vws"), 6).as("ratio"))
       .orderBy("h")
 
+  /** Seasonal-naive anomaly detection: each hour's total vs the SAME hour
+    * one week earlier (lag 168 on the per-type hourly series) — the
+    * weekly-seasonality baseline that catches "this Tuesday 3pm is 2×
+    * last Tuesday 3pm" where EWMA smoothing (qTsAnomaly) would lag. Row
+    * 168-lag over the aggregated series: one aggregate + one window on
+    * the same (event_type) partitioning. Hours missing from the series
+    * shift the lag window — compose with qTsGapfill first when the
+    * 100 TB corpus has holes; the gate's fixture is hourly-dense. */
+  val qTsSeasonalNaive: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("h")
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(Num.roundd(sum("value"), 2).as("sv"))
+      .withColumn("expected", lag("sv", 168).over(w))
+      .filter(col("expected").isNotNull)
+      .withColumn("ratio", Num.roundd(col("sv") / col("expected"), 6))
+      .withColumn("anom",
+        (abs(col("sv") / col("expected") - lit(1.0)) > lit(0.5)).cast("long"))
+      .orderBy("event_type", "h")
+  }
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
@@ -1035,5 +1056,11 @@ object TimeSeries {
         "FROM events GROUP BY 1) " +
         "SELECT h, clicks, vws, round(clicks / vws, 6) ratio FROM h " +
         "WHERE clicks IS NOT NULL AND vws IS NOT NULL ORDER BY h"),
+    ("q_ts_seasonal_naive", qTsSeasonalNaive,
+      "WITH hr AS (SELECT event_type, date_trunc('hour', ts) h, round(sum(value), 2) sv FROM events GROUP BY 1, 2), " +
+        "lg AS (SELECT event_type, h, sv, lag(sv, 168) OVER (PARTITION BY event_type ORDER BY h) expected FROM hr) " +
+        "SELECT event_type, h, sv, expected, round(sv / expected, 6) ratio, " +
+        "CAST(CASE WHEN abs(sv / expected - 1) > 0.5 THEN 1 ELSE 0 END AS BIGINT) anom " +
+        "FROM lg WHERE expected IS NOT NULL ORDER BY event_type, h"),
   )
 }

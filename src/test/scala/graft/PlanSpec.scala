@@ -173,6 +173,20 @@ class PlanSpec extends SparkSuite {
     assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
   }
 
+  test("temperature mix sampling: rate tables broadcast, corpus never sort-merge-joins") {
+    val p = plan(graft.operators.LlmScale.qDocsTempSample(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"per-source rates must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle for a 6-row rate table:\n$p")
+  }
+
+  test("seasonal naive: hourly aggregate + weekly lag, one scan, no self-join") {
+    val p = plan(TimeSeries.qTsSeasonalNaive(spark, sf0001))
+    assert(!p.toLowerCase.contains("join"), s"seasonal baseline must not self-join:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+  }
+
   test("vector ratio: both PromQL sides come from ONE scan and ONE aggregate, no join") {
     val p = plan(TimeSeries.qTsVectorRatio(spark, sf0001))
     assert(!p.toLowerCase.contains("join"), s"ratio must not join two aggregates:\n$p")
