@@ -850,6 +850,39 @@ object TimeSeries {
       .orderBy("event_type", "h")
   }
 
+  /** PromQL `histogram_quantile(0.9, …)`: the p90 estimate from
+    * fixed-boundary bucket counts per (event_type, day) — the Prometheus
+    * histogram surface, where quantiles are reconstructed from mergeable
+    * bucket counters by linear interpolation inside the target bucket
+    * (+Inf bucket clamps to the highest finite boundary, PromQL rule).
+    * Bucketing is a codegen'd projection; the rest is one aggregate on
+    * (type, day, bucket) + windowed cumulative pick — at 100 TB the
+    * bucket counts are exactly what a TSDB pre-aggregates at ingest, so
+    * the query-time work is 7 rows per series-day. Both engines run the
+    * identical closed formula on exact integer counts, so the doubles
+    * agree bit-for-bit. */
+  val qTsHistogramQuantile: Q = (s, d) => {
+    val bounds = "array(10.0D, 25.0D, 50.0D, 100.0D, 200.0D, 400.0D)"
+    val gw = Window.partitionBy("event_type", "dd")
+    val cw = gw.orderBy("bi")
+    Tables.events(s, d)
+      .withColumn("dd", date_trunc("day", col("ts")).cast("date"))
+      .withColumn("bi", expr(s"size(filter($bounds, x -> value > x))"))
+      .groupBy("event_type", "dd", "bi")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(cw))
+      .withColumn("total", sum("cnt").over(gw))
+      .withColumn("target", expr("cast(0.9 as double)") * col("total"))
+      .filter(col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
+      .withColumn("lo", expr(s"if(bi = 0, 0.0D, element_at($bounds, bi))"))
+      .withColumn("p90", Num.roundd(
+        when(col("bi") === 6, lit(400.0)).otherwise(
+          col("lo") + (expr(s"element_at($bounds, bi + 1)") - col("lo")) *
+            (col("target") - (col("cum") - col("cnt"))) / col("cnt")), 4))
+      .select(col("event_type"), col("dd"), col("total").as("n"), col("p90"))
+      .orderBy("event_type", "dd")
+  }
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
@@ -1062,5 +1095,18 @@ object TimeSeries {
         "SELECT event_type, h, sv, expected, round(sv / expected, 6) ratio, " +
         "CAST(CASE WHEN abs(sv / expected - 1) > 0.5 THEN 1 ELSE 0 END AS BIGINT) anom " +
         "FROM lg WHERE expected IS NOT NULL ORDER BY event_type, h"),
+    ("q_ts_histogram_quantile", qTsHistogramQuantile,
+      "WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) dd, " +
+        "len(list_filter([10.0, 25.0, 50.0, 100.0, 200.0, 400.0], x -> value > x)) bi FROM events), " +
+        "g AS (SELECT event_type, dd, bi, count(*) cnt FROM e GROUP BY 1, 2, 3), " +
+        "c AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type, dd ORDER BY bi) cum, " +
+        "sum(cnt) OVER (PARTITION BY event_type, dd) total FROM g), " +
+        "s AS (SELECT *, CAST(0.9 AS DOUBLE) * total target FROM c), " +
+        "p AS (SELECT *, CASE WHEN bi = 0 THEN 0.0 ELSE [10.0, 25.0, 50.0, 100.0, 200.0, 400.0][bi] END lo " +
+        "FROM s WHERE cum >= target AND cum - cnt < target) " +
+        "SELECT event_type, dd, CAST(total AS BIGINT) n, " +
+        "round(CASE WHEN bi = 6 THEN 400.0 ELSE " +
+        "lo + ([10.0, 25.0, 50.0, 100.0, 200.0, 400.0][bi + 1] - lo) * (target - (cum - cnt)) / cnt END, 4) p90 " +
+        "FROM p ORDER BY event_type, dd"),
   )
 }

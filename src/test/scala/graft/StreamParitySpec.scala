@@ -579,4 +579,46 @@ class StreamParitySpec extends SparkSuite {
   test("stream-stream as-of under out-of-order replay: sealed probes still equal batch") {
     assertAsofParity(StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4), "t_asof_s_ooo")
   }
+
+  test("streaming dedup screen: corpus/within/cross-batch dups rejected, index extends, one-shot parity") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val texA = (1 to 40).map(i => s"w$i").mkString(" ")
+    val texB = (100 to 140).map(i => s"x$i").mkString(" ")
+    val texC = (200 to 240).map(i => s"y$i").mkString(" ")
+    val texD = (300 to 340).map(i => s"z$i").mkString(" ")
+    val corpus = Seq((1L, texA), (2L, texB)).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("screen").toString
+    val (feed, idxP, outP, ckp) =
+      (s"$root/feed", s"$root/sigidx", s"$root/admitted", s"$root/ckp")
+    graft.operators.Dedup.bandSigIndex(
+        graft.operators.Dedup.minHashFromText(corpus, "text", numHashes = 8),
+        "doc_id", bands = 4)
+      .write.parquet(idxP)
+    // two micro-batches, ordered by file mtime (maxFilesPerTrigger = 1)
+    val b1 = Seq((10L, texA), (11L, texC), (12L, texC)).toDF("doc_id", "text")
+    val b2 = Seq((20L, texC), (21L, "too short"), (22L, texD)).toDF("doc_id", "text")
+    b1.repartition(1).write.mode("append").parquet(feed)
+    Thread.sleep(1500)
+    b2.repartition(1).write.mode("append").parquet(feed)
+    graft.streaming.StreamScreen
+      .screenDocs(spark, feed, idxP, outP, ckp)
+      .awaitTermination(120000)
+    val admitted = spark.read.parquet(outP).select("doc_id").as[Long].collect().sorted.toSeq
+    // 10 = corpus dup, 12 = within-batch dup of 11, 20 = cross-batch dup
+    // of SURVIVOR 11 (caught only because the index extended); 21 is
+    // unshingleable, 22 is fresh
+    assert(admitted == Seq(11L, 21L, 22L), s"got $admitted")
+    // index grew by bands × admitted-docs-with-signatures (11, 22)
+    assert(spark.read.parquet(idxP).count() == (2 + 2) * 4L)
+    // on this fixture the sequential screen equals the one-shot batch
+    // screen over the full arrival set (dup groups are consistent)
+    val oneShot = graft.operators.Dedup.incrementalDedup(
+        graft.operators.Dedup.bandSigIndex(
+          graft.operators.Dedup.minHashFromText(corpus, "text", numHashes = 8),
+          "doc_id", bands = 4),
+        b1.unionByName(b2), "doc_id", "text")
+      .filter(col("keep") === 1L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(oneShot == admitted, s"one-shot $oneShot vs streamed $admitted")
+  }
 }
