@@ -212,6 +212,33 @@ object LlmScale {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Matryoshka two-stage retrieval: shortlist top-50 per probe by
+    * cosine over the FIRST 32 dims, rerank the shortlist by full 64-dim
+    * cosine, keep top-3 — the MRL serving pattern, where the hot index
+    * stores truncated prefixes (2× less memory bandwidth per candidate)
+    * and full vectors are touched only for the shortlist. Here both
+    * stages read the one scan (the demo corpus carries its full vector
+    * along); the ranking keys are ROUNDED sims so both engines rank
+    * identical doubles, and both window passes ride the probe_id
+    * partitioning — one shuffle total after the broadcast probe join. */
+  val qSimMatryoshka: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).withColumn("te", expr("slice(embedding, 1, 32)"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("te").as("tp"))
+    val w1 = Window.partitionBy("probe_id").orderBy(col("tsim").desc, col("vec_id").asc)
+    val w2 = Window.partitionBy("probe_id").orderBy(col("fsim").desc, col("vec_id").asc)
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("tsim", Num.roundd(Llm.cosineNative(s, "te", "tp"), 6))
+      .withColumn("trnk", row_number().over(w1))
+      .filter(col("trnk") <= 50)
+      .withColumn("fsim", Num.roundd(Llm.cosineNative(s, "embedding", "pv"), 6))
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("fsim").as("sim"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** DuckDB twin of the srpBucket expression over column `c` (inline ±1
     * plane literals, same left-to-right double accumulation). */
   private def duckBucket(nPlanes: Int, dim: Int, c: String): String =
@@ -757,6 +784,15 @@ object LlmScale {
         "FROM b JOIN p ON b.bucket = p.pb AND b.vec_id != p.probe_id), " +
         "r AS (SELECT probe_id, vec_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) rnk FROM j) " +
         "SELECT probe_id, CAST(rnk AS BIGINT) rnk, vec_id, sim FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk")),
+    ("q_sim_matryoshka", qSimMatryoshka, Some(
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "p AS (SELECT vec_id probe_id, v pv FROM e WHERE vec_id < 10), " +
+        "s1 AS (SELECT p.probe_id, e.vec_id, round(list_cosine_similarity(e.v[1:32], p.pv[1:32]), 6) tsim, e.v, p.pv " +
+        "FROM e JOIN p ON e.vec_id != p.probe_id), " +
+        "r1 AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY tsim DESC, vec_id) trnk FROM s1), " +
+        "r2 AS (SELECT probe_id, vec_id, round(list_cosine_similarity(v, pv), 6) fsim FROM r1 WHERE trnk <= 50), " +
+        "r3 AS (SELECT probe_id, vec_id, fsim, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY fsim DESC, vec_id) AS BIGINT) rnk FROM r2) " +
+        "SELECT probe_id, rnk, vec_id, fsim sim FROM r3 WHERE rnk <= 3 ORDER BY probe_id, rnk")),
     ("q_sim_ann_lsh", qSimAnnLsh, None), // approximate by construction; recall asserted in tests
     ("q_sim_ann_ivf", qSimAnnIvf, None), // approximate by construction; recall asserted in tests
     ("q_sim_ann_pq", qSimAnnPq, None), // approximate by construction; recall asserted in tests

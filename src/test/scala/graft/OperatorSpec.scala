@@ -322,6 +322,19 @@ class OperatorSpec extends SparkSuite {
     assert(codes.select(size(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
   }
 
+  test("matryoshka two-stage: 32-dim shortlist recalls most exact full-dim top-3") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val got = graft.operators.LlmScale.qSimMatryoshka(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val hit = (0L until 10L).map { p =>
+      val truth = Similarity.bruteTopK(emb, "vec_id", "embedding", p, 3)
+        .collect().map(_.getLong(0)).toSet
+      truth.intersect(got(p)).size.toDouble / 3
+    }
+    val r = hit.sum / hit.size
+    assert(r >= 0.75, s"two-stage recall vs exact top-3 fell to $r")
+  }
+
   test("ANN recall floors at fixture scale match the committed ANN_RECALL.md sweep") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val topk = 10
