@@ -366,6 +366,38 @@ object LlmScale {
       .orderBy("doc_id", "rn")
   }
 
+  /** Perplexity-proxy quality score: average add-one-smoothed bigram
+    * log-likelihood of each document under the CORPUS's own bigram
+    * statistics — the KenLM-style filter rank (low likelihood = atypical
+    * text: boilerplate, mangled encodings, wrong language) computed
+    * without an external model. p(b|a) = (c2(a,b)+1) / (c1(a)+V).
+    *
+    * Scale shape: the LM statistics are corpus-sized, so the score joins
+    * are honest shuffle joins on the bigram/unigram keys (no broadcast
+    * pretense); V rides a 1-row broadcast. ln terms pre-round to 6 dp
+    * (engine ulp parity, the tfidf precedent) and the per-doc sum
+    * re-rounds before the divide (§2.0.2: partial-agg order must not
+    * flip the output digit). */
+  val qTextLmScore: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bg = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> " +
+          "struct(element_at(w, i + 1) AS a, element_at(w, i + 2) AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val uni = docs.select(explode(col("w")).as("t"))
+    val c2 = bg.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val c1 = uni.groupBy(col("t").as("a")).agg(count(lit(1)).as("c1"))
+    val v = uni.agg(countDistinct("t").as("v"))
+    bg.join(c2, Seq("a", "b")).join(c1, Seq("a")).crossJoin(broadcast(v))
+      .withColumn("lp", Num.roundd(
+        log((col("c2") + lit(1)).cast("double") / (col("c1") + col("v")).cast("double")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.roundd(Num.roundd(sum("lp"), 6) / count(lit(1)), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   // ---- sampling: deterministic hash sample (train/eval splits) ------------
 
   /** 10% deterministic sample by seeded md5 of the id — the reproducible
@@ -841,6 +873,18 @@ object LlmScale {
     ("q_docs_sample", qDocsSample, Some(
       s"SELECT doc_id, lang, source, ${dh("'smp'", "CAST(doc_id AS VARCHAR)")} % 100 hmod " +
         s"FROM documents WHERE ${dh("'smp'", "CAST(doc_id AS VARCHAR)")} % 100 < 10 ORDER BY doc_id")),
+    ("q_text_lm_score", qTextLmScore, Some(
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(w[:len(w)-1]) a, unnest(w[2:]) b FROM w WHERE len(w) >= 2), " +
+        "c2 AS (SELECT a, b, count(*) c2 FROM bg GROUP BY 1, 2), " +
+        "uni AS (SELECT unnest(w) t FROM w), " +
+        "c1 AS (SELECT t a, count(*) c1 FROM uni GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT t) v FROM uni), " +
+        "term AS (SELECT bg.doc_id, round(ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE)), 6) lp " +
+        "FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams, " +
+        "round(round(sum(lp), 6) / count(*), 4) avg_logp " +
+        "FROM term GROUP BY 1 ORDER BY 1")),
     ("q_docs_temp_sample", qDocsTempSample, Some(
       s"WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) tok, " +
         s"${dh("'tmp'", "CAST(doc_id AS VARCHAR)")} % 1000000 hmod FROM documents), " +
