@@ -253,7 +253,32 @@ object IngestQueries {
       .orderBy("event_type")
   }
 
+  /** Time travel over the snapshot-versioned corpus (Versioned): v1 =
+    * create, v2 = upsert (replace + insert), v3 = delete — each version
+    * read back AS OF its manifest and checksummed. The oracle rebuilds
+    * the three states relationally from the raw table; a pass proves
+    * every historical snapshot stays byte-consistent after later
+    * mutations (MVCC isolation, not just latest-state correctness). */
+  val qIngestTimeTravel: Q = (s, d) => {
+    val dir = Versioned.timeTravelFixture(s, d)
+    (1L to 3L).map { v =>
+      Versioned.read(s, dir, v)
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"), sum("n_chars").as("chars"))
+        .select(lit(v).as("ver"), col("n"), col("id_sum"), col("chars"))
+    }.reduce(_ unionByName _).orderBy("ver")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ingest_time_travel", qIngestTimeTravel, Some(
+      "WITH v1 AS (SELECT doc_id, n_chars FROM documents), " +
+        "ups AS (SELECT doc_id, n_chars + 1000 n_chars FROM documents WHERE doc_id % 10 = 0), " +
+        "ins AS (SELECT doc_id + 1000000 doc_id, n_chars FROM documents WHERE doc_id < 5), " +
+        "v2 AS (SELECT v1.doc_id, COALESCE(ups.n_chars, v1.n_chars) n_chars FROM v1 LEFT JOIN ups USING (doc_id) " +
+        "UNION ALL SELECT * FROM ins), " +
+        "v3 AS (SELECT * FROM v2 WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)) " +
+        "SELECT CAST(1 AS BIGINT) ver, CAST(count(*) AS BIGINT) n, CAST(sum(doc_id) AS BIGINT) id_sum, CAST(sum(n_chars) AS BIGINT) chars FROM v1 " +
+        "UNION ALL SELECT 2, count(*), sum(doc_id), sum(n_chars) FROM v2 " +
+        "UNION ALL SELECT 3, count(*), sum(doc_id), sum(n_chars) FROM v3 ORDER BY ver")),
     ("q_events_correct", qEventsCorrect, Some(
       "SELECT event_type, count(*) cnt, " +
         "round(sum(CASE WHEN event_id IN (5, 17, 23) THEN 999.5 ELSE value END), 2) sv " +

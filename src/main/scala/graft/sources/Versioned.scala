@@ -1,0 +1,217 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned table: MVCC over parquet via per-version manifests —
+  * time travel, snapshot-isolated reads, and vacuum, the table-format
+  * contract (Delta/Iceberg-style) a mutable 100 TB corpus needs once
+  * readers and writers overlap.
+  *
+  * Layout under `dir`:
+  *   files/                         immutable data files, job-unique names
+  *   _graft_v00001.manifest         one file name per line (relative)
+  *
+  * A version IS its manifest: commits stage new files into `files/` FIRST
+  * (never referenced yet, so readers are unaffected), then publish the
+  * next manifest via write-temp + atomic rename. Mutations never touch
+  * existing data files — an upsert/delete rewrites only the files whose
+  * rows are affected and the new manifest swaps the references, so every
+  * prior version remains readable byte-for-byte (snapshot isolation: a
+  * reader that resolved version N keeps a consistent N even while N+1
+  * commits). A crash at ANY point leaves either the old latest (plus
+  * orphaned staged files that `vacuum` collects) or the fully published
+  * new version — there is no partial state, and no reconcile pass is
+  * needed on open (contrast Ingest.commitSwap, which mutates in place and
+  * must roll forward).
+  *
+  * At 100 TB the manifest is file-count-sized (KBs per million files) and
+  * the affected-file discovery is the same `_metadata.file_path` semi-join
+  * the in-place CDC paths use — I/O per commit is O(affected files), and
+  * concurrent-writer coordination reduces to who wins the manifest rename
+  * (single-writer assumed here, as in the reference's ingest model).
+  */
+object Versioned {
+
+  private def hfs(spark: SparkSession, p: String): (FileSystem, HPath) = {
+    val hp = new HPath(p)
+    (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
+  }
+
+  private def manifestName(v: Long) = f"_graft_v$v%05d.manifest"
+  private val ManifestRe = "_graft_v(\\d{5})\\.manifest".r
+
+  /** All committed versions, ascending (empty if not a versioned dir). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, d) = hfs(spark, dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.flatMap(s => s.getPath.getName match {
+      case ManifestRe(n) => Some(n.toLong)
+      case _             => None
+    }).sorted
+  }
+
+  def latestVersion(spark: SparkSession, dir: String): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"graft versioned: no manifest under $dir")
+    vs.last
+  }
+
+  private def readManifest(fs: FileSystem, d: HPath, v: Long): Seq[String] = {
+    val m = new HPath(d, manifestName(v))
+    require(fs.exists(m), s"graft versioned: version $v does not exist under $d")
+    val in = fs.open(m)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    body.split('\n').filter(_.nonEmpty).toSeq
+  }
+
+  /** Publish `names` as version `v`: temp write + atomic rename, the
+    * single commit point. Refuses to overwrite an existing version. */
+  private def publish(fs: FileSystem, d: HPath, v: Long, names: Seq[String]): Unit = {
+    val m = new HPath(d, manifestName(v))
+    require(!fs.exists(m), s"graft versioned: version $v already committed under $d")
+    val tmp = new HPath(d, manifestName(v) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(names.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, m), s"graft versioned: cannot publish $m")
+  }
+
+  /** Write `df` into `files/` under commit-unique names; returns the new
+    * file names. Staged files are unreferenced until a manifest names
+    * them, so a crash here orphans bytes but corrupts nothing. */
+  private def stage(spark: SparkSession, dir: String, df: DataFrame): Seq[String] = {
+    val (fs, d) = hfs(spark, dir)
+    val tag = java.util.UUID.randomUUID.toString.take(8)
+    val tmpDir = new HPath(d, s"_stage_$tag")
+    df.write.parquet(tmpDir.toString)
+    val filesDir = new HPath(d, "files")
+    fs.mkdirs(filesDir)
+    val staged = fs.listStatus(tmpDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val name = s"$tag-${s.getPath.getName}"
+        require(fs.rename(s.getPath, new HPath(filesDir, name)),
+          s"graft versioned: cannot adopt ${s.getPath}")
+        name
+      }
+    fs.delete(tmpDir, true)
+    staged
+  }
+
+  /** Create the table at version 1. */
+  def create(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    val (fs, d) = hfs(spark, dir)
+    require(versions(spark, dir).isEmpty, s"graft versioned: $dir already has versions")
+    fs.mkdirs(d)
+    publish(fs, d, 1L, stage(spark, dir, df))
+    1L
+  }
+
+  /** Read a specific version (default: latest) as a snapshot. */
+  def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val (fs, d) = hfs(spark, dir)
+    val v = if (version < 0) latestVersion(spark, dir) else version
+    val files = readManifest(fs, d, v).map(n => new HPath(new HPath(d, "files"), n).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  /** File names (relative) whose rows intersect `pred` at version `v` —
+    * the `_metadata.file_path` pruning pass; bounded by file count. */
+  private def affectedFiles(spark: SparkSession, dir: String, v: Long,
+                            pred: DataFrame => DataFrame): Seq[String] = {
+    pred(read(spark, dir, v).withColumn("__f", col("_metadata.file_path")))
+      .select("__f").distinct().collect().map(_.getString(0))
+      .map(u => new HPath(new java.net.URI(u).getPath).getName).toSeq
+  }
+
+  /** MERGE a batch (one row per id: replace matching ids, insert new
+    * ones) as a new version; returns it. Only files containing matched
+    * ids rewrite. */
+  def upsert(spark: SparkSession, dir: String, idCol: String, updates: DataFrame): Long = {
+    val ids = updates.select(idCol).distinct()
+    require(updates.count() == ids.count(),
+      s"graft versioned upsert: duplicate $idCol in the update batch")
+    val (fs, d) = hfs(spark, dir)
+    val v = latestVersion(spark, dir)
+    val bids = broadcast(ids.withColumnRenamed(idCol, "__uid"))
+    val affected = affectedFiles(spark, dir, v,
+      df => df.join(bids, col(idCol) === col("__uid"), "left_semi"))
+    val cur = readManifest(fs, d, v)
+    val survivors = read(spark, dir, v)
+      .withColumn("__f", col("_metadata.file_path"))
+      .filter(affected.map(n => col("__f").endsWith(n)).foldLeft(lit(false))(_ || _))
+      .drop("__f")
+      .join(bids, col(idCol) === col("__uid"), "left_anti")
+    val staged = stage(spark, dir, survivors.unionByName(updates))
+    publish(fs, d, v + 1, (cur.toSet -- affected).toSeq.sorted ++ staged)
+    v + 1
+  }
+
+  /** Delete ids as a new version; only files containing them rewrite. */
+  def delete(spark: SparkSession, dir: String, idCol: String, ids: Seq[Long]): Long = {
+    val (fs, d) = hfs(spark, dir)
+    val v = latestVersion(spark, dir)
+    val idSet = ids.toSet
+    val affected = affectedFiles(spark, dir, v,
+      df => df.filter(col(idCol).isin(ids: _*)))
+    val cur = readManifest(fs, d, v)
+    val survivors = read(spark, dir, v)
+      .withColumn("__f", col("_metadata.file_path"))
+      .filter(affected.map(n => col("__f").endsWith(n)).foldLeft(lit(false))(_ || _))
+      .drop("__f")
+      .filter(!col(idCol).isin(idSet.toSeq: _*))
+    val staged = if (affected.isEmpty) Seq.empty else stage(spark, dir, survivors)
+    publish(fs, d, v + 1, (cur.toSet -- affected).toSeq.sorted ++ staged)
+    v + 1
+  }
+
+  /** Drop versions older than the newest `keepLast` and every data file
+    * (including crash orphans) no kept version references. Returns
+    * (files dropped, manifests dropped). Time travel to vacuumed
+    * versions is gone by contract — that is the storage/history trade. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "vacuum must keep at least the latest version")
+    val (fs, d) = hfs(spark, dir)
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val referenced = keep.flatMap(readManifest(fs, d, _)).toSet
+    val filesDir = new HPath(d, "files")
+    val dead = fs.listStatus(filesDir).toSeq
+      .filter(s => s.isFile && !referenced.contains(s.getPath.getName))
+    dead.foreach(s => fs.delete(s.getPath, false))
+    drop.foreach(v => fs.delete(new HPath(d, manifestName(v)), false))
+    (dead.size, drop.size)
+  }
+
+  // ---- catalog fixture -----------------------------------------------------
+
+  private val materialized = TrieMap.empty[String, String]
+  private def slug(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Materialize (once per JVM) the time-travel fixture over `documents`:
+    * v1 = the corpus (8-file layout so mutations rewrite a strict
+    * subset), v2 = upsert (bump n_chars by 1000 for doc_id % 10 = 0,
+    * insert doc_id + 1000000 copies of doc_id < 5), v3 = delete
+    * doc_id % 7 = 0. Returns the table dir. */
+  def timeTravelFixture(spark: SparkSession, sfDir: String): String =
+    materialized.getOrElseUpdate(s"tt:$sfDir", {
+      val dir = s"${Ingest.defaultRoot}/${slug(sfDir)}/docs_versioned"
+      val (fs, d) = hfs(spark, dir)
+      if (fs.exists(d)) fs.delete(d, true)
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "source", "n_chars")
+      create(spark, dir, docs.repartition(8))
+      val ups = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .unionByName(docs.filter(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      upsert(spark, dir, "doc_id", ups)
+      val dels = docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      delete(spark, dir, "doc_id", dels)
+      dir
+    })
+}
