@@ -1,0 +1,259 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-management tier for the training-data pipeline: dataset
+  * profiling, blocked fuzzy matching, inverted-index search, and the two
+  * canonical sequence-packing strategies (concat-and-chunk, greedy
+  * no-split bins) a pretraining data loader needs.
+  *
+  * Everything here follows the repo determinism contract (SURVEY §2.0):
+  * token counts are exact integers from the shared whitespace split
+  * (`split(text, ' ')` ≡ DuckDB `string_split`), ratios divide exact
+  * integer sums, doubles are rounded through [[Num.roundd]].
+  *
+  * Scale notes per operator are on each member; the common theme is that
+  * packing and profiling are single-scan / single-shuffle per language
+  * shard, never a global sort: partitioning by `lang` is the stand-in for
+  * the per-shard parallelism a 100 TB corpus run would use (thousands of
+  * shards, each packed independently — the global-order variant of packing
+  * is embarrassingly NOT parallel, which is why production packers always
+  * work per shard).
+  */
+object Corpus {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace token count, identical to q_text_tokencount's ws_tokens. */
+  private val tokCount = size(split(col("text"), " ")).cast("long")
+
+  // ---- dataset profiling --------------------------------------------------
+
+  /** Per-column profile of `documents`: non-null count, exact distinct
+    * count, min/max (rendered as strings so the profile has one schema for
+    * every column type) — the data-quality report a pipeline runs before
+    * and after every transformation to catch schema drift and null storms.
+    *
+    * ONE scan: Spark plans the five exact count-distincts as a single
+    * Expand (5× row multiplier, map-side partial aggs), not five scans.
+    * At 100 TB the same shape runs with `approx_count_distinct` (HLL,
+    * no Expand) — exact distincts are kept here because the oracle gate
+    * needs exact equality; both forms share this plan skeleton.
+    */
+  val qProfileStats: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val wide = doc.agg(aggs.head, aggs.tail: _*)
+    val stack = cols.map(c =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    wide.select(col("n_rows"),
+      expr(s"stack(${cols.size}, $stack) as (col, n_nonnull, n_distinct, min_s, max_s)"))
+      .select("col", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")
+      .orderBy("col")
+  }
+
+  // ---- blocked fuzzy matching --------------------------------------------
+
+  /** Edit-distance screen over BLOCKED candidate pairs: consecutive docs
+    * within each language (the deterministic stand-in for any blocking
+    * key), Levenshtein on a 32-char prefix so per-pair cost is bounded at
+    * 32² regardless of document length. Emits the distance and the
+    * normalized similarity dedup pipelines threshold on.
+    *
+    * Scale: pairing is a window `lead` inside the lang shuffle — one
+    * shuffle, one pair per doc, never all-pairs. The capped prefix is the
+    * standard trick that keeps fuzzy verification O(1) per candidate;
+    * `levenshtein` is a codegen'd native expression in both engines.
+    */
+  val qTextEditdist: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 32).as("t"))
+      .withColumn("next_id", lead("doc_id", 1).over(w))
+      .withColumn("next_t", lead("t", 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .select(col("lang"), col("doc_id").as("id_a"), col("next_id").as("id_b"),
+        levenshtein(col("t"), col("next_t")).cast("long").as("dist"),
+        Num.roundd(lit(1.0) -
+          levenshtein(col("t"), col("next_t")).cast("double") /
+            greatest(length(col("t")), length(col("next_t"))), 4).as("sim"))
+      .orderBy("id_a")
+  }
+
+  // ---- inverted-index term search ----------------------------------------
+
+  /** Boolean-AND term search through an inverted index: tokenize once,
+    * take the corpus's two most frequent tokens as the query (determined
+    * by the data, so the query is reproducible in the oracle), and return
+    * the docs containing BOTH, ranked by summed term frequency — the read
+    * path of a posting-list index (term → (doc, tf)).
+    *
+    * Scale: ONE tokenize pass builds the (doc, term, tf) postings; the
+    * query terms arrive as a broadcast 2-row dim, so the AND is a
+    * conditional aggregate over one shuffle of postings — at 100 TB the
+    * postings table is the thing you persist (partitioned by term bucket)
+    * and this query prunes to the probed terms' partitions.
+    */
+  val qTextSearch: Q = (s, d) => {
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val top2 = postings.groupBy("w").agg(sum("tf").as("cnt"))
+      .withColumn("qi", row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
+      .filter(col("qi") <= 2)
+      .select(col("w").as("qw"), col("qi"))
+    postings.join(broadcast(top2), col("w") === col("qw"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("qi") === 1, col("tf")).otherwise(0L)).as("tf1"),
+        sum(when(col("qi") === 2, col("tf")).otherwise(0L)).as("tf2"))
+      .filter(col("tf1") > 0 && col("tf2") > 0)
+      .withColumn("score", col("tf1") + col("tf2"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  // ---- sequence packing: concat-and-chunk --------------------------------
+
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining packer):
+    * per language shard, documents concatenate in doc_id order into one
+    * token stream cut every L=512 tokens; a document whose span crosses a
+    * cut lands in several sequences. Emits the per-sequence load report —
+    * docs touching the sequence, docs starting in it, and its token fill
+    * (== L everywhere but the shard's tail) — the stats a data loader
+    * checks before training.
+    *
+    * Scale: the running token offset is a window sum PARTITIONED BY lang
+    * (per-shard sequentiality, cross-shard parallelism — the way real
+    * packers shard); span explosion adds ≤ spans-per-doc rows (docs ≫ L
+    * tokens are rare), then one hash agg. No global sort anywhere.
+    */
+  val qDocsSeqPack: Q = (s, d) => {
+    val L = 512L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val wl = Window.partitionBy("lang")
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), tokCount.as("tok"))
+      .withColumn("off_end", sum("tok").over(w))
+      .withColumn("lang_total", sum("tok").over(wl))
+      .withColumn("seq_first", ((col("off_end") - col("tok")) / L).cast("long"))
+      .withColumn("seq_last", ((col("off_end") - 1) / L).cast("long"))
+      .select(col("lang"), col("doc_id"), col("lang_total"), col("seq_first"),
+        explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("seq_first") === col("seq_id"), 1L).otherwise(0L)).as("n_starts"),
+        least(lit(L), max(col("lang_total")) - col("seq_id") * L).as("fill"))
+      .orderBy("lang", "seq_id")
+  }
+
+  // ---- sequence packing: greedy no-split bins ----------------------------
+
+  /** Greedy next-fit bin packing (the no-split packer for SFT-style data
+    * where documents must not fragment): per language shard in doc_id
+    * order, a document joins the open bin if it fits under C=1024 tokens,
+    * else opens a new bin; oversized docs get a bin of their own. Emits
+    * the per-bin report (docs, tokens, utilization) that tells you how
+    * much padding the batch geometry wastes.
+    *
+    * The bin assignment is a sequential recurrence (fill resets on
+    * overflow), so it uses the same chunked-fold machinery as Holt/EWMA: a
+    * codegen'd `aggregate` over the shard's (doc_id, tok) list builds the
+    * assignment in one pass. State is O(shard docs) — the per-shard bound
+    * that holds because packers shard BEFORE packing (a shard is a few
+    * thousand docs at any scale); the oracle is an independent recursive
+    * CTE, making this a cross-algorithm check like q_ts_gaps.
+    */
+  val qDocsPackGreedy: Q = (s, d) => {
+    val C = 1024L
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), tokCount.as("tok"))
+      .groupBy("lang")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tok")))).as("ds"))
+      // fold: acc = (bin, fill, out[(doc_id, tok, bin)])
+      .withColumn("packed", expr(
+        s"""aggregate(ds,
+           |  named_struct('bin', 0L, 'fill', 0L,
+           |               'out', cast(array() as array<struct<doc_id:bigint,tok:bigint,bin:bigint>>)),
+           |  (acc, x) -> if(acc.fill + x.tok <= ${C}L AND acc.fill > 0L,
+           |    named_struct('bin', acc.bin, 'fill', acc.fill + x.tok,
+           |      'out', concat(acc.out, array(named_struct('doc_id', x.doc_id, 'tok', x.tok, 'bin', acc.bin)))),
+           |    named_struct('bin', if(acc.fill > 0L, acc.bin + 1L, acc.bin), 'fill', x.tok,
+           |      'out', concat(acc.out, array(named_struct('doc_id', x.doc_id, 'tok', x.tok,
+           |        'bin', if(acc.fill > 0L, acc.bin + 1L, acc.bin)))))),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("lang"), explode(col("packed")).as("p"))
+      .groupBy(col("lang"), col("p.bin").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("p.tok").as("tokens"),
+        Num.roundd(sum("p.tok").cast("double") / C, 4).as("util"))
+      .orderBy("lang", "bin")
+  }
+
+  // ---- catalog ------------------------------------------------------------
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_profile_stats", qProfileStats, Some(
+      "WITH a AS (SELECT count(*) n_rows, " +
+        "count(doc_id) nn1, count(DISTINCT doc_id) nd1, CAST(min(doc_id) AS VARCHAR) mn1, CAST(max(doc_id) AS VARCHAR) mx1, " +
+        "count(text) nn2, count(DISTINCT text) nd2, CAST(min(text) AS VARCHAR) mn2, CAST(max(text) AS VARCHAR) mx2, " +
+        "count(lang) nn3, count(DISTINCT lang) nd3, CAST(min(lang) AS VARCHAR) mn3, CAST(max(lang) AS VARCHAR) mx3, " +
+        "count(source) nn4, count(DISTINCT source) nd4, CAST(min(source) AS VARCHAR) mn4, CAST(max(source) AS VARCHAR) mx4, " +
+        "count(n_chars) nn5, count(DISTINCT n_chars) nd5, CAST(min(n_chars) AS VARCHAR) mn5, CAST(max(n_chars) AS VARCHAR) mx5 " +
+        "FROM documents) " +
+        "SELECT col, n_rows, n_nonnull, n_distinct, min_s, max_s FROM (" +
+        "SELECT 'doc_id' col, n_rows, nn1 n_nonnull, nd1 n_distinct, mn1 min_s, mx1 max_s FROM a UNION ALL " +
+        "SELECT 'text', n_rows, nn2, nd2, mn2, mx2 FROM a UNION ALL " +
+        "SELECT 'lang', n_rows, nn3, nd3, mn3, mx3 FROM a UNION ALL " +
+        "SELECT 'source', n_rows, nn4, nd4, mn4, mx4 FROM a UNION ALL " +
+        "SELECT 'n_chars', n_rows, nn5, nd5, mn5, mx5 FROM a) ORDER BY col")),
+    ("q_text_editdist", qTextEditdist, Some(
+      "WITH t AS (SELECT doc_id, lang, substr(text, 1, 32) t, " +
+        "lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) next_id, " +
+        "lead(substr(text, 1, 32)) OVER (PARTITION BY lang ORDER BY doc_id) next_t FROM documents) " +
+        "SELECT lang, doc_id id_a, next_id id_b, CAST(levenshtein(t, next_t) AS BIGINT) dist, " +
+        "round(1.0 - levenshtein(t, next_t) / CAST(greatest(length(t), length(next_t)) AS DOUBLE), 4) sim " +
+        "FROM t WHERE next_id IS NOT NULL ORDER BY id_a")),
+    ("q_text_search", qTextSearch, Some(
+      "WITH p AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents) WHERE w != '' GROUP BY 1, 2), " +
+        "top2 AS (SELECT w qw, row_number() OVER (ORDER BY cnt DESC, qw ASC) qi FROM " +
+        "(SELECT w, sum(tf) cnt FROM p GROUP BY 1) ORDER BY cnt DESC, qw ASC LIMIT 2), " +
+        "hits AS (SELECT doc_id, sum(CASE WHEN qi = 1 THEN tf ELSE 0 END) tf1, " +
+        "sum(CASE WHEN qi = 2 THEN tf ELSE 0 END) tf2 " +
+        "FROM p JOIN top2 ON p.w = top2.qw GROUP BY 1) " +
+        "SELECT doc_id, tf1, tf2, tf1 + tf2 score FROM hits WHERE tf1 > 0 AND tf2 > 0 " +
+        "ORDER BY score DESC, doc_id ASC LIMIT 20")),
+    ("q_docs_seq_pack", qDocsSeqPack, Some(
+      "WITH t AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) tok FROM documents), " +
+        "o AS (SELECT lang, doc_id, tok, sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) off_end, " +
+        "sum(tok) OVER (PARTITION BY lang) lang_total FROM t), " +
+        "sp AS (SELECT lang, doc_id, lang_total, CAST((off_end - tok) // 512 AS BIGINT) seq_first, " +
+        "CAST((off_end - 1) // 512 AS BIGINT) seq_last FROM o), " +
+        "e AS (SELECT lang, doc_id, lang_total, seq_first, unnest(range(seq_first, seq_last + 1)) seq_id FROM sp) " +
+        "SELECT lang, CAST(seq_id AS BIGINT) seq_id, CAST(count(*) AS BIGINT) n_docs, " +
+        "CAST(sum(CASE WHEN seq_first = seq_id THEN 1 ELSE 0 END) AS BIGINT) n_starts, " +
+        "least(512, max(lang_total) - seq_id * 512) fill " +
+        "FROM e GROUP BY lang, seq_id ORDER BY lang, seq_id")),
+    ("q_docs_pack_greedy", qDocsPackGreedy, Some(
+      "WITH RECURSIVE t AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) tok, " +
+        "CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) i FROM documents), " +
+        "rec AS (" +
+        "SELECT lang, doc_id, tok, i, CAST(0 AS BIGINT) bin, tok fill FROM t WHERE i = 1 " +
+        "UNION ALL " +
+        "SELECT t.lang, t.doc_id, t.tok, t.i, " +
+        "CASE WHEN r.fill + t.tok <= 1024 THEN r.bin ELSE r.bin + 1 END bin, " +
+        "CASE WHEN r.fill + t.tok <= 1024 THEN r.fill + t.tok ELSE t.tok END fill " +
+        "FROM rec r JOIN t ON t.lang = r.lang AND t.i = r.i + 1) " +
+        "SELECT lang, bin, CAST(count(*) AS BIGINT) n_docs, sum(tok) tokens, " +
+        "round(sum(tok) / 1024.0, 4) util " +
+        "FROM rec GROUP BY lang, bin ORDER BY lang, bin")),
+  )
+}

@@ -883,6 +883,87 @@ object TimeSeries {
       .orderBy("event_type", "dd")
   }
 
+  /** Absent-series detection (PromQL `absent()` / dead-sensor sweep): every
+    * (user, event_type) series ever seen whose LAST event precedes the
+    * start of the dataset's most recent day — the monitoring query that
+    * pages on sensors that stopped reporting. One hash aggregate over the
+    * events plus a broadcast 1-row cutoff; linear, single shuffle, and at
+    * 100 TB the aggregate reads only the (user_id, event_type, ts) columns
+    * (column-pruned scan), while the last-day cutoff comes from partition
+    * metadata for free in the by-day layout. */
+  val qTsAbsent: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cutoff = ev.agg(date_trunc("day", max("ts")).as("cutoff"))
+    ev.groupBy("user_id", "event_type")
+      .agg(max("ts").as("last_seen"), count(lit(1)).as("n"))
+      .join(broadcast(cutoff))
+      .filter(col("last_seen") < col("cutoff"))
+      .select("user_id", "event_type", "n", "last_seen")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** CUSUM change-point screen per (event_type, day): the one-sided
+    * cumulative-sum statistic S' = max(0, S + (x − μ)) over the day's
+    * hourly value sums, alarming when S exceeds h = μ/2 — the classic
+    * drift detector (Page 1954) a TSDB runs beside threshold alerts
+    * because it catches slow level shifts thresholds miss. Sequential
+    * recurrence ⇒ the same day-chunked codegen'd `aggregate` fold as
+    * Holt/EWMA (O(day hours) state per group, cross-group parallel);
+    * inputs are pre-rounded hourly sums and a pre-rounded day mean, so
+    * both engines run the identical IEEE sequence, and the oracle is an
+    * independent recursive CTE. Emits final S, max S, and alarm count. */
+  val qTsCusum: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(Num.roundd(sum("value"), 6).as("sv"))
+      .groupBy(col("event_type"), date_trunc("day", col("h")).cast("date").as("dday"))
+      .agg(sort_array(collect_list(struct(col("h"), col("sv")))).as("pts"),
+        count(lit(1)).as("n_hours"),
+        Num.roundd(sum("sv"), 8).as("ssv"))
+      .withColumn("mu", Num.roundd(col("ssv") / col("n_hours"), 6))
+      .withColumn("hthr", Num.roundd(col("mu") * 0.5, 6))
+      .withColumn("st", expr(
+        "aggregate(transform(pts, p -> p.sv), " +
+          "named_struct('pos', 0.0d, 'mx', 0.0d, 'al', 0L), " +
+          "(acc, x) -> named_struct(" +
+          "'pos', greatest(0.0d, acc.pos + (x - mu)), " +
+          "'mx', greatest(acc.mx, greatest(0.0d, acc.pos + (x - mu))), " +
+          "'al', acc.al + if(greatest(0.0d, acc.pos + (x - mu)) > hthr, 1L, 0L)))"))
+      .select(col("event_type"), col("dday"), col("n_hours"), col("mu"),
+        Num.roundd(col("st.pos"), 6).as("cusum_end"),
+        Num.roundd(col("st.mx"), 6).as("cusum_max"),
+        col("st.al").as("n_alarms"))
+      .orderBy("event_type", "dday")
+
+  /** Seasonal decomposition of the hourly event-count series per
+    * event_type: trend = centered 25-hour moving average (rows frame, full
+    * windows only), seasonal = mean DETRENDED count per hour-of-day — the
+    * classical-decomposition seasonal index behind capacity planning.
+    * Exactness trick: the detrended value cnt − Σ₂₅/25 is carried as the
+    * exact INTEGER 25·cnt − Σ₂₅, summed losslessly per hour-of-day, and
+    * divided once at the end — so the double result is order-free and
+    * bit-identical in both engines (same device as q_ts_corr_pair's
+    * integer moments). Two window passes + one hash agg, all partitioned
+    * by series; hours with zero events are absent from the hourly grid in
+    * both engines alike (row-frame windows see the same rows). */
+  val qTsSeasonalDecomp: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(-12, 12)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("s25", sum("cnt").over(w))
+      .filter(col("wn") === 25)
+      .withColumn("hod", hour(col("h")).cast("long"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cnt") * 25 - col("s25")).as("isum"))
+      .select(col("event_type"), col("hod"), col("n"),
+        Num.roundd(col("isum").cast("double") / (col("n") * 25.0), 6).as("seasonal"))
+      .orderBy("event_type", "hod")
+  }
+
   val all: Seq[(String, Q, String)] = Seq(
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
@@ -1108,5 +1189,39 @@ object TimeSeries {
         "round(CASE WHEN bi = 6 THEN 400.0 ELSE " +
         "lo + ([10.0, 25.0, 50.0, 100.0, 200.0, 400.0][bi + 1] - lo) * (target - (cum - cnt)) / cnt END, 4) p90 " +
         "FROM p ORDER BY event_type, dd"),
+    ("q_ts_absent", qTsAbsent,
+      "WITH p AS (SELECT user_id, event_type, max(ts) last_seen, CAST(count(*) AS BIGINT) n FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT date_trunc('day', max(ts)) cutoff FROM events) " +
+        "SELECT user_id, event_type, n, last_seen FROM p CROSS JOIN c " +
+        "WHERE last_seen < cutoff ORDER BY user_id, event_type"),
+    ("q_ts_cusum", qTsCusum,
+      "WITH RECURSIVE hv AS (SELECT event_type, date_trunc('hour', ts) h, round(sum(value), 6) sv FROM events GROUP BY 1, 2), " +
+        "seq AS (SELECT event_type, CAST(date_trunc('day', h) AS DATE) dday, sv, " +
+        "CAST(row_number() OVER (PARTITION BY event_type, date_trunc('day', h) ORDER BY h) AS BIGINT) i, " +
+        "CAST(count(*) OVER (PARTITION BY event_type, date_trunc('day', h)) AS BIGINT) n FROM hv), " +
+        "g AS (SELECT event_type, dday, round(round(sum(sv), 8) / count(*), 6) mu, " +
+        "round(round(round(sum(sv), 8) / count(*), 6) * 0.5, 6) hthr FROM seq GROUP BY 1, 2), " +
+        "rec AS (" +
+        "SELECT s.event_type, s.dday, s.i, s.n, g.mu, g.hthr, " +
+        "greatest(0.0::DOUBLE, s.sv - g.mu) pos, greatest(0.0::DOUBLE, s.sv - g.mu) mx, " +
+        "CAST(CASE WHEN greatest(0.0::DOUBLE, s.sv - g.mu) > g.hthr THEN 1 ELSE 0 END AS BIGINT) al " +
+        "FROM seq s JOIN g ON g.event_type = s.event_type AND g.dday = s.dday WHERE s.i = 1 " +
+        "UNION ALL " +
+        "SELECT s.event_type, s.dday, s.i, s.n, r.mu, r.hthr, " +
+        "greatest(0.0::DOUBLE, r.pos + (s.sv - r.mu)) pos, " +
+        "greatest(r.mx, greatest(0.0::DOUBLE, r.pos + (s.sv - r.mu))) mx, " +
+        "r.al + CASE WHEN greatest(0.0::DOUBLE, r.pos + (s.sv - r.mu)) > r.hthr THEN 1 ELSE 0 END al " +
+        "FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.dday = r.dday AND s.i = r.i + 1) " +
+        "SELECT event_type, dday, n n_hours, mu, round(pos, 6) cusum_end, round(mx, 6) cusum_max, al n_alarms " +
+        "FROM rec WHERE i = n ORDER BY event_type, dday"),
+    ("q_ts_seasonal_decomp", qTsSeasonalDecomp,
+      "WITH hr AS (SELECT event_type, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) cnt FROM events GROUP BY 1, 2), " +
+        "wf AS (SELECT event_type, h, cnt, " +
+        "count(*) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) wn, " +
+        "sum(cnt) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) s25 " +
+        "FROM hr) " +
+        "SELECT event_type, CAST(extract(hour FROM h) AS BIGINT) hod, CAST(count(*) AS BIGINT) n, " +
+        "round(CAST(sum(cnt * 25 - s25) AS DOUBLE) / (count(*) * 25.0), 6) seasonal " +
+        "FROM wf WHERE wn = 25 GROUP BY event_type, hod ORDER BY event_type, hod"),
   )
 }
