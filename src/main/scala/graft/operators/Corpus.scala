@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
 object Corpus {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Whitespace token count, identical to q_text_tokencount's ws_tokens. */
-  private val tokCount = size(split(col("text"), " ")).cast("long")
+  /** Whitespace token count, identical to q_text_tokencount's ws_tokens.
+    * NULL text is coalesced to '' (1 token on both engines) so tok >= 1
+    * always holds: Spark's legacy sizeOfNull would return -1 where DuckDB
+    * returns NULL, and a non-positive tok would flip sequence() into a
+    * descending range while DuckDB range() is empty — the contract is
+    * pinned here instead of left to the data. */
+  private val tokCount =
+    size(split(coalesce(col("text"), lit("")), " ")).cast("long")
 
   // ---- dataset profiling --------------------------------------------------
 
@@ -82,9 +88,12 @@ object Corpus {
       .filter(col("next_id").isNotNull)
       .select(col("lang"), col("doc_id").as("id_a"), col("next_id").as("id_b"),
         levenshtein(col("t"), col("next_t")).cast("long").as("dist"),
+        // divisor floored at 1: two empty prefixes would divide by zero,
+        // where Spark yields NULL but DuckDB's float semantics vary by
+        // version — the guard makes the edge case identical (sim = 1.0)
         Num.roundd(lit(1.0) -
           levenshtein(col("t"), col("next_t")).cast("double") /
-            greatest(length(col("t")), length(col("next_t"))), 4).as("sim"))
+            greatest(length(col("t")), length(col("next_t")), lit(1)), 4).as("sim"))
       .orderBy("id_a")
   }
 
@@ -144,8 +153,11 @@ object Corpus {
       .select(col("lang"), col("doc_id"), tokCount.as("tok"))
       .withColumn("off_end", sum("tok").over(w))
       .withColumn("lang_total", sum("tok").over(wl))
-      .withColumn("seq_first", ((col("off_end") - col("tok")) / L).cast("long"))
-      .withColumn("seq_last", ((col("off_end") - 1) / L).cast("long"))
+      // `div` keeps the arithmetic in exact long integer division; `/`
+      // would promote through double and lose exactness past 2^53 —
+      // cumulative token offsets at 100 TB exceed that
+      .withColumn("seq_first", expr(s"(off_end - tok) div ${L}L"))
+      .withColumn("seq_last", expr(s"(off_end - 1) div ${L}L"))
       .select(col("lang"), col("doc_id"), col("lang_total"), col("seq_first"),
         explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
       .groupBy("lang", "seq_id")
@@ -219,31 +231,31 @@ object Corpus {
         "lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) next_id, " +
         "lead(substr(text, 1, 32)) OVER (PARTITION BY lang ORDER BY doc_id) next_t FROM documents) " +
         "SELECT lang, doc_id id_a, next_id id_b, CAST(levenshtein(t, next_t) AS BIGINT) dist, " +
-        "round(1.0 - levenshtein(t, next_t) / CAST(greatest(length(t), length(next_t)) AS DOUBLE), 4) sim " +
+        "round(1.0 - levenshtein(t, next_t) / CAST(greatest(length(t), length(next_t), 1) AS DOUBLE), 4) sim " +
         "FROM t WHERE next_id IS NOT NULL ORDER BY id_a")),
     ("q_text_search", qTextSearch, Some(
       "WITH p AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) tf FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents) WHERE w != '' GROUP BY 1, 2), " +
         "top2 AS (SELECT w qw, row_number() OVER (ORDER BY cnt DESC, qw ASC) qi FROM " +
         "(SELECT w, sum(tf) cnt FROM p GROUP BY 1) ORDER BY cnt DESC, qw ASC LIMIT 2), " +
-        "hits AS (SELECT doc_id, sum(CASE WHEN qi = 1 THEN tf ELSE 0 END) tf1, " +
-        "sum(CASE WHEN qi = 2 THEN tf ELSE 0 END) tf2 " +
+        "hits AS (SELECT doc_id, CAST(sum(CASE WHEN qi = 1 THEN tf ELSE 0 END) AS BIGINT) tf1, " +
+        "CAST(sum(CASE WHEN qi = 2 THEN tf ELSE 0 END) AS BIGINT) tf2 " +
         "FROM p JOIN top2 ON p.w = top2.qw GROUP BY 1) " +
-        "SELECT doc_id, tf1, tf2, tf1 + tf2 score FROM hits WHERE tf1 > 0 AND tf2 > 0 " +
+        "SELECT doc_id, tf1, tf2, CAST(tf1 + tf2 AS BIGINT) score FROM hits WHERE tf1 > 0 AND tf2 > 0 " +
         "ORDER BY score DESC, doc_id ASC LIMIT 20")),
     ("q_docs_seq_pack", qDocsSeqPack, Some(
-      "WITH t AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) tok FROM documents), " +
-        "o AS (SELECT lang, doc_id, tok, sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) off_end, " +
-        "sum(tok) OVER (PARTITION BY lang) lang_total FROM t), " +
+      "WITH t AS (SELECT lang, doc_id, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) tok FROM documents), " +
+        "o AS (SELECT lang, doc_id, tok, CAST(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) off_end, " +
+        "CAST(sum(tok) OVER (PARTITION BY lang) AS BIGINT) lang_total FROM t), " +
         "sp AS (SELECT lang, doc_id, lang_total, CAST((off_end - tok) // 512 AS BIGINT) seq_first, " +
         "CAST((off_end - 1) // 512 AS BIGINT) seq_last FROM o), " +
         "e AS (SELECT lang, doc_id, lang_total, seq_first, unnest(range(seq_first, seq_last + 1)) seq_id FROM sp) " +
         "SELECT lang, CAST(seq_id AS BIGINT) seq_id, CAST(count(*) AS BIGINT) n_docs, " +
         "CAST(sum(CASE WHEN seq_first = seq_id THEN 1 ELSE 0 END) AS BIGINT) n_starts, " +
-        "least(512, max(lang_total) - seq_id * 512) fill " +
+        "CAST(least(512, max(lang_total) - seq_id * 512) AS BIGINT) fill " +
         "FROM e GROUP BY lang, seq_id ORDER BY lang, seq_id")),
     ("q_docs_pack_greedy", qDocsPackGreedy, Some(
-      "WITH RECURSIVE t AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) tok, " +
+      "WITH RECURSIVE t AS (SELECT lang, doc_id, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) tok, " +
         "CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) i FROM documents), " +
         "rec AS (" +
         "SELECT lang, doc_id, tok, i, CAST(0 AS BIGINT) bin, tok fill FROM t WHERE i = 1 " +
@@ -252,7 +264,7 @@ object Corpus {
         "CASE WHEN r.fill + t.tok <= 1024 THEN r.bin ELSE r.bin + 1 END bin, " +
         "CASE WHEN r.fill + t.tok <= 1024 THEN r.fill + t.tok ELSE t.tok END fill " +
         "FROM rec r JOIN t ON t.lang = r.lang AND t.i = r.i + 1) " +
-        "SELECT lang, bin, CAST(count(*) AS BIGINT) n_docs, sum(tok) tokens, " +
+        "SELECT lang, bin, CAST(count(*) AS BIGINT) n_docs, CAST(sum(tok) AS BIGINT) tokens, " +
         "round(sum(tok) / 1024.0, 4) util " +
         "FROM rec GROUP BY lang, bin ORDER BY lang, bin")),
   )

@@ -277,8 +277,11 @@ object IngestQueries {
         "UNION ALL SELECT * FROM ins), " +
         "v3 AS (SELECT * FROM v2 WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)) " +
         "SELECT CAST(1 AS BIGINT) ver, CAST(count(*) AS BIGINT) n, CAST(sum(doc_id) AS BIGINT) id_sum, CAST(sum(n_chars) AS BIGINT) chars FROM v1 " +
-        "UNION ALL SELECT 2, count(*), sum(doc_id), sum(n_chars) FROM v2 " +
-        "UNION ALL SELECT 3, count(*), sum(doc_id), sum(n_chars) FROM v3 ORDER BY ver")),
+        // every branch casts its sums: DuckDB unifies UNION ALL types to
+        // the widest branch, so one uncast HUGEINT sum would undo the
+        // casts in the others
+        "UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM v2 " +
+        "UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM v3 ORDER BY ver")),
     ("q_events_correct", qEventsCorrect, Some(
       "SELECT event_type, count(*) cnt, " +
         "round(sum(CASE WHEN event_id IN (5, 17, 23) THEN 999.5 ELSE value END), 2) sv " +

@@ -48,6 +48,18 @@ def main(sfdir, outdir):
         if sorted(want_cols) != sorted(got_cols):
             print(f"FAIL {name}: cols want={sorted(want_cols)} got={sorted(got_cols)}")
             nfail += 1; continue
+        # The driver's hash gate is type-sensitive: an uncast DuckDB sum()
+        # (HUGEINT) hash-mismatches Spark's BIGINT even when the Python
+        # values compare equal below. Compare declared types per column.
+        want_types = {c[0]: str(c[1]) for c in want_rel.description}
+        got_types = {c[0]: str(c[1]) for c in got_rel.description}
+        tbad = [c for c in want_types
+                if want_types[c] != got_types[c]
+                and {want_types[c], got_types[c]} != {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"}]
+        if tbad:
+            print(f"FAIL {name}: type drift " +
+                  ", ".join(f"{c}: oracle={want_types[c]} spark={got_types[c]}" for c in tbad))
+            nfail += 1; continue
         wi = [want_cols.index(c) for c in sorted(want_cols)]
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         wrows = [tuple(norm(r[i]) for i in wi) for r in want]
