@@ -48,10 +48,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** Events with `ts` converted ns→µs→TIMESTAMP_NTZ. See §1.3 recipe. */
+  /** Events with `ts` normalized to TIMESTAMP_NTZ regardless of how the
+    * generator encoded it. Two physical encodings exist across driver
+    * versions: INT64 TIMESTAMP(NANOS) (read as a long via
+    * `nanosAsLong`, truncated ns→µs with INTEGER division — see §1.3) and
+    * plain TIMESTAMP(MICROS) (read natively, only the NTZ cast applies).
+    * The branch is on the loaded Spark type, so the loader is schema-driven
+    * rather than pinned to one generator version. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 }

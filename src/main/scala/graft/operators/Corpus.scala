@@ -209,6 +209,63 @@ object Corpus {
       .orderBy("lang", "bin")
   }
 
+  // ---- shard routing ------------------------------------------------------
+
+  /** Token-balanced shard-routing report: every document is routed to one
+    * of S=16 output shards by the deterministic 60-bit md5 hash of its
+    * doc_id (the same seeded hash family as the sampling/minhash tier, so
+    * placement is reproducible across engines and reshuffles). Emits the
+    * per-shard load report — docs, tokens, distinct sources, and the skew
+    * ratio tokens·S/total that tells you whether hash routing balanced the
+    * token budget (≈1.0 everywhere when it did).
+    *
+    * Scale: this is THE pre-write step of a sharded corpus export
+    * (`.repartition(S, shard)` + partitioned write); the report is one
+    * hash agg over the scan, and the global total re-enters as a broadcast
+    * 1-row dim rather than an unpartitioned window, so nothing serializes.
+    */
+  val qDocsShardAssign: Q = (s, d) => {
+    val S = 16L
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokCount.as("tok"))
+      .withColumn("shard", expr(s"pmod(${Dedup.h60("'shard'", "cast(doc_id as string)")}, $S)"))
+    val perShard = t.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"),
+        countDistinct("source").as("n_sources"))
+    val total = perShard.agg(sum("tokens").as("total"))
+    perShard.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("tokens"), col("n_sources"),
+        Num.roundd(col("tokens") * S / col("total"), 4).as("skew"))
+      .orderBy("shard")
+  }
+
+  // ---- provenance overlap -------------------------------------------------
+
+  /** Cross-source duplication matrix over a blocking fingerprint: two
+    * sources are linked for every 16-char text prefix they share (the
+    * prefix is the deterministic stand-in for a near-dup blocking key —
+    * at 100 TB you'd use the MinHash band keys from the LSH tier, which
+    * have exactly this (key, source) shape). The report — shared
+    * fingerprints per source pair — is how a pipeline finds mirror sites
+    * and re-crawled corpora BEFORE paying for pairwise verification.
+    *
+    * Scale: distinct (fingerprint, source) pairs first (one hash agg that
+    * collapses within-source repeats), then a self-join keyed on the
+    * fingerprint — the shuffle is by fingerprint, and the per-key fanout
+    * is bounded by the number of SOURCES sharing it (≤20 here), never by
+    * document multiplicity.
+    */
+  val qSourceOverlap: Q = (s, d) => {
+    val fp = Tables.documents(s, d)
+      .select(substring(col("text"), 1, 16).as("h"), col("source"))
+      .distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(countDistinct(col("a.h")).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -267,5 +324,18 @@ object Corpus {
         "SELECT lang, bin, CAST(count(*) AS BIGINT) n_docs, CAST(sum(tok) AS BIGINT) tokens, " +
         "round(sum(tok) / 1024.0, 4) util " +
         "FROM rec GROUP BY lang, bin ORDER BY lang, bin")),
+    ("q_docs_shard_assign", qDocsShardAssign, Some(
+      "WITH t AS (SELECT doc_id, source, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) tok, " +
+        "CAST('0x' || substr(md5('shard' || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 shard FROM documents), " +
+        "a AS (SELECT shard, CAST(count(*) AS BIGINT) n_docs, CAST(sum(tok) AS BIGINT) tokens, " +
+        "CAST(count(DISTINCT source) AS BIGINT) n_sources FROM t GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(tokens) AS BIGINT) total FROM a) " +
+        "SELECT shard, n_docs, tokens, n_sources, round(tokens * 16.0 / total, 4) skew " +
+        "FROM a, g ORDER BY shard")),
+    ("q_source_overlap", qSourceOverlap, Some(
+      "WITH t AS (SELECT DISTINCT substr(text, 1, 16) h, source FROM documents) " +
+        "SELECT a.source src_a, b.source src_b, CAST(count(DISTINCT a.h) AS BIGINT) n_shared " +
+        "FROM t a JOIN t b ON a.h = b.h AND a.source < b.source " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
   )
 }

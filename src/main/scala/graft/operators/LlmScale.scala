@@ -604,6 +604,38 @@ object LlmScale {
           "aggregate(sequence(0, size(v) - 1), 0.0d, (acc, i) -> acc + abs(element_at(v, i + 1) - element_at(q, i + 1) * mx / 127.0)) / size(v)"), 6).as("mae"))
       .orderBy("vec_id")
 
+  /** 1-bit (sign) quantization retrieval: embeddings collapse to 64 sign
+    * bits, the probe shortlists the 50 nearest candidates by exact Hamming
+    * distance over those bits (tie-broken by vec_id), and only the
+    * shortlist pays the full-precision cosine rerank — the binary-quant
+    * stage of the standard quantize→shortlist→rerank cascade, sitting
+    * between int8 [[qEmbQuantize]] and the PQ/matryoshka tiers.
+    *
+    * Unlike the ANN tier this is EXACT and hash-gated end to end: sign
+    * bits are deterministic, Hamming is integer arithmetic, and the rerank
+    * reuses the q_sim_topk double-accumulation cosine. Scale: the bit
+    * vectors are 64× smaller than the float rows — the shortlist scan
+    * streams a packed-bit column (here an int array; a production layout
+    * packs to one int64 word and XOR/popcounts it), and only 50 rows ever
+    * touch the float column. */
+  val qEmbBinaryQuant: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .withColumn("b", expr("transform(embedding, x -> if(x >= cast(0 as float), 1, 0))"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("b").as("pb"), col("embedding").as("pa"))
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("b"), col("embedding"))
+      .crossJoin(broadcast(probe))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(b, pb, (x, y) -> if(x = y, 0L, 1L)), 0L, (acc, z) -> acc + z)"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(50)
+      .withColumn("sim", Num.roundd(Llm.cosineNative(s, "pa", "embedding"), 6))
+      .select("vec_id", "hamming", "sim")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   // ---- multimodal: binary column plumbing (decode stubbed) ----------------
 
   /** Media pipeline plumbing over an opaque binary column: the "decode"
@@ -905,6 +937,14 @@ object LlmScale {
         "SELECT vec_id, round(mx, 6) mxr, q[1] q1, q[2] q2, CAST(len(list_filter(q, y -> y != 0)) AS BIGINT) n_nonzero, " +
         "round(list_sum(list_transform(range(len(v)), i -> abs(v[i+1] - q[i+1] * mx / 127.0))) / len(v), 6) mae " +
         "FROM qq ORDER BY vec_id")),
+    ("q_emb_binary_quant", qEmbBinaryQuant, Some(
+      "WITH e AS (SELECT vec_id, embedding, list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) b FROM embeddings), " +
+        "p AS (SELECT embedding pa, b pb FROM e WHERE vec_id = 0), " +
+        "h AS (SELECT e.vec_id, CAST(list_sum(list_transform(range(len(e.b)), i -> CASE WHEN e.b[i+1] = p.pb[i+1] THEN 0 ELSE 1 END)) AS BIGINT) hamming, " +
+        "round(list_cosine_similarity(CAST(p.pa AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) sim " +
+        "FROM e, p WHERE e.vec_id <> 0), " +
+        "s AS (SELECT * FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 50) " +
+        "SELECT vec_id, hamming, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     ("q_multimodal_resize", qMultimodalResize, Some(
       "WITH m AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) w, " +
         "CAST(octet_length(CAST(text AS BLOB)) % 480 AS BIGINT) h FROM documents), " +

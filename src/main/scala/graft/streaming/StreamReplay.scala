@@ -16,13 +16,27 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamReplay {
 
+  /** Source events with `ts` as raw ns-since-epoch longs, whatever the
+    * generator's physical encoding (INT64 NANOS read via nanosAsLong, or
+    * native TIMESTAMP(MICROS) converted with unix_micros·1000 — exact, µs
+    * precision has no sub-µs bits to lose). The replay dir is then always
+    * ns longs, so the streaming side's ns→µs truncation stays the single
+    * conversion under test. */
+  private def rawNsEvents(s: SparkSession, sfDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+  }
+
   /** Rewrite `$sfDir/events.parquet` as `n` time-ordered parquet files in a
     * fresh temp dir; returns the dir. Time-ordering files means event time
     * advances with processing time, so watermarks close windows in order. */
   def rewriteOrdered(s: SparkSession, sfDir: String, n: Int): String = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("graft_stream_").toString
-    s.read.parquet(s"$sfDir/events.parquet")
+    rawNsEvents(s, sfDir)
       .repartitionByRange(n, col("ts"))
       .write.mode("overwrite").parquet(dir)
     dir
@@ -39,10 +53,9 @@ object StreamReplay {
     * separate earlier intervals) that a time-ordered replay never hits. */
   def rewriteJittered(s: SparkSession, sfDir: String, n: Int,
                       jitterMinutes: Int = 4): String = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("graft_stream_").toString
     val jitterNs = jitterMinutes * 60L * 1000000000L
-    s.read.parquet(s"$sfDir/events.parquet")
+    rawNsEvents(s, sfDir)
       .withColumn("__k", col("ts") +
         (expr(s"pmod(cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint), ${2 * jitterNs})") - lit(jitterNs)))
       .repartitionByRange(n, col("__k"))
