@@ -239,6 +239,52 @@ object Corpus {
       .orderBy("shard")
   }
 
+  // ---- train/val/test split -----------------------------------------------
+
+  /** Deterministic 90/5/5 train/val/test split report: membership is a
+    * pure function of doc_id (seeded md5 hash mod 100 → <90 train, <95
+    * val, else test), so the split is reproducible from the raw corpus
+    * alone — no persisted assignment table, no RNG state, stable under
+    * reshuffles and re-runs, and disjoint/exhaustive by construction.
+    * Emits docs and tokens per (split, lang), the table you check before
+    * training to confirm the held-out sets aren't skewed by language.
+    *
+    * Scale: one scan, one hash agg; the split column is a codegen'd
+    * expression over doc_id, so adding it to a 100 TB write is free. */
+  val qDocsSplit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), tokCount.as("tok"),
+        expr(s"pmod(${Dedup.h60("'split'", "cast(doc_id as string)")}, 100)").as("hmod"))
+      .withColumn("split",
+        when(col("hmod") < 90, "train").when(col("hmod") < 95, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+      .orderBy("split", "lang")
+
+  // ---- sequence-length distribution ---------------------------------------
+
+  /** Token-length distribution per source: exact interpolated p50/p90/p99
+    * plus max — the report that decides the packing length L and flags
+    * sources whose length profile shifted between crawls. Percentiles use
+    * the exact linear-interpolation definition on BOTH engines (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`), rounded through the repo's
+    * DuckDB-mimic rounding, so the report is hash-gated, not approximate.
+    *
+    * Scale: `percentile` is an exact sort-based aggregate — per SOURCE
+    * group here, so state is one group's values, not the corpus; at
+    * 100 TB the same report swaps in the mergeable t-digest tier
+    * (graft_tdigest) when per-group exactness stops being worth the sort. */
+  val qDocsLengthDist: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), tokCount.as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        Num.roundd(expr("percentile(tok, 0.5d)"), 4).as("p50"),
+        Num.roundd(expr("percentile(tok, 0.9d)"), 4).as("p90"),
+        Num.roundd(expr("percentile(tok, 0.99d)"), 4).as("p99"),
+        max("tok").as("mx"))
+      .orderBy("source")
+
   // ---- provenance overlap -------------------------------------------------
 
   /** Cross-source duplication matrix over a blocking fingerprint: two
@@ -332,6 +378,18 @@ object Corpus {
         "g AS (SELECT CAST(sum(tokens) AS BIGINT) total FROM a) " +
         "SELECT shard, n_docs, tokens, n_sources, round(tokens * 16.0 / total, 4) skew " +
         "FROM a, g ORDER BY shard")),
+    ("q_docs_split", qDocsSplit, Some(
+      "WITH t AS (SELECT lang, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) tok, " +
+        "CAST('0x' || substr(md5('split' || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 hmod FROM documents) " +
+        "SELECT CASE WHEN hmod < 90 THEN 'train' WHEN hmod < 95 THEN 'val' ELSE 'test' END split, lang, " +
+        "CAST(count(*) AS BIGINT) n_docs, CAST(sum(tok) AS BIGINT) tokens " +
+        "FROM t GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_docs_length_dist", qDocsLengthDist, Some(
+      "WITH t AS (SELECT source, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) tok FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) n_docs, " +
+        "round(quantile_cont(tok, 0.5), 4) p50, round(quantile_cont(tok, 0.9), 4) p90, " +
+        "round(quantile_cont(tok, 0.99), 4) p99, max(tok) mx " +
+        "FROM t GROUP BY source ORDER BY source")),
     ("q_source_overlap", qSourceOverlap, Some(
       "WITH t AS (SELECT DISTINCT substr(text, 1, 16) h, source FROM documents) " +
         "SELECT a.source src_a, b.source src_b, CAST(count(DISTINCT a.h) AS BIGINT) n_shared " +

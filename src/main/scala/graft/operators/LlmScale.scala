@@ -107,6 +107,33 @@ object LlmScale {
       .select(col("id_a"), col("id_b"), Num.roundd(col("jaccard"), 6).as("jac"))
       .orderBy("id_a", "id_b")
 
+  /** Cross-source NEAR-dup provenance matrix: the LSH band-collision
+    * candidates (same sketch parameters as [[qDedupLshBands]]) rolled up to
+    * source pairs — how many candidate duplicate pairs link each pair of
+    * sources. This is the scale-path version of the Corpus tier's
+    * prefix-fingerprint overlap report: the band keys ARE the blocking
+    * fingerprints a 100 TB pipeline has already computed for dedup, so the
+    * mirror-site report is one extra rollup over state that exists anyway.
+    *
+    * Scale: candidate generation is the banding shuffle (bands × corpus);
+    * the source lookup joins the candidate PAIRS (tiny relative to the
+    * corpus) back to the doc→source projection twice on doc_id. */
+  val qDedupSourceOverlap: Q = (s, d) => {
+    val cands = Dedup.lshCandidates(
+      Dedup.minHashFromText(Tables.documents(s, d), "text", numHashes = 8),
+      "doc_id", bands = 4)
+    val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    cands
+      .join(srcs.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(srcs.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(col("sa.source") =!= col("sb.source"))
+      .select(least(col("sa.source"), col("sb.source")).as("src_a"),
+        greatest(col("sa.source"), col("sb.source")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   // ---- dedup: clustering (connected components over verified pairs) -------
 
   /** The end of the dedup pipeline: verified near-dup pairs → connected
@@ -786,6 +813,14 @@ object LlmScale {
       s"$ngramCte, $sigCte, " +
         "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)) " +
         "SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id ORDER BY id_a, id_b")),
+    ("q_dedup_source_overlap", qDedupSourceOverlap, Some(
+      s"$ngramCte, $sigCte, " +
+        "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)), " +
+        "cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id), " +
+        "j AS (SELECT least(x.source, y.source) src_a, greatest(x.source, y.source) src_b " +
+        "FROM cand JOIN documents x ON x.doc_id = cand.id_a JOIN documents y ON y.doc_id = cand.id_b " +
+        "WHERE x.source <> y.source) " +
+        "SELECT src_a, src_b, CAST(count(*) AS BIGINT) n_pairs FROM j GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_dedup_lsh_verified", qDedupLshVerified, Some(
       s"$ngramCte, $sigCte, " +
         "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)), " +

@@ -142,6 +142,90 @@ class CorpusSpec extends SparkSuite {
     assert(out == Seq((4L, 17.5, 15.0, 22.5, 2L)))
   }
 
+  // ---- shard routing ------------------------------------------------------
+
+  test("shard_assign: conserves docs and tokens, skew is tokens*S/total") {
+    val docs = (1L to 200L).map(i => (i, words((i % 7).toInt + 1), "en", s"s${i % 3}"))
+    writeDocs(docs)
+    val out = Corpus.qDocsShardAssign(spark, dir)
+      .select("shard", "n_docs", "tokens", "n_sources", "skew")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == out.map(_._1).sorted)
+    assert(out.forall { case (sh, _, _, _, _) => sh >= 0 && sh < 16 })
+    assert(out.map(_._2).sum == 200L)
+    val totalTok = docs.map { case (i, _, _, _) => (i % 7) + 1 }.sum
+    assert(out.map(_._3).sum == totalTok)
+    out.foreach { case (_, _, tok, nsrc, skew) =>
+      assert(nsrc >= 1 && nsrc <= 3)
+      assert(math.abs(skew - tok * 16.0 / totalTok) <= 5.001e-5) // 4-dp round
+    }
+    // deterministic routing: a rerun yields the identical report
+    val again = Corpus.qDocsShardAssign(spark, dir)
+      .select("shard", "n_docs", "tokens", "n_sources", "skew")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(again == out)
+  }
+
+  // ---- provenance overlap -------------------------------------------------
+
+  test("source_overlap: counts distinct shared prefixes once per pair, a<b ordered") {
+    writeDocs(Seq(
+      // fingerprint = first 16 chars; pad to make prefixes well-defined
+      (1L, "aaaaaaaaaaaaaaaa tail one", "en", "s1"),
+      (2L, "aaaaaaaaaaaaaaaa tail two", "en", "s2"),   // s1~s2 share fp a
+      (3L, "aaaaaaaaaaaaaaaa tail thr", "en", "s2"),   // duplicate (fp, s2) collapses
+      (4L, "bbbbbbbbbbbbbbbb tail", "en", "s1"),
+      (5L, "bbbbbbbbbbbbbbbb tail", "en", "s3"),       // s1~s3 share fp b
+      (6L, "cccccccccccccccc only", "en", "s3")))      // unshared fp drops out
+    val out = Corpus.qSourceOverlap(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("s1", "s2", 1L), ("s1", "s3", 1L)))
+  }
+
+  // ---- train/val/test split -----------------------------------------------
+
+  test("docs_split: disjoint, exhaustive, deterministic 90/5/5 hash split") {
+    val docs = (1L to 400L).map(i => (i, words((i % 5).toInt + 1), if (i % 2 == 0) "en" else "fr", "s"))
+    writeDocs(docs)
+    val out = Corpus.qDocsSplit(spark, dir)
+      .select("split", "lang", "n_docs", "tokens").as[(String, String, Long, Long)]
+      .collect().toSeq
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    assert(out.map(_._3).sum == 400L) // exhaustive: every doc in exactly one split
+    val totalTok = docs.map { case (i, _, _, _) => (i % 5) + 1 }.sum
+    assert(out.map(_._4).sum == totalTok)
+    val bySplit = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // hash split at n=400: train ≈ 360 — loose band, but catches a broken mod
+    assert(bySplit("train") > 300L && bySplit("train") < 400L, bySplit.toString)
+    assert(Corpus.qDocsSplit(spark, dir).collect().toSeq ==
+      Corpus.qDocsSplit(spark, dir).collect().toSeq) // deterministic
+  }
+
+  // ---- length distribution ------------------------------------------------
+
+  test("docs_length_dist: interpolated percentiles on a known token profile") {
+    // tokens 1..100 in one source: p50 = 50.5, p90 = 90.1, p99 = 99.01
+    writeDocs((1L to 100L).map(i => (i, words(i.toInt), "en", "s1")))
+    val out = Corpus.qDocsLengthDist(spark, dir)
+      .select("source", "n_docs", "p50", "p90", "p99", "mx")
+      .as[(String, Long, Double, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(("s1", 100L, 50.5, 90.1, 99.01, 100L)))
+  }
+
+  // ---- near-dup provenance ------------------------------------------------
+
+  test("dedup_source_overlap: cross-source candidates only, pair order normalized") {
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    writeDocs(Seq(
+      (1L, t1, "en", "s1"),
+      (2L, t1, "en", "s2"),          // (1,2) cross: s1~s2
+      (3L, t1, "en", "s1"),          // (1,3) same source drops; (2,3) → s1~s2
+      (4L, "totally different words here now", "en", "s3")))
+    val out = graft.operators.LlmScale.qDedupSourceOverlap(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("s1", "s2", 2L)))
+  }
+
   // ---- seasonal decomposition --------------------------------------------
 
   test("ts_seasonal_decomp: constant series decomposes to exactly-zero seasonal; edge hours drop") {

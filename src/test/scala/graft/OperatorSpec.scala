@@ -322,6 +322,28 @@ class OperatorSpec extends SparkSuite {
     assert(codes.select(size(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
   }
 
+  test("binary-quant cascade: hamming is the sign-bit distance, sims exact, top-1 recalled") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val got = graft.operators.LlmScale.qEmbBinaryQuant(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 10)
+    // reference sign-bit hamming computed independently on the driver
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val pb = vecs(0L).map(x => x >= 0f)
+    got.foreach { case (id, ham, sim) =>
+      val expect = vecs(id).zip(pb).count { case (x, p) => (x >= 0f) != p }
+      assert(ham == expect, s"id $id hamming $ham != $expect")
+      // rerank sim is the true cosine (rounded to 6dp by the query)
+      val b = Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, vecs.size)
+        .filter(col("vec_id") === id).head().getDouble(1)
+      assert(math.abs(b - sim) <= 5.001e-7, s"id $id sim $sim != exact $b")
+    }
+    // a 50-wide hamming shortlist over 500 vectors must recall the exact top-1
+    val top1 = Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, 1).head().getLong(0)
+    assert(got.map(_._1).contains(top1), s"exact top-1 $top1 not in ${got.map(_._1).toSeq}")
+  }
+
   test("matryoshka two-stage: 32-dim shortlist recalls most exact full-dim top-3") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val got = graft.operators.LlmScale.qSimMatryoshka(spark, sf0001).collect()
