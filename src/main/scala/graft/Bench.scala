@@ -65,6 +65,7 @@ object Bench {
       graft.sources.Ingest.eventsTextFormats(spark, sfDir)
       graft.sources.Ingest.eventsByDayTyped(spark, sfDir)
       graft.sources.Ingest.eventsTiered(spark, sfDir)
+      graft.sources.Ingest.docsByShard(spark, sfDir)
       // mutation fixtures (GDPR delete, CDC upsert) are ingest-time state:
       // corpus + index build + the one-off rewrite happen here, timed
       // passes measure the post-mutation reads

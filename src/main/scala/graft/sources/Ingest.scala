@@ -620,6 +620,30 @@ object Ingest {
         col("value") >= valLo && col("value") < valHi)
   }
 
+  // ---- documents by hash shard --------------------------------------------
+
+  /** Write `documents` partitioned into the 16 hash shards of
+    * Corpus.qDocsShardAssign (same seeded md5 routing, so that report IS
+    * the manifest of this layout). The sharded export is the final write
+    * of a training-data pipeline: each shard is a self-contained,
+    * deterministically-addressed slice a downstream loader reads without
+    * touching the other 15/16 of the corpus. */
+  def writeDocsByShard(docs: DataFrame, path: String, shards: Int = 16): Unit =
+    docs
+      .withColumn("shard", expr(
+        s"pmod(${graft.operators.Dedup.h60("'shard'", "cast(doc_id as string)")}, $shards)"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Materialize (once per JVM) the sharded docs layout for a scale dir. */
+  def docsByShard(spark: SparkSession, sfDir: String,
+                  root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"docs_by_shard:$sfDir:$root", {
+      val p = s"$root/${slug(sfDir)}/docs_by_shard"
+      writeDocsByShard(Tables.documents(spark, sfDir), p)
+      p
+    })
+
   // ---- embeddings by LSH bucket -------------------------------------------
 
   /** Write `embeddings` partitioned by SRP-LSH bucket (the ANN layout). */

@@ -268,6 +268,23 @@ object IngestQueries {
     }.reduce(_ unionByName _).orderBy("ver")
   }
 
+  /** Serve one shard of the sharded docs export (the layout whose manifest
+    * is Corpus.qDocsShardAssign): `shard = 3` is a partition filter, so
+    * the scan reads 1/16 of the corpus directories (WritePathSpec asserts
+    * the listing). The oracle recomputes the same slice from the RAW
+    * documents via the hash rule — a pass proves routing, layout write,
+    * and pruned read agree end to end. */
+  val qIngestShardServe: Q = (s, d) => {
+    val path = Ingest.docsByShard(s, d)
+    s.read.parquet(path)
+      .filter(col("shard") === 3)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(coalesce(col("text"), lit("")), " ")).cast("long")).as("tokens"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_ingest_time_travel", qIngestTimeTravel, Some(
       "WITH v1 AS (SELECT doc_id, n_chars FROM documents), " +
@@ -301,6 +318,12 @@ object IngestQueries {
       "SELECT 'docs' part, count(*) n, CAST(sum(doc_id) AS BIGINT) id_sum FROM documents WHERE doc_id NOT IN (7,13,101,256) " +
         "UNION ALL SELECT 'emb' part, count(*) n, CAST(sum(vec_id) AS BIGINT) id_sum FROM embeddings WHERE vec_id NOT IN (7,13,101,256) " +
         "ORDER BY part")),
+    ("q_ingest_shard_serve", qIngestShardServe, Some(
+      "SELECT lang, CAST(count(*) AS BIGINT) n_docs, " +
+        "CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) tokens, " +
+        "CAST(sum(doc_id) AS BIGINT) id_sum FROM documents " +
+        "WHERE CAST('0x' || substr(md5('shard' || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 = 3 " +
+        "GROUP BY lang ORDER BY lang")),
     ("q_ingest_derived_prune", qIngestDerivedPrune, Some(
       "SELECT event_type, count(*) cnt, round(sum(value), 2) sv FROM events " +
         "WHERE ts >= TIMESTAMP '2024-01-12 06:00:00' AND ts < TIMESTAMP '2024-01-15 18:00:00' " +

@@ -81,6 +81,27 @@ class WritePathSpec extends SparkSuite {
     assert(part == unpart, s"pruned ANN $part != unpartitioned ANN $unpart")
   }
 
+  test("docs by shard: single-shard serve reads 1/16 directories, layout round-trips") {
+    val path = Ingest.docsByShard(spark, sf0001, root)
+    val all = spark.read.parquet(path)
+    // every doc routed exactly once, 16 shard directories
+    assert(all.count() == Tables.documents(spark, sf0001).count())
+    assert(all.select("shard").distinct().count() == 16)
+
+    val pruned = all.filter(col("shard") === 3)
+    val listing = scanListings(pruned).head
+    assert(listing.partitionCount == 1 &&
+      listing.toPartitionArray.forall(_.filePath.toString.contains("shard=3")),
+      s"shard serve read ${listing.partitionCount} partitions")
+
+    // layout slice == recomputing the hash rule on the raw table
+    val direct = Tables.documents(spark, sf0001)
+      .filter(expr(s"pmod(${graft.operators.Dedup.h60("'shard'", "cast(doc_id as string)")}, 16)") === 3)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val slice = pruned.select("doc_id", "text", "lang", "source", "n_chars")
+    assert(slice.except(direct).count() == 0 && direct.except(slice).count() == 0)
+  }
+
   test("catalog q_ann_bucket_pruned matches within-bucket exact search") {
     // the catalog face returns rounded sims over the probe's bucket; check
     // it against an independently computed in-bucket brute force
