@@ -312,6 +312,169 @@ object Corpus {
       .orderBy("src_a", "src_b")
   }
 
+  // ---- deterministic epoch shuffle ----------------------------------------
+
+  /** Training-order shuffle, reproducibly: every document ranks by the
+    * seeded 60-bit md5 hash of its doc_id ('epoch0' is the seed — a new
+    * epoch reshuffles by changing it), and the query returns the first 100
+    * positions of that order. The shuffle is a pure function of the corpus
+    * (no RNG state, identical across engines and re-runs), which is what
+    * makes a training run resumable and auditable.
+    *
+    * Scale: the head-of-order probe is `orderBy(h).limit(k)` →
+    * TakeOrderedAndProject (per-partition top-k + merge, never a global
+    * sort); position numbering happens on the k-row result. A full-corpus
+    * epoch export instead writes `repartition(shards, h)` + per-shard
+    * sort — the same hash, no global order needed. */
+  val qDocsShuffle: Q = (s, d) => {
+    val top = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr(Dedup.h60("'epoch0'", "cast(doc_id as string)")).as("h"))
+      .orderBy("h", "doc_id")
+      .limit(100)
+    top.withColumn("pos",
+        row_number().over(Window.orderBy("h", "doc_id")).cast("long"))
+      .select("pos", "doc_id", "lang", "h")
+      .orderBy("pos")
+  }
+
+  // ---- per-source token budget cap ----------------------------------------
+
+  /** Source-contribution cap: each source contributes documents in doc_id
+    * (arrival) order only while its cumulative token count stays within a
+    * B=1000-token budget — the guard that stops one giant crawl from
+    * dominating the training mix (the hard-cap sibling of the temperature
+    * sampler in q_docs_temp_sample). Emits the kept/dropped doc and token
+    * tallies per source.
+    *
+    * Scale: one window cumsum inside the source shuffle, one hash agg.
+    * The cut is a pure function of (source, doc_id) order, so re-runs and
+    * backfills make the same decision without a persisted assignment. */
+  val qDocsBudgetCap: Q = (s, d) => {
+    val B = 1000L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), tokCount.as("tok"))
+      .withColumn("kept", (sum("tok").over(w) <= B).cast("long"))
+      .groupBy("source")
+      .agg(sum(col("kept")).as("n_kept"),
+        sum(col("kept") * col("tok")).as("tok_kept"),
+        sum(lit(1L) - col("kept")).as("n_drop"),
+        sum((lit(1L) - col("kept")) * col("tok")).as("tok_drop"))
+      .orderBy("source")
+  }
+
+  // ---- BM25 ranking --------------------------------------------------------
+
+  /** BM25 ranking (k1=1.2, b=0.75) for the same data-determined two-term
+    * query as q_text_search, OR semantics: idf-weighted, length-normalized
+    * term frequency — the scoring function behind every classical
+    * full-text retrieval stack, upgrading q_text_search's raw-tf rank.
+    *
+    * Determinism: idf and each term's contribution are pre-rounded to 6
+    * decimals before the two-term sum (two-value double addition is
+    * order-insensitive), final score re-rounded; ranking orders by the
+    * ROUNDED score so both engines agree on the top-k boundary.
+    *
+    * Scale: postings build in one tokenize pass; query terms and the
+    * (N, total-length) stats ride in as broadcast 1–2 row dims; the only
+    * shuffles are the postings aggregates. At 100 TB the postings and
+    * doc-length tables are what you persist; this query then prunes to the
+    * probed terms' partitions. */
+  val qTextBm25: Q = (s, d) => {
+    val k1 = 1.2
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+    val terms = postings.groupBy("w")
+      .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
+      .withColumn("qi", row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
+      .filter(col("qi") <= 2)
+      .select(col("w").as("qw"), col("df"))
+    postings.join(broadcast(terms), col("w") === col("qw"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sdl").cast("double") / col("n"))
+      .withColumn("idf", Num.roundd(log(
+        ((col("n") - col("df")).cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0), 6))
+      .withColumn("contrib", Num.roundd(
+        col("idf") * (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))), 6))
+      .groupBy("doc_id")
+      .agg(Num.roundd(sum("contrib"), 6).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  // ---- RAG chunking --------------------------------------------------------
+
+  /** Overlapping-window chunking report (the RAG indexing step): documents
+    * split into W=128-token windows advancing by stride S=96 (32-token
+    * overlap so no boundary context is lost); a ≤W-token document is one
+    * chunk. Emits the per-source chunking bill: documents, chunks, chunk
+    * tokens, and the overlap overhead the stride re-embeds.
+    *
+    * Scale: chunk count is closed-form integer arithmetic per row
+    * (`1 + ceil((tok-W)/S)` via exact `div`), the span explode fans out
+    * ≤ chunks-per-doc rows, then one hash agg — the same bounded-fanout
+    * shape as q_docs_seq_pack, no window functions at all. */
+  val qDocsChunks: Q = (s, d) => {
+    val W = 128L; val S = 96L
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), tokCount.as("tok"))
+      .withColumn("nc", when(col("tok") <= W, 1L)
+        .otherwise(lit(1L) + expr(s"(tok - ${W}L + ${S}L - 1L) div ${S}L")))
+      .select(col("source"), col("doc_id"), col("tok"),
+        explode(expr("sequence(0L, nc - 1L)")).as("i"))
+      .withColumn("ctok", least(lit(W), col("tok") - col("i") * S))
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("ctok").as("chunk_tok"),
+        sum(when(col("i") === 0, col("tok")).otherwise(0L)).as("doc_tok"))
+      .select(col("source"), col("n_docs"), col("n_chunks"), col("chunk_tok"),
+        (col("chunk_tok") - col("doc_tok")).as("overhead"),
+        Num.roundd((col("chunk_tok") - col("doc_tok")).cast("double") / col("doc_tok"), 6)
+          .as("overhead_ratio"))
+      .orderBy("source")
+  }
+
+  // ---- decontamination ----------------------------------------------------
+
+  /** Decontaminated-train-corpus checksum: the enforcement half of
+    * q_text_contamination — any train document (source != 'src0') sharing
+    * at least one word-8-gram with the eval set (source = 'src0') is
+    * dropped, and the survivors are checksummed per language (count,
+    * doc_id sum, token sum) so the gate proves the FILTER, not just the
+    * overlap report. Documents under 8 words carry no 8-grams and survive
+    * by definition.
+    *
+    * Scale: same n-gram × corpus shuffle as the contamination report
+    * (never corpus²); the contaminated-id set is small (overlap is rare by
+    * construction at any scale), and the final anti-join streams the
+    * corpus past it. */
+  val qTextDecontaminate: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), col("source"), explode(
+        expr("array_distinct(transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' ')))")).as("ng"))
+    val evalNg = grams.filter(col("source") === "src0").select("ng").distinct()
+    val contaminated = grams.filter(col("source") =!= "src0")
+      .join(evalNg, "ng").select("doc_id").distinct()
+    Tables.documents(s, d).filter(col("source") =!= "src0")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        sum(tokCount).as("tokens"))
+      .orderBy("lang")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -395,5 +558,51 @@ object Corpus {
         "SELECT a.source src_a, b.source src_b, CAST(count(DISTINCT a.h) AS BIGINT) n_shared " +
         "FROM t a JOIN t b ON a.h = b.h AND a.source < b.source " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_docs_shuffle", qDocsShuffle, Some(
+      "WITH t AS (SELECT doc_id, lang, " +
+        "CAST('0x' || substr(md5('epoch0' || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) h FROM documents), " +
+        "top AS (SELECT doc_id, lang, h FROM t ORDER BY h, doc_id LIMIT 100) " +
+        "SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) pos, doc_id, lang, h " +
+        "FROM top ORDER BY pos")),
+    ("q_docs_budget_cap", qDocsBudgetCap, Some(
+      "WITH t AS (SELECT source, doc_id, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) tok FROM documents), " +
+        "c AS (SELECT source, tok, CASE WHEN sum(tok) OVER (PARTITION BY source ORDER BY doc_id) <= 1000 THEN 1 ELSE 0 END kept FROM t) " +
+        "SELECT source, CAST(sum(kept) AS BIGINT) n_kept, CAST(sum(kept * tok) AS BIGINT) tok_kept, " +
+        "CAST(sum(1 - kept) AS BIGINT) n_drop, CAST(sum((1 - kept) * tok) AS BIGINT) tok_drop " +
+        "FROM c GROUP BY source ORDER BY source")),
+    ("q_text_bm25", qTextBm25, Some(
+      "WITH p AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents) WHERE w != '' GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM p GROUP BY 1), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(dl) AS BIGINT) sdl FROM dl), " +
+        "terms AS (SELECT w qw, df FROM (SELECT w, cnt, df, row_number() OVER (ORDER BY cnt DESC, w ASC) qi FROM " +
+        "(SELECT w, sum(tf) cnt, CAST(count(*) AS BIGINT) df FROM p GROUP BY 1)) WHERE qi <= 2), " +
+        "j AS (SELECT p.doc_id, p.tf, terms.df, dl.dl, st.n, st.sdl FROM p " +
+        "JOIN terms ON p.w = terms.qw JOIN dl ON p.doc_id = dl.doc_id, st), " +
+        "c AS (SELECT doc_id, round(" +
+        "round(ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) " +
+        "* (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))), 6) contrib FROM j) " +
+        "SELECT doc_id, round(sum(contrib), 6) score, CAST(count(*) AS BIGINT) n_terms " +
+        "FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20")),
+    ("q_docs_chunks", qDocsChunks, Some(
+      "WITH t AS (SELECT source, doc_id, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) tok FROM documents), " +
+        "nc AS (SELECT source, doc_id, tok, CASE WHEN tok <= 128 THEN 1 ELSE 1 + (tok - 128 + 95) // 96 END n FROM t), " +
+        "e AS (SELECT source, doc_id, tok, unnest(range(n)) i FROM nc), " +
+        "x AS (SELECT source, doc_id, tok, i, least(128, tok - i * 96) ctok FROM e), " +
+        "a AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) n_docs, CAST(count(*) AS BIGINT) n_chunks, " +
+        "CAST(sum(ctok) AS BIGINT) chunk_tok, CAST(sum(CASE WHEN i = 0 THEN tok ELSE 0 END) AS BIGINT) doc_tok FROM x GROUP BY 1) " +
+        "SELECT source, n_docs, n_chunks, chunk_tok, CAST(chunk_tok - doc_tok AS BIGINT) overhead, " +
+        "round(CAST(chunk_tok - doc_tok AS DOUBLE) / doc_tok, 6) overhead_ratio " +
+        "FROM a ORDER BY source")),
+    ("q_text_decontaminate", qTextDecontaminate, Some(
+      "WITH g AS (SELECT doc_id, source, list_distinct(list_transform(range(len(w) - 7), i -> array_to_string(w[i+1:i+8], ' '))) gs " +
+        "FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents) WHERE len(w) >= 8), " +
+        "e AS (SELECT DISTINCT unnest(gs) ng FROM g WHERE source = 'src0'), " +
+        "bad AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(gs) ng FROM g WHERE source != 'src0') t " +
+        "WHERE ng IN (SELECT ng FROM e)) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum, " +
+        "CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) tokens " +
+        "FROM documents WHERE source != 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad) " +
+        "GROUP BY lang ORDER BY lang")),
   )
 }

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operational-metrics tier over the event stream — the queries a TSDB's
+  * own operators (not its users) run against it: series-churn and
+  * cardinality reports (index-bloat monitoring), SLO burn-rate alerting
+  * (the multiwindow error-budget rule), and coverage/availability
+  * reporting from observed sample density.
+  *
+  * All four follow the repo determinism contract (SURVEY §2.0): counts
+  * are exact longs, ratios divide exact integer sums as doubles and round
+  * through [[Num.roundd]], every query ends in a total ORDER BY.
+  *
+  * Scale theme: each query is one or two hash aggregates over the scan;
+  * the only window functions run over POST-aggregate series (≤ hours/days
+  * of the retention window, thousands of rows at any raw-data scale), so
+  * the unpartitioned window never sees raw events.
+  */
+object Ops {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- series churn: first-seen analysis ----------------------------------
+
+  /** New-series-per-day report: how many user series appear for the first
+    * time each day, plus the running total — the cardinality-churn curve
+    * that tells a TSDB operator whether index growth is new series or
+    * re-writes. First-seen is `min(ts)` per series (one hash agg over the
+    * scan), the daily roll-up is a second agg over one row per series, and
+    * the cumulative sum is a window over the ~retention-days result. */
+  val qTsNewSeries: Q = (s, d) => {
+    val perDay = Tables.events(s, d)
+      .groupBy("user_id").agg(min("ts").as("fts"))
+      .select(date_trunc("day", col("fts")).cast("date").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("new_users"))
+    perDay
+      .withColumn("cum_users", sum("new_users").over(Window.orderBy("d")))
+      .orderBy("d")
+  }
+
+  // ---- cardinality report --------------------------------------------------
+
+  /** Per-day series-cardinality report by metric: distinct series
+    * (user_id) per (day, event_type), the day's distinct series across all
+    * types, and each type's share of it. Shares don't sum to 1 — a series
+    * active in several metrics counts once in the day total — which is
+    * exactly what makes the report useful for index sizing.
+    *
+    * Plan: pre-distinct (day, type, user) once — ONE shuffle keyed on the
+    * triple with partial (map-side) distinct — then both roll-ups are
+    * cheap aggs over the deduplicated set; the day total re-joins on the
+    * ≤retention-days key. At 100 TB the pre-distinct set is the thing you
+    * maintain incrementally at ingest (it is itself a KMV/HLL candidate —
+    * the sketch tier serves the same report approximately). */
+  val qTsCardinality: Q = (s, d) => {
+    val base = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).cast("date").as("d"), col("event_type"), col("user_id"))
+      .distinct()
+    val perType = base.groupBy("d", "event_type").agg(count(lit(1)).as("n_series"))
+    val perDay = base.select("d", "user_id").distinct()
+      .groupBy("d").agg(count(lit(1)).as("day_series"))
+    perType.join(perDay, "d")
+      .select(col("d"), col("event_type"), col("n_series"), col("day_series"),
+        Num.roundd(col("n_series").cast("double") / col("day_series"), 6).as("frac"))
+      .orderBy("d", "event_type")
+  }
+
+  // ---- SLO burn rate -------------------------------------------------------
+
+  /** Multiwindow error-budget burn rate (the SRE alerting rule): hourly
+    * error ratio and its 6-hour trailing form, each divided by a 25%
+    * error-budget SLO, alerting only when BOTH windows burn faster than
+    * budget — the fast window gives reaction time, the slow window
+    * suppresses blips. The trailing ratio divides summed counters (ratio
+    * of sums, not mean of ratios) so empty-ish hours don't distort it.
+    *
+    * Plan: one conditional-count hash agg over the scan builds the hourly
+    * series; both windows are frames over the ≤retention-hours result.
+    * Alerting compares the ROUNDED burn rates, so the flag is
+    * reproducible across engines by the same rounding contract as the
+    * values it derives from. */
+  val qTsBurnRate: Q = (s, d) => {
+    val budget = 0.25
+    val hourly = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+      .groupBy("h").agg(sum("e").as("err"), count(lit(1)).as("tot"))
+    val w6 = Window.orderBy("h").rowsBetween(-5, Window.currentRow)
+    hourly
+      .withColumn("err6", sum("err").over(w6))
+      .withColumn("tot6", sum("tot").over(w6))
+      .select(col("h"), col("err"), col("tot"),
+        Num.roundd(col("err").cast("double") / col("tot") / budget, 4).as("burn1"),
+        Num.roundd(col("err6").cast("double") / col("tot6") / budget, 4).as("burn6"))
+      .withColumn("alert", (col("burn1") > 1.0 && col("burn6") > 1.0).cast("long"))
+      .orderBy("h")
+  }
+
+  // ---- availability / coverage --------------------------------------------
+
+  /** Daily observation coverage: minutes of the day with at least one
+    * sample, as a fraction of 1440 — the uptime/collection-coverage
+    * report that distinguishes "metric was zero" from "collector was
+    * down". Pre-distinct (day, minute) buckets (bounded at 1440/day
+    * regardless of raw event volume), then count per day. */
+  val qTsAvailability: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).cast("date").as("d"),
+        date_trunc("minute", col("ts")).as("m"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("n_min"))
+      .select(col("d"), col("n_min"),
+        Num.roundd(col("n_min").cast("double") / 1440.0, 6).as("avail"))
+      .orderBy("d")
+
+  // ---- catalog ------------------------------------------------------------
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ts_new_series", qTsNewSeries, Some(
+      "WITH f AS (SELECT user_id, min(ts) fts FROM events GROUP BY 1), " +
+        "p AS (SELECT date_trunc('day', fts) d, CAST(count(*) AS BIGINT) new_users FROM f GROUP BY 1) " +
+        "SELECT d, new_users, CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) cum_users " +
+        "FROM p ORDER BY d")),
+    ("q_ts_cardinality", qTsCardinality, Some(
+      "WITH b AS (SELECT DISTINCT date_trunc('day', ts) d, event_type, user_id FROM events), " +
+        "pt AS (SELECT d, event_type, CAST(count(*) AS BIGINT) n_series FROM b GROUP BY 1, 2), " +
+        "pd AS (SELECT d, CAST(count(*) AS BIGINT) day_series FROM " +
+        "(SELECT DISTINCT d, user_id FROM b) GROUP BY 1) " +
+        "SELECT pt.d, event_type, n_series, day_series, " +
+        "round(CAST(n_series AS DOUBLE) / day_series, 6) frac " +
+        "FROM pt JOIN pd ON pt.d = pd.d ORDER BY pt.d, event_type")),
+    ("q_ts_burn_rate", qTsBurnRate, Some(
+      "WITH h AS (SELECT date_trunc('hour', ts) h, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) err, " +
+        "CAST(count(*) AS BIGINT) tot FROM events GROUP BY 1), " +
+        "w AS (SELECT h, err, tot, " +
+        "CAST(sum(err) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) err6, " +
+        "CAST(sum(tot) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) tot6 FROM h), " +
+        "r AS (SELECT h, err, tot, " +
+        "round(CAST(err AS DOUBLE) / tot / 0.25, 4) burn1, " +
+        "round(CAST(err6 AS DOUBLE) / tot6 / 0.25, 4) burn6 FROM w) " +
+        "SELECT h, err, tot, burn1, burn6, " +
+        "CAST(CASE WHEN burn1 > 1.0 AND burn6 > 1.0 THEN 1 ELSE 0 END AS BIGINT) alert " +
+        "FROM r ORDER BY h")),
+    ("q_ts_availability", qTsAvailability, Some(
+      "WITH b AS (SELECT DISTINCT date_trunc('day', ts) d, date_trunc('minute', ts) m FROM events), " +
+        "c AS (SELECT d, CAST(count(*) AS BIGINT) n_min FROM b GROUP BY 1) " +
+        "SELECT d, n_min, round(CAST(n_min AS DOUBLE) / 1440.0, 6) avail " +
+        "FROM c ORDER BY d")),
+  )
+}

@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.{Corpus, Ops}
+
+/** Edge semantics of the operational-metrics tier (Ops.scala) and the
+  * round-9 corpus additions (shuffle / budget cap / BM25 / chunking /
+  * decontamination), via crafted fixture tables written in the same
+  * sfDir shape as CorpusSpec (events.ts as raw ns LONG per §1.3). */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-ops"
+
+  private def ns(sec: Long): Long = sec * 1000000000L
+  private val day = 86400L
+  private val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  private def words(tok: Int, w: String = "w"): String = List.fill(tok)(w).mkString(" ")
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): Unit =
+    rows.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  // ---- new-series churn ---------------------------------------------------
+
+  test("new_series: a returning user counts only on its first day") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 1.0),            // user 1 first seen day 1
+      (2L, ns(t0 + day), 1L, "click", 1.0),      // user 1 again day 2 — not new
+      (3L, ns(t0 + day), 2L, "click", 1.0)))     // user 2 first seen day 2
+    val out = Ops.qTsNewSeries(spark, dir)
+      .select("new_users", "cum_users").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (1L, 2L)))
+  }
+
+  // ---- cardinality report -------------------------------------------------
+
+  test("cardinality: day total is distinct across types, not the sum") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 1.0),
+      (2L, ns(t0 + 60), 1L, "error", 1.0),   // same user, second metric
+      (3L, ns(t0 + 120), 2L, "click", 1.0)))
+    val out = Ops.qTsCardinality(spark, dir)
+      .select("event_type", "n_series", "day_series", "frac")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // 2 distinct users on the day; click saw both, error saw one
+    assert(out == Seq(("click", 2L, 2L, 1.0), ("error", 1L, 2L, 0.5)))
+  }
+
+  // ---- burn rate ----------------------------------------------------------
+
+  test("burn_rate: trailing window is a ratio of sums and gates the alert") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "error", 1.0),          // hour 0: 1/2 errors
+      (2L, ns(t0 + 60), 1L, "click", 1.0),
+      (3L, ns(t0 + 3600), 1L, "click", 1.0),   // hour 1: 0/2 errors
+      (4L, ns(t0 + 3660), 2L, "click", 1.0)))
+    val out = Ops.qTsBurnRate(spark, dir)
+      .select("burn1", "burn6", "alert").as[(Double, Double, Long)].collect().toSeq
+    // hour 0: r1 = 0.5 → burn 2.0 (both windows) → alert
+    // hour 1: r1 = 0 → burn1 0; burn6 = (1/4)/0.25 = 1.0 (not > 1) → no alert
+    assert(out == Seq((2.0, 2.0, 1L), (0.0, 1.0, 0L)))
+  }
+
+  // ---- availability -------------------------------------------------------
+
+  test("availability: counts distinct observed minutes, not events") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 1.0),
+      (2L, ns(t0 + 1), 1L, "click", 1.0),      // same minute — no extra credit
+      (3L, ns(t0 + 60), 1L, "click", 1.0),
+      (4L, ns(t0 + 120), 1L, "click", 1.0)))
+    val out = Ops.qTsAvailability(spark, dir)
+      .select("n_min").as[Long].collect().toSeq
+    assert(out == Seq(3L))
+  }
+
+  // ---- budget cap ---------------------------------------------------------
+
+  test("budget_cap: the doc that reaches the cap exactly is kept, the next dropped") {
+    writeDocs(Seq(
+      (1L, words(600), "en", "a"),
+      (2L, words(400), "en", "a"),   // cum 1000 == B → kept
+      (3L, words(1), "en", "a"),     // cum 1001 → dropped
+      (4L, words(5), "en", "b")))
+    val out = Corpus.qDocsBudgetCap(spark, dir)
+      .select("source", "n_kept", "tok_kept", "n_drop", "tok_drop")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L, 1000L, 1L, 1L), ("b", 1L, 5L, 0L, 0L)))
+  }
+
+  // ---- chunking -----------------------------------------------------------
+
+  test("chunks: W-token doc is one chunk; one token over pays a stride chunk") {
+    writeDocs(Seq(
+      (1L, words(128), "en", "a"),   // exactly W → 1 chunk, no overhead
+      (2L, words(129), "en", "b")))  // → chunks at offsets 0, 96: 128 + 33 tokens
+    val out = Corpus.qDocsChunks(spark, dir)
+      .select("source", "n_chunks", "chunk_tok", "overhead")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 1L, 128L, 0L), ("b", 2L, 161L, 32L)))
+  }
+
+  // ---- BM25 ---------------------------------------------------------------
+
+  test("bm25: OR semantics, two-term doc outranks, absent doc excluded") {
+    writeDocs(Seq(
+      (1L, "a a b", "en", "s"),  // both query terms (a, b are the top-2 by tf)
+      (2L, "a b", "en", "s"),
+      (3L, "c", "en", "s")))     // neither term — must not appear
+    val out = Corpus.qTextBm25(spark, dir)
+      .select("doc_id", "n_terms").as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L) && out.map(_._2) == Seq(2L, 2L))
+    val scores = Corpus.qTextBm25(spark, dir).select("score").as[Double].collect()
+    assert(scores(0) > scores(1))
+  }
+
+  // ---- decontamination ----------------------------------------------------
+
+  test("decontaminate: 8-gram hit drops the train doc; short docs survive") {
+    val gram = (1 to 8).map(i => s"t$i").mkString(" ")
+    writeDocs(Seq(
+      (1L, s"eval $gram", "en", "src0"),        // eval doc carrying the 8-gram
+      (2L, s"intro $gram outro", "en", "src1"), // train doc sharing it → dropped
+      (3L, words(20, "x"), "en", "src1"),       // clean train doc → survives
+      (4L, "tiny doc", "en", "src1")))          // <8 words → survives by definition
+    val out = Corpus.qTextDecontaminate(spark, dir)
+      .select("lang", "n_docs", "id_sum").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("en", 2L, 7L)))
+  }
+
+  // ---- epoch shuffle ------------------------------------------------------
+
+  test("shuffle: dense positions, hash-ordered, reproducible") {
+    writeDocs((1L to 30L).map(i => (i, words(3), "en", "s")))
+    val a = Corpus.qDocsShuffle(spark, dir)
+      .select("pos", "doc_id", "h").as[(Long, Long, Long)].collect().toSeq
+    assert(a.map(_._1) == (1L to 30L))
+    assert(a.map(_._3) == a.map(_._3).sorted)
+    val b = Corpus.qDocsShuffle(spark, dir)
+      .select("pos", "doc_id", "h").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+}
