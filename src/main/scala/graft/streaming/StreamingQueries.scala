@@ -87,10 +87,27 @@ object StreamingQueries {
           col("pt") > col("ct") &&
           col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
 
+  private def burnCounters(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"),
+        count(lit(1)).as("tot"))
+      .select(col("window.start").as("h"), col("err"), col("tot"))
+
   // ---- batch twins (registered in SparkEntry.queries) ---------------------
 
   val qStreamTumblingWm: Q = (s, d) =>
     tumblingCounts(Tables.events(s, d)).orderBy("w", "event_type")
+
+  val qStreamBurnCounters: Q = (s, d) =>
+    burnCounters(Tables.events(s, d)).orderBy("h")
+
+  /** Batch twin of the first-seen screen: each series' event-time first
+    * event — what the sealed stream admissions must equal. */
+  val qStreamFirstSeen: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id").agg(min("ts").as("first_ts"))
+      .orderBy("user_id")
 
   /** Native session_window vs the DuckDB gaps-and-islands oracle: same
     * 30-minute gap rule, independently formulated — a real cross-engine,
@@ -234,6 +251,23 @@ object StreamingQueries {
       .select(col("window.start").as("h"), col("sketch"), col("n"))
   }
 
+  /** Streaming SLO burn-rate counters — the ingest half of Ops.qTsBurnRate:
+    * per closed hour, the (err, tot) conditional counters the burn-rate
+    * arithmetic divides. The 1h/6h trailing ratios, budget divide, and
+    * alert flag run at SERVE time over the sealed hourly table (trailing
+    * frames need closed neighbors, and counters — unlike ratios — merge
+    * across late re-aggregation), so the stream's whole job is two longs
+    * of state per open window. */
+  def burnRateStream(s: SparkSession, dir: String): DataFrame =
+    burnCounters(eventsStream(s, dir).withWatermark("ts", "10 minutes"))
+
+  /** Streaming first-seen screen (series churn at ingest) — see
+    * [[StatefulFirstSeen]]: exactly one admission per user_id, at its
+    * event-time first event, sealed under the watermark. */
+  def firstSeenStream(s: SparkSession, dir: String): DataFrame =
+    StatefulFirstSeen.firstSeenStream(
+      eventsStream(s, dir).withWatermark("ts", "10 minutes")).toDF()
+
   /** Stream-stream interval join face: both sides from the same replayed
     * source, watermarked so join state evicts once pt can no longer land
     * in any open (ct, ct+30m] window. */
@@ -282,5 +316,11 @@ object StreamingQueries {
         "GROUP BY c.user_id ORDER BY c.user_id")),
     ("q_stream_static_join", qStreamStaticJoin, Some(
       "SELECT c_mktsegment, count(*) cnt FROM events JOIN customer ON user_id=c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+    ("q_stream_burn_counters", qStreamBurnCounters, Some(
+      "SELECT date_trunc('hour', ts) h, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) err, " +
+        "CAST(count(*) AS BIGINT) tot FROM events GROUP BY 1 ORDER BY h")),
+    ("q_stream_first_seen", qStreamFirstSeen, Some(
+      "SELECT user_id, min(ts) first_ts FROM events GROUP BY 1 ORDER BY user_id")),
   )
 }

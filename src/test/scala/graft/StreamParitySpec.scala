@@ -56,6 +56,38 @@ class StreamParitySpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("burn-rate counters: closed hours equal the batch twin exactly") {
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.burnRateStream(spark, replayDir), "t_burn")
+      .withColumn("h", col("h").cast("timestamp_ntz"))
+    val batch = StreamingQueries.qStreamBurnCounters(spark, sf0001)
+    assert(got.except(batch).count() == 0,
+      "stream sealed an (err, tot) hour the batch twin disagrees with")
+    val (g, b) = (got.count(), batch.count())
+    assert(g > b / 2 && g <= b, s"stream=$g batch=$b")
+  }
+
+  test("first-seen screen: sealed admissions equal batch firsts, ordered + jittered") {
+    val dirs = Seq(
+      replayDir -> "t_first",
+      StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4) -> "t_first_ooo")
+    for ((dir, name) <- dirs) {
+      val got = StreamReplay
+        .runToCompletion(spark, StreamingQueries.firstSeenStream(spark, dir), name)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val gotM = got.toMap
+      assert(got.length == gotM.size, s"$name: duplicate admissions for a series")
+      val batch = StreamingQueries.qStreamFirstSeen(spark, sf0001)
+        .selectExpr("user_id", "unix_micros(cast(first_ts as timestamp)) us")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      gotM.foreach { case (u, us) =>
+        assert(batch(u) == us, s"$name: user $u admitted at $us, batch first is ${batch(u)}")
+      }
+      // only the watermark tail may stay unsealed
+      assert(gotM.size > batch.size / 2, s"$name: sealed ${gotM.size}/${batch.size}")
+    }
+  }
+
   test("stream-stream interval join: emitted pairs ⊆ batch pairs") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.intervalJoinStream(spark, replayDir), "t_ivj")
