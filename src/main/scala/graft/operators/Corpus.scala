@@ -444,6 +444,32 @@ object Corpus {
       .orderBy("source")
   }
 
+  // ---- source-stratified interleave ---------------------------------------
+
+  /** Round-robin source interleave (the tf.data / torchdata
+    * `sample_from_datasets` order, deterministically): documents order by
+    * (within-source rank, source), so consecutive positions cycle through
+    * every source that still has documents — the training-order mix that
+    * prevents a single source from forming long homogeneous runs. Returns
+    * the first 100 positions of the interleaved order.
+    *
+    * Scale: the within-source rank is a window inside the source shuffle;
+    * the head-of-order probe is TakeOrdered top-k on (rk, source), never
+    * a global sort — a full epoch export instead writes the corpus
+    * hash-sharded with (rk, source) as the per-shard sort key. */
+  val qDocsInterleave: Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val top = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy("rk", "source")
+      .limit(100)
+    top.withColumn("pos",
+        row_number().over(Window.orderBy("rk", "source")).cast("long"))
+      .select("pos", "source", "doc_id", "rk")
+      .orderBy("pos")
+  }
+
   // ---- decontamination ----------------------------------------------------
 
   /** Decontaminated-train-corpus checksum: the enforcement half of
@@ -594,6 +620,11 @@ object Corpus {
         "SELECT source, n_docs, n_chunks, chunk_tok, CAST(chunk_tok - doc_tok AS BIGINT) overhead, " +
         "round(CAST(chunk_tok - doc_tok AS DOUBLE) / doc_tok, 6) overhead_ratio " +
         "FROM a ORDER BY source")),
+    ("q_docs_interleave", qDocsInterleave, Some(
+      "WITH t AS (SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) rk FROM documents), " +
+        "top AS (SELECT source, doc_id, rk FROM t ORDER BY rk, source LIMIT 100) " +
+        "SELECT CAST(row_number() OVER (ORDER BY rk, source) AS BIGINT) pos, source, doc_id, rk " +
+        "FROM top ORDER BY pos")),
     ("q_text_decontaminate", qTextDecontaminate, Some(
       "WITH g AS (SELECT doc_id, source, list_distinct(list_transform(range(len(w) - 7), i -> array_to_string(w[i+1:i+8], ' '))) gs " +
         "FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents) WHERE len(w) >= 8), " +

@@ -116,6 +116,43 @@ object Ops {
         Num.roundd(col("n_min").cast("double") / 1440.0, 6).as("avail"))
       .orderBy("d")
 
+  // ---- alert FOR-duration state machine -----------------------------------
+
+  /** Prometheus `for:`-clause alerting: the hourly error ratio breaching
+    * 0.22 raises a PENDING condition, and an alert FIRES only once the
+    * breach has held for 3 consecutive hours — the standard guard against
+    * paging on a single noisy sample. Emits each firing interval (start,
+    * end, duration, peak ratio); sub-threshold-duration streaks are
+    * exactly the pending alerts that resolved silently.
+    *
+    * Breach streaks are gaps-and-islands over the hourly series (streak
+    * id = running count of breach onsets), the same device as
+    * q_ts_session but over the POST-aggregate series, so the
+    * unpartitioned windows see ≤ retention-hours rows. The breach flag
+    * compares the ROUNDED ratio, keeping the state machine reproducible
+    * across engines. */
+  val qTsAlertFor: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+      .groupBy("h").agg(sum("e").as("err"), count(lit(1)).as("tot"))
+      .withColumn("r", Num.roundd(col("err").cast("double") / col("tot"), 4))
+      .withColumn("breach", (col("r") > 0.22).cast("int"))
+    val w = Window.orderBy("h")
+    hourly
+      .withColumn("onset",
+        when(col("breach") === 1 && coalesce(lag("breach", 1).over(w), lit(0)) === 0, 1)
+          .otherwise(0))
+      .withColumn("grp", sum("onset").over(w))
+      .filter(col("breach") === 1)
+      .groupBy("grp")
+      .agg(min("h").as("start_h"), max("h").as("end_h"),
+        count(lit(1)).as("n_hours"), max("r").as("peak"))
+      .filter(col("n_hours") >= 3)
+      .select("start_h", "end_h", "n_hours", "peak")
+      .orderBy("start_h")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -145,6 +182,16 @@ object Ops {
         "SELECT h, err, tot, burn1, burn6, " +
         "CAST(CASE WHEN burn1 > 1.0 AND burn6 > 1.0 THEN 1 ELSE 0 END AS BIGINT) alert " +
         "FROM r ORDER BY h")),
+    ("q_ts_alert_for", qTsAlertFor, Some(
+      "WITH a AS (SELECT date_trunc('hour', ts) h, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) err, " +
+        "CAST(count(*) AS BIGINT) tot FROM events GROUP BY 1), " +
+        "r AS (SELECT h, round(CAST(err AS DOUBLE) / tot, 4) r, " +
+        "CASE WHEN round(CAST(err AS DOUBLE) / tot, 4) > 0.22 THEN 1 ELSE 0 END breach FROM a), " +
+        "o AS (SELECT h, r, breach, CASE WHEN breach = 1 AND coalesce(lag(breach) OVER (ORDER BY h), 0) = 0 THEN 1 ELSE 0 END onset FROM r), " +
+        "g AS (SELECT h, r, breach, sum(onset) OVER (ORDER BY h) grp FROM o) " +
+        "SELECT min(h) start_h, max(h) end_h, CAST(count(*) AS BIGINT) n_hours, max(r) peak " +
+        "FROM g WHERE breach = 1 GROUP BY grp HAVING count(*) >= 3 ORDER BY start_h")),
     ("q_ts_availability", qTsAvailability, Some(
       "WITH b AS (SELECT DISTINCT date_trunc('day', ts) d, date_trunc('minute', ts) m FROM events), " +
         "c AS (SELECT d, CAST(count(*) AS BIGINT) n_min FROM b GROUP BY 1) " +

@@ -134,6 +134,33 @@ class OpsSpec extends SparkSuite {
     assert(out == Seq(("en", 2L, 7L)))
   }
 
+  // ---- alert FOR duration -------------------------------------------------
+
+  test("alert_for: a 2-hour breach stays pending, a 3-hour breach fires once") {
+    def hour(k: Long, errFirst: Boolean): Seq[(Long, Long, Long, String, Double)] = Seq(
+      (k * 10 + 1, ns(t0 + k * 3600), 1L, if (errFirst) "error" else "click", 1.0),
+      (k * 10 + 2, ns(t0 + k * 3600 + 60), 2L, "click", 1.0))
+    // hours 0,1 breach (ratio 0.5); hour 2 clean; hours 3,4,5 breach; 6 clean
+    writeEvents(Seq(0L, 1L, 3L, 4L, 5L).flatMap(hour(_, errFirst = true)) ++
+      Seq(2L, 6L).flatMap(hour(_, errFirst = false)))
+    val out = Ops.qTsAlertFor(spark, dir)
+      .selectExpr("unix_micros(cast(start_h as timestamp))",
+        "unix_micros(cast(end_h as timestamp))", "n_hours", "peak")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(((t0 + 3 * 3600) * 1000000L, (t0 + 5 * 3600) * 1000000L, 3L, 0.5)))
+  }
+
+  // ---- source interleave --------------------------------------------------
+
+  test("interleave: positions cycle sources until the short source runs dry") {
+    writeDocs(Seq(
+      (1L, words(2), "en", "a"), (2L, words(2), "en", "a"), (3L, words(2), "en", "a"),
+      (10L, words(2), "en", "b")))
+    val out = Corpus.qDocsInterleave(spark, dir)
+      .select("pos", "source", "doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 1L), (2L, "b", 10L), (3L, "a", 2L), (4L, "a", 3L)))
+  }
+
   // ---- epoch shuffle ------------------------------------------------------
 
   test("shuffle: dense positions, hash-ordered, reproducible") {
