@@ -194,4 +194,27 @@ class PlanSpec extends SparkSuite {
     val hashEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx == 1, s"expected one aggregation shuffle, got $hashEx:\n$p")
   }
+
+  test("burn rate + alert_for: ONE aggregation shuffle each; windows ride the post-agg series") {
+    for (q <- Seq(graft.operators.Ops.qTsBurnRate, graft.operators.Ops.qTsAlertFor)) {
+      val p = plan(q(spark, sf0001))
+      assert(!p.toLowerCase.contains("join"), s"no join belongs here:\n$p")
+      val hashEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 1, s"expected one hourly-agg shuffle, got $hashEx:\n$p")
+    }
+  }
+
+  test("epoch shuffle: TakeOrdered head, zero exchanges, never a global sort") {
+    val p = plan(graft.operators.Corpus.qDocsShuffle(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered top-k:\n$p")
+    assert(countExchanges(p) == 0, s"head-of-order probe must not shuffle:\n$p")
+  }
+
+  test("bm25: the only nested-loop is the 1-row stats broadcast; terms broadcast too") {
+    val p = plan(graft.operators.Corpus.qTextBm25(spark, sf0001))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"only the single-row stats cross may nest:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      s"the 2-term dim must broadcast, not sort-merge:\n$p")
+  }
 }
