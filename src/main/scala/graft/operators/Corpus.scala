@@ -444,6 +444,44 @@ object Corpus {
       .orderBy("source")
   }
 
+  // ---- Zipf profile --------------------------------------------------------
+
+  /** Vocabulary Zipf profile per language: least-squares slope and
+    * intercept of ln(freq) over ln(rank) across the top-50 terms — the
+    * corpus-health diagnostic that flags template/boilerplate floods
+    * (slope far from ≈ −1) and vocabulary collapse after aggressive
+    * filtering. Natural text tracks freq ∝ rank^slope with slope near −1;
+    * machine-generated spam doesn't.
+    *
+    * Determinism follows the q_ts_deriv discipline: ln terms pre-rounded
+    * to 6 dp on exact integer (rank, count) inputs, moment sums reduced in
+    * one hash agg, final slope/intercept rounded to 4 dp (the double
+    * summation-order jitter is ~1e-13, absorbed by the rounding). Scale:
+    * one tokenize pass, the per-lang top-50 is a window inside the lang
+    * shuffle, the regression is a 50-row-per-group aggregate. */
+  val qTextZipf: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy(desc("cnt"), asc("w"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .select(col("lang"),
+        Num.roundd(log(col("rk").cast("double")), 6).as("x"),
+        Num.roundd(log(col("cnt").cast("double")), 6).as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n").cast("long").as("n_terms"),
+        Num.roundd((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        Num.roundd((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 4)
+          .as("intercept"))
+      .orderBy("lang")
+  }
+
   // ---- source-stratified interleave ---------------------------------------
 
   /** Round-robin source interleave (the tf.data / torchdata
@@ -620,6 +658,17 @@ object Corpus {
         "SELECT source, n_docs, n_chunks, chunk_tok, CAST(chunk_tok - doc_tok AS BIGINT) overhead, " +
         "round(CAST(chunk_tok - doc_tok AS DOUBLE) / doc_tok, 6) overhead_ratio " +
         "FROM a ORDER BY source")),
+    ("q_text_zipf", qTextZipf, Some(
+      "WITH t AS (SELECT lang, w, CAST(count(*) AS BIGINT) cnt FROM " +
+        "(SELECT lang, unnest(string_split(text, ' ')) w FROM documents) WHERE w != '' GROUP BY 1, 2), " +
+        "r AS (SELECT lang, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w ASC) rk FROM t), " +
+        "p AS (SELECT lang, round(ln(CAST(rk AS DOUBLE)), 6) x, round(ln(CAST(cnt AS DOUBLE)), 6) y FROM r WHERE rk <= 50), " +
+        "a AS (SELECT lang, CAST(count(*) AS DOUBLE) n, sum(x) sx, sum(y) sy, " +
+        "sum(x * y) sxy, sum(x * x) sxx FROM p GROUP BY 1) " +
+        "SELECT lang, CAST(n AS BIGINT) n_terms, " +
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) slope, " +
+        "round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) intercept " +
+        "FROM a ORDER BY lang")),
     ("q_docs_interleave", qDocsInterleave, Some(
       "WITH t AS (SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) rk FROM documents), " +
         "top AS (SELECT source, doc_id, rk FROM t ORDER BY rk, source LIMIT 100) " +

@@ -161,6 +161,21 @@ class OpsSpec extends SparkSuite {
     assert(out == Seq((1L, "a", 1L), (2L, "b", 10L), (3L, "a", 2L), (4L, "a", 3L)))
   }
 
+  // ---- Zipf profile -------------------------------------------------------
+
+  test("zipf: an exact power-law vocabulary regresses to slope -1") {
+    // freq = 24 / rank for ranks 1..4 → ln(freq) = ln 24 − 1·ln(rank):
+    // a perfect line, so the fit must return slope −1, intercept ln 24
+    val text = (List.fill(24)("a") ++ List.fill(12)("b") ++
+      List.fill(8)("c") ++ List.fill(6)("d")).mkString(" ")
+    writeDocs(Seq((1L, text, "en", "s")))
+    val out = Corpus.qTextZipf(spark, dir)
+      .select("lang", "n_terms", "slope", "intercept")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq(("en", 4L, -1.0)))
+    assert(math.abs(out.head._4 - math.log(24)) < 1e-3)
+  }
+
   // ---- epoch shuffle ------------------------------------------------------
 
   test("shuffle: dense positions, hash-ordered, reproducible") {
