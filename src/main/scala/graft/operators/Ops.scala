@@ -99,6 +99,70 @@ object Ops {
       .orderBy("h")
   }
 
+  // ---- alert lifecycle transitions ----------------------------------------
+
+  /** The fire/resolve state machine over an hourly series carrying
+    * (event_type, h, mv, breach): an alert FIRES at the 3rd consecutive
+    * breach hour (one fire per sustained episode, however long) and
+    * RESOLVES at the first clean hour while firing — exactly the
+    * transition stream a pager receives. Consecutive means adjacent
+    * PRESENT hours (the threshold-cross / StatefulAlerts convention).
+    * Islands machinery: breach onset → island id → within-island index,
+    * all riding the per-type hourly series. */
+  private[graft] def transitionsFrom(hourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val a = hourly
+      .withColumn("onset",
+        when(col("breach") === 1 && coalesce(lag("breach", 1).over(w), lit(0)) === 0, 1)
+          .otherwise(0))
+      .withColumn("grp", sum("onset").over(w))
+      .withColumn("st", when(col("breach") === 1,
+        row_number().over(Window.partitionBy("event_type", "grp", "breach").orderBy("h")))
+        .otherwise(0))
+      .withColumn("pst", lag("st", 1).over(w))
+    val fires = a.filter(col("breach") === 1 && col("st") === 3)
+      .select(col("event_type"), lit("fire").as("kind"), col("h"), col("mv"))
+    val resolves = a.filter(col("breach") === 0 && coalesce(col("pst"), lit(0)) >= 3)
+      .select(col("event_type"), lit("resolve").as("kind"), col("h"), col("mv"))
+    fires.union(resolves).orderBy("event_type", "h", "kind")
+  }
+
+  /** Value-sum form with an absolute threshold — the batch twin of the
+    * streaming for-machine ([[graft.streaming.StatefulFor]]), held equal
+    * on sealed prefixes by the parity spec. */
+  private[graft] def valueTransitions(s: SparkSession, d: String, threshold: Double): DataFrame =
+    transitionsFrom(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(Num.roundd(sum("value"), 2).as("mv"))
+        .withColumn("breach", (col("mv") > threshold).cast("int")))
+
+  /** Per-series alert LIFECYCLE (the transition log q_ts_alert_for's
+    * interval report is derived from), in the self-normalizing
+    * volume-spike form: an hour breaches when its event count runs more
+    * than 1.1× the series' own average hourly rate — as a pure integer
+    * comparison (10·n·hours > 11·total), so the breach flag is exact on
+    * both engines with no float anywhere, and the rule stays meaningful
+    * at every data density (an absolute threshold is empty at one scale
+    * factor and saturated at another; the streaming face takes the
+    * absolute form precisely because a stream cannot see its own
+    * future mean).
+    *
+    * One aggregation shuffle for the hourly counts; the per-type totals
+    * re-enter as a broadcast 5-row dim. */
+  val qTsAlertTransitions: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("mv"))
+    val totals = hourly.groupBy("event_type")
+      .agg(sum("mv").as("total"), count(lit(1)).as("hrs"))
+    transitionsFrom(
+      hourly.join(broadcast(totals), "event_type")
+        .withColumn("breach",
+          (lit(10L) * col("mv") * col("hrs") > lit(11L) * col("total")).cast("int"))
+        .select("event_type", "h", "mv", "breach"))
+  }
+
   // ---- availability / coverage --------------------------------------------
 
   /** Daily observation coverage: minutes of the day with at least one
@@ -192,6 +256,22 @@ object Ops {
         "g AS (SELECT h, r, breach, sum(onset) OVER (ORDER BY h) grp FROM o) " +
         "SELECT min(h) start_h, max(h) end_h, CAST(count(*) AS BIGINT) n_hours, max(r) peak " +
         "FROM g WHERE breach = 1 GROUP BY grp HAVING count(*) >= 3 ORDER BY start_h")),
+    ("q_ts_alert_transitions", qTsAlertTransitions, Some(
+      "WITH a AS (SELECT event_type, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) mv FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, CAST(sum(mv) AS BIGINT) total, CAST(count(*) AS BIGINT) hrs FROM a GROUP BY 1), " +
+        "b AS (SELECT a.event_type, h, mv, CASE WHEN 10 * mv * hrs > 11 * total THEN 1 ELSE 0 END breach " +
+        "FROM a JOIN t ON a.event_type = t.event_type), " +
+        "c AS (SELECT event_type, h, mv, breach, CASE WHEN breach = 1 AND " +
+        "coalesce(lag(breach) OVER (PARTITION BY event_type ORDER BY h), 0) = 0 THEN 1 ELSE 0 END onset FROM b), " +
+        "d AS (SELECT event_type, h, mv, breach, sum(onset) OVER (PARTITION BY event_type ORDER BY h) grp FROM c), " +
+        "e AS (SELECT event_type, h, mv, breach, CASE WHEN breach = 1 THEN " +
+        "row_number() OVER (PARTITION BY event_type, grp, breach ORDER BY h) ELSE 0 END st FROM d), " +
+        "f AS (SELECT event_type, h, mv, breach, st, " +
+        "lag(st) OVER (PARTITION BY event_type ORDER BY h) pst FROM e) " +
+        "SELECT event_type, kind, h, mv FROM (" +
+        "SELECT event_type, 'fire' kind, h, mv FROM f WHERE breach = 1 AND st = 3 " +
+        "UNION ALL SELECT event_type, 'resolve' kind, h, mv FROM f WHERE breach = 0 AND coalesce(pst, 0) >= 3) " +
+        "ORDER BY event_type, h, kind")),
     ("q_ts_availability", qTsAvailability, Some(
       "WITH b AS (SELECT DISTINCT date_trunc('day', ts) d, date_trunc('minute', ts) m FROM events), " +
         "c AS (SELECT d, CAST(count(*) AS BIGINT) n_min FROM b GROUP BY 1) " +

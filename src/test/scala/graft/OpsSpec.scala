@@ -150,6 +150,47 @@ class OpsSpec extends SparkSuite {
     assert(out == Seq(((t0 + 3 * 3600) * 1000000L, (t0 + 5 * 3600) * 1000000L, 3L, 0.5)))
   }
 
+  // ---- alert lifecycle: batch twin vs streaming for-machine ---------------
+
+  test("alert transitions: fire at 3rd breach hour, resolve on clean; stream ≡ batch when sealed") {
+    // hour → target sum (two events each): breach needs svr > 800
+    // 0,1,2,3 breach (fire@2) | 4 clean (resolve) | 5,6 breach only (2 < forN,
+    // resolves silently) | 7 clean | 8,9,10 breach (fire@10) | 11 clean
+    // (resolve) | 12 breach + 13 clean: the unsealed tail the stream omits
+    val plan = Map(0L -> 900.0, 1L -> 900.0, 2L -> 900.0, 3L -> 900.0, 4L -> 100.0,
+      5L -> 900.0, 6L -> 900.0, 7L -> 100.0, 8L -> 900.0, 9L -> 900.0, 10L -> 900.0,
+      11L -> 100.0, 12L -> 900.0, 13L -> 100.0)
+    var id = 0L
+    val rows = plan.toSeq.sortBy(_._1).flatMap { case (k, sv) =>
+      Seq.tabulate(2) { i =>
+        id += 1
+        (id, ns(t0 + k * 3600 + 7 * id), 1L, "m", sv / 2)
+      }
+    }
+    writeEvents(rows)
+    val expected = Seq(("fire", 2L, 900.0), ("resolve", 4L, 100.0),
+      ("fire", 10L, 900.0), ("resolve", 11L, 100.0))
+      .map { case (k, h, sv) => ("m", k, (t0 + h * 3600) * 1000000L, sv) }
+
+    val batch = Ops.valueTransitions(spark, dir, 800.0)
+      .selectExpr("event_type", "kind", "unix_micros(cast(h as timestamp))", "mv")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // batch sees the tail hours too, but they produce no transition
+    assert(batch == expected, s"batch twin: $batch")
+
+    for ((rdir, name) <- Seq(
+        streaming.StreamReplay.rewriteOrdered(spark, dir, 3) -> "t_for",
+        streaming.StreamReplay.rewriteJittered(spark, dir, 3, jitterMinutes = 4) -> "t_for_ooo")) {
+      val got = streaming.StreamReplay.runToCompletion(spark,
+          streaming.StatefulFor.forStream(
+            streaming.StreamingQueries.eventsStream(spark, rdir)
+              .withWatermark("ts", "10 minutes")).toDF(), name)
+        .as[(String, String, Long, Double)].collect().toSeq
+        .sortBy(t => (t._1, t._3))
+      assert(got == expected, s"$name: $got")
+    }
+  }
+
   // ---- source interleave --------------------------------------------------
 
   test("interleave: positions cycle sources until the short source runs dry") {
