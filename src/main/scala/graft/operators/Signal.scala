@@ -1,0 +1,359 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Signal-analysis tier over the event stream — the correlation,
+  * decomposition and reporting operators an analyst points at a metric
+  * once the basic rollups (TimeSeries) and alert machinery (Ops) are in
+  * place: lagged cross-correlation and autocorrelation (lead/lag
+  * discovery, seasonality detection), Holt-Winters-style seasonal
+  * smoothing, M4 visual downsampling, JSON-weighted averages,
+  * exponential-decay scoring, and the interval calculus (merge +
+  * overlap join) behind outage/impact reporting.
+  *
+  * Determinism (SURVEY §2.0): correlation is computed from EXACT integer
+  * moments of gapless hourly count series (the q_ts_corr_pair device) —
+  * the only doubles are the final one-shot formula. Decay scores are sums
+  * of dyadic rationals 2^-d, exact in IEEE doubles at any summation
+  * order. Everything else follows the pre-rounded-sum + [[Num.roundd]]
+  * contract, and every query ends in a total ORDER BY.
+  *
+  * Scale theme: every window function here rides a POST-aggregate series
+  * (the fixed hourly grid, per-type interval sets, per-user session
+  * summaries) — the raw scan only ever feeds hash aggregates and the
+  * one keyed sessionization shuffle that q_ts_session already pays.
+  */
+object Signal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The canonical gapless hour grid of the dataset's time range (the
+    * q_ts_gapfill bounds). Absent hours are real zeros for COUNT series —
+    * correlating only observed hours would bias r toward dense periods. */
+  private def hourGrid(s: SparkSession): DataFrame = s.sql(
+    "SELECT explode(sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00', TIMESTAMP_NTZ '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h")
+
+  /** Pearson r per lag from a (lg, x, yl) pair table via exact integer
+    * moments — one hash aggregate per call, shared by xcorr and ACF. */
+  private def corrByLag(pairs: DataFrame): DataFrame =
+    pairs
+      .filter(col("yl").isNotNull)
+      .groupBy("lg")
+      .agg(count(lit(1)).as("np"), sum("x").as("sx"), sum("yl").as("sy"),
+        sum(col("x") * col("yl")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yl") * col("yl")).as("syy"))
+      .filter(col("np") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("np") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("lg"), col("np").as("n_pairs"),
+        Num.roundd(
+          (col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("np") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("np") * col("syy") - col("sy") * col("sy")).cast("double"))), 6).as("r"))
+      .orderBy("lg")
+
+  /** Lagged cross-correlation between the click and view hourly count
+    * series at lags 0..6 h — "does one metric lead the other, and by how
+    * much?". The series lives on the gapless grid, the 7 shifted copies
+    * are `lead` columns over the ≤720-row post-agg series stacked into
+    * (lag, x, y₊lag) pairs, and each lag's r comes from exact integer
+    * moments. One aggregation shuffle over the scan; the grid join and
+    * the lag window touch only post-agg rows. */
+  val qTsXcorrLag: Q = (s, d) => {
+    val agg = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("ah"))
+      .agg(count(when(col("event_type") === "click", 1)).as("ax"),
+        count(when(col("event_type") === "view", 1)).as("ay"))
+    val g = hourGrid(s).join(agg, col("h") === col("ah"), "left")
+      .select(col("h"), coalesce(col("ax"), lit(0L)).as("x"), coalesce(col("ay"), lit(0L)).as("y"))
+    val w = Window.orderBy("h")
+    val withLeads = (0 to 6).foldLeft(g)((df, l) => df.withColumn(s"y$l", lead("y", l).over(w)))
+    val stackExpr =
+      "stack(7, " + (0 to 6).map(l => s"${l}L, y$l").mkString(", ") + ") AS (lg, yl)"
+    corrByLag(withLeads.select(col("x"), expr(stackExpr)))
+  }
+
+  /** Autocorrelation function of the total hourly event count at lags
+    * 1..24 h — the seasonality detector (a daily cycle shows as the
+    * lag-24 peak). Identical machinery to [[qTsXcorrLag]] with the series
+    * correlated against itself. */
+  val qTsAcf: Q = (s, d) => {
+    val agg = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("ah"))
+      .agg(count(lit(1)).as("ax"))
+    val g = hourGrid(s).join(agg, col("h") === col("ah"), "left")
+      .select(col("h"), coalesce(col("ax"), lit(0L)).as("x"))
+    val w = Window.orderBy("h")
+    val withLeads = (1 to 24).foldLeft(g)((df, l) => df.withColumn(s"y$l", lead("x", l).over(w)))
+    val stackExpr =
+      "stack(24, " + (1 to 24).map(l => s"${l}L, y$l").mkString(", ") + ") AS (lg, yl)"
+    corrByLag(withLeads.select(col("x"), expr(stackExpr)))
+  }
+
+  /** Weighted average with a JSON-carried weight (the VWAP shape): per
+    * (event_type, day), Σ value·k / Σ k with k = props.$.k — the query
+    * every metering/billing pipeline runs when the sample carries its own
+    * weight. One get_json_object walk per row feeding one hash aggregate;
+    * the weighted sum is pre-rounded before the divide (§2.0.2) so
+    * partial-agg merge order can't flip the 6th decimal. */
+  val qTsVwap: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("dday"),
+        col("value"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type", "dday")
+      .agg(count(lit(1)).as("n"), sum("k").as("vol"),
+        Num.roundd(Num.roundd(sum(col("value") * col("k")), 8) / sum("k"), 6).as("vwap"))
+      .orderBy("event_type", "dday")
+
+  /** M4 visual downsampling (Jugel et al., VLDB 2014): per (event_type,
+    * 4-hour pixel bucket) the min, max, first and last value — the exact
+    * 4-tuple a pixel-perfect line rendering needs, generalizing
+    * q_ts_ohlc's finance bars with an explicit pixel geometry and a
+    * deterministic (ts, event_id) tie-break. ONE hash aggregate
+    * (min/max/min_by/max_by with a struct ordering key) — no window, no
+    * sort; the oracle takes the row_number window form, making this a
+    * cross-algorithm check. */
+  val qTsM4: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 14400000000").as("b"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy("event_type", "b")
+      .agg(count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("vopen"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("vclose"))
+      .orderBy("event_type", "b")
+
+  /** Exponential-decay scoring with EXACT arithmetic: each event weighs
+    * 2^-d (d = whole days before the corpus end), so a user's score is a
+    * sum of dyadic rationals with denominator 2^30 — representable
+    * exactly in IEEE doubles up to 2^23 events/user, hence identical
+    * under ANY summation order (no rounding contract needed, unlike
+    * e^-λt whose libm pow differs per engine). The trending-users query:
+    * one hash aggregate + TakeOrdered top-20. */
+  val qTsDecayTopk: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"),
+        expr("(unix_micros(TIMESTAMP '2024-01-31 00:00:00') - unix_micros(cast(ts as timestamp))) div 86400000000")
+          .cast("int").as("dd"))
+      .select(col("user_id"), expr("1.0d / cast(shiftleft(1L, dd) as double)").as("wt"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("wt").as("score"))
+      .orderBy(col("score").desc, col("user_id"))
+      .limit(20)
+
+  /** Holt-Winters seasonal smoothing (additive, γ=0): seasonal indices
+    * are the per-(type, hour-of-day) monthly means, the deseasonalized
+    * gapless hourly series then runs the q_ts_holt double-exponential
+    * fold (α=0.5, β=0.3) over the WHOLE month, and the one-step forecast
+    * re-adds the midnight seasonal index. Fixing the seasonal term makes
+    * the recursion state 2 doubles (a recursive-CTE oracle can carry it;
+    * a full γ-update drags a 24-slot array through every step), while
+    * still answering the operator's question — "where is the metric
+    * heading, net of its daily cycle?". All inputs pre-rounded; both
+    * engines execute the identical IEEE multiply-add sequence. */
+  val qTsHoltWinters: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val grid = hourGrid(s).crossJoin(ev.select("event_type").distinct())
+    val hourly = ev
+      .groupBy(col("event_type").as("aet"), date_trunc("hour", col("ts")).as("ah"))
+      .agg(Num.roundd(sum("value"), 6).as("asv"))
+    val g = grid.join(hourly, col("h") === col("ah") && col("event_type") === col("aet"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("asv"), lit(0.0)).as("sv"))
+    val hm = g.groupBy(col("event_type").as("het"), hour(col("h")).cast("long").as("hod"))
+      .agg(Num.roundd(Num.roundd(sum("sv"), 8) / count(lit(1)), 6).as("shod"))
+    val seq = g.join(hm, col("event_type") === col("het") && hour(col("h")).cast("long") === col("hod"))
+      .select(col("event_type"), col("h"), Num.roundd(col("sv") - col("shod"), 6).as("x"))
+    seq
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("pts"))
+      .withColumn("vs", expr("transform(pts, p -> p.x)"))
+      .withColumn("st", expr(
+        "aggregate(slice(vs, 3, size(vs) - 2), " +
+          "named_struct('l', element_at(vs, 2), 'b', element_at(vs, 2) - element_at(vs, 1)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', 0.5d * x + 0.5d * (acc.l + acc.b), " +
+          "'b', 0.3d * ((0.5d * x + 0.5d * (acc.l + acc.b)) - acc.l) + 0.7d * acc.b))"))
+      .join(hm.filter(col("hod") === 0).select(col("het"), col("shod").as("s0")),
+        col("event_type") === col("het"))
+      .select(col("event_type"),
+        Num.roundd(col("st.l"), 6).as("lvl"),
+        Num.roundd(col("st.b"), 6).as("trend"),
+        Num.roundd(col("st.l") + col("st.b") + col("s0"), 6).as("fc1"))
+      .orderBy("event_type")
+  }
+
+  /** Interval union/coalesce (the gaps-and-islands merge): ±30 min
+    * impact windows around every high-value sample, merged per
+    * event_type into maximal disjoint windows — the normalization step
+    * before any outage math. The running-max-end device: an interval
+    * starts a new island iff its start is at/after the max end seen so
+    * far; both windows order by (start, event_id) with ROWS frames so
+    * timestamp ties cannot reorder the state machine. Windows are
+    * per-type over the FILTERED (sparse) interval set — at 100 TB
+    * partition further by day and stitch edges, exactly the
+    * q_ts_gaps chunking. */
+  val qTsIntervalMerge: Q = (s, d) => {
+    val iv = Tables.events(s, d).filter(col("value") > 100.0)
+      .select(col("event_type"), col("event_id"),
+        expr("ts - INTERVAL '30' MINUTE").as("s"),
+        expr("ts + INTERVAL '30' MINUTE").as("e"))
+    val w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    iv
+      .withColumn("pmax", max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns", when(col("pmax").isNull || col("s") >= col("pmax"), 1).otherwise(0))
+      .withColumn("gid", sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy("event_type", "gid")
+      .agg(min("s").as("w_start"), max("e").as("w_end"), count(lit(1)).as("n_events"))
+      .withColumn("dur_s",
+        expr("unix_micros(cast(w_end as timestamp)) div 1000000 - unix_micros(cast(w_start as timestamp)) div 1000000"))
+      .orderBy("event_type", "gid")
+  }
+
+  /** Interval-overlap join: user sessions (the q_ts_session 30-min-gap
+    * shape) against merged error-impact windows, emitting the overlap
+    * seconds — "which sessions ran through an incident, and for how
+    * long?". The merged window set is small by construction (intervals
+    * coalesce), so it BROADCASTS and the range predicate evaluates as
+    * the join residual — no shuffle of the session side, no cartesian;
+    * were both sides large, bucket both by day first. Overlap is
+    * min(ends) − max(starts) in floor-second space, strictly ≥ 0 under
+    * the strict-inequality join condition. */
+  val qJoinIntervalOverlap: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val sess = ev
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || expr("ts - prev_ts > INTERVAL '30' MINUTE"), 1)
+          .otherwise(0))
+      .withColumn("sid", sum("new_s").over(byUser).cast("long"))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+    val iv = ev.filter(col("value") > 100.0 && col("event_type") === "error")
+      .select(col("event_id"),
+        expr("ts - INTERVAL '30' MINUTE").as("s"),
+        expr("ts + INTERVAL '30' MINUTE").as("e"))
+    val wi = Window.orderBy("s", "event_id")
+    val win = iv
+      .withColumn("pmax", max("e").over(wi.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns", when(col("pmax").isNull || col("s") >= col("pmax"), 1).otherwise(0))
+      .withColumn("gid", sum("ns").over(wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy("gid")
+      .agg(min("s").as("w_start"), max("e").as("w_end"))
+    sess.join(broadcast(win), col("s_start") < col("w_end") && col("w_start") < col("s_end"))
+      .select(col("user_id"), col("sid"), col("gid"),
+        expr("unix_micros(cast(least(s_end, w_end) as timestamp)) div 1000000 - " +
+          "unix_micros(cast(greatest(s_start, w_start) as timestamp)) div 1000000").as("ov_s"))
+      .orderBy("user_id", "sid", "gid")
+  }
+
+  // ---- catalog ------------------------------------------------------------
+
+  private val GRID =
+    "SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h"
+
+  private def corrTail: String =
+    "m AS (SELECT lg, CAST(count(*) AS BIGINT) np, CAST(sum(x) AS BIGINT) sx, CAST(sum(yl) AS BIGINT) sy, " +
+      "CAST(sum(x*yl) AS BIGINT) sxy, CAST(sum(x*x) AS BIGINT) sxx, CAST(sum(yl*yl) AS BIGINT) syy " +
+      "FROM p WHERE yl IS NOT NULL GROUP BY 1) " +
+      "SELECT CAST(lg AS BIGINT) lg, np n_pairs, " +
+      "round(CAST(np*sxy - sx*sy AS DOUBLE) / " +
+      "(sqrt(CAST(np*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(np*syy - sy*sy AS DOUBLE))), 6) r " +
+      "FROM m WHERE np*sxx - sx*sx > 0 AND np*syy - sy*sy > 0 ORDER BY lg"
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ts_xcorr_lag", qTsXcorrLag, Some(
+      s"WITH grid AS ($GRID), " +
+        "agg AS (SELECT date_trunc('hour', ts) ah, " +
+        "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) ax, " +
+        "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) ay FROM events GROUP BY 1), " +
+        "g AS (SELECT h, coalesce(ax, 0) x, coalesce(ay, 0) y FROM grid LEFT JOIN agg ON ah = h), " +
+        "p AS (" +
+        (0 to 6).map(l => s"SELECT $l lg, x, lead(y, $l) OVER (ORDER BY h) yl FROM g")
+          .mkString(" UNION ALL ") + "), " + corrTail)),
+    ("q_ts_acf", qTsAcf, Some(
+      s"WITH grid AS ($GRID), " +
+        "agg AS (SELECT date_trunc('hour', ts) ah, CAST(count(*) AS BIGINT) ax FROM events GROUP BY 1), " +
+        "g AS (SELECT h, coalesce(ax, 0) x FROM grid LEFT JOIN agg ON ah = h), " +
+        "p AS (" +
+        (1 to 24).map(l => s"SELECT $l lg, x, lead(x, $l) OVER (ORDER BY h) yl FROM g")
+          .mkString(" UNION ALL ") + "), " + corrTail)),
+    ("q_ts_vwap", qTsVwap, Some(
+      "WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) dday, value, " +
+        "CAST(json_extract(props, '$.k') AS BIGINT) k FROM events) " +
+        "SELECT event_type, dday, CAST(count(*) AS BIGINT) n, CAST(sum(k) AS BIGINT) vol, " +
+        "round(round(sum(value * k), 8) / CAST(sum(k) AS BIGINT), 6) vwap " +
+        "FROM e GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ts_m4", qTsM4, Some(
+      "WITH e AS (SELECT event_type, epoch_us(ts) // 14400000000 b, ts, event_id, value FROM events), " +
+        "w AS (SELECT event_type, b, value, " +
+        "row_number() OVER (PARTITION BY event_type, b ORDER BY ts, event_id) rn, " +
+        "count(*) OVER (PARTITION BY event_type, b) cnt FROM e) " +
+        "SELECT event_type, CAST(b AS BIGINT) b, CAST(max(cnt) AS BIGINT) n, " +
+        "min(value) vmin, max(value) vmax, " +
+        "max(CASE WHEN rn = 1 THEN value END) vopen, max(CASE WHEN rn = cnt THEN value END) vclose " +
+        "FROM w GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ts_decay_topk", qTsDecayTopk, Some(
+      "WITH w AS (SELECT user_id, CAST(1 AS DOUBLE) / (1::BIGINT << " +
+        "CAST((epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts)) // 86400000000 AS INTEGER)) wt " +
+        "FROM events) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) n_events, sum(wt) score " +
+        "FROM w GROUP BY 1 ORDER BY score DESC, user_id LIMIT 20")),
+    ("q_ts_holt_winters", qTsHoltWinters, Some(
+      s"WITH RECURSIVE grid AS ($GRID), " +
+        "types AS (SELECT DISTINCT event_type FROM events), " +
+        "agg AS (SELECT event_type aet, date_trunc('hour', ts) ah, round(sum(value), 6) asv " +
+        "FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT t.event_type, grid.h, coalesce(asv, CAST(0 AS DOUBLE)) sv " +
+        "FROM grid CROSS JOIN types t LEFT JOIN agg ON ah = grid.h AND aet = t.event_type), " +
+        "hm AS (SELECT event_type, CAST(extract(hour FROM h) AS BIGINT) hod, " +
+        "round(round(sum(sv), 8) / count(*), 6) shod FROM g GROUP BY 1, 2), " +
+        "seq AS (SELECT g.event_type, round(g.sv - hm.shod, 6) x, " +
+        "CAST(row_number() OVER (PARTITION BY g.event_type ORDER BY g.h) AS BIGINT) i, " +
+        "CAST(count(*) OVER (PARTITION BY g.event_type) AS BIGINT) n " +
+        "FROM g JOIN hm ON hm.event_type = g.event_type AND hm.hod = extract(hour FROM g.h)), " +
+        "rec AS (" +
+        "SELECT s2.event_type, s2.i, s2.n, s2.x AS l, s2.x - s1.x AS b " +
+        "FROM seq s2 JOIN seq s1 ON s1.event_type = s2.event_type AND s1.i = 1 WHERE s2.i = 2 " +
+        "UNION ALL " +
+        "SELECT s.event_type, s.i, s.n, " +
+        "0.5::DOUBLE * s.x + 0.5::DOUBLE * (r.l + r.b), " +
+        "0.3::DOUBLE * ((0.5::DOUBLE * s.x + 0.5::DOUBLE * (r.l + r.b)) - r.l) + 0.7::DOUBLE * r.b " +
+        "FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1) " +
+        "SELECT r.event_type, round(l, 6) lvl, round(b, 6) trend, round(l + b + h0.shod, 6) fc1 " +
+        "FROM rec r JOIN hm h0 ON h0.event_type = r.event_type AND h0.hod = 0 " +
+        "WHERE r.i = r.n ORDER BY r.event_type")),
+    ("q_ts_interval_merge", qTsIntervalMerge, Some(
+      "WITH iv AS (SELECT event_type, event_id, ts - INTERVAL 30 MINUTE s, ts + INTERVAL 30 MINUTE e " +
+        "FROM events WHERE value > 100.0), " +
+        "mk AS (SELECT event_type, event_id, s, e, " +
+        "max(e) OVER (PARTITION BY event_type ORDER BY s, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax FROM iv), " +
+        "isl AS (SELECT event_type, s, e, " +
+        "CAST(sum(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY event_type ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) gid FROM mk) " +
+        "SELECT event_type, gid, min(s) w_start, max(e) w_end, CAST(count(*) AS BIGINT) n_events, " +
+        "CAST(date_diff('second', min(s), max(e)) AS BIGINT) dur_s " +
+        "FROM isl GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_join_interval_overlap", qJoinIntervalOverlap, Some(
+      "WITH marked AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE OR lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END new_s FROM events), " +
+        "sess0 AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) sid FROM marked), " +
+        "sess AS (SELECT user_id, sid, min(ts) s_start, max(ts) s_end FROM sess0 GROUP BY 1, 2), " +
+        "iv AS (SELECT event_id, ts - INTERVAL 30 MINUTE s, ts + INTERVAL 30 MINUTE e " +
+        "FROM events WHERE value > 100.0 AND event_type = 'error'), " +
+        "mk AS (SELECT event_id, s, e, max(e) OVER (ORDER BY s, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax FROM iv), " +
+        "isl AS (SELECT s, e, CAST(sum(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END) " +
+        "OVER (ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) gid FROM mk), " +
+        "win AS (SELECT gid, min(s) w_start, max(e) w_end FROM isl GROUP BY 1) " +
+        "SELECT user_id, sid, gid, " +
+        "CAST(date_diff('second', greatest(s_start, w_start), least(s_end, w_end)) AS BIGINT) ov_s " +
+        "FROM sess JOIN win ON s_start < w_end AND w_start < s_end " +
+        "ORDER BY user_id, sid, gid")),
+  )
+}
