@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics tier over event sequences: the behavioral graph a
+  * TSDB's events table implies (consecutive events per user = an edge
+  * between event types) and the two queries product analytics runs on
+  * it — the Markov transition matrix and PageRank over the weighted
+  * transition graph.
+  *
+  * Scale shape: the EDGE DERIVATION is the big-data stage — one keyed
+  * window shuffle over the raw scan (the q_ts_session shuffle) collapsed
+  * immediately to a (src, dst, weight) edge list bounded by the label
+  * vocabulary². The iteration then runs on the collapsed graph:
+  * join-aggregate per step (the Pregel shape — each step is one shuffle
+  * of the edge list at ANY graph size), with `localCheckpoint` pinning
+  * each iterate so the plan stays O(1) deep (the Dedup.connectedComponents
+  * device). Dangling mass: every observed node has an out-edge by
+  * construction (its own successor pair), so no redistribution term is
+  * needed — document before reusing on graphs with sinks.
+  *
+  * Determinism: edge weights and out-degrees are exact longs; per-step
+  * ranks round through [[Num.roundd]] at 8 decimals on both engines, so
+  * engine-order contribution sums (≤ vocabulary-size terms) cannot drift
+  * across 20 iterations. The oracle UNROLLS the same 20 steps as chained
+  * CTEs — an independent algorithm (no recursion, no fold) computing the
+  * identical IEEE sequence.
+  */
+object Graphs {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (src, dst, n) edge list: consecutive event-type pairs per user in
+    * (ts, event_id) order. One window shuffle + one hash aggregate. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("src"))
+      .withColumn("dst", lead("src", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** First-order Markov transition matrix of user behavior: P(next =
+    * dst | current = src) with exact transition counts — the session-flow
+    * / funnel-discovery report. The row-normalizer is a window over the
+    * ≤vocabulary² edge list, never the raw events. */
+  val qGraphTransitions: Q = (s, d) =>
+    edges(s, d)
+      .withColumn("p", Num.roundd(
+        col("n").cast("double") / sum("n").over(Window.partitionBy("src")), 6))
+      .select("src", "dst", "n", "p")
+      .orderBy("src", "dst")
+
+  /** Weighted PageRank (d=0.85, 20 fixed iterations) over the transition
+    * graph — "which state dominates user flow at equilibrium". Each step:
+    * contributions = ranks ⋈ edges on src (rank·n/outw), then a hash
+    * aggregate per dst and the damping blend; left join from the node
+    * set keeps zero-in-degree nodes at (1-d)/N. The node count enters as
+    * a broadcast 1-row aggregate, not a driver constant. */
+  val qGraphPagerank: Q = (s, d) => {
+    val ef = edges(s, d)
+      .withColumn("outw", sum("n").over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"), (col("n").cast("double") / col("outw")).as("frac"))
+      .localCheckpoint()
+    val nodes = Tables.events(s, d).select(col("event_type").as("node")).distinct().localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("c"))
+    var r = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("c")).as("rank"))
+    for (_ <- 1 to 20) {
+      val contrib = ef.join(r, ef("src") === r("node"))
+        .select(ef("dst").as("cn"), (col("rank") * col("frac")).as("c0"))
+        .groupBy("cn").agg(sum("c0").as("sc"))
+      r = nodes.join(contrib, nodes("node") === contrib("cn"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          Num.roundd(lit(0.15) / col("c") + lit(0.85) * coalesce(col("sc"), lit(0.0)), 8).as("rank"))
+        .localCheckpoint()
+    }
+    r.orderBy("node")
+  }
+
+  // ---- catalog ------------------------------------------------------------
+
+  private val EDGE_SQL =
+    "p0 AS (SELECT event_type src, lead(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) dst FROM events), " +
+      "ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) n FROM p0 WHERE dst IS NOT NULL GROUP BY 1, 2)"
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_graph_transitions", qGraphTransitions, Some(
+      s"WITH $EDGE_SQL " +
+        "SELECT src, dst, n, round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS BIGINT), 6) p " +
+        "FROM ed ORDER BY src, dst")),
+    ("q_graph_pagerank", qGraphPagerank, Some(
+      s"WITH $EDGE_SQL, " +
+        "ow AS (SELECT src, CAST(sum(n) AS BIGINT) outw FROM ed GROUP BY 1), " +
+        "ef AS (SELECT ed.src, ed.dst, CAST(ed.n AS DOUBLE) / ow.outw frac FROM ed JOIN ow ON ow.src = ed.src), " +
+        "nodes AS (SELECT DISTINCT event_type node FROM events), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) c FROM nodes), " +
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.c rank FROM nodes CROSS JOIN nn)" +
+        (1 to 20).map(i =>
+          s", r$i AS (SELECT n.node, round(0.15::DOUBLE / nn.c + 0.85::DOUBLE * " +
+            s"coalesce(sum(r${i - 1}.rank * ef.frac), CAST(0 AS DOUBLE)), 8) rank " +
+            s"FROM nodes n CROSS JOIN nn LEFT JOIN (ef JOIN r${i - 1} ON r${i - 1}.node = ef.src) " +
+            s"ON ef.dst = n.node GROUP BY n.node, nn.c)").mkString +
+        " SELECT node, rank FROM r20 ORDER BY node")),
+  )
+}

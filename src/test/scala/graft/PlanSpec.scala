@@ -217,4 +217,41 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("sortmergejoin"),
       s"the 2-term dim must broadcast, not sort-merge:\n$p")
   }
+
+  test("xcorr/acf: ONE events scan, ONE aggregation shuffle; lag windows ride the grid") {
+    for (q <- Seq(graft.operators.Signal.qTsXcorrLag, graft.operators.Signal.qTsAcf)) {
+      val p = plan(q(spark, sf0001))
+      assert("FileScan parquet".r.findAllIn(p).length == 1,
+        s"the raw series must be scanned once:\n$p")
+      assert(!p.toLowerCase.contains("sortmergejoin"),
+        s"the grid join must broadcast, not shuffle the series:\n$p")
+    }
+  }
+
+  test("m4 is a pure hash aggregate: no window, no per-bucket sort") {
+    val p = plan(graft.operators.Signal.qTsM4(spark, sf0001))
+    assert(!p.contains("Window"), s"min_by/max_by replaces the window form:\n$p")
+    val hashEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected one bucket-agg shuffle, got $hashEx:\n$p")
+  }
+
+  test("decay top-k ends in TakeOrdered, never a global sort") {
+    val p = plan(graft.operators.Signal.qTsDecayTopk(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered top-k:\n$p")
+  }
+
+  test("interval overlap: the merged window set broadcasts; sessions never sort-merge") {
+    val p = plan(graft.operators.Signal.qJoinIntervalOverlap(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"range join against the tiny merged set must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join / cartesian on the session side:\n$p")
+  }
+
+  test("eval metrics: 20-row query side broadcasts onto one candidate scan") {
+    val p = plan(graft.operators.Retrieval.qSimEvalMetrics(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length <= 2,
+      s"embeddings read at most twice (queries + candidates):\n$p")
+  }
 }

@@ -1,0 +1,182 @@
+package graft
+
+import graft.operators.{Graphs, Retrieval, Signal}
+
+/** Edge semantics of the signal-analysis, graph and retrieval-eval tiers,
+  * via crafted fixture tables in the sfDir shape (events.ts as raw ns
+  * LONG per §1.3; embeddings as float arrays). */
+class SignalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-signal"
+
+  private def ns(sec: Long): Long = sec * 1000000000L
+  private val hour = 3600L
+  private val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  // ---- cross-correlation --------------------------------------------------
+
+  test("xcorr: a series equal to the other shifted by 2h has r = 1.0 exactly at lag 2") {
+    // click counts 1,2,3,1,2,3,... at hours 0..11; views identical at h+2.
+    // On the gapless grid views ALSO match clicks' zero hours (both zero
+    // after the active window), so the lag-2 pairing is (x, x) everywhere.
+    val clicks = (0 until 12).flatMap { h =>
+      (0 until (h % 3 + 1)).map(i => (h * 100L + i, ns(t0 + h * hour), 1L, "click", 1.0, "{}"))
+    }
+    val views = (0 until 12).flatMap { h =>
+      (0 until (h % 3 + 1)).map(i => (9000L + h * 100L + i, ns(t0 + (h + 2) * hour), 1L, "view", 1.0, "{}"))
+    }
+    writeEvents(clicks ++ views)
+    val out = Signal.qTsXcorrLag(spark, dir)
+      .select("lg", "r").as[(Long, Double)].collect().toMap
+    assert(out(2L) == 1.0, s"shifted copy must correlate perfectly at its lag: $out")
+    assert(out(0L) < 1.0, s"unshifted pairing must not be perfect: $out")
+  }
+
+  // ---- M4 -----------------------------------------------------------------
+
+  test("m4: open/close tie-break on equal timestamps goes to the lower event_id") {
+    writeEvents(Seq(
+      (2L, ns(t0), 1L, "click", 20.0, "{}"),  // same ts as event 1
+      (1L, ns(t0), 1L, "click", 10.0, "{}"),  // lower id wins vopen
+      (3L, ns(t0 + hour), 1L, "click", 5.0, "{}"),
+      (5L, ns(t0 + 2 * hour), 1L, "click", 40.0, "{}"),
+      (4L, ns(t0 + 2 * hour), 1L, "click", 30.0, "{}"))) // 5 > 4 ⇒ vclose = 40
+    val row = Signal.qTsM4(spark, dir)
+      .select("n", "vmin", "vmax", "vopen", "vclose")
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    assert(row == Seq((5L, 5.0, 40.0, 10.0, 40.0)))
+  }
+
+  // ---- exponential decay --------------------------------------------------
+
+  test("decay scores are exact dyadic sums: events at day offsets 1,2,3 score 7/8") {
+    // reference end is 2024-01-31 00:00; place events at 1, 2, 3 whole
+    // days before it (d = 1, 2, 3 ⇒ 1/2 + 1/4 + 1/8)
+    val end = t0 + 30 * 86400L
+    writeEvents(Seq(
+      (1L, ns(end - 86400L), 7L, "click", 1.0, "{}"),
+      (2L, ns(end - 2 * 86400L), 7L, "click", 1.0, "{}"),
+      (3L, ns(end - 3 * 86400L), 7L, "click", 1.0, "{}")))
+    val out = Signal.qTsDecayTopk(spark, dir)
+      .select("user_id", "n_events", "score").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((7L, 3L, 0.875)))
+  }
+
+  // ---- Holt-Winters -------------------------------------------------------
+
+  test("holt-winters: a purely seasonal series deseasonalizes to zero level and trend") {
+    // one event per hour, value a function of hour-of-day only — the
+    // seasonal index absorbs everything; fc1 = the midnight index
+    val rows = (0 until 30 * 24).map { i =>
+      (i.toLong, ns(t0 + i * hour), 1L, "click", 100.0 + (i % 24) * 10.0, "{}")
+    }
+    writeEvents(rows)
+    val out = Signal.qTsHoltWinters(spark, dir)
+      .select("lvl", "trend", "fc1").as[(Double, Double, Double)].collect().toSeq
+    assert(out == Seq((0.0, 0.0, 100.0)), s"got $out")
+  }
+
+  // ---- VWAP ---------------------------------------------------------------
+
+  test("vwap weighs values by the JSON k: (10*1 + 20*3) / 4 = 17.5") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 10.0, """{"k": 1}"""),
+      (2L, ns(t0 + 60), 1L, "click", 20.0, """{"k": 3}""")))
+    val out = Signal.qTsVwap(spark, dir)
+      .select("n", "vol", "vwap").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((2L, 4L, 17.5)))
+  }
+
+  // ---- interval merge -----------------------------------------------------
+
+  test("interval merge: overlap chains, touching endpoints start a new island") {
+    // ±30 min windows around high-value events: 10:00 and 10:30 overlap
+    // (chain into [09:30, 11:00]); 11:30's window starts AT 11:00 —
+    // touching, not overlapping ⇒ separate island
+    writeEvents(Seq(
+      (1L, ns(t0 + 10 * hour), 1L, "click", 200.0, "{}"),
+      (2L, ns(t0 + 10 * hour + 1800), 1L, "click", 200.0, "{}"),
+      (3L, ns(t0 + 11 * hour + 1800), 1L, "click", 200.0, "{}"),
+      (4L, ns(t0), 1L, "click", 1.0, "{}"))) // below threshold: no interval
+    val out = Signal.qTsIntervalMerge(spark, dir)
+      .select("gid", "n_events", "dur_s").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 5400L), (2L, 1L, 3600L)), s"got $out")
+  }
+
+  test("interval overlap join reports floor-second overlap per (session, window)") {
+    // user 1 session 10:00–11:00 (20-min steps); error impact window
+    // around 10:30 ⇒ [10:00, 11:00] ⇒ full-session overlap 3600 s
+    writeEvents(Seq(
+      (1L, ns(t0 + 10 * hour), 1L, "click", 1.0, "{}"),
+      (2L, ns(t0 + 10 * hour + 1200), 1L, "click", 1.0, "{}"),
+      (3L, ns(t0 + 10 * hour + 2400), 1L, "click", 1.0, "{}"),
+      (4L, ns(t0 + 11 * hour), 1L, "click", 1.0, "{}"),
+      (5L, ns(t0 + 10 * hour + 1800), 99L, "error", 500.0, "{}")))
+    val rows = Signal.qJoinIntervalOverlap(spark, dir)
+      .select("user_id", "sid", "gid", "ov_s").as[(Long, Long, Long, Long)].collect().toSet
+    // user 1's session overlaps fully; user 99's 1-event session overlaps 0-length
+    assert(rows.contains((1L, 1L, 1L, 3600L)), s"got $rows")
+  }
+
+  // ---- graph tier ---------------------------------------------------------
+
+  test("transitions: per-user consecutive pairs with row-normalized probabilities") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "a", 1.0, "{}"),
+      (2L, ns(t0 + 60), 1L, "b", 1.0, "{}"),
+      (3L, ns(t0 + 120), 1L, "a", 1.0, "{}"),
+      (4L, ns(t0), 2L, "a", 1.0, "{}"),
+      (5L, ns(t0 + 60), 2L, "b", 1.0, "{}")))
+    val out = Graphs.qGraphTransitions(spark, dir)
+      .select("src", "dst", "n", "p").as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("pagerank: a symmetric 2-cycle is the fixed point (0.5, 0.5)") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "a", 1.0, "{}"),
+      (2L, ns(t0 + 60), 1L, "b", 1.0, "{}"),
+      (3L, ns(t0 + 120), 1L, "a", 1.0, "{}"),
+      (4L, ns(t0 + 180), 1L, "b", 1.0, "{}")))
+    val out = Graphs.qGraphPagerank(spark, dir)
+      .select("node", "rank").as[(String, Double)].collect().toMap
+    assert(out == Map("a" -> 0.5, "b" -> 0.5), s"got $out")
+  }
+
+  // ---- retrieval eval -----------------------------------------------------
+
+  test("eval metrics: order-preserving quantization scores a perfect 1/1/1") {
+    // equal-norm vectors with entries in {0, 1}: int8 quantization maps
+    // them to {0, 127} exactly, so the quantized dot is a monotone
+    // transform of cosine and every metric must be exactly 1.0
+    val dim = 8
+    def v(i: Int): Array[Float] = {
+      val a = Array.fill(dim)(0f); a(i % (dim - 1)) = 1f; a(dim - 1) = 1f; a
+    }
+    val rows = (0 until 36).map(i => (i.toLong, v(i), i % 3))
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Retrieval.qSimEvalMetrics(spark, dir)
+      .select("recall", "mrr", "ndcg").as[(Double, Double, Double)].collect().toSeq
+    assert(out.size == 20 && out.forall(_ == ((1.0, 1.0, 1.0))), s"got $out")
+  }
+
+  test("curriculum phases are equal quartiles in difficulty order") {
+    val docs = (1 to 8).map { i =>
+      // average word length grows with i: i tokens of length i
+      val w = "x" * i
+      (i.toLong, List.fill(4)(w).mkString(" "), if (i <= 4) "en" else "de", "s")
+    }
+    docs.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Retrieval.qDocsCurriculum(spark, dir)
+      .select("phase", "n_docs", "toks").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 8L), (2L, 2L, 8L), (3L, 2L, 8L), (4L, 2L, 8L)), s"got $out")
+  }
+}
