@@ -70,17 +70,61 @@ object Graphs {
     val nn = nodes.agg(count(lit(1)).as("c"))
     var r = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("c")).as("rank"))
-    for (_ <- 1 to 20) {
-      val contrib = ef.join(r, ef("src") === r("node"))
+    for (i <- 1 to 20) {
+      val contrib = ef.join(broadcast(r), ef("src") === r("node"))
         .select(ef("dst").as("cn"), (col("rank") * col("frac")).as("c0"))
         .groupBy("cn").agg(sum("c0").as("sc"))
       r = nodes.join(contrib, nodes("node") === contrib("cn"), "left")
         .crossJoin(broadcast(nn))
         .select(col("node"),
           Num.roundd(lit(0.15) / col("c") + lit(0.85) * coalesce(col("sc"), lit(0.0)), 8).as("rank"))
-        .localCheckpoint()
+      // Pin every 4th iterate (and the last): EAGER localCheckpoint per step
+      // costs a full job's scheduling overhead — 20 jobs of µs-sized work
+      // was the bench's slowest entry. A 4-step lazy chain keeps Catalyst
+      // analysis trivial while cutting the job count 4×; the rank side
+      // broadcasts, so the chained joins never shuffle the iterate.
+      if (i % 4 == 0) r = r.localCheckpoint()
     }
     r.orderBy("node")
+  }
+
+  /** Top-20 3-step behavior paths (the path-analysis report): consecutive
+    * event-type triples per user in (ts, event_id) order. Two `lead`
+    * columns ride the SAME user-keyed window sort the edge derivation
+    * pays, then a vocabulary³-bounded hash aggregate and a TakeOrdered
+    * head — no global sort. */
+  val qGraphPaths: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  /** Last-touch conversion attribution: each purchase credits the user's
+    * most recent NON-purchase event before it — the marketing-attribution
+    * query every funnel dashboard ships. One user-keyed window
+    * (`last_value` ignoring nulls over the preceding frame) rides the
+    * same sessionization-shaped shuffle; the share normalizer windows the
+    * ≤vocabulary-row conversion rollup. */
+  val qGraphAttribution: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("touch").isNotNull)
+      .groupBy("touch")
+      .agg(count(lit(1)).as("conversions"))
+      .withColumn("share", Num.roundd(
+        col("conversions").cast("double") / sum("conversions").over(Window.partitionBy()), 6))
+      .orderBy("touch")
   }
 
   // ---- catalog ------------------------------------------------------------
@@ -108,5 +152,21 @@ object Graphs {
             s"FROM nodes n CROSS JOIN nn LEFT JOIN (ef JOIN r${i - 1} ON r${i - 1}.node = ef.src) " +
             s"ON ef.dst = n.node GROUP BY n.node, nn.c)").mkString +
         " SELECT node, rank FROM r20 ORDER BY node")),
+    ("q_graph_paths", qGraphPaths, Some(
+      "WITH p AS (SELECT event_type e1, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) e2, " +
+        "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) e3 FROM events) " +
+        "SELECT e1, e2, e3, CAST(count(*) AS BIGINT) n FROM p WHERE e3 IS NOT NULL " +
+        "GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20")),
+    ("q_graph_attribution", qGraphAttribution, Some(
+      "WITH lt AS (SELECT event_type, user_id, ts, event_id, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) touch FROM events), " +
+        "conv AS (SELECT touch, CAST(count(*) AS BIGINT) conversions FROM lt " +
+        "WHERE event_type = 'purchase' AND touch IS NOT NULL GROUP BY 1) " +
+        "SELECT touch, conversions, " +
+        "round(CAST(conversions AS DOUBLE) / CAST(sum(conversions) OVER () AS BIGINT), 6) AS share " +
+        "FROM conv ORDER BY touch")),
   )
 }

@@ -250,6 +250,99 @@ object Signal {
       .orderBy("user_id", "sid", "gid")
   }
 
+  /** Rolling 24 h correlation between the click and view hourly count
+    * series — the "did these two metrics decouple?" dashboard panel. All
+    * six moments are trailing-frame window sums of exact integers over
+    * the gapless grid (≤720 post-agg rows, one frame definition shared
+    * by all six), emitted only for full windows. Same determinism story
+    * as [[qTsXcorrLag]]: the only doubles are each row's one-shot r. */
+  val qTsRollingCorr: Q = (s, d) => {
+    val agg = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("ah"))
+      .agg(count(when(col("event_type") === "click", 1)).as("ax"),
+        count(when(col("event_type") === "view", 1)).as("ay"))
+    val g = hourGrid(s).join(agg, col("h") === col("ah"), "left")
+      .select(col("h"), coalesce(col("ax"), lit(0L)).as("x"), coalesce(col("ay"), lit(0L)).as("y"))
+    val f = Window.orderBy("h").rowsBetween(-23, Window.currentRow)
+    g.select(col("h"),
+        count(lit(1)).over(f).as("np"),
+        sum("x").over(f).as("sx"), sum("y").over(f).as("sy"),
+        sum(col("x") * col("y")).over(f).as("sxy"),
+        sum(col("x") * col("x")).over(f).as("sxx"),
+        sum(col("y") * col("y")).over(f).as("syy"))
+      .filter(col("np") === 24 &&
+        col("np") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("np") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("h"),
+        Num.roundd(
+          (col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("np") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("np") * col("syy") - col("sy") * col("sy")).cast("double"))), 6).as("r"))
+      .orderBy("h")
+  }
+
+  /** Median absolute deviation per (event_type, day) — the robust spread
+    * behind outlier fences that a long-tailed metric needs where stddev
+    * lies. Two exact-percentile passes: the per-group median (one hash
+    * aggregate), then |x − med| medians with the ≤(types×days)-row median
+    * table re-entering as a broadcast dim. The median is pre-rounded
+    * before the deviation pass so both engines take identical inputs
+    * into the second quantile. */
+  val qTsMad: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val med = ev
+      .groupBy(col("event_type").as("met"), date_trunc("day", col("ts")).cast("date").as("dday"))
+      .agg(Num.roundd(expr("percentile(value, 0.5)"), 4).as("med"), count(lit(1)).as("n"))
+    ev.join(broadcast(med),
+        col("event_type") === col("met") &&
+          date_trunc("day", col("ts")).cast("date") === col("dday"))
+      .select(col("event_type"), col("dday"), col("med"), col("n"),
+        abs(col("value") - col("med")).as("ad"))
+      .groupBy("event_type", "dday", "n", "med")
+      .agg(Num.roundd(expr("percentile(ad, 0.5)"), 4).as("mad"))
+      .select("event_type", "dday", "n", "med", "mad")
+      .orderBy("event_type", "dday")
+  }
+
+  /** Population-stability-index drift report: per event_type, PSI of the
+    * value distribution between week 1 and week 4 over 10 fixed buckets
+    * with add-one smoothing (defined even for empty buckets) — the
+    * standard "did the feature distribution move?" gate a training
+    * pipeline runs before reusing a month of telemetry. Counts are exact
+    * integers off ONE scan (conditional sums per bucket); the full
+    * type×bucket frame comes from a crossJoin of two tiny derived dims;
+    * ln terms pre-round at 6 (the q_text_zipf/q_text_lm_score libm
+    * discipline), the 10-term sum re-rounds at 6. */
+  val qTsDriftPsi: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val bc = ev
+      .select(col("event_type"),
+        least(floor(col("value") / 50.0).cast("long"), lit(9L)).as("b"),
+        when(col("ts") >= lit("2024-01-01").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-08").cast("timestamp_ntz"), 1L).otherwise(0L).as("in1"),
+        when(col("ts") >= lit("2024-01-22").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-29").cast("timestamp_ntz"), 1L).otherwise(0L).as("in2"))
+      .filter(col("in1") === 1 || col("in2") === 1)
+      .groupBy(col("event_type").as("bet"), col("b").as("bb"))
+      .agg(sum("in1").as("c1"), sum("in2").as("c2"))
+    val frame = ev.select("event_type").distinct()
+      .crossJoin(s.range(0, 10).select(col("id").as("b")))
+    val full = frame.join(bc, col("event_type") === col("bet") && col("b") === col("bb"), "left")
+      .select(col("event_type"), col("b"),
+        coalesce(col("c1"), lit(0L)).as("c1"), coalesce(col("c2"), lit(0L)).as("c2"))
+    val tot = Window.partitionBy("event_type")
+    full
+      .withColumn("n1", sum("c1").over(tot))
+      .withColumn("n2", sum("c2").over(tot))
+      .withColumn("p", Num.roundd((col("c1") + 1).cast("double") / (col("n1") + 10), 8))
+      .withColumn("q", Num.roundd((col("c2") + 1).cast("double") / (col("n2") + 10), 8))
+      .withColumn("term", Num.roundd((col("p") - col("q")) * Num.roundd(log(col("p") / col("q")), 6), 8))
+      .groupBy("event_type", "n1", "n2")
+      .agg(Num.roundd(Num.roundd(sum("term"), 8), 6).as("psi"))
+      .select("event_type", "n1", "n2", "psi")
+      .orderBy("event_type")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   private val GRID =
@@ -355,5 +448,45 @@ object Signal {
         "CAST(date_diff('second', greatest(s_start, w_start), least(s_end, w_end)) AS BIGINT) ov_s " +
         "FROM sess JOIN win ON s_start < w_end AND w_start < s_end " +
         "ORDER BY user_id, sid, gid")),
+    ("q_ts_rolling_corr", qTsRollingCorr, Some(
+      s"WITH grid AS ($GRID), " +
+        "agg AS (SELECT date_trunc('hour', ts) ah, " +
+        "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) ax, " +
+        "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) ay FROM events GROUP BY 1), " +
+        "g AS (SELECT h, coalesce(ax, 0) x, coalesce(ay, 0) y FROM grid LEFT JOIN agg ON ah = h), " +
+        "w AS (SELECT h, CAST(count(*) OVER f AS BIGINT) np, " +
+        "CAST(sum(x) OVER f AS BIGINT) sx, CAST(sum(y) OVER f AS BIGINT) sy, " +
+        "CAST(sum(x*y) OVER f AS BIGINT) sxy, CAST(sum(x*x) OVER f AS BIGINT) sxx, " +
+        "CAST(sum(y*y) OVER f AS BIGINT) syy FROM g " +
+        "WINDOW f AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) " +
+        "SELECT h, round(CAST(np*sxy - sx*sy AS DOUBLE) / " +
+        "(sqrt(CAST(np*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(np*syy - sy*sy AS DOUBLE))), 6) r " +
+        "FROM w WHERE np = 24 AND np*sxx - sx*sx > 0 AND np*syy - sy*sy > 0 ORDER BY h")),
+    ("q_ts_mad", qTsMad, Some(
+      "WITH med AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) dday, " +
+        "round(quantile_cont(value, 0.5), 4) med, CAST(count(*) AS BIGINT) n FROM events GROUP BY 1, 2), " +
+        "dev AS (SELECT e.event_type, m.dday, m.med, m.n, abs(e.value - m.med) ad " +
+        "FROM events e JOIN med m ON m.event_type = e.event_type AND m.dday = CAST(date_trunc('day', e.ts) AS DATE)) " +
+        "SELECT event_type, dday, n, med, round(quantile_cont(ad, 0.5), 4) mad " +
+        "FROM dev GROUP BY event_type, dday, n, med ORDER BY event_type, dday")),
+    ("q_ts_drift_psi", qTsDriftPsi, Some(
+      "WITH e AS (SELECT event_type, least(CAST(floor(value / 50.0) AS BIGINT), 9) b, " +
+        "CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END in1, " +
+        "CASE WHEN ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29' THEN 1 ELSE 0 END in2 " +
+        "FROM events), " +
+        "bc AS (SELECT event_type, b, CAST(sum(in1) AS BIGINT) c1, CAST(sum(in2) AS BIGINT) c2 " +
+        "FROM e WHERE in1 = 1 OR in2 = 1 GROUP BY 1, 2), " +
+        "full_b AS (SELECT t.event_type, gb.b, coalesce(bc.c1, 0) c1, coalesce(bc.c2, 0) c2 " +
+        "FROM (SELECT DISTINCT event_type FROM events) t " +
+        "CROSS JOIN (SELECT unnest(range(0, 10)) b) gb " +
+        "LEFT JOIN bc ON bc.event_type = t.event_type AND bc.b = gb.b), " +
+        "tot AS (SELECT event_type, CAST(sum(c1) AS BIGINT) n1, CAST(sum(c2) AS BIGINT) n2 FROM full_b GROUP BY 1), " +
+        "pq AS (SELECT f.event_type, f.b, t.n1, t.n2, " +
+        "round(CAST(f.c1 + 1 AS DOUBLE) / (t.n1 + 10), 8) p, " +
+        "round(CAST(f.c2 + 1 AS DOUBLE) / (t.n2 + 10), 8) q " +
+        "FROM full_b f JOIN tot t ON t.event_type = f.event_type), " +
+        "terms AS (SELECT event_type, n1, n2, round((p - q) * round(ln(p / q), 6), 8) term FROM pq) " +
+        "SELECT event_type, n1, n2, round(round(sum(term), 8), 6) psi " +
+        "FROM terms GROUP BY 1, 2, 3 ORDER BY 1")),
   )
 }

@@ -254,4 +254,32 @@ class PlanSpec extends SparkSuite {
     assert("FileScan parquet".r.findAllIn(p).length <= 2,
       s"embeddings read at most twice (queries + candidates):\n$p")
   }
+
+  test("paths + attribution ride ONE user-keyed shuffle plus the rollup") {
+    for (q <- Seq(graft.operators.Graphs.qGraphPaths, graft.operators.Graphs.qGraphAttribution)) {
+      val p = plan(q(spark, sf0001))
+      assert(!p.toLowerCase.contains("sortmergejoin"), s"no join belongs here:\n$p")
+      val hashEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx <= 2, s"user window + rollup only, got $hashEx exchanges:\n$p")
+    }
+  }
+
+  test("rolling corr: one events scan; all six moments share one window frame") {
+    val p = plan(graft.operators.Signal.qTsRollingCorr(spark, sf0001))
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+    assert("Window".r.findAllIn(p).length <= 2, s"moments must share the frame:\n$p")
+  }
+
+  test("mad: the per-group median table re-enters as a broadcast dim") {
+    val p = plan(graft.operators.Signal.qTsMad(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"median dim must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin"), s"no shuffle join:\n$p")
+  }
+
+  test("psi: counts come from one conditional-sum pass, frame joins broadcast") {
+    val p = plan(graft.operators.Signal.qTsDriftPsi(spark, sf0001))
+    assert(!p.toLowerCase.contains("sortmergejoin"), s"tiny frames must broadcast:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length <= 2,
+      s"bucket counts + type dim only:\n$p")
+  }
 }

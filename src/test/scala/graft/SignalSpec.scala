@@ -166,6 +166,58 @@ class SignalSpec extends SparkSuite {
     assert(out.size == 20 && out.forall(_ == ((1.0, 1.0, 1.0))), s"got $out")
   }
 
+  test("mad: values 1..5 have median 3 and absolute-deviation median 1") {
+    writeEvents((1 to 5).map(i => (i.toLong, ns(t0 + i * 60), 1L, "click", i.toDouble, "{}")))
+    val out = Signal.qTsMad(spark, dir)
+      .select("n", "med", "mad").as[(Long, Double, Double)].collect().toSeq
+    assert(out == Seq((5L, 3.0, 1.0)))
+  }
+
+  test("psi is exactly zero when week-1 and week-4 distributions are identical") {
+    val w4 = t0 + 21 * 86400L // 2024-01-22
+    val vals = Seq(10.0, 60.0, 120.0)
+    writeEvents(
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, ns(t0 + i * 60), 1L, "click", v, "{}") } ++
+        vals.zipWithIndex.map { case (v, i) => (10L + i, ns(w4 + i * 60), 1L, "click", v, "{}") })
+    val out = Signal.qTsDriftPsi(spark, dir)
+      .select("n1", "n2", "psi").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((3L, 3L, 0.0)), s"got $out")
+  }
+
+  test("rolling corr of two identical series is 1.0 in every full window") {
+    val rows = (0 until 30).flatMap { h =>
+      (0 until (h % 3 + 1)).flatMap(i => Seq(
+        (h * 100L + i, ns(t0 + h * hour), 1L, "click", 1.0, "{}"),
+        (5000L + h * 100L + i, ns(t0 + h * hour), 1L, "view", 1.0, "{}")))
+    }
+    writeEvents(rows)
+    val out = Signal.qTsRollingCorr(spark, dir).select("r").as[Double].collect().toSeq
+    assert(out.nonEmpty && out.forall(_ == 1.0), s"got ${out.take(5)}")
+  }
+
+  test("paths: a 4-event stream yields its two consecutive triples") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "a", 1.0, "{}"),
+      (2L, ns(t0 + 60), 1L, "b", 1.0, "{}"),
+      (3L, ns(t0 + 120), 1L, "c", 1.0, "{}"),
+      (4L, ns(t0 + 180), 1L, "d", 1.0, "{}")))
+    val out = Graphs.qGraphPaths(spark, dir)
+      .select("e1", "e2", "e3", "n").as[(String, String, String, Long)].collect().toSet
+    assert(out == Set(("a", "b", "c", 1L), ("b", "c", "d", 1L)))
+  }
+
+  test("attribution: each purchase credits the latest preceding non-purchase event") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "view", 1.0, "{}"),
+      (2L, ns(t0 + 60), 1L, "click", 1.0, "{}"),
+      (3L, ns(t0 + 120), 1L, "purchase", 1.0, "{}"),
+      (4L, ns(t0 + 180), 1L, "purchase", 1.0, "{}"), // still credits click
+      (5L, ns(t0), 2L, "purchase", 1.0, "{}")))      // no touch: excluded
+    val out = Graphs.qGraphAttribution(spark, dir)
+      .select("touch", "conversions", "share").as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("click", 2L, 1.0)))
+  }
+
   test("curriculum phases are equal quartiles in difficulty order") {
     val docs = (1 to 8).map { i =>
       // average word length grows with i: i tokens of length i
