@@ -276,6 +276,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("sortmergejoin"), s"no shuffle join:\n$p")
   }
 
+  test("pit features: one scan; range frame and lag share one user-keyed shuffle") {
+    val p = plan(graft.operators.Features.qFeatPit(spark, sf0001))
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"windows, not a probe join:\n$p")
+    val hashEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 2, s"(user,day) agg + user window only, got $hashEx:\n$p")
+  }
+
+  test("sliding distinct expands the PRESENCE set, never the raw scan") {
+    val p = plan(graft.operators.Features.qTsSlidingDistinct(spark, sf0001))
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"expansion, not a grid join:\n$p")
+    // the Generate (explode) must sit ABOVE the first distinct aggregate
+    val gen = p.indexOf("Generate")
+    val firstAgg = p.lastIndexOf("HashAggregate")
+    assert(gen >= 0 && gen < firstAgg, s"explode must consume pre-distinct presence:\n$p")
+  }
+
+  test("dq audit: the referential check anti-joins via broadcast") {
+    val p = plan(graft.operators.Features.qDqAudit(spark, sf0001))
+    assert(!p.toLowerCase.contains("sortmergejoin") && !p.contains("CartesianProduct"),
+      s"dims broadcast in every check:\n$p")
+  }
+
   test("psi: counts come from one conditional-sum pass, frame joins broadcast") {
     val p = plan(graft.operators.Signal.qTsDriftPsi(spark, sf0001))
     assert(!p.toLowerCase.contains("sortmergejoin"), s"tiny frames must broadcast:\n$p")

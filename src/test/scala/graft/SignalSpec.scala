@@ -218,6 +218,55 @@ class SignalSpec extends SparkSuite {
     assert(out == Seq(("click", 2L, 1.0)))
   }
 
+  // ---- features tier ------------------------------------------------------
+
+  test("pit features: the label day's own events never reach its features") {
+    import graft.operators.Features
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 10.0, "{}"),
+      (2L, ns(t0 + 60), 1L, "click", 20.0, "{}"),
+      (3L, ns(t0 + 86400L), 1L, "click", 5.0, "{}")))
+    val out = Features.qFeatPit(spark, dir)
+      .select("cnt7", "sum7", "last_v", "days_since")
+      .as[(Long, Double, Option[Double], Option[Long])].collect().toSeq
+    // day 1: no history; day 2: yesterday's 2 events, last value 20.0
+    assert(out == Seq((0L, 0.0, None, None), (2L, 30.0, Some(20.0), Some(1L))), s"got $out")
+  }
+
+  test("pit features: the trailing frame is 7 days, but last-value carries further") {
+    import graft.operators.Features
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 10.0, "{}"),
+      (2L, ns(t0 + 9 * 86400L), 1L, "click", 5.0, "{}")))
+    val out = Features.qFeatPit(spark, dir)
+      .select("cnt7", "last_v", "days_since")
+      .as[(Long, Option[Double], Option[Long])].collect().toSeq
+    assert(out == Seq((0L, None, None), (0L, Some(10.0), Some(9L))), s"got $out")
+  }
+
+  test("dq audit on real data: lineitem PK duplication is caught, name nulls are not") {
+    import graft.operators.Features
+    val out = Features.qDqAudit(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(out("lineitem_dup_pk") > 0, s"known duplicate PK must be flagged: $out")
+    assert(out("customer_null_name") == 0 && out("orders_orphan_custkey") == 0, s"got $out")
+  }
+
+  test("sliding distinct: a user counts once per window it is present in") {
+    import graft.operators.Features
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 1.0, "{}"),
+      (2L, ns(t0 + 600), 1L, "click", 1.0, "{}"),  // same user+hour: still one
+      (3L, ns(t0), 2L, "click", 1.0, "{}"),
+      (4L, ns(t0 + 30 * hour), 1L, "click", 1.0, "{}")))
+    val out = Features.qTsSlidingDistinct(spark, dir)
+      .as[(java.time.LocalDateTime, Long)].collect()
+      .map { case (w, n) => ((w.toEpochSecond(java.time.ZoneOffset.UTC) - t0) / hour, n) }.toMap
+    assert(out(0L) == 2 && out(23L) == 2, s"both users serve windows 0..23: $out")
+    assert(!out.contains(24L) && !out.contains(29L), s"empty windows emit no row: $out")
+    assert(out(30L) == 1 && out(53L) == 1, s"user 1 serves windows 30..53: $out")
+  }
+
   test("curriculum phases are equal quartiles in difficulty order") {
     val docs = (1 to 8).map { i =>
       // average word length grows with i: i tokens of length i
