@@ -27,6 +27,15 @@ object GraftFunctions {
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "graft_cosine")
 
+  private val dotLongBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => LongDotProduct(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_dot_long expects 2 arguments, got ${other.size}")
+  }
+
+  private val dotLongInfo = new ExpressionInfo(
+    classOf[LongDotProduct].getName, "graft_dot_long")
+
   private val nearestCentroidBuilder: Seq[Expression] => Expression = {
     case Seq(v, cents) => NearestCentroid(v, cents)
     case other => throw new IllegalArgumentException(
@@ -237,6 +246,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_tdigest_merge"), tdigestMergeInfo, tdigestMergeBuilder),
       (FunctionIdentifier("graft_tdigest_quantile"), tdigestQuantileInfo, tdigestQuantileBuilder),
       (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
+      (FunctionIdentifier("graft_dot_long"), dotLongInfo, dotLongBuilder),
       (FunctionIdentifier("graft_nearest_centroid"), nearestCentroidInfo, nearestCentroidBuilder),
       (FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder),
       (FunctionIdentifier("graft_shingles"), shinglesInfo, shinglesBuilder))

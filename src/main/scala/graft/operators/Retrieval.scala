@@ -52,7 +52,13 @@ object Retrieval {
     val wp = Window.partitionBy("qid").orderBy(col("qdot").desc, col("cid"))
     cs.crossJoin(broadcast(qs))
       .withColumn("cos", Llm.cosineNative(s, "qv", "cv"))
-      .withColumn("qdot", expr("aggregate(zip_with(qi, ci, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .withColumn("qdot", {
+        // codegen'd long multiply-add (functions/LongDotProduct.scala) — the
+        // interpreted zip_with form costs ~µs per pair inside this
+        // queries×corpus join; FunctionsSpec holds the two forms equal
+        graft.functions.GraftFunctions.register(s)
+        expr("graft_dot_long(qi, ci)")
+      })
       .withColumn("grk", row_number().over(wg))
       .withColumn("prk", row_number().over(wp))
       .filter(col("prk") <= 10)

@@ -343,6 +343,46 @@ object Signal {
       .orderBy("event_type")
   }
 
+  /** SAX motif discovery (Lin et al.'s symbolic aggregate approximation):
+    * each (event_type, day) hourly-sum curve is z-normalized, PAA-reduced
+    * 24→8 segments, and symbolized over a 4-letter alphabet at the
+    * standard N(0,1) breakpoints (−0.67, 0, 0.67); days sharing a SAX
+    * word are shape motifs — "which days behaved alike?". The whole
+    * pipeline rides post-aggregate series: day stats (exact moment
+    * formula over pre-rounded hourly sums) re-enter as a broadcast dim,
+    * PAA and the word fold group ≤types×days×8 rows. Flat days (sd = 0)
+    * are excluded — they have no shape. Letter comparisons run on
+    * ROUNDED PAA values, so symbolization is engine-reproducible. */
+  val qTsSaxMotif: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val grid = hourGrid(s).crossJoin(ev.select("event_type").distinct())
+    val hourly = ev
+      .groupBy(col("event_type").as("aet"), date_trunc("hour", col("ts")).as("ah"))
+      .agg(Num.roundd(sum("value"), 6).as("asv"))
+    val g = grid.join(hourly, col("h") === col("ah") && col("event_type") === col("aet"), "left")
+      .select(col("event_type"), date_trunc("day", col("h")).cast("date").as("dday"),
+        hour(col("h")).cast("long").as("hod"), coalesce(col("asv"), lit(0.0)).as("sv"))
+    val st = g.groupBy(col("event_type").as("set"), col("dday").as("sdd"))
+      .agg(Num.roundd(sum("sv"), 8).as("s1"), Num.roundd(sum(col("sv") * col("sv")), 8).as("s2"))
+      .withColumn("mu", Num.roundd(col("s1") / 24, 6))
+      .withColumn("sd", Num.roundd(sqrt(greatest((col("s2") - col("s1") * col("s1") / 24.0) / 24.0, lit(0.0))), 6))
+      .filter(col("sd") > 0)
+    val paa = g.join(broadcast(st), col("event_type") === col("set") && col("dday") === col("sdd"))
+      .select(col("event_type"), col("dday"), expr("hod div 3").as("seg"),
+        Num.roundd((col("sv") - col("mu")) / col("sd"), 6).as("z"))
+      .groupBy("event_type", "dday", "seg")
+      .agg(Num.roundd(Num.roundd(sum("z"), 8) / 3, 6).as("p"))
+      .withColumn("letter",
+        when(col("p") < -0.67, "a").when(col("p") < 0, "b")
+          .when(col("p") < 0.67, "c").otherwise("d"))
+    paa
+      .groupBy("event_type", "dday")
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(seg, letter))), x -> x.letter), '')").as("word"))
+      .groupBy("event_type", "word")
+      .agg(count(lit(1)).as("n_days"), min("dday").as("first_day"))
+      .orderBy("event_type", "word")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   private val GRID =
@@ -488,5 +528,24 @@ object Signal {
         "terms AS (SELECT event_type, n1, n2, round((p - q) * round(ln(p / q), 6), 8) term FROM pq) " +
         "SELECT event_type, n1, n2, round(round(sum(term), 8), 6) psi " +
         "FROM terms GROUP BY 1, 2, 3 ORDER BY 1")),
+    ("q_ts_sax_motif", qTsSaxMotif, Some(
+      s"WITH grid AS ($GRID), " +
+        "types AS (SELECT DISTINCT event_type FROM events), " +
+        "agg AS (SELECT event_type aet, date_trunc('hour', ts) ah, round(sum(value), 6) asv " +
+        "FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT t.event_type, CAST(date_trunc('day', grid.h) AS DATE) dday, " +
+        "CAST(extract(hour FROM grid.h) AS BIGINT) hod, coalesce(asv, CAST(0 AS DOUBLE)) sv " +
+        "FROM grid CROSS JOIN types t LEFT JOIN agg ON ah = grid.h AND aet = t.event_type), " +
+        "st AS (SELECT event_type, dday, round(sum(sv), 8) s1, round(sum(sv*sv), 8) s2 FROM g GROUP BY 1, 2), " +
+        "stm AS (SELECT event_type, dday, round(s1 / 24, 6) mu, " +
+        "round(sqrt(greatest((s2 - s1 * s1 / 24.0) / 24.0, CAST(0 AS DOUBLE))), 6) sd FROM st), " +
+        "z AS (SELECT g.event_type, g.dday, g.hod // 3 seg, round((g.sv - stm.mu) / stm.sd, 6) z " +
+        "FROM g JOIN stm ON stm.event_type = g.event_type AND stm.dday = g.dday WHERE stm.sd > 0), " +
+        "paa AS (SELECT event_type, dday, seg, round(round(sum(z), 8) / 3, 6) p FROM z GROUP BY 1, 2, 3), " +
+        "lt AS (SELECT event_type, dday, seg, CASE WHEN p < -0.67 THEN 'a' WHEN p < 0 THEN 'b' " +
+        "WHEN p < 0.67 THEN 'c' ELSE 'd' END letter FROM paa), " +
+        "w AS (SELECT event_type, dday, string_agg(letter, '' ORDER BY seg) word FROM lt GROUP BY 1, 2) " +
+        "SELECT event_type, word, CAST(count(*) AS BIGINT) n_days, min(dday) first_day " +
+        "FROM w GROUP BY 1, 2 ORDER BY 1, 2")),
   )
 }

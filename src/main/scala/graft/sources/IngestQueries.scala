@@ -27,6 +27,32 @@ object IngestQueries {
       .orderBy("day", "event_type")
   }
 
+  /** DYNAMIC partition pruning over the by-day layout: the pruning days
+    * are "above-average error days" — a RUNTIME aggregate over the raw
+    * table, unknowable at plan time, so static pruning
+    * (q_ingest_day_prune) and the DerivedPartitionFilters rule both
+    * cannot help; Spark's DPP turns the broadcast dim into a partition
+    * filter on the fact scan (`dynamicpruningexpression` — asserted in
+    * PlanSpec). The hot-day rule is the exact integer comparison
+    * errs·n_days > total (the q_ts_alert_transitions device), so the dim
+    * is deterministic and non-empty at every scale factor. */
+  val qIngestDpp: Q = (s, d) => {
+    val path = Ingest.eventsByDay(s, d)
+    val fact = Ingest.readEventsByDay(s, path)
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("hday"))
+      .agg(count(lit(1)).as("errs"))
+    val tot = daily.agg(sum("errs").as("tot"), count(lit(1)).as("nd"))
+    val hot = daily.crossJoin(broadcast(tot))
+      .filter(col("errs") * col("nd") > col("tot"))
+      .select("hday")
+    fact.join(hot, fact("day") === hot("hday"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("day", "event_type")
+  }
+
   /** ANN probe against the by-bucket layout: bucket computed driver-side,
     * scan pruned to one partition directory, exact codegen'd cosine
     * inside. Oracle-backed (unlike the unpartitioned ANN variants): the
@@ -367,6 +393,14 @@ object IngestQueries {
         "FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-08' GROUP BY 1, 2) " +
         "SELECT CAST(date_trunc('day', h) AS DATE) dday, event_type, CAST(sum(cnt) AS BIGINT) cnt, " +
         "round(round(sum(sv8), 8), 2) sv FROM hv GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ingest_dpp", qIngestDpp, Some(
+      "WITH de AS (SELECT CAST(date_trunc('day', ts) AS DATE) hday, CAST(count(*) AS BIGINT) errs " +
+        "FROM events WHERE event_type = 'error' GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(errs) AS BIGINT) tot, CAST(count(*) AS BIGINT) nd FROM de), " +
+        "hot AS (SELECT hday FROM de CROSS JOIN t WHERE errs * nd > tot) " +
+        "SELECT CAST(date_trunc('day', e.ts) AS DATE) AS \"day\", e.event_type, CAST(count(*) AS BIGINT) cnt " +
+        "FROM events e JOIN hot ON hot.hday = CAST(date_trunc('day', e.ts) AS DATE) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_ingest_day_prune", qIngestDayPrune, Some(
       // `day` is a DuckDB keyword — a bare alias is a parser error (r02); AS-quote it
       "SELECT CAST(ts AS DATE) AS \"day\", event_type, count(*) cnt, round(sum(value), 2) sv " +

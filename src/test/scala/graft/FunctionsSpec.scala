@@ -141,4 +141,22 @@ class FunctionsSpec extends SparkSuite {
     val err = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0f))").collect())
     assert(err.getMessage.toLowerCase.contains("argument"))
   }
+
+  test("graft_dot_long equals the zip_with fold; exact at int8-quant magnitudes") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(127L, -127L, 3L), Seq(127L, 127L, -2L)))
+      .toDF("a", "b")
+    val native = df.selectExpr("graft_dot_long(a, b)").as[Long].head()
+    val hof = df
+      .selectExpr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+      .as[Long].head()
+    assert(native == 127L * 127 - 127L * 127 - 6 && native == hof)
+    // empty arrays dot to 0; null input nulls out
+    assert(spark.sql(
+      "SELECT graft_dot_long(CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>)) d")
+      .as[Long].head() == 0L)
+    assert(spark.sql("SELECT graft_dot_long(CAST(NULL AS ARRAY<BIGINT>), array(1L)) d")
+      .head().isNullAt(0))
+  }
 }

@@ -300,6 +300,17 @@ class PlanSpec extends SparkSuite {
       s"dims broadcast in every check:\n$p")
   }
 
+  test("dpp: the runtime hot-day dim becomes a dynamic partition filter on the fact scan") {
+    val p = plan(graft.sources.IngestQueries.qIngestDpp(spark, sf0001))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in the fact PartitionFilters:\n$p")
+  }
+
+  test("sax motif: day stats broadcast back; no shuffle join anywhere") {
+    val p = plan(graft.operators.Signal.qTsSaxMotif(spark, sf0001))
+    assert(!p.toLowerCase.contains("sortmergejoin"), s"stats dim must broadcast:\n$p")
+  }
+
   test("psi: counts come from one conditional-sum pass, frame joins broadcast") {
     val p = plan(graft.operators.Signal.qTsDriftPsi(spark, sf0001))
     assert(!p.toLowerCase.contains("sortmergejoin"), s"tiny frames must broadcast:\n$p")

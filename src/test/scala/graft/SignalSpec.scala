@@ -218,6 +218,21 @@ class SignalSpec extends SparkSuite {
     assert(out == Seq(("click", 2L, 1.0)))
   }
 
+  test("sax motif: identical-shape days share a word; flat days have no shape") {
+    // days 1 and 2 carry the same hourly ramp; every other grid day is
+    // all-zero (sd = 0) and must be excluded, so exactly one motif row
+    // remains, covering both shaped days with a non-decreasing word
+    val rows = (0 until 48).map { i =>
+      (i.toLong, ns(t0 + i * hour), 1L, "click", 10.0 * (i % 24), "{}")
+    }
+    writeEvents(rows)
+    val out = Signal.qTsSaxMotif(spark, dir)
+      .select("word", "n_days").as[(String, Long)].collect().toSeq
+    assert(out.size == 1 && out.head._2 == 2L, s"got $out")
+    val w = out.head._1
+    assert(w.length == 8 && w == w.sorted.mkString, s"ramp must symbolize monotonically: $w")
+  }
+
   // ---- features tier ------------------------------------------------------
 
   test("pit features: the label day's own events never reach its features") {
