@@ -539,9 +539,41 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** Cross-document repeated 8-gram report — the exact-substring-dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): word 8-grams occurring in ≥ 2 distinct documents,
+    * ranked by spread. Production substring dedup removes these spans;
+    * the report is the audit view of the same index.
+    *
+    * Scale shape: shingling is a per-row generator (≤ tokens−7 grams per
+    * doc — linear in corpus tokens, like the MinHash shingle stage), then
+    * ONE map-side-combining hash aggregate on the gram. At 100 TB the
+    * gram key is a 64-bit rolling hash instead of the string (8× smaller
+    * shuffle, same counts — the winnowing/fingerprint device already in
+    * [[TextAnalysis]]); the string form here keeps the oracle readable.
+    * The final TakeOrdered head is the only global step. */
+  val qTextSubstringDup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))")).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occur"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occur").desc, col("gram"))
+      .limit(50)
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_text_substring_dup", qTextSubstringDup, Some(
+      "WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') tk FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))) gram " +
+        "FROM t WHERE len(tk) >= 8) " +
+        "SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) n_docs, CAST(count(*) AS BIGINT) n_occur " +
+        "FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2 " +
+        "ORDER BY n_docs DESC, n_occur DESC, gram LIMIT 50")),
     ("q_profile_stats", qProfileStats, Some(
       "WITH a AS (SELECT count(*) n_rows, " +
         "count(doc_id) nn1, count(DISTINCT doc_id) nd1, CAST(min(doc_id) AS VARCHAR) mn1, CAST(max(doc_id) AS VARCHAR) mx1, " +

@@ -91,6 +91,30 @@ object Features {
       .groupBy("w").agg(count(lit(1)).as("n_users"))
       .orderBy("w")
 
+  /** Leave-one-out target encoding of a categorical feature: each row's
+    * category is replaced by the mean target value of all OTHER rows in
+    * that category — the classic high-cardinality encoder, with the LOO
+    * correction (enc = (Σ_cat − own) / (n_cat − 1)) that stops a row's own
+    * label leaking into its feature. One hash aggregate builds the
+    * per-category moments (categories ≤ vocabulary ⇒ the join side
+    * BROADCASTS); the encode itself is a pure map-side row function, so
+    * the plan is scan + broadcast-join at any corpus size. Determinism:
+    * the category sum is pre-rounded at 6 (the pre-rounded-sum contract),
+    * own-value subtraction then runs on identical doubles both engines. */
+  val qFeatTargetEncode: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val g = ev.groupBy("event_type")
+      .agg(Num.roundd(sum("value"), 6).as("sv"), count(lit(1)).as("n"))
+      // singleton categories out: LOO is undefined at n=1 and the engines
+      // disagree on double x/0 (Spark NULL, DuckDB ±inf) — define the
+      // edge away rather than lean on divide behavior
+      .filter(col("n") > 1)
+    ev.join(broadcast(g), "event_type")
+      .withColumn("enc", Num.roundd((col("sv") - col("value")) / (col("n") - 1).cast("double"), 6))
+      .select("event_id", "event_type", "value", "enc")
+      .orderBy("event_id")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -138,5 +162,11 @@ object Features {
         "FROM pres CROSS JOIN (SELECT unnest(range(0, 24)) i) " +
         "WHERE h + i * INTERVAL 1 HOUR <= TIMESTAMP '2024-01-30 23:00:00') " +
         "SELECT w, CAST(count(*) AS BIGINT) n_users FROM ex GROUP BY 1 ORDER BY 1")),
+    ("q_feat_target_encode", qFeatTargetEncode, Some(
+      "WITH g AS (SELECT event_type, round(sum(value), 6) sv, CAST(count(*) AS BIGINT) n " +
+        "FROM events GROUP BY 1 HAVING count(*) > 1) " +
+        "SELECT e.event_id, e.event_type, e.value, " +
+        "round((g.sv - e.value) / CAST(g.n - 1 AS DOUBLE), 6) enc " +
+        "FROM events e JOIN g ON g.event_type = e.event_type ORDER BY e.event_id")),
   )
 }

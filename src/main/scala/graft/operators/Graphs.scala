@@ -127,6 +127,59 @@ object Graphs {
       .orderBy("touch")
   }
 
+  /** Distinct undirected edge set of the transition graph (self-loops
+    * dropped, endpoints ordered a < b) — the input shape triangle
+    * counting wants. Rides the SAME user-keyed window shuffle as
+    * [[edges]], collapsed to ≤ vocabulary² rows by the distinct. */
+  private def undirectedEdges(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("src"))
+      .withColumn("dst", lead("src", 1).over(w))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+  }
+
+  /** Triangle enumeration on the undirected transition graph — the
+    * clustering signal community detection starts from. Canonical
+    * a < b < c form: join wedges (a–b, b–c) and close them against the
+    * edge set. The joins run on the COLLAPSED edge list (≤ vocabulary²
+    * rows; localCheckpoint pins it so the window-shuffle derivation runs
+    * once, not three times). At 100 TB-scale graphs the same plan holds
+    * with degree-ordered orientation (each edge oriented low→high degree
+    * bounds wedge fan-out by sqrt(|E|) — note for the general library
+    * entry point; the label-vocabulary graph here never needs it). */
+  val qGraphTriangles: Q = (s, d) => {
+    val ed = undirectedEdges(s, d).localCheckpoint()
+    val e2 = ed.select(col("a").as("b2"), col("b").as("c"))
+    val e3 = ed.select(col("a").as("a3"), col("b").as("c3"))
+    ed.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c")
+      .orderBy("a", "b", "c")
+  }
+
+  /** Degree report of the directed transition graph: distinct in/out
+    * neighbors and weighted in/out flow per node — the graph-summary
+    * card. Two hash aggregates over the collapsed edge list, stitched
+    * with a full outer join so pure sources and pure sinks both appear. */
+  val qGraphDegree: Q = (s, d) => {
+    val ed = edges(s, d).localCheckpoint()
+    val o = ed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"), sum("n").as("out_w"))
+    val i = ed.groupBy(col("dst").as("node2"))
+      .agg(count(lit(1)).as("in_deg"), sum("n").as("in_w"))
+    o.join(i, col("node") === col("node2"), "full")
+      .select(coalesce(col("node"), col("node2")).as("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"))
+      .orderBy("node")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   private val EDGE_SQL =
@@ -168,5 +221,21 @@ object Graphs {
         "SELECT touch, conversions, " +
         "round(CAST(conversions AS DOUBLE) / CAST(sum(conversions) OVER () AS BIGINT), 6) AS share " +
         "FROM conv ORDER BY touch")),
+    ("q_graph_triangles", qGraphTriangles, Some(
+      "WITH p0 AS (SELECT event_type src, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) dst FROM events), " +
+        "ed AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b FROM p0 " +
+        "WHERE dst IS NOT NULL AND src <> dst) " +
+        "SELECT e1.a, e1.b, e2.b c FROM ed e1 " +
+        "JOIN ed e2 ON e2.a = e1.b " +
+        "JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b " +
+        "ORDER BY 1, 2, 3")),
+    ("q_graph_degree", qGraphDegree, Some(
+      s"WITH $EDGE_SQL, " +
+        "o AS (SELECT src node, CAST(count(*) AS BIGINT) out_deg, CAST(sum(n) AS BIGINT) out_w FROM ed GROUP BY 1), " +
+        "i AS (SELECT dst node, CAST(count(*) AS BIGINT) in_deg, CAST(sum(n) AS BIGINT) in_w FROM ed GROUP BY 1) " +
+        "SELECT coalesce(o.node, i.node) node, coalesce(out_deg, 0) out_deg, coalesce(out_w, 0) out_w, " +
+        "coalesce(in_deg, 0) in_deg, coalesce(in_w, 0) in_w " +
+        "FROM o FULL JOIN i ON i.node = o.node ORDER BY 1")),
   )
 }

@@ -96,9 +96,150 @@ object Retrieval {
         countDistinct("lang").as("n_langs"))
       .orderBy("phase")
 
+  /** Reciprocal-rank fusion of two retrieval channels — the standard
+    * hybrid-search combiner (RRF, Cormack et al. 2009: score =
+    * Σ 1/(60+rank)): channel A ranks by exact cosine, channel B by
+    * Hamming distance over 1-bit sign quantization (the q_emb_binary_quant
+    * storage format). Fusing a full-precision and a quantized ranker is
+    * the shape a production hybrid index runs (dense + compressed tiers).
+    *
+    * Determinism: ranks come from row_number with id tie-breaks — cosine
+    * bit-reproducible (graft_cosine ≡ list_cosine_similarity), Hamming
+    * exact integer — and the RRF score is a two-term sum of the SAME two
+    * dyadic-denominator doubles on both engines. Scale: the 20-row query
+    * side broadcasts onto one corpus scan; at 100 TB each channel feeds
+    * from its ANN/bit index shortlist instead and the fusion stage is
+    * unchanged (rank windows partition by query — embarrassingly
+    * parallel). */
+  val qSimRrfFusion: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bits", expr("transform(embedding, x -> if(x >= cast(0 as float), 1, 0))"))
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bits").as("qb"))
+    val cs = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bits").as("cb"))
+    val wa = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    val wb = Window.partitionBy("qid").orderBy(col("ham").asc, col("cid"))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("cid"))
+    cs.crossJoin(broadcast(qs))
+      .withColumn("cos", Llm.cosineNative(s, "qv", "cv"))
+      .withColumn("ham",
+        expr("aggregate(zip_with(qb, cb, (x, y) -> if(x = y, 0L, 1L)), 0L, (acc, z) -> acc + z)"))
+      .withColumn("ra", row_number().over(wa).cast("long"))
+      .withColumn("rb", row_number().over(wb).cast("long"))
+      .withColumn("rrf", Num.roundd(
+        lit(1.0) / (col("ra") + 60).cast("double") + lit(1.0) / (col("rb") + 60).cast("double"), 6))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= 5)
+      .select("qid", "cid", "ra", "rb", "rrf")
+      .orderBy(col("qid"), col("rrf").desc, col("cid"))
+  }
+
+  /** Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    * 1998): greedy re-rank of each query's candidate pool — pick k=5,
+    * each step maximizing λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s), λ=0.7 —
+    * the anti-redundancy stage a RAG retriever runs between ANN shortlist
+    * and prompt assembly.
+    *
+    * The greedy loop is 5 driver-side iterations over VOCABULARY-scale
+    * data (shortlists, not the corpus): each step anti-joins the picked
+    * set, computes the max-similarity penalty against ≤4 picked rows per
+    * query (broadcast), and takes one row_number. At 100 TB the pools
+    * come from the ANN index (≤ k·probes rows/query) so the loop cost is
+    * independent of corpus size. Determinism: rel and penalty pre-rounded
+    * at 6 (bit-reproducible cosine), the blend is the same two-term
+    * double expression both engines, ties break on cid; the oracle
+    * UNROLLS the same 5 steps as chained CTEs (the q_graph_pagerank
+    * device — independent formulation, no fold). */
+  val qSimMmr: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cs = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val base = cs.crossJoin(broadcast(qs))
+      .withColumn("rel", Num.roundd(Llm.cosineNative(s, "qv", "cv"), 6))
+      .select("qid", "cid", "rel", "cv")
+      .localCheckpoint()
+    val wPick = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+    var selected = base
+      .withColumn("score", Num.roundd(lit(0.7) * col("rel"), 6))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("qid"), lit(1L).as("pick"), col("cid"), col("rel"), col("score"), col("cv").as("sv"))
+    for (i <- 2 to 5) {
+      val remaining = base.join(
+        selected.select(col("qid").as("jq"), col("cid").as("jc")),
+        col("qid") === col("jq") && col("cid") === col("jc"), "left_anti")
+      val next = remaining
+        .join(broadcast(selected.select(col("qid").as("sq"), col("sv"))), col("qid") === col("sq"))
+        .withColumn("ps", Num.roundd(Llm.cosineNative(s, "cv", "sv"), 6))
+        .groupBy("qid", "cid")
+        .agg(max("rel").as("rel"), max("ps").as("pen"))
+        .withColumn("score", Num.roundd(lit(0.7) * col("rel") - lit(0.3) * col("pen"), 6))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .join(base.select(col("qid").as("bq"), col("cid").as("bc"), col("cv")),
+          col("qid") === col("bq") && col("cid") === col("bc"))
+        .select(col("qid"), lit(i.toLong).as("pick"), col("cid"), col("rel"), col("score"), col("cv").as("sv"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.select("qid", "pick", "cid", "rel", "score").orderBy("qid", "pick")
+  }
+
+  /** Hard-negative mining for contrastive training: per query vector, the
+    * 5 most similar corpus vectors with a DIFFERENT class label — exactly
+    * the near-miss negatives a dual-encoder trainer pairs with each
+    * anchor. The label filter rides the broadcast-join predicate, so
+    * mismatched pairs never materialize columns beyond the join keys;
+    * at 100 TB the candidate stream comes from the ANN shortlist and this
+    * becomes a post-filter on ≤ k·probes rows per query. */
+  val qEmbHardNegatives: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("ql"), col("embedding").as("qv"))
+    val cs = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("cid"), col("label").as("cl"), col("embedding").as("cv"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    cs.join(broadcast(qs), col("cl") =!= col("ql"))
+      .withColumn("sim", Num.roundd(Llm.cosineNative(s, "qv", "cv"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("qid", "ql", "cid", "cl", "sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
+  /** The q_sim_mmr oracle: the same 5 greedy steps UNROLLED as chained
+    * CTEs (independent formulation — joins + row_number, no loop). */
+  private def mmrOracle: String = {
+    val steps = (2 to 5).map { i =>
+      s"p$i AS (SELECT b.qid, b.cid, b.rel, " +
+        "max(round(list_cosine_similarity(ca.cv, cb.cv), 6)) pen " +
+        s"FROM base b JOIN sel${i - 1} s ON s.qid = b.qid " +
+        "JOIN cs ca ON ca.cid = b.cid JOIN cs cb ON cb.cid = s.cid " +
+        s"LEFT JOIN sel${i - 1} x ON x.qid = b.qid AND x.cid = b.cid " +
+        "WHERE x.cid IS NULL GROUP BY 1, 2, 3), " +
+        s"s$i AS (SELECT qid, CAST($i AS BIGINT) pick, cid, rel, score FROM " +
+        "(SELECT qid, cid, rel, round(0.7::DOUBLE*rel - 0.3::DOUBLE*pen, 6) score, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY round(0.7::DOUBLE*rel - 0.3::DOUBLE*pen, 6) DESC, cid) rn " +
+        s"FROM p$i) WHERE rn = 1), " +
+        s"sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)"
+    }.mkString(", ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+      "qs AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 20), " +
+      "cs AS (SELECT vec_id cid, v cv FROM e WHERE vec_id >= 20), " +
+      "base AS (SELECT qid, cid, round(list_cosine_similarity(qv, cv), 6) rel FROM qs CROSS JOIN cs), " +
+      "s1 AS (SELECT qid, CAST(1 AS BIGINT) pick, cid, rel, round(0.7::DOUBLE * rel, 6) score FROM " +
+      "(SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid ORDER BY round(0.7::DOUBLE * rel, 6) DESC, cid) rn FROM base) " +
+      "WHERE rn = 1), " +
+      "sel1 AS (SELECT * FROM s1), " + steps +
+      " SELECT qid, pick, cid, rel, score FROM sel5 ORDER BY qid, pick"
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_sim_mmr", qSimMmr, Some(mmrOracle)),
     ("q_sim_eval_metrics", qSimEvalMetrics, Some(
       "WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 20), " +
         "c AS (SELECT vec_id cid, CAST(embedding AS DOUBLE[]) cv FROM embeddings WHERE vec_id >= 20), " +
@@ -125,5 +266,28 @@ object Retrieval {
         "SELECT phase, CAST(count(*) AS BIGINT) n_docs, CAST(sum(tok) AS BIGINT) toks, " +
         "round(round(sum(awl), 8) / count(*), 6) avg_awl, CAST(count(DISTINCT lang) AS BIGINT) n_langs " +
         "FROM ph GROUP BY 1 ORDER BY 1")),
+    ("q_sim_rrf_fusion", qSimRrfFusion, Some(
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "b AS (SELECT vec_id, v, list_transform(v, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) bits FROM e), " +
+        "qs AS (SELECT vec_id qid, v qv, bits qb FROM b WHERE vec_id < 20), " +
+        "cs AS (SELECT vec_id cid, v cv, bits cb FROM b WHERE vec_id >= 20), " +
+        "sc AS (SELECT qid, cid, list_cosine_similarity(qv, cv) cos, " +
+        "CAST(list_sum(list_transform(range(1, 65), i -> CASE WHEN qb[i] <> cb[i] THEN 1 ELSE 0 END)) AS BIGINT) ham " +
+        "FROM qs CROSS JOIN cs), " +
+        "rk AS (SELECT qid, cid, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) ra, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY ham ASC, cid) AS BIGINT) rb FROM sc), " +
+        "f AS (SELECT qid, cid, ra, rb, round(1.0::DOUBLE/(60 + ra) + 1.0::DOUBLE/(60 + rb), 6) rrf FROM rk) " +
+        "SELECT qid, cid, ra, rb, rrf FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) rn FROM f) " +
+        "WHERE rn <= 5 ORDER BY qid, rrf DESC, cid")),
+    ("q_emb_hard_negatives", qEmbHardNegatives, Some(
+      "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "qs AS (SELECT vec_id qid, label ql, v qv FROM e WHERE vec_id < 20), " +
+        "cs AS (SELECT vec_id cid, label cl, v cv FROM e WHERE vec_id >= 20), " +
+        "sc AS (SELECT qid, ql, cid, cl, round(list_cosine_similarity(qv, cv), 6) sim " +
+        "FROM qs JOIN cs ON cl <> ql), " +
+        "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) rank FROM sc) " +
+        "SELECT qid, ql, cid, cl, sim, rank FROM rk WHERE rank <= 5 ORDER BY qid, rank")),
   )
 }

@@ -383,6 +383,69 @@ object Signal {
       .orderBy("event_type", "word")
   }
 
+  /** DFT periodogram at the four candidate periods a daily/shift-cycle
+    * dashboard probes (24/12/8/6 h): spectral power of each series'
+    * hourly count signal, power(T) = (Σ vₜ·cos(2πt/T))² + (Σ vₜ·sin(2πt/T))².
+    * The frequency-domain seasonality detector complementing q_ts_acf's
+    * time-domain one.
+    *
+    * Determinism device: the trig basis enters BOTH engines as the same
+    * 6-decimal LITERAL tables (generated once below — never `cos()` at
+    * runtime, whose libm results differ across engines in the last ulp),
+    * indexed by t mod T. Counts are exact longs, each product is one
+    * double multiply of identical operands, and the two accumulators are
+    * pre-rounded at 6 — EXACTLY the literal grid: every term n·basis is an
+    * integer multiple of 1e-6, so the true sum sits ON a 1e-6 grid point
+    * and rounding at 6 is an order-immune snap to it (rounding at FEWER
+    * decimals would park every "…x50"-ending sum on the half-way boundary
+    * and let summation order pick the side — observed at sf0.1). Both
+    * engines snap to the same double before squaring. Zero-count hours
+    * contribute exactly 0 to both sums, so the observed (sparse) series
+    * needs no gap-fill grid.
+    *
+    * Scale: one map-side-combining hash aggregate to the hourly series,
+    * then a 4× literal-array explode of ≤ hours×types rows and a second
+    * vocabulary-bounded aggregate — no window, no join, no shuffle of the
+    * raw scan beyond the first aggregate. */
+  val qTsPeriodogram: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hi", expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', h)"))
+      .withColumn("period", explode(expr("array(24L, 12L, 8L, 6L)")))
+      .withColumn("c", expr(sparkTrigCase(math.cos)))
+      .withColumn("sn", expr(sparkTrigCase(math.sin)))
+      .groupBy("event_type", "period")
+      .agg(Num.roundd(sum(col("n") * col("c")), 6).as("a6"),
+        Num.roundd(sum(col("n") * col("sn")), 6).as("b6"))
+      .select(col("event_type"), col("period"), col("a6"), col("b6"),
+        Num.roundd(col("a6") * col("a6") + col("b6") * col("b6"), 2).as("power"))
+      .orderBy("event_type", "period")
+  }
+
+  // ---- trig literal tables (shared by the Spark plan and the oracle) ------
+
+  private val PERIODS = Seq(24, 12, 8, 6)
+
+  /** One basis value as a 6-decimal literal; "-0.000000" normalizes to
+    * "0.000000" so neither engine can see a negative zero. */
+  private def trig6(t: Int, k: Int, f: Double => Double): String = {
+    val s0 = "%.6f".formatLocal(java.util.Locale.ROOT, f(2 * math.Pi * k / t))
+    if (s0 == "-0.000000") "0.000000" else s0
+  }
+
+  private def sparkTrigCase(f: Double => Double): String =
+    PERIODS.map { t =>
+      val arr = (0 until t).map(k => trig6(t, k, f) + "D").mkString("array(", ", ", ")")
+      s"WHEN period = $t THEN element_at($arr, cast(hi % $t as int) + 1)"
+    }.mkString("CASE ", " ", " END")
+
+  private def duckTrigCase(f: Double => Double): String =
+    PERIODS.map { t =>
+      val arr = (0 until t).map(k => trig6(t, k, f)).mkString("CAST([", ", ", "] AS DOUBLE[])")
+      s"WHEN p = $t THEN ($arr)[CAST(hi % $t AS INT) + 1]"
+    }.mkString("CASE ", " ", " END")
+
   // ---- catalog ------------------------------------------------------------
 
   private val GRID =
@@ -547,5 +610,13 @@ object Signal {
         "w AS (SELECT event_type, dday, string_agg(letter, '' ORDER BY seg) word FROM lt GROUP BY 1, 2) " +
         "SELECT event_type, word, CAST(count(*) AS BIGINT) n_days, min(dday) first_day " +
         "FROM w GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ts_periodogram", qTsPeriodogram, Some(
+      "WITH h AS (SELECT event_type, CAST(datediff('hour', TIMESTAMP '2024-01-01', date_trunc('hour', ts)) AS BIGINT) hi, " +
+        "CAST(count(*) AS BIGINT) n FROM events GROUP BY 1, 2), " +
+        "x AS (SELECT event_type, hi, n, unnest([24, 12, 8, 6]) p FROM h), " +
+        s"t AS (SELECT event_type, CAST(p AS BIGINT) period, n, ${duckTrigCase(math.cos)} c, " +
+        s"${duckTrigCase(math.sin)} s FROM x), " +
+        "a AS (SELECT event_type, period, round(sum(n*c), 6) a6, round(sum(n*s), 6) b6 FROM t GROUP BY 1, 2) " +
+        "SELECT event_type, period, a6, b6, round(a6*a6 + b6*b6, 2) power FROM a ORDER BY 1, 2")),
   )
 }

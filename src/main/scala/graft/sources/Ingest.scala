@@ -532,6 +532,29 @@ object Ingest {
       p
     })
 
+  /** A layout whose files span TWO schema GENERATIONS in one directory —
+    * what a rolling collector upgrade actually leaves behind: v1 files
+    * (days ≤ 15) carry (event_id, ts, user_id, event_type, value); v2
+    * files add a `source_region` column. Two append jobs, no rewrite of
+    * history — the whole point of schema evolution at 100 TB is that the
+    * old files are NEVER touched; readers union the footers
+    * (mergeSchema) and old rows surface the new column as NULL. */
+  def eventsSchemaEvolved(spark: SparkSession, sfDir: String,
+                          root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"events_schema_evolved:$sfDir:$root", {
+      val p = s"$root/${slug(sfDir)}/events_schema_evolved"
+      val ev = Tables.events(spark, sfDir)
+      val cutoff = to_date(lit("2024-01-15"))
+      ev.filter(to_date(col("ts")) <= cutoff)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(p)
+      ev.filter(to_date(col("ts")) > cutoff)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"),
+          concat(lit("r"), pmod(col("user_id"), lit(4))).as("source_region"))
+        .write.mode("append").parquet(p)
+      p
+    })
+
   // ---- events by z-order prefix (multi-dimensional pruning) ----------------
 
   /** Bits per z-order dimension: 5 → a 10-bit z-value, partitioned on its

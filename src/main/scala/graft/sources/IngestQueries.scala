@@ -163,6 +163,20 @@ object IngestQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Schema-evolution read over the two-generation layout: `mergeSchema`
+    * unions the v1/v2 footers, v1 rows surface the added column as NULL,
+    * and the report coalesces them into a 'none' generation bucket. No
+    * file was rewritten to evolve the schema — the contract that makes
+    * column addition free at 100 TB (the oracle recomputes both
+    * generations' semantics from the source table relationally). */
+  val qIngestSchemaMerge: Q = (s, d) => {
+    val path = Ingest.eventsSchemaEvolved(s, d)
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("source_region"), lit("none")).as("region"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 2).as("sv"))
+      .orderBy("region", "event_type")
+  }
+
   /** Text-format ingestion round-trip: the SAME daily aggregate computed
     * from the JSON-lines feed and the CSV feed, unioned with a format tag.
     * Oracle aggregates the parquet table twice — a pass proves both wire
@@ -366,6 +380,12 @@ object IngestQueries {
     ("q_ingest_compacted", qIngestCompacted, Some(
       "SELECT CAST(ts AS DATE) AS \"day\", event_type, count(*) cnt, round(sum(value), 2) sv " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ingest_schema_merge", qIngestSchemaMerge, Some(
+      "WITH e AS (SELECT event_type, value, " +
+        "CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 'r' || CAST(user_id % 4 AS VARCHAR) " +
+        "ELSE 'none' END region FROM events) " +
+        "SELECT region, event_type, CAST(count(*) AS BIGINT) cnt, round(sum(value), 2) sv " +
+        "FROM e GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_ingest_zorder_box", qIngestZorderBox, Some(
       "SELECT event_id, ts, user_id, event_type, value FROM events " +
         "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14' " +

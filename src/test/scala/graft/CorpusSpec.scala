@@ -239,4 +239,27 @@ class CorpusSpec extends SparkSuite {
     assert(out.forall { case (_, n, sea) => n == 1L && sea == 0.0 })
     assert(out.map(_._1).sorted == (0L until 24L))
   }
+
+  // ---- cross-document repeated 8-grams ------------------------------------
+
+  test("substring_dup: an 8-word span shared by two docs is reported; a 7-word overlap is not") {
+    val span8 = "a b c d e f g h"            // 8 shared words
+    val span7 = "p q r s t u v"              // only 7 shared words
+    writeDocs(Seq(
+      (1L, s"x1 $span8 y1", "en", "s"),
+      (2L, s"x2 x3 $span8", "en", "s"),
+      (3L, s"$span7 k1", "en", "s"),
+      (4L, s"$span7 k2", "en", "s")))
+    val out = Corpus.qTextSubstringDup(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq((span8, 2L, 2L)), s"got $out")
+  }
+
+  test("substring_dup: three copies of one doc count n_docs=3 and every gram once per doc") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens → 3 grams per doc
+    writeDocs(Seq((1L, text, "en", "s"), (2L, text, "en", "s"), (3L, text, "en", "s")))
+    val out = Corpus.qTextSubstringDup(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.size == 3 && out.forall { case (_, nd, no) => nd == 3L && no == 3L }, s"got $out")
+  }
 }

@@ -317,4 +317,45 @@ class PlanSpec extends SparkSuite {
     assert("FileScan parquet".r.findAllIn(p).length <= 2,
       s"bucket counts + type dim only:\n$p")
   }
+
+  test("target encode: category moments broadcast back onto one fact scan") {
+    val p = plan(graft.operators.Features.qFeatTargetEncode(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"moments dim must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin") && !p.contains("ShuffledHashJoin"),
+      s"the fact side must never shuffle for a vocabulary-sized dim:\n$p")
+  }
+
+  test("periodogram: no join, no window — two hash aggregates around a literal-array explode") {
+    val p = plan(graft.operators.Signal.qTsPeriodogram(spark, sf0001))
+    assert(!p.toLowerCase.contains("join"), s"basis lookup is a CASE, not a join:\n$p")
+    assert(!p.contains("Window"), s"no window function needed:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+  }
+
+  test("slo burn: both alert windows ride ONE global sort of the post-agg hourly series") {
+    val p = plan(graft.operators.Promql.qTsSloBurn(spark, sf0001))
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+    // hour agg exchange + the single-partition window + final order
+    assert("Window".r.findAllIn(p).length == 1,
+      s"w6 and w24 frames must share one Window operator:\n$p")
+  }
+
+  test("substring dup: shingle explode feeds one map-side-combining gram aggregate") {
+    val p = plan(graft.operators.Corpus.qTextSubstringDup(spark, sf0001))
+    // match join OPERATORS, not the substring ("array_join" is in the shingler)
+    assert(!"(?i)(sortmergejoin|hashjoin|nestedloopjoin|cartesianproduct)".r.findFirstIn(p).isDefined,
+      s"no self-join in shingling:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one corpus scan:\n$p")
+    val gen = p.indexOf("Generate")
+    val aggEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
+    assert(gen >= 0 && aggEx <= 2, s"gram agg + TakeOrdered only (got $aggEx exchanges):\n$p")
+  }
+
+  test("rrf fusion: the query block broadcasts; rank windows partition by query") {
+    val p = plan(graft.operators.Retrieval.qSimRrfFusion(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"20-row query side must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin") && !p.contains("CartesianProduct"),
+      s"no shuffled pair materialization:\n$p")
+  }
 }

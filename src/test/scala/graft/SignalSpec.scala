@@ -282,6 +282,103 @@ class SignalSpec extends SparkSuite {
     assert(out(30L) == 1 && out(53L) == 1, s"user 1 serves windows 30..53: $out")
   }
 
+  test("periodogram: a 12-on/12-off square wave peaks at period 24, with its 3rd harmonic at 8") {
+    // hourly counts 2,2,...,2,1,1,...,1 repeating over 2 days: a 50%-duty
+    // square wave of period 24 — even harmonics (12, 6) vanish, the odd
+    // 3rd harmonic (24/3 = 8) carries 1/9 of the fundamental's power
+    val rows = (0 until 48).flatMap { h =>
+      val n = if (h % 24 < 12) 2 else 1
+      (0 until n).map(i => (h * 10L + i, ns(t0 + h * hour), 1L, "click", 1.0, "{}"))
+    }
+    writeEvents(rows)
+    val p = Signal.qTsPeriodogram(spark, dir)
+      .select("period", "power").as[(Long, Double)].collect().toMap
+    assert(p(24L) > p(8L) && p(8L) > p(12L), s"square-wave spectrum shape: $p")
+    assert(p(12L) < 0.1 && p(6L) < 0.1, s"even harmonics must vanish: $p")
+  }
+
+  test("periodogram: a constant series has (rounded) zero power everywhere") {
+    writeEvents((0 until 48).map(i => (i.toLong, ns(t0 + i * hour), 1L, "click", 1.0, "{}")))
+    val p = Signal.qTsPeriodogram(spark, dir).select("power").as[Double].collect().toSeq
+    assert(p.size == 4 && p.forall(_ == 0.0), s"got $p")
+  }
+
+  test("triangles: a 3-cycle closes into exactly one canonical triple; a pendant edge does not") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "a", 1.0, "{}"),
+      (2L, ns(t0 + 60), 1L, "b", 1.0, "{}"),
+      (3L, ns(t0 + 120), 1L, "c", 1.0, "{}"),
+      (4L, ns(t0 + 180), 1L, "a", 1.0, "{}"),   // u1: a→b→c→a = cycle
+      (5L, ns(t0), 2L, "a", 1.0, "{}"),
+      (6L, ns(t0 + 60), 2L, "d", 1.0, "{}")))   // u2: a→d = pendant
+    val out = Graphs.qGraphTriangles(spark, dir)
+      .as[(String, String, String)].collect().toSeq
+    assert(out == Seq(("a", "b", "c")), s"got $out")
+  }
+
+  test("degree: pure sources and pure sinks both appear with zero-filled sides") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "a", 1.0, "{}"),
+      (2L, ns(t0 + 60), 1L, "b", 1.0, "{}"),
+      (3L, ns(t0 + 120), 1L, "b", 1.0, "{}"))) // edges a→b, b→b
+    val out = Graphs.qGraphDegree(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 1L, 1L, 0L, 0L), ("b", 1L, 1L, 2L, 2L)), s"got $out")
+  }
+
+  test("rrf fusion: a candidate identical to the query tops both channels at 2/61") {
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (20L, Array(1f, 0f, 0f, 0f), 0),     // identical: rank 1 in both channels
+      (21L, Array(0.9f, 0.1f, 0.2f, 0.1f), 1),
+      (22L, Array(-1f, -0.5f, -0.5f, -0.5f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Retrieval.qSimRrfFusion(spark, dir)
+      .select("cid", "ra", "rb", "rrf").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.head == ((20L, 1L, 1L, 0.032787)), s"got $out") // round(2/61, 6)
+    assert(out.map(_._1) == Seq(20L, 21L, 22L), s"fused order: $out")
+  }
+
+  test("mmr: a diverse lower-relevance candidate outranks a redundant near-duplicate") {
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (20L, Array(0.95f, 0.312f, 0f, 0f), 0),  // top relevance → pick 1
+      (21L, Array(0.94f, 0.342f, 0f, 0f), 0),  // nearly duplicates 20: heavy penalty
+      (22L, Array(0.8f, -0.6f, 0f, 0f), 0))    // diverse: wins pick 2 on MMR score
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Retrieval.qSimMmr(spark, dir)
+      .select("pick", "cid").as[(Long, Long)].collect().toSeq
+    // pool exhausts at 3 candidates: picks 4-5 must vanish, not error
+    assert(out == Seq((1L, 20L), (2L, 22L), (3L, 21L)), s"got $out")
+  }
+
+  test("hard negatives exclude the query's own label and rank by similarity") {
+    val rows = Seq(
+      (0L, Array(1f, 0f), 0),
+      (20L, Array(1f, 0f), 0),   // same label: must NOT appear
+      (21L, Array(0.9f, 0.1f), 1),
+      (22L, Array(0f, 1f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Retrieval.qEmbHardNegatives(spark, dir)
+      .select("cid", "cl", "rank").as[(Long, Int, Long)].collect().toSeq
+    assert(out == Seq((21L, 1, 1L), (22L, 2, 2L)), s"got $out")
+  }
+
+  test("target encode: LOO mean never sees the row's own value; singletons drop") {
+    import graft.operators.Features
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 1.0, "{}"),
+      (2L, ns(t0 + 60), 1L, "click", 2.0, "{}"),
+      (3L, ns(t0 + 120), 1L, "click", 3.0, "{}"),
+      (4L, ns(t0 + 180), 1L, "view", 9.0, "{}"))) // singleton category
+    val out = Features.qFeatTargetEncode(spark, dir)
+      .select("event_id", "enc").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2.5), (2L, 2.0), (3L, 1.5)), s"got $out")
+  }
+
   test("curriculum phases are equal quartiles in difficulty order") {
     val docs = (1 to 8).map { i =>
       // average word length grows with i: i tokens of length i

@@ -787,4 +787,17 @@ class WritePathSpec extends SparkSuite {
       Versioned.upsert(spark, dir, "id", Seq((5L, "x"), (5L, "y")).toDF("id", "s"))
     }
   }
+
+  test("schema evolution: mergeSchema surfaces v1 rows with NULL in the added column, v2 fully typed") {
+    val path = Ingest.eventsSchemaEvolved(spark, sf0001)
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(df.columns.contains("source_region"), s"merged schema must carry the v2 column: ${df.columns.toSeq}")
+    val cut = lit("2024-01-15").cast("date")
+    assert(df.filter(to_date(col("ts")) <= cut && col("source_region").isNotNull).count() == 0,
+      "v1-generation rows must surface the added column as NULL")
+    assert(df.filter(to_date(col("ts")) > cut && col("source_region").isNull).count() == 0,
+      "v2-generation rows must all carry the column")
+    assert(df.count() == Tables.events(spark, sf0001).count(),
+      "evolution must not drop or duplicate rows")
+  }
 }
