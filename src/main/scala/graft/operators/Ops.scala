@@ -217,9 +217,140 @@ object Ops {
       .orderBy("start_h")
   }
 
+  /** Incident MTTR / MTBF report per series — the reliability KPIs an ops
+    * review reads off the alert history: incidents = maximal runs of
+    * breach hours (hourly count 25% above the series mean — the exact
+    * cross-multiplied rule n·4·NH > 5·ΣN, scale-free like
+    * q_ts_vector_and), MTTR = mean incident length, MTBF = mean gap
+    * between incident onsets, plus the worst incident. Gaps-and-islands
+    * over the POST-aggregate hourly series (grp = hi − row_number, the
+    * q_ts_session device); every number derives from exact integer
+    * counts, the two means divide identical ints on both engines. A
+    * single-incident series has no gap sample — MTBF is NULL there by
+    * definition, not zero. */
+  val qTsMttr: Q = (s, d) => {
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', date_trunc('hour', ts))").as("hi"))
+      .agg(count(lit(1)).as("n"))
+    val t = h.groupBy("event_type")
+      .agg(sum("n").as("tn"), count(lit(1)).as("nh"))
+    val wrn = Window.partitionBy("event_type").orderBy("hi")
+    val incidents = h.join(broadcast(t), "event_type")
+      .filter(col("n") * 4 * col("nh") > col("tn") * 5)
+      .withColumn("grp", col("hi") - row_number().over(wrn))
+      .groupBy("event_type", "grp")
+      .agg(min("hi").as("start_hi"), count(lit(1)).as("len"))
+    val wlag = Window.partitionBy("event_type").orderBy("start_hi")
+    incidents
+      .withColumn("gap", col("start_hi") - lag("start_hi", 1).over(wlag))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_incidents"),
+        Num.roundd(avg("len"), 4).as("mttr_h"),
+        Num.roundd(avg("gap"), 4).as("mtbf_h"),
+        max("len").as("longest_h"))
+      .orderBy("event_type")
+  }
+
+  /** Hash-bucketed A/B test with a two-proportion z-score — the
+    * experimentation readout: users deterministically split 50/50 by the
+    * seeded md5 hash (the q_docs_split device — assignment is a pure
+    * function of user_id, stable across reruns and machines), conversion
+    * = did the user ever purchase, z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a+1/n_b)).
+    * One (user) aggregate → one 2-row aggregate → a 1-row report; the
+    * only doubles are the final formula over four exact integers —
+    * identical operands both engines. */
+  val qAbZtest: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", expr(s"pmod(${graft.operators.Dedup.h60("'ab'", "cast(user_id as string)")}, 2)"))
+    val v = users.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    v.agg(
+        max(when(col("variant") === 0, col("n"))).as("n_a"),
+        max(when(col("variant") === 0, col("c"))).as("conv_a"),
+        max(when(col("variant") === 1, col("n"))).as("n_b"),
+        max(when(col("variant") === 1, col("c"))).as("conv_b"))
+      .withColumn("rate_a", Num.roundd(col("conv_a").cast("double") / col("n_a"), 6))
+      .withColumn("rate_b", Num.roundd(col("conv_b").cast("double") / col("n_b"), 6))
+      // degenerate pooled rates (p̂ = 0 or 1) are defined to z = NULL
+      // explicitly: the engines disagree on double x/0 (Spark NULL,
+      // DuckDB ±inf), so the edge never reaches the divide
+      .withColumn("z", when(
+        col("conv_a") + col("conv_b") > 0 && col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+        Num.roundd(
+          (col("conv_a").cast("double") / col("n_a") - col("conv_b").cast("double") / col("n_b")) /
+            sqrt((col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")) *
+              (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)))
+  }
+
+  /** Time-to-convert distribution: seconds from each user's FIRST view to
+    * the first purchase AFTER it, reported per first-view day with exact
+    * interpolated p50/p90 (the q_docs_length_dist percentile device) —
+    * the conversion-latency panel next to the funnel. Two keyed
+    * aggregates + one user-keyed join (the purchase side never expands:
+    * min-after-join collapses it in the same shuffle); deltas are exact
+    * integer seconds via unix_micros integer division. */
+  val qTsTimeToConvert: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("vt"))
+    val pairs = ev.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts") > col("vt"))
+      .groupBy("user_id", "vt").agg(min("ts").as("pt"))
+      .withColumn("delta_s",
+        expr("(unix_micros(cast(pt as timestamp)) - unix_micros(cast(vt as timestamp))) div 1000000"))
+      .withColumn("cday", to_date(col("vt")))
+    pairs.groupBy("cday")
+      .agg(count(lit(1)).as("n_conv"),
+        Num.roundd(expr("percentile(delta_s, 0.5d)"), 4).as("p50_s"),
+        Num.roundd(expr("percentile(delta_s, 0.9d)"), 4).as("p90_s"),
+        Num.roundd(avg("delta_s"), 2).as("avg_s"))
+      .orderBy("cday")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ts_mttr", qTsMttr, Some(
+      "WITH h AS (SELECT event_type, CAST(datediff('hour', TIMESTAMP '2024-01-01', date_trunc('hour', ts)) AS BIGINT) hi, " +
+        "CAST(count(*) AS BIGINT) n FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, CAST(sum(n) AS BIGINT) tn, CAST(count(*) AS BIGINT) nh FROM h GROUP BY 1), " +
+        "b AS (SELECT h.event_type, h.hi, h.hi - row_number() OVER (PARTITION BY h.event_type ORDER BY h.hi) grp " +
+        "FROM h JOIN t ON t.event_type = h.event_type WHERE h.n * 4 * t.nh > t.tn * 5), " +
+        "inc AS (SELECT event_type, grp, CAST(min(hi) AS BIGINT) start_hi, CAST(count(*) AS BIGINT) len " +
+        "FROM b GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, len, start_hi - lag(start_hi) OVER (PARTITION BY event_type ORDER BY start_hi) gap " +
+        "FROM inc) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) n_incidents, round(avg(len), 4) mttr_h, " +
+        "round(avg(gap), 4) mtbf_h, CAST(max(len) AS BIGINT) longest_h " +
+        "FROM g GROUP BY 1 ORDER BY 1")),
+    ("q_ab_ztest", qAbZtest, Some(
+      "WITH u AS (SELECT user_id, CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) conv " +
+        "FROM events GROUP BY 1), " +
+        "ua AS (SELECT CAST('0x' || substr(md5('ab' || ':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 variant, " +
+        "conv FROM u), " +
+        "v AS (SELECT variant, CAST(count(*) AS BIGINT) n, CAST(sum(conv) AS BIGINT) c FROM ua GROUP BY 1), " +
+        "w AS (SELECT max(CASE WHEN variant = 0 THEN n END) n_a, max(CASE WHEN variant = 0 THEN c END) conv_a, " +
+        "max(CASE WHEN variant = 1 THEN n END) n_b, max(CASE WHEN variant = 1 THEN c END) conv_b FROM v) " +
+        "SELECT n_a, conv_a, n_b, conv_b, " +
+        "round(CAST(conv_a AS DOUBLE) / n_a, 6) rate_a, round(CAST(conv_b AS DOUBLE) / n_b, 6) rate_b, " +
+        "CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN " +
+        "round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / " +
+        "sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) * " +
+        "(1.0::DOUBLE - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+        "(1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)), 4) END z FROM w")),
+    ("q_ts_time_to_convert", qTsTimeToConvert, Some(
+      "WITH fv AS (SELECT user_id, min(ts) vt FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "pp AS (SELECT e.user_id, fv.vt, min(e.ts) pt FROM events e JOIN fv ON fv.user_id = e.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > fv.vt GROUP BY 1, 2), " +
+        "dl AS (SELECT CAST(vt AS DATE) cday, CAST((epoch_us(pt) - epoch_us(vt)) // 1000000 AS BIGINT) delta_s FROM pp) " +
+        "SELECT cday, CAST(count(*) AS BIGINT) n_conv, round(quantile_cont(delta_s, 0.5), 4) p50_s, " +
+        "round(quantile_cont(delta_s, 0.9), 4) p90_s, round(avg(delta_s), 2) avg_s " +
+        "FROM dl GROUP BY 1 ORDER BY 1")),
     ("q_ts_new_series", qTsNewSeries, Some(
       "WITH f AS (SELECT user_id, min(ts) fts FROM events GROUP BY 1), " +
         "p AS (SELECT date_trunc('day', fts) d, CAST(count(*) AS BIGINT) new_users FROM f GROUP BY 1) " +

@@ -229,4 +229,62 @@ class OpsSpec extends SparkSuite {
       .select("pos", "doc_id", "h").as[(Long, Long, Long)].collect().toSeq
     assert(a == b)
   }
+
+  // ---- incident MTTR / MTBF -----------------------------------------------
+
+  test("mttr: adjacent breach hours form one incident; MTBF spans onsets; lone incident has NULL MTBF") {
+    // hours 0..9, 1 event/h except 10 events at hours 2,3 and 7:
+    // mean 3.7 → breach at n=10 only → incidents {2,3} (len 2) and {7}
+    val rows = (0 until 10).flatMap { h =>
+      val n = if (h == 2 || h == 3 || h == 7) 10 else 1
+      (0 until n).map(i => (h * 100L + i, ns(t0 + h * 3600L), 1L, "click", 1.0))
+    }
+    writeEvents(rows)
+    val out = Ops.qTsMttr(spark, dir)
+      .as[(String, Long, Double, Option[Double], Long)].collect().toSeq
+    assert(out == Seq(("click", 2L, 1.5, Some(5.0), 2L)), s"got $out")
+    // one breach island only → no onset gap to average
+    writeEvents((0 until 10).flatMap { h =>
+      val n = if (h == 2 || h == 3) 10 else 1
+      (0 until n).map(i => (h * 100L + i, ns(t0 + h * 3600L), 1L, "click", 1.0))
+    })
+    val lone = Ops.qTsMttr(spark, dir)
+      .as[(String, Long, Double, Option[Double], Long)].collect().toSeq
+    assert(lone == Seq(("click", 1L, 2.0, None, 2L)), s"got $lone")
+  }
+
+  // ---- A/B z-test ---------------------------------------------------------
+
+  test("ab ztest: counts partition the user set; degenerate pooled rate yields NULL z") {
+    // 40 users, half purchase (by user id parity — independent of the
+    // md5 variant assignment, so both variants see mixed conversions)
+    writeEvents((1 to 40).map(u =>
+      (u.toLong, ns(t0 + u), u.toLong, if (u % 2 == 0) "purchase" else "view", 1.0)))
+    val r = Ops.qAbZtest(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])].collect().head
+    val (na, ca, nb, cb, ra, rb, z) = r
+    assert(na + nb == 40 && ca + cb == 20, s"got $r")
+    assert(ra >= 0 && ra <= 1 && rb >= 0 && rb <= 1)
+    assert(z.isDefined && (z.get.sign == (ra - rb).sign || z.get == 0.0), s"got $r")
+    // every user converts → pooled rate 1 → z defined NULL, never ±inf
+    writeEvents((1 to 10).map(u => (u.toLong, ns(t0 + u), u.toLong, "purchase", 1.0)))
+    val z1 = Ops.qAbZtest(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])].collect().head._7
+    assert(z1.isEmpty, s"degenerate z must be NULL, got $z1")
+  }
+
+  // ---- time to convert ----------------------------------------------------
+
+  test("time_to_convert: first purchase AFTER the first view; pre-view purchases never count") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "view", 1.0),
+      (2L, ns(t0 + 100), 1L, "purchase", 1.0),
+      (3L, ns(t0 + 50), 1L, "purchase", 1.0),   // earlier post-view purchase wins
+      (4L, ns(t0 - 10), 2L, "purchase", 1.0),   // pre-view purchase: excluded
+      (5L, ns(t0), 2L, "view", 1.0),
+      (6L, ns(t0), 3L, "view", 1.0)))           // never converts
+    val out = Ops.qTsTimeToConvert(spark, dir)
+      .select("n_conv", "p50_s", "p90_s", "avg_s").as[(Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 50.0, 50.0, 50.0)), s"got $out")
+  }
 }
