@@ -109,6 +109,15 @@ object StreamingQueries {
       .groupBy("user_id").agg(min("ts").as("first_ts"))
       .orderBy("user_id")
 
+  /** Batch twin of the streaming DAU seal ([[StatefulDau]]): exact
+    * distinct users per epoch day — what each sealed day must equal
+    * (parity held ordered + jittered in StreamParitySpec). */
+  val qStreamDau: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(expr("unix_micros(cast(ts as timestamp)) div 86400000000 * 86400000000").as("day_us"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("day_us")
+
   /** Native session_window vs the DuckDB gaps-and-islands oracle: same
     * 30-minute gap rule, independently formulated — a real cross-engine,
     * cross-algorithm check. session_window closes a session when the NEXT
@@ -268,6 +277,13 @@ object StreamingQueries {
     StatefulFirstSeen.firstSeenStream(
       eventsStream(s, dir).withWatermark("ts", "10 minutes")).toDF()
 
+  /** Streaming exact daily-distinct users — see [[StatefulDau]]: one
+    * sealed (day, n_users) emission per day once the watermark passes
+    * the day boundary. */
+  def dauStream(s: SparkSession, dir: String): DataFrame =
+    StatefulDau.dauStream(
+      eventsStream(s, dir).withWatermark("ts", "10 minutes")).toDF()
+
   /** Stream-stream interval join face: both sides from the same replayed
     * source, watermarked so join state evicts once pt can no longer land
     * in any open (ct, ct+30m] window. */
@@ -322,5 +338,8 @@ object StreamingQueries {
         "CAST(count(*) AS BIGINT) tot FROM events GROUP BY 1 ORDER BY h")),
     ("q_stream_first_seen", qStreamFirstSeen, Some(
       "SELECT user_id, min(ts) first_ts FROM events GROUP BY 1 ORDER BY user_id")),
+    ("q_stream_dau", qStreamDau, Some(
+      "SELECT (epoch_us(ts) // 86400000000) * 86400000000 day_us, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) n_users FROM events GROUP BY 1 ORDER BY 1")),
   )
 }

@@ -88,6 +88,28 @@ class StreamParitySpec extends SparkSuite {
     }
   }
 
+  test("streaming DAU: sealed days carry EXACT distinct counts, ordered + jittered") {
+    val dayUs = 86400000000L
+    val batch = graft.Tables.events(spark, sf0001)
+      .selectExpr(s"unix_micros(cast(ts as timestamp)) div $dayUs * $dayUs as day_us", "user_id")
+      .groupBy("day_us").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dirs = Seq(
+      replayDir -> "t_dau",
+      StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4) -> "t_dau_ooo")
+    for ((dir, name) <- dirs) {
+      val got = StreamReplay
+        .runToCompletion(spark, StreamingQueries.dauStream(spark, dir), name)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(got.length == got.toMap.size, s"$name: a day sealed twice")
+      got.foreach { case (d, n) =>
+        assert(batch(d) == n, s"$name: day $d sealed $n, batch distinct is ${batch(d)}")
+      }
+      // only the watermark-tail day may stay open at end-of-stream
+      assert(got.length >= batch.size - 1, s"$name: sealed ${got.length}/${batch.size} days")
+    }
+  }
+
   test("stream-stream interval join: emitted pairs ⊆ batch pairs") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.intervalJoinStream(spark, replayDir), "t_ivj")
