@@ -131,6 +131,33 @@ object Analytics {
     * cume_dist. The ORDER BY (value, event_id) key is total (event_id is
     * unique), so every rank function is deterministic — rank outputs on a
     * tied prefix would differ between engines otherwise. */
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic lifecycle-marketing report: per-user metrics from ONE hash
+    * aggregate of the raw scan, each scored into quintiles, users
+    * counted per "rfm" segment code. The three ntiles are exact global
+    * windows over the USERS table (bounded — the aggregate already
+    * collapsed event volume) with (metric, user_id) total orders, so
+    * quintile edges are engine-identical; at 100 TB the exact ntile
+    * swaps for quantile cut points + map-side bucketing (the
+    * q_docs_curriculum path, documented there). Monetary means derive
+    * from pre-rounded sums per the repo contract. */
+  val qRfmSegments: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val u = Tables.events(s, d).groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        Num.roundd(sum("value"), 6).as("mon"))
+      .withColumn("rec", datediff(lit("2024-01-31").cast("date"), col("last_day")).cast("long"))
+    u.withColumn("r", ntile(5).over(w.orderBy(col("rec").asc, col("user_id"))).cast("long"))
+      .withColumn("f", ntile(5).over(w.orderBy(col("freq").desc, col("user_id"))).cast("long"))
+      .withColumn("m", ntile(5).over(w.orderBy(col("mon").desc, col("user_id"))).cast("long"))
+      .withColumn("segment", concat(col("r"), col("f"), col("m")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"),
+        Num.roundd(Num.roundd(sum("mon"), 6) / count(lit(1)), 2).as("avg_monetary"))
+      .orderBy("segment")
+  }
+
   val qWindowNtile: Q = (s, d) => {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
@@ -211,6 +238,16 @@ object Analytics {
         "(SELECT event_type, event_id, ts, value, CAST(row_number() OVER " +
         "(PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS BIGINT) rn " +
         "FROM events) WHERE rn <= 20 ORDER BY event_type, rn"),
+    ("q_rfm_segments", qRfmSegments,
+      "WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) last_day, CAST(count(*) AS BIGINT) freq, " +
+        "round(sum(value), 6) mon FROM events GROUP BY 1), " +
+        "r AS (SELECT user_id, CAST(DATE '2024-01-31' - last_day AS BIGINT) rec, freq, mon FROM u), " +
+        "q AS (SELECT user_id, mon, CAST(ntile(5) OVER (ORDER BY rec ASC, user_id) AS BIGINT) r, " +
+        "CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) f, " +
+        "CAST(ntile(5) OVER (ORDER BY mon DESC, user_id) AS BIGINT) m FROM r) " +
+        "SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) segment, " +
+        "CAST(count(*) AS BIGINT) n_users, round(round(sum(mon), 6) / count(*), 2) avg_monetary " +
+        "FROM q GROUP BY 1 ORDER BY 1"),
     ("q_agg_bottomk", qAggBottomk,
       // gs <= len(bot3), not a fixed series: a segment with < k customers
       // yields len rows from the engine's posexplode — the oracle must too

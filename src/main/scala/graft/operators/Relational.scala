@@ -203,6 +203,22 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(100)
 
+  /** Keyset (cursor) pagination — the API-serving idiom that replaces
+    * OFFSET at scale: "the next 100 events after cursor (ts, id)". The
+    * tuple-inequality predicate pushes to the parquet scan and the
+    * ORDER+LIMIT compiles to TakeOrderedAndProject, so each page costs a
+    * pruned scan + per-partition top-k merge regardless of page depth —
+    * where OFFSET n pages O(n) rows every call. (ts, event_id) is the
+    * unique total order the cursor contract requires. */
+  val qPageKeyset: Q = (s, d) => {
+    val cur = lit("2024-01-15 12:00:00").cast("timestamp_ntz")
+    Tables.events(s, d)
+      .filter(col("ts") > cur || (col("ts") === cur && col("event_id") > 0))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .limit(100)
+  }
+
   val qSetUnion: Q = (s, d) =>
     Tables.customer(s, d).select(col("c_nationkey").as("k"))
       .union(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
@@ -405,6 +421,11 @@ object Relational {
         "GROUP BY l_orderkey, o_totalprice ORDER BY l_orderkey"),
     ("q_sort_topk", qSortTopk,
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    ("q_page_keyset", qPageKeyset,
+      "SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE ts > TIMESTAMP '2024-01-15 12:00:00' " +
+        "OR (ts = TIMESTAMP '2024-01-15 12:00:00' AND event_id > 0) " +
+        "ORDER BY ts, event_id LIMIT 100"),
     ("q_set_union", qSetUnion,
       "SELECT c_nationkey k FROM customer UNION SELECT s_nationkey k FROM supplier ORDER BY k"),
     ("q_set_intersect", qSetIntersect,

@@ -422,6 +422,44 @@ object Ingest {
     caggDailyMerge(rollup, tail)
   }
 
+  /** Incrementally-refreshed continuous aggregate: the daily rollup is
+    * built ONCE for days < cutoff, then a refresh computes partials for
+    * ONLY the new days (partition-pruned read of the by-day layout) and
+    * dynamic-partition-overwrites exactly those day directories. History
+    * is never recomputed or rewritten — refresh I/O is O(new days), the
+    * TimescaleDB continuous-aggregate refresh contract. Idempotent:
+    * re-running the refresh rewrites the same day dirs with identical
+    * content, and cold directories are provably untouched (WritePathSpec
+    * plants a sentinel in an old partition and re-refreshes). */
+  def caggIncremental(spark: SparkSession, sfDir: String,
+                      cutoffDay: String = "2024-01-26",
+                      root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"cagg_incr:$sfDir:$cutoffDay:$root", {
+      val p = s"$root/${slug(sfDir)}/cagg_incremental_${slug(cutoffDay)}"
+      val byDay = readEventsByDay(spark, eventsByDay(spark, sfDir, root))
+      dailyPartials(byDay.filter(col("day") < lit(cutoffDay).cast("date")))
+        .write.mode("overwrite").partitionBy("day").parquet(p)
+      refreshCaggDays(spark, p, byDay, cutoffDay)
+      p
+    })
+
+  private def dailyPartials(df: DataFrame): DataFrame =
+    df.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Num.roundd(sum("value"), 8).as("sv8"))
+
+  /** The refresh step alone, re-runnable: partials for days ≥ cutoff,
+    * written under dynamic partitionOverwriteMode so ONLY the day
+    * directories present in the refresh output are replaced. */
+  def refreshCaggDays(spark: SparkSession, caggPath: String,
+                      byDay: DataFrame, cutoffDay: String): Unit = {
+    val fresh = dailyPartials(byDay.filter(col("day") >= lit(cutoffDay).cast("date")))
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try fresh.write.mode("overwrite").partitionBy("day").parquet(caggPath)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   /** The serve-side merge, rollup-source-agnostic: any (h, event_type,
     * cnt, sv8) hourly-partial set — the batch-materialized rollup OR the
     * rows a streaming hourlyRollupStream emitted as windows closed

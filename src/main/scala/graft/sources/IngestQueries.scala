@@ -163,6 +163,19 @@ object IngestQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Serve the incrementally-refreshed continuous aggregate — the whole
+    * report comes off the rollup ARTIFACT (a partitioned summary table),
+    * no raw-event scan at serve time; the oracle recomputes everything
+    * from raw, so a pass proves initial-build + incremental-refresh
+    * composed to exactly the full aggregate. */
+  val qIngestCaggRefresh: Q = (s, d) => {
+    val p = Ingest.caggIncremental(s, d)
+    s.read.parquet(p)
+      .select(col("day").as("dday"), col("event_type"), col("cnt"),
+        Num.roundd(col("sv8"), 2).as("sv"))
+      .orderBy("dday", "event_type")
+  }
+
   /** Schema-evolution read over the two-generation layout: `mergeSchema`
     * unions the v1/v2 footers, v1 rows surface the added column as NULL,
     * and the report coalesces them into a 'none' generation bucket. No
@@ -380,6 +393,9 @@ object IngestQueries {
     ("q_ingest_compacted", qIngestCompacted, Some(
       "SELECT CAST(ts AS DATE) AS \"day\", event_type, count(*) cnt, round(sum(value), 2) sv " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ingest_cagg_refresh", qIngestCaggRefresh, Some(
+      "SELECT CAST(ts AS DATE) dday, event_type, CAST(count(*) AS BIGINT) cnt, " +
+        "round(round(sum(value), 8), 2) sv FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_ingest_schema_merge", qIngestSchemaMerge, Some(
       "WITH e AS (SELECT event_type, value, " +
         "CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 'r' || CAST(user_id % 4 AS VARCHAR) " +

@@ -351,6 +351,22 @@ class PlanSpec extends SparkSuite {
     assert(gen >= 0 && aggEx <= 2, s"gram agg + TakeOrdered only (got $aggEx exchanges):\n$p")
   }
 
+  test("keyset pagination: cursor predicate reaches the scan, sort+limit is TakeOrdered") {
+    val p = plan(graft.operators.Relational.qPageKeyset(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER+LIMIT must not be a global sort:\n$p")
+    assert("PushedFilters: \\[[^\\]]*ts".r.findFirstIn(p).isDefined ||
+      p.contains("DataFilters: [((ts"),
+      s"the cursor inequality must reach the scan:\n$p")
+  }
+
+  test("rfm: one raw scan; the three quintile windows ride the collapsed users table") {
+    val p = plan(graft.operators.Analytics.qRfmSegments(spark, sf0001))
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+    assert(!"(?i)(sortmergejoin|hashjoin|nestedloopjoin|cartesianproduct)".r.findFirstIn(p).isDefined,
+      s"no join anywhere:\n$p")
+  }
+
   test("rrf fusion: the query block broadcasts; rank windows partition by query") {
     val p = plan(graft.operators.Retrieval.qSimRrfFusion(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -788,6 +788,26 @@ class WritePathSpec extends SparkSuite {
     }
   }
 
+  test("cagg refresh touches ONLY the new-day partitions and is idempotent") {
+    val p = Ingest.caggIncremental(spark, sf0001)
+    val dayDirs = new java.io.File(p).listFiles().filter(_.getName.startsWith("day=")).map(_.getName).sorted
+    assert(dayDirs.length == 30, s"all 30 days present: ${dayDirs.length}")
+    val before = spark.read.parquet(p)
+      .select("day", "event_type", "cnt", "sv8").collect().toSet
+    // plant a sentinel in a COLD partition (underscore-prefixed = invisible
+    // to the reader) — a refresh that rewrote history would sweep it away
+    val sentinel = java.nio.file.Paths.get(p, "day=2024-01-05", "_sentinel")
+    java.nio.file.Files.write(sentinel, Array[Byte](42))
+    Ingest.refreshCaggDays(spark, p,
+      Ingest.readEventsByDay(spark, Ingest.eventsByDay(spark, sf0001)), "2024-01-26")
+    assert(java.nio.file.Files.exists(sentinel),
+      "refresh must not rewrite partitions before the cutoff")
+    val after = spark.read.parquet(p)
+      .select("day", "event_type", "cnt", "sv8").collect().toSet
+    assert(after == before, "re-running the refresh must be a no-op on content")
+    java.nio.file.Files.delete(sentinel)
+  }
+
   test("schema evolution: mergeSchema surfaces v1 rows with NULL in the added column, v2 fully typed") {
     val path = Ingest.eventsSchemaEvolved(spark, sf0001)
     val df = spark.read.option("mergeSchema", "true").parquet(path)
