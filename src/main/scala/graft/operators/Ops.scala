@@ -312,9 +312,51 @@ object Ops {
       .orderBy("cday")
   }
 
+  /** Top-K churn between two report windows — "who entered/left the
+    * top-10 between week 1 and week 4", the leaderboard-drift report.
+    * Each window is one filtered aggregate + a rank head (rank on the
+    * PRE-ROUNDED value sum with id tie-break, engine-identical); the two
+    * ≤K-row heads full-outer-join on the user key, so the comparison
+    * stage is O(K) no matter the event volume. */
+  val qTsTopkChurn: Q = (s, d) => {
+    def top(lo: String, hi: String) = {
+      val w = Window.orderBy(col("sv").desc, col("user_id"))
+      Tables.events(s, d)
+        .filter(col("ts") >= lit(lo).cast("timestamp_ntz") &&
+          col("ts") < lit(hi).cast("timestamp_ntz"))
+        .groupBy("user_id").agg(Num.roundd(sum("value"), 6).as("sv"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+    }
+    val a = top("2024-01-01", "2024-01-08")
+      .select(col("user_id"), col("sv").as("sv1"), col("rnk").as("rnk1"))
+    val b = top("2024-01-22", "2024-01-29")
+      .select(col("user_id").as("u2"), col("sv").as("sv4"), col("rnk").as("rnk4"))
+    a.join(b, col("user_id") === col("u2"), "full")
+      .select(coalesce(col("user_id"), col("u2")).as("user_id"),
+        when(col("rnk1").isNotNull && col("rnk4").isNotNull, "stayed")
+          .when(col("rnk1").isNotNull, "exited").otherwise("entered").as("status"),
+        col("rnk1"), col("sv1"), col("rnk4"), col("sv4"))
+      .orderBy("user_id")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ts_topk_churn", qTsTopkChurn, Some(
+      "WITH w1 AS (SELECT user_id, round(sum(value), 6) sv FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08' GROUP BY 1), " +
+        "t1 AS (SELECT user_id, sv sv1, CAST(row_number() OVER (ORDER BY sv DESC, user_id) AS BIGINT) rnk1 " +
+        "FROM w1 QUALIFY rnk1 <= 10), " +
+        "w4 AS (SELECT user_id, round(sum(value), 6) sv FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29' GROUP BY 1), " +
+        "t4 AS (SELECT user_id, sv sv4, CAST(row_number() OVER (ORDER BY sv DESC, user_id) AS BIGINT) rnk4 " +
+        "FROM w4 QUALIFY rnk4 <= 10) " +
+        "SELECT coalesce(t1.user_id, t4.user_id) user_id, " +
+        "CASE WHEN rnk1 IS NOT NULL AND rnk4 IS NOT NULL THEN 'stayed' " +
+        "WHEN rnk1 IS NOT NULL THEN 'exited' ELSE 'entered' END status, " +
+        "rnk1, sv1, rnk4, sv4 " +
+        "FROM t1 FULL JOIN t4 ON t4.user_id = t1.user_id ORDER BY 1")),
     ("q_ts_mttr", qTsMttr, Some(
       "WITH h AS (SELECT event_type, CAST(datediff('hour', TIMESTAMP '2024-01-01', date_trunc('hour', ts)) AS BIGINT) hi, " +
         "CAST(count(*) AS BIGINT) n FROM events GROUP BY 1, 2), " +

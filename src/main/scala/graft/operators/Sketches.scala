@@ -192,7 +192,56 @@ object Sketches {
         col("n_day_sketches"))
   }
 
+  /** Count-Min sketch point queries, ORACLE-BACKED: the 4×256 counter
+    * matrix is md5-derived (the repo's engine-portable hash device), so
+    * the sketch state — and therefore every ESTIMATE, not just an error
+    * bound — is bit-reproducible in DuckDB SQL. The relational
+    * formulation IS the distributed CM build: counters are one
+    * map-side-combining aggregate of (row, bucket) cells (the 4× row
+    * explode is a literal array), merging sketches = adding counter
+    * matrices, which the shuffle already does. est(u) = min over rows of
+    * the u-bucket counter; CM guarantees est ≥ exact (overestimate only,
+    * from collisions), asserted per probe in the output itself. Probes =
+    * the 20 smallest user ids; exact counts ride the same scan. */
+  val qSketchCmPoint: Q = (s, d) => {
+    def hj(j: Int) = s"pmod(${Dedup.h60(s"'cm$j'", "cast(user_id as string)")}, 256)"
+    val cells = Tables.events(s, d)
+      .select(col("user_id"), explode(expr("array(0, 1, 2, 3)")).as("j"))
+      .withColumn("bucket", expr(
+        s"CASE WHEN j = 0 THEN ${hj(0)} WHEN j = 1 THEN ${hj(1)} WHEN j = 2 THEN ${hj(2)} ELSE ${hj(3)} END"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+    val probes = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("exact"))
+      .orderBy("user_id").limit(20)
+    val pj = probes.select(col("user_id"), col("exact"),
+        explode(expr("array(0, 1, 2, 3)")).as("j"))
+      .withColumn("bucket", expr(
+        s"CASE WHEN j = 0 THEN ${hj(0)} WHEN j = 1 THEN ${hj(1)} WHEN j = 2 THEN ${hj(2)} ELSE ${hj(3)} END"))
+    pj.join(cells, Seq("j", "bucket"))
+      .groupBy("user_id", "exact")
+      .agg(min("c").as("est"))
+      .withColumn("overest", col("est") - col("exact"))
+      .select("user_id", "exact", "est", "overest")
+      .orderBy("user_id")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_sketch_cm_point", qSketchCmPoint, Some({
+      def hj(j: Int) =
+        s"CAST('0x' || substr(md5('cm$j' || ':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256"
+      "WITH cj AS (SELECT user_id, unnest([0, 1, 2, 3]) j FROM events), " +
+        s"cb AS (SELECT j, CASE WHEN j = 0 THEN ${hj(0)} WHEN j = 1 THEN ${hj(1)} " +
+        s"WHEN j = 2 THEN ${hj(2)} ELSE ${hj(3)} END bucket FROM cj), " +
+        "cells AS (SELECT j, bucket, CAST(count(*) AS BIGINT) c FROM cb GROUP BY 1, 2), " +
+        "probes AS (SELECT user_id, CAST(count(*) AS BIGINT) exact FROM events GROUP BY 1 ORDER BY user_id LIMIT 20), " +
+        "pj AS (SELECT user_id, exact, unnest([0, 1, 2, 3]) j FROM probes), " +
+        s"pb AS (SELECT user_id, exact, j, CASE WHEN j = 0 THEN ${hj(0)} WHEN j = 1 THEN ${hj(1)} " +
+        s"WHEN j = 2 THEN ${hj(2)} ELSE ${hj(3)} END bucket FROM pj) " +
+        "SELECT pb.user_id, pb.exact, CAST(min(cells.c) AS BIGINT) est, " +
+        "CAST(min(cells.c) - pb.exact AS BIGINT) overest " +
+        "FROM pb JOIN cells ON cells.j = pb.j AND cells.bucket = pb.bucket " +
+        "GROUP BY 1, 2 ORDER BY 1"
+    })),
     ("q_sketch_distinct", qSketchDistinct, None), // approximate by design; error bounded in SketchSpec
     ("q_sketch_quantile", qSketchQuantile, None), // approximate by design; t-digest rank error bounded in SketchSpec
     ("q_sketch_hll_merge", qSketchHllMerge, None), // approximate by design; merge-losslessness asserted in SketchSpec

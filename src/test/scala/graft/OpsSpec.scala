@@ -273,6 +273,23 @@ class OpsSpec extends SparkSuite {
     assert(z1.isEmpty, s"degenerate z must be NULL, got $z1")
   }
 
+  // ---- top-k churn --------------------------------------------------------
+
+  test("topk churn: entered/exited/stayed partition the union of both heads") {
+    // week1 (days 1-7): users 1,2,3 ranked 1..3; week4 (days 22-28):
+    // users 2,3,4 — user 1 exits, user 4 enters, 2 and 3 stay
+    val w4 = t0 + 21 * 86400L
+    val rows =
+      Seq((1L, 30.0), (2L, 20.0), (3L, 10.0)).zipWithIndex.map { case ((u, v), i) =>
+        (i.toLong, ns(t0 + i * 60), u, "purchase", v) } ++
+      Seq((2L, 30.0), (3L, 20.0), (4L, 10.0)).zipWithIndex.map { case ((u, v), i) =>
+        (100L + i, ns(w4 + i * 60), u, "purchase", v) }
+    writeEvents(rows)
+    val out = Ops.qTsTopkChurn(spark, dir)
+      .select("user_id", "status").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "exited"), (2L, "stayed"), (3L, "stayed"), (4L, "entered")), s"got $out")
+  }
+
   // ---- time to convert ----------------------------------------------------
 
   test("time_to_convert: first purchase AFTER the first view; pre-view purchases never count") {

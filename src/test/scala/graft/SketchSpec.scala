@@ -301,4 +301,26 @@ class SketchSpec extends SparkSuite {
     assert(math.abs(mergedEst - exact).toDouble / exact <= 0.05,
       s"merged=$mergedEst exact=$exact")
   }
+
+  test("count-min point queries never underestimate, and collisions do overestimate") {
+    // 600 users across a 4×256 sketch: by pigeonhole every row has
+    // colliding buckets, so at least one probe must carry overest > 0 —
+    // while the CM guarantee (est ≥ exact, always) holds for every probe
+    import spark.implicits._
+    val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-cm"
+    val rows = (0 until 600).flatMap { u =>
+      (0 to u % 3).map(i => (u * 10L + i, 1704067200000000000L + u * 1000000000L, u.toLong, "click", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Sketches.qSketchCmPoint(spark, dir)
+      .select("exact", "est", "overest").as[(Long, Long, Long)].collect().toSeq
+    assert(out.size == 20)
+    assert(out.forall { case (ex, est, ov) => est >= ex && ov == est - ex && ov >= 0 },
+      s"CM must never underestimate: $out")
+    // determinism: the sketch is md5-derived — a second build is identical
+    val again = Sketches.qSketchCmPoint(spark, dir)
+      .select("exact", "est", "overest").as[(Long, Long, Long)].collect().toSeq
+    assert(again == out, "CM state must be bit-reproducible")
+  }
 }
