@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Sre
+
+/** Edge semantics of the SRE tier via crafted events fixtures (raw ns
+  * LONG ts per §1.3). */
+class SreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-sre"
+
+  private def ns(sec: Long): Long = sec * 1000000000L
+  private val hour = 3600L
+  private val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  // ---- apdex --------------------------------------------------------------
+
+  test("apdex: boundary values 50 and 200 are satisfied and tolerating respectively") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 50.0, "{}"),   // exactly T ⇒ satisfied
+      (2L, ns(t0), 1L, "click", 50.01, "{}"),  // just over T ⇒ tolerating
+      (3L, ns(t0), 1L, "click", 200.0, "{}"),  // exactly 4T ⇒ tolerating
+      (4L, ns(t0), 1L, "click", 200.01, "{}"))) // over 4T ⇒ frustrated
+    val r = Sre.qTsApdex(spark, dir)
+      .select("n", "n_sat", "n_tol", "apdex")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // (1 + 2*0.5) / 4 = 0.5
+    assert(r == Seq((4L, 1L, 2L, 0.5)))
+  }
+
+  // ---- bollinger ----------------------------------------------------------
+
+  test("bollinger: constant rate has zero-width bands and no breach; a spike breaches +1") {
+    // one event every hour for 30 hours, plus 10 extra in hour 28
+    val steady = (0 until 30).map(h => (h.toLong, ns(t0 + h * hour), 1L, "click", 1.0, "{}"))
+    val burst = (0 until 10).map(i => (100L + i, ns(t0 + 28 * hour + 60), 1L, "click", 1.0, "{}"))
+    writeEvents(steady ++ burst)
+    val rows = Sre.qTsBollinger(spark, dir)
+      .filter($"x" > 0)
+      .select("h", "x", "ma", "sd", "breach")
+      .as[(java.sql.Timestamp, Long, Double, Double, Long)].collect()
+      .map(r => (r._1.toInstant.getEpochSecond, r._2, r._3, r._4, r._5)).toSeq
+    val calm = rows.filter(_._1 == t0 + 27 * hour)
+    // hours 23..27 all-ones frame: ma=1, sd=0, x=1 ⇒ no breach
+    assert(calm == Seq((t0 + 27 * hour, 1L, 1.0, 0.0, 0L)), s"calm hour wrong: $calm")
+    val spike = rows.filter(_._1 == t0 + 28 * hour).head
+    assert(spike._2 == 11L && spike._5 == 1L, s"burst hour must breach above: $spike")
+  }
+
+  // ---- spike ratio --------------------------------------------------------
+
+  test("spike ratio: flag fires exactly at 2x the 7-day same-hour baseline") {
+    // hour 12 of each day: 3 events on days 0..6 (baseline 3), then 6 on
+    // day 7 (ratio exactly 2.0 ⇒ spike) and 5 on day 8 (ratio < 2)
+    val base = for (day <- 0 until 7; i <- 0 until 3)
+      yield (day * 10L + i, ns(t0 + day * 86400 + 12 * hour), 1L, "click", 1.0, "{}")
+    val d7 = (0 until 6).map(i => (700L + i, ns(t0 + 7 * 86400 + 12 * hour), 1L, "click", 1.0, "{}"))
+    val d8 = (0 until 5).map(i => (800L + i, ns(t0 + 8 * 86400 + 12 * hour), 1L, "click", 1.0, "{}"))
+    writeEvents(base ++ d7 ++ d8)
+    val r = Sre.qTsSpikeRatio(spark, dir)
+      .filter($"hod" === 12 && $"x" > 0)
+      .select("dday", "x", "ratio", "spike")
+      .as[(java.sql.Date, Long, Double, Long)].collect()
+      .map(t => (t._1.toString, t._2, t._3, t._4)).toSeq.sortBy(_._1)
+    // day 9's baseline window (Jan 2..8) contains the day-8 spike:
+    // s = 6*3 + 6 = 24 ⇒ ratio = 5*7/24 = 1.4583
+    assert(r == Seq(
+      ("2024-01-08", 6L, 2.0, 1L),
+      ("2024-01-09", 5L, 1.4583, 0L)), s"got $r")
+  }
+
+  // ---- winsorize ----------------------------------------------------------
+
+  test("winsorize: clamp moves the mean toward the median and tallies clips") {
+    // 18 values of 10.0 plus outliers 0.01 and 1000.0 (n=20 ⇒ p05/p95
+    // interpolate inside the flat middle)
+    val mids = (0 until 18).map(i => (i.toLong, ns(t0 + i), 1L, "click", 10.0, "{}"))
+    writeEvents(mids ++ Seq(
+      (100L, ns(t0 + 100), 1L, "click", 0.01, "{}"),
+      (101L, ns(t0 + 101), 1L, "click", 1000.0, "{}")))
+    val r = Sre.qTsWinsorize(spark, dir)
+      .select("n", "n_lo", "n_hi", "mean_raw", "mean_wins")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(r._1 == 20L && r._2 == 1L && r._3 == 1L)
+    // p05 = 0.01 + 0.95*(10-0.01) = 9.5005, p95 = 10 + 0.05*990 = 59.5
+    // ⇒ mean_wins = (18*10 + 9.5005 + 59.5)/20 = 12.450025 ≪ raw 59.0005
+    assert(r._5 < r._4, s"winsorized mean must drop below raw with a high outlier: $r")
+    assert(r._4 == 59.0005 && r._5 == 12.450025, s"got $r")
+  }
+
+  // ---- benford ------------------------------------------------------------
+
+  test("benford: first significant digit comes from cents (0.03 -> 3, 12.31 -> 1)") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 0.03, "{}"),   // cents 3 ⇒ digit 3
+      (2L, ns(t0), 1L, "click", 12.31, "{}"),  // cents 1231 ⇒ digit 1
+      (3L, ns(t0), 1L, "click", 0.97, "{}"),   // cents 97 ⇒ digit 9
+      (4L, ns(t0), 1L, "click", 100.00, "{}"))) // cents 10000 ⇒ digit 1
+    val r = Sre.qTsBenford(spark, dir)
+      .select("digit", "n").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 2L, 3L -> 1L, 9L -> 1L), s"got $r")
+  }
+}
