@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality metrics tier: tokenizer fertility, unigram entropy,
+  * type-token ratio, and per-dimension embedding health — the diagnostic
+  * panel a training-data pipeline watches BETWEEN crawls to catch
+  * tokenizer drift, template floods, vocabulary collapse, and dead or
+  * exploding embedding dimensions before they reach the trainer.
+  *
+  * Determinism (SURVEY §2.0): token counts are exact integers from the
+  * shared whitespace split; every `ln` is pre-rounded to 6 dp on exact
+  * integer inputs in BOTH engines (the q_text_zipf discipline), and float
+  * sums follow the q_sim_centroid contract — round the raw sum at 10 dp,
+  * divide, re-round — so partial-aggregation order cannot reach the hash
+  * gate.
+  *
+  * Scale: every member is scan → (optionally explode) → ONE map-side
+  * combining hash aggregate on a bounded key (lang, source, or the 64
+  * embedding dims); nothing here shuffles more than the aggregate's
+  * partial states, so the panel costs one pass at any corpus size.
+  */
+object Quality {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace token count; NULL text pinned to '' (1 token both engines). */
+  private val tokCount =
+    size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+
+  // ---- tokenizer fertility ------------------------------------------------
+
+  /** Tokenizer-fertility report per language: characters per whitespace
+    * token and tokens per document — the ratio that tells you how many
+    * real (BPE) tokens a corpus will cost per language and flags
+    * languages the tokenizer fragments badly (fertility spikes are how
+    * under-resourced languages get silently over-charged in the token
+    * budget). Exact integer sums; two final divides. */
+  val qTextFertility: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), tokCount.as("tok"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"), sum("chars").as("chars"))
+      .withColumn("chars_per_tok",
+        Num.roundd(col("chars").cast("double") / col("tokens").cast("double"), 4))
+      .withColumn("toks_per_doc",
+        Num.roundd(col("tokens").cast("double") / col("n_docs").cast("double"), 4))
+      .orderBy("lang")
+
+  // ---- unigram entropy ----------------------------------------------------
+
+  /** Unigram Shannon entropy per language, H = ln N − (Σ c·ln c)/N over
+    * the exact token counts, with the ln(vocab)-normalized form beside it
+    * — the vocabulary-collapse detector (aggressive filtering or
+    * boilerplate floods push H toward 0; healthy text sits near the
+    * Zipf-implied value). Every ln is pre-rounded at 6 dp on exact
+    * integers, the weighted sum runs over ≤vocab rows per language, and
+    * the result re-rounds at 4 — the q_text_zipf discipline. */
+  val qTextEntropy: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("c").cast("double") * Num.roundd(log(col("c").cast("double")), 6)).as("slnc"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        Num.roundd(Num.roundd(log(col("n_tokens").cast("double")), 6) -
+          col("slnc") / col("n_tokens").cast("double"), 4).as("entropy"),
+        when(col("vocab") > 1,
+          Num.roundd((Num.roundd(log(col("n_tokens").cast("double")), 6) -
+            col("slnc") / col("n_tokens").cast("double")) /
+            Num.roundd(log(col("vocab").cast("double")), 6), 4)).as("norm_entropy"))
+      .orderBy("lang")
+
+  // ---- type-token ratio ---------------------------------------------------
+
+  /** Lexical-diversity report per source: each document's type-token
+    * ratio (distinct words / words, the classic diversity score), rolled
+    * up to the per-source mean and extremes — low-TTR sources are
+    * template mills and deserve a dedup pass before they dilute the mix.
+    * Per-doc TTR is an exact rational rounded at 4; the source mean adds
+    * ≤docs-per-source pre-rounded doubles and re-rounds (the
+    * pre-rounded-sum contract). */
+  val qTextTtr: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), tokCount.as("tok"),
+        size(array_distinct(split(coalesce(col("text"), lit("")), " "))).cast("long").as("utok"))
+      .withColumn("ttr", Num.roundd(col("utok").cast("double") / col("tok").cast("double"), 4))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        Num.roundd(sum("ttr") / count(lit(1)).cast("double"), 4).as("avg_ttr"),
+        min("ttr").as("min_ttr"), max("ttr").as("max_ttr"))
+      .orderBy("source")
+
+  // ---- embedding dimension health -----------------------------------------
+
+  /** Per-dimension embedding health: mean, variance, min/max and the
+    * dead-dimension flag over all 64 coordinates — the anisotropy /
+    * collapsed-dimension report run after every encoder change (a
+    * near-zero-variance dimension wastes index space; a huge-mean one
+    * breaks cosine geometry). posexplode fans each vector into 64 rows,
+    * then ONE hash agg on the dim key; float sums follow the
+    * q_sim_centroid round-at-10-then-divide contract. The `dead` compare
+    * uses the pre-rounded variance, so the flag is order-insensitive. */
+  val qEmbDimStats: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        Num.roundd(Num.roundd(sum("v"), 10) / count(lit(1)).cast("double"), 6).as("mean"),
+        Num.roundd(Num.roundd(sum(col("v") * col("v")), 10) / count(lit(1)).cast("double"), 6).as("msq"),
+        min("v").as("mn"), max("v").as("mx"))
+      .withColumn("variance", Num.roundd(col("msq") - col("mean") * col("mean"), 6))
+      .withColumn("dead", (col("variance") < 0.0001).cast("long"))
+      .select("dim", "n", "mean", "variance", "mn", "mx", "dead")
+      .orderBy("dim")
+
+  // ---- catalog ------------------------------------------------------------
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_text_fertility", qTextFertility, Some(
+      "WITH t AS (SELECT lang, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) tok, " +
+        "CAST(length(coalesce(text, '')) AS BIGINT) chars FROM documents), " +
+        "a AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs, CAST(sum(tok) AS BIGINT) tokens, " +
+        "CAST(sum(chars) AS BIGINT) chars FROM t GROUP BY 1) " +
+        "SELECT lang, n_docs, tokens, chars, " +
+        "round(CAST(chars AS DOUBLE) / CAST(tokens AS DOUBLE), 4) chars_per_tok, " +
+        "round(CAST(tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) toks_per_doc " +
+        "FROM a ORDER BY lang")),
+    ("q_text_entropy", qTextEntropy, Some(
+      "WITH w AS (SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) w FROM documents), " +
+        "c AS (SELECT lang, w, CAST(count(*) AS BIGINT) c FROM w WHERE w != '' GROUP BY 1, 2), " +
+        "a AS (SELECT lang, CAST(sum(c) AS BIGINT) n_tokens, CAST(count(*) AS BIGINT) vocab, " +
+        "sum(CAST(c AS DOUBLE) * round(ln(CAST(c AS DOUBLE)), 6)) slnc FROM c GROUP BY 1) " +
+        "SELECT lang, n_tokens, vocab, " +
+        "round(round(ln(CAST(n_tokens AS DOUBLE)), 6) - slnc / CAST(n_tokens AS DOUBLE), 4) entropy, " +
+        "CASE WHEN vocab > 1 THEN round((round(ln(CAST(n_tokens AS DOUBLE)), 6) - slnc / CAST(n_tokens AS DOUBLE)) / " +
+        "round(ln(CAST(vocab AS DOUBLE)), 6), 4) END norm_entropy " +
+        "FROM a ORDER BY lang")),
+    ("q_text_ttr", qTextTtr, Some(
+      "WITH t AS (SELECT source, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) tok, " +
+        "CAST(len(list_distinct(string_split(coalesce(text, ''), ' '))) AS BIGINT) utok FROM documents), " +
+        "r AS (SELECT source, round(CAST(utok AS DOUBLE) / CAST(tok AS DOUBLE), 4) ttr FROM t) " +
+        "SELECT source, CAST(count(*) AS BIGINT) n_docs, " +
+        "round(sum(ttr) / count(*), 4) avg_ttr, min(ttr) min_ttr, max(ttr) max_ttr " +
+        "FROM r GROUP BY 1 ORDER BY 1")),
+    ("q_emb_dim_stats", qEmbDimStats, Some(
+      "WITH x AS (SELECT CAST(p.pos AS BIGINT) dim, CAST(embedding[p.pos + 1] AS DOUBLE) v " +
+        "FROM embeddings, (SELECT unnest(range(64)) pos) p), " +
+        "a AS (SELECT dim, CAST(count(*) AS BIGINT) n, " +
+        "round(round(sum(v), 10) / count(*), 6) mean, " +
+        "round(round(sum(v * v), 10) / count(*), 6) msq, " +
+        "min(v) mn, max(v) mx FROM x GROUP BY 1), " +
+        "b AS (SELECT dim, n, mean, round(msq - mean * mean, 6) variance, mn, mx FROM a) " +
+        "SELECT dim, n, mean, variance, mn, mx, " +
+        "CAST(CASE WHEN variance < 0.0001 THEN 1 ELSE 0 END AS BIGINT) dead " +
+        "FROM b ORDER BY dim")),
+  )
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Quality
+
+/** Edge semantics of the corpus-quality tier via crafted documents /
+  * embeddings fixtures in the sfDir shape. */
+class QualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-quality"
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): Unit =
+    rows.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private def writeEmb(rows: Seq[(Long, Array[Float], Int)]): Unit =
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+  // ---- fertility ----------------------------------------------------------
+
+  test("fertility: chars/token counts the separator chars ('ab cd' = 5 chars, 2 tokens)") {
+    writeDocs(Seq(
+      (1L, "ab cd", "en", "a"),     // 5 chars, 2 tokens
+      (2L, "abcdefgh", "fr", "a"))) // 8 chars, 1 token
+    val m = Quality.qTextFertility(spark, dir)
+      .select("lang", "tokens", "chars", "chars_per_tok")
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(m("en") == ((2L, 5L, 2.5)))
+    assert(m("fr") == ((1L, 8L, 8.0)))
+  }
+
+  // ---- entropy ------------------------------------------------------------
+
+  test("entropy: uniform two-word text gives H = ln 2 and norm 1; one word gives 0") {
+    writeDocs(Seq(
+      (1L, "x y x y", "en", "a"),  // 2+2 uniform ⇒ H = ln 2 ≈ 0.6931, norm 1.0
+      (2L, "z z z z", "fr", "a"))) // single type ⇒ H = 0, norm NULL
+    val m = Quality.qTextEntropy(spark, dir)
+      .select("lang", "n_tokens", "vocab", "entropy")
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(m("en") == ((4L, 2L, 0.6931)))
+    assert(m("fr") == ((4L, 1L, 0.0)))
+    val norm = Quality.qTextEntropy(spark, dir)
+      .select("lang", "norm_entropy").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(norm("en").contains(1.0))
+    assert(norm("fr").isEmpty, "single-type vocabulary must leave norm undefined, not divide by zero")
+  }
+
+  // ---- type-token ratio ---------------------------------------------------
+
+  test("ttr: 'a a a b' scores 0.5; the source mean averages pre-rounded per-doc ratios") {
+    writeDocs(Seq(
+      (1L, "a a a b", "en", "s1"),     // 2 types / 4 tokens = 0.5
+      (2L, "p q r", "en", "s1"),       // 3/3 = 1.0
+      (3L, "m m m m m m", "en", "s2"))) // 1/6 = 0.1667 (rounded)
+    val m = Quality.qTextTtr(spark, dir)
+      .select("source", "n_docs", "avg_ttr", "min_ttr", "max_ttr")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    assert(m("s1") == ((2L, 0.75, 0.5, 1.0)))
+    assert(m("s2") == ((1L, 0.1667, 0.1667, 0.1667)))
+  }
+
+  // ---- embedding dimension stats ------------------------------------------
+
+  test("emb dim stats: a constant dimension is dead (var 0), a varying one is not") {
+    // dim 0 constant 0.5 ⇒ variance 0 ⇒ dead; dim 1 alternates ±1 ⇒ var 1
+    writeEmb(Seq(
+      (1L, Array(0.5f, 1.0f), 0),
+      (2L, Array(0.5f, -1.0f), 0),
+      (3L, Array(0.5f, 1.0f), 1),
+      (4L, Array(0.5f, -1.0f), 1)))
+    val m = Quality.qEmbDimStats(spark, dir)
+      .select("dim", "n", "mean", "variance", "dead")
+      .as[(Long, Long, Double, Double, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    assert(m(0L) == ((4L, 0.5, 0.0, 1L)))
+    assert(m(1L) == ((4L, 0.0, 1.0, 0L)))
+  }
+}
