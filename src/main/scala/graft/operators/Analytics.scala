@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Analytics extensions beyond the SURVEY §2.1 core: pivot/unpivot
   * reshaping, decorrelated scalar subqueries, moment-based statistical
@@ -202,9 +203,97 @@ object Analytics {
       .orderBy("event_type", "rn")
   }
 
+  // ---- statistical mode ----------------------------------------------------
+
+  /** Statistical mode with a DETERMINISTIC tie-break: each user's most
+    * frequent event_type (highest count, then lexicographically first).
+    * Neither engine's built-in `mode()` pins tie order, so both sides use
+    * the same explicit count → rank formulation — the only portable mode.
+    *
+    * One hash aggregate compresses the scan to ≤ users × types rows; the
+    * rank window runs inside the user shuffle over ≤ types rows per key.
+    * At 100 TB the pair table is still bounded by cardinality, not scan
+    * size. */
+  val qAggMode: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(desc("n"), asc("event_type"))
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+      .orderBy("user_id")
+  }
+
+  // ---- ordered string aggregation ------------------------------------------
+
+  /** Ordered string aggregation (LISTAGG): the nations of each region as
+    * one comma-joined string in name order — the reshaping step that
+    * feeds labels, denormalized exports, and human-readable rollups. The
+    * ORDER BY inside the aggregate is the whole point: an unordered
+    * listagg is nondeterministic under parallel merge on BOTH engines.
+    *
+    * collect_list + array_sort keeps the merge order-insensitive (sort
+    * happens after collection); group state is the group's strings, so
+    * this is for bounded groups — an unbounded listagg at 100 TB is a
+    * design smell, not a missing feature. */
+  val qStringAgg: Q = (s, d) =>
+    Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_name")
+
+  // ---- discrete percentiles ------------------------------------------------
+
+  /** Discrete (nearest-rank) percentiles of order value per priority:
+    * p25/p50/p75 as ACTUAL data values — the form a latency SLO quotes
+    * ("the p99 request", not an interpolated ghost value). Both engines
+    * use the same explicit definition — the value at row ⌈p·n⌉ of the
+    * (value, key) sort — because their built-in discrete quantiles
+    * disagree on boundary rounding. p ∈ {.25,.5,.75} are dyadic, so p·n
+    * is exact in doubles and ⌈⌉ is portable.
+    *
+    * The rank is a window inside the priority shuffle (5 groups here);
+    * at scale the same report uses the t-digest tier when per-group sort
+    * state outgrows an executor. */
+  val qPercentileDisc: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    val c = Window.partitionBy("o_orderpriority")
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(c))
+      .groupBy("o_orderpriority")
+      .agg(max("n").as("n"),
+        max(when(col("rn") === ceil(col("n") * 0.25), col("o_totalprice"))).as("p25"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.75), col("o_totalprice"))).as("p75"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val all: Seq[(String, Q, String)] = Seq(
+    ("q_agg_mode", qAggMode,
+      "WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT user_id, event_type, n, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY n DESC, event_type ASC) rk FROM c) " +
+        "SELECT user_id, event_type mode_type, n FROM r WHERE rk = 1 ORDER BY user_id"),
+    ("q_string_agg", qStringAgg,
+      "SELECT r_name, CAST(count(*) AS BIGINT) n_nations, " +
+        "string_agg(n_name, ',' ORDER BY n_name) nations " +
+        "FROM nation JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"),
+    ("q_percentile_disc", qPercentileDisc,
+      "WITH t AS (SELECT o_orderpriority, o_totalprice, " +
+        "CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) rn, " +
+        "CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) n FROM orders) " +
+        "SELECT o_orderpriority, max(n) n, " +
+        "max(CASE WHEN rn = ceil(n * 0.25) THEN o_totalprice END) p25, " +
+        "max(CASE WHEN rn = ceil(n * 0.5) THEN o_totalprice END) p50, " +
+        "max(CASE WHEN rn = ceil(n * 0.75) THEN o_totalprice END) p75 " +
+        "FROM t GROUP BY 1 ORDER BY 1"),
     ("q_pivot", qPivot,
       "SELECT CAST(ts AS DATE) AS \"day\", " +
         EventTypes.map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ") +
