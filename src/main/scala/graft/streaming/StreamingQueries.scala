@@ -87,6 +87,23 @@ object StreamingQueries {
           col("pt") > col("ct") &&
           col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
 
+  /** Left-outer variant of the interval join, carrying the click id so
+    * unmatched clicks are first-class rows: a click with NO purchase in
+    * its 30-minute window emits with a null purchase side — but only
+    * once the watermark proves no purchase can still arrive (event time
+    * past ct + 30 min + the purchase-side delay). That lateness bound is
+    * what makes outer results CORRECT on an unbounded stream, not just
+    * eventually complete; state eviction follows the same bound. */
+  private def clickPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("ct"))
+      .join(
+        purchases.select(col("user_id").as("pu"), col("ts").as("pt")),
+        col("pu") === col("cu") &&
+          col("pt") > col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+
   private def burnCounters(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour"))
@@ -149,6 +166,24 @@ object StreamingQueries {
         count(lit(1)).as("n_pairs"),
         min(expr("unix_micros(cast(pt as timestamp)) - unix_micros(cast(ct as timestamp))")).as("min_lag_us"))
       .orderBy("user_id")
+  }
+
+  /** Batch twin of the stream-stream LEFT OUTER interval join: every
+    * click with its purchase count and fastest conversion lag inside the
+    * 30-minute window — nulls where no purchase came. The per-click
+    * rollup keeps the output keyed by click id, so the row set is
+    * |clicks| at any scale and the unmatched clicks (the rows an INNER
+    * join silently drops — usually the interesting ones) are visible to
+    * the hash gate. */
+  val qStreamOuterJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    clickPurchaseOuter(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+      .groupBy(col("cid"), col("cu"), col("ct"))
+      .agg(count(col("pt")).as("n_purch"),
+        min(expr("unix_micros(cast(pt as timestamp)) - unix_micros(cast(ct as timestamp))")).as("min_lag_us"))
+      .orderBy("cid")
   }
 
   // ---- streaming faces ----------------------------------------------------
@@ -294,6 +329,18 @@ object StreamingQueries {
       src.filter(col("event_type") === "purchase").withWatermark("ts", "40 minutes"))
   }
 
+  /** Streaming face of the left-outer interval join. Spark holds an
+    * unmatched click in state until the watermark passes ct + 30 min +
+    * the purchase-side lateness bound, then emits it with a null
+    * purchase side — so a null row is a PROOF of absence under the
+    * declared lateness, not a timing accident. */
+  def outerJoinStream(s: SparkSession, dir: String): DataFrame = {
+    val src = eventsStream(s, dir)
+    clickPurchaseOuter(
+      src.filter(col("event_type") === "click").withWatermark("ts", "10 minutes"),
+      src.filter(col("event_type") === "purchase").withWatermark("ts", "40 minutes"))
+  }
+
   /** Batch face of the STREAM-STREAM AS-OF enrichment (StreamAsof): the
     * sensor probes are all non-signup events, the slowly-changing
     * reference is each user's signup stream, and every probe takes the
@@ -330,6 +377,12 @@ object StreamingQueries {
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
         "GROUP BY c.user_id ORDER BY c.user_id")),
+    ("q_stream_outer_join", qStreamOuterJoin, Some(
+      "SELECT c.event_id cid, c.user_id cu, c.ts ct, CAST(count(p.ts) AS BIGINT) n_purch, " +
+        "min(epoch_us(p.ts) - epoch_us(c.ts)) min_lag_us " +
+        "FROM events c LEFT JOIN events p ON p.event_type = 'purchase' AND p.user_id = c.user_id " +
+        "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
+        "WHERE c.event_type = 'click' GROUP BY 1, 2, 3 ORDER BY cid")),
     ("q_stream_static_join", qStreamStaticJoin, Some(
       "SELECT c_mktsegment, count(*) cnt FROM events JOIN customer ON user_id=c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment")),
     ("q_stream_burn_counters", qStreamBurnCounters, Some(

@@ -128,6 +128,31 @@ class StreamParitySpec extends SparkSuite {
     assert(got.count() > 0, "stream closed no join pairs at all")
   }
 
+  test("stream-stream LEFT OUTER interval join: matches ⊆ batch, null rows only for truly unmatched clicks") {
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.outerJoinStream(spark, replayDir), "t_oj")
+      .select(col("cid"), col("ct").cast("timestamp_ntz").as("ct"),
+        col("pt").cast("timestamp_ntz").as("pt"))
+    val e = graft.Tables.events(spark, sf0001)
+    val batchPairs = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("ct"))
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("pt")),
+        col("pu") === col("cu") && col("pt") > col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
+      .select("cid", "ct", "pt")
+    val matched = got.filter(col("pt").isNotNull)
+    assert(matched.except(batchPairs).count() == 0,
+      "stream emitted a joined pair the batch twin disagrees with")
+    assert(matched.count() > 0, "stream closed no matched pairs at all")
+    // a null-side emission is a PROOF of absence: its cid must have no
+    // batch match at all
+    val nullCids = got.filter(col("pt").isNull).select("cid")
+    assert(nullCids.join(batchPairs, "cid").count() == 0,
+      "stream emitted a null row for a click that HAS a purchase in-window")
+    assert(nullCids.count() > 0, "watermark never proved any click unmatched")
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with gaps-and-islands on emitted sessions") {
     import graft.streaming.StatefulSessions
     import spark.implicits._
