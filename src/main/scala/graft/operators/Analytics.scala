@@ -272,9 +272,129 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  // ---- ABC / Pareto classification -----------------------------------------
+
+  /** ABC (Pareto) customer classification: customers sorted by revenue
+    * descending, class A while the running revenue share stays ≤ 80%,
+    * B ≤ 95%, C after — the 80/20 concentration report behind inventory
+    * and account tiering. o_totalprice is exact 2-decimal, so EVERYTHING
+    * until the final display divide runs in integer cents: per-customer
+    * revenue, the running sum, the grand total, and the class-boundary
+    * tests (5·cum ≤ 4·tot and 20·cum ≤ 19·tot — the thresholds
+    * cross-multiplied into longs, the q_ts_slo_burn device) — so
+    * accumulation order can't move a customer across a class edge at any
+    * row count.
+    *
+    * The running sum is a single global-order window over the CUSTOMER
+    * rollup (already collapsed from the scan) — fine to |customers|
+    * ≈ millions; past that the classifier switches to a two-pass
+    * histogram cut (the q_docs_curriculum device) since only the two
+    * boundary revenues matter, not every rank. */
+  val qAbcPareto: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(expr("cast(round(o_totalprice * 100.0) as bigint)")).as("revc"))
+    val w = Window.orderBy(desc("revc"), asc("o_custkey"))
+    rev.withColumn("cum", sum("revc").over(w))
+      .crossJoin(broadcast(rev.agg(sum("revc").as("tot"))))
+      .withColumn("cls",
+        when(lit(5L) * col("cum") <= lit(4L) * col("tot"), "A")
+          .when(lit(20L) * col("cum") <= lit(19L) * col("tot"), "B").otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_cust"),
+        Num.roundd(sum("revc").cast("double") / 100.0, 4).as("revenue"),
+        Num.roundd(min("revc").cast("double") / 100.0, 4).as("min_rev"),
+        Num.roundd(max("revc").cast("double") / 100.0, 4).as("max_rev"))
+      .orderBy("cls")
+  }
+
+  // ---- association rules ---------------------------------------------------
+
+  /** Association rules over per-user behavior baskets: for every ordered
+    * event-type pair a→b, support, confidence and lift from exact user
+    * counts — the market-basket view of behavior (UNORDERED co-occurrence
+    * with a base-rate correction), complementing the transition matrix's
+    * ordered adjacency. lift > 1 ⇒ the pair co-occurs above chance.
+    *
+    * The basket collapse (distinct user×type presence) is the only scan
+    * -sized stage; pairs come from a self-join of that ≤ users×vocabulary
+    * presence table on user_id (per-key fanout ≤ vocabulary²), and every
+    * measure is integer counts until three final divides. */
+  val qAssocRules: Q = (s, d) => {
+    val pres = Tables.events(s, d).select("user_id", "event_type").distinct()
+    val nUsers = pres.agg(countDistinct("user_id").as("nu"))
+    val single = pres.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("n1"))
+    val pairs = pres.as("x").join(pres.as("y"), "user_id")
+      .filter(col("x.event_type") =!= col("y.event_type"))
+      .groupBy(col("x.event_type").as("ante"), col("y.event_type").as("cons"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(single).withColumnRenamed("n1", "n_a"), col("ante") === col("t")).drop("t")
+      .join(broadcast(single).withColumnRenamed("n1", "n_b"), col("cons") === col("t")).drop("t")
+      .crossJoin(broadcast(nUsers))
+      .select(col("ante"), col("cons"), col("n_a"), col("n_b"), col("n_ab"),
+        Num.roundd(col("n_ab").cast("double") / col("nu").cast("double"), 6).as("support"),
+        Num.roundd(col("n_ab").cast("double") / col("n_a").cast("double"), 6).as("confidence"),
+        Num.roundd(col("n_ab").cast("double") * col("nu").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+      .orderBy("ante", "cons")
+  }
+
+  // ---- Gini concentration --------------------------------------------------
+
+  /** Gini coefficient of per-user activity, per event type: how
+    * concentrated each metric's volume is across users (0 = everyone
+    * equal, →1 = one user is the traffic) — the skew early-warning that
+    * tells you a "growth" metric is actually three whales, and the same
+    * statistic that decides whether a key needs salting. Exact-integer
+    * rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) on the ascending
+    * (count, user) order — longs until the single final divide. The rank
+    * window runs inside the type shuffle over the USER rollup, never raw
+    * events. */
+  val qTsGini: Q = (s, d) => {
+    val ux = Tables.events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ux.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum(col("i") * col("x")).as("six"))
+      .select(col("event_type"), col("n"), col("sx").as("total"),
+        Num.roundd((lit(2L) * col("six") - (col("n") + 1L) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double"), 6).as("gini"))
+      .orderBy("event_type")
+  }
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val all: Seq[(String, Q, String)] = Seq(
+    ("q_abc_pareto", qAbcPareto,
+      "WITH rev AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) revc FROM orders GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(revc) AS BIGINT) tot FROM rev), " +
+        "c AS (SELECT revc, CAST(sum(revc) OVER (ORDER BY revc DESC, o_custkey) AS BIGINT) cum FROM rev), " +
+        "k AS (SELECT revc, CASE WHEN 5 * cum <= 4 * tot THEN 'A' WHEN 20 * cum <= 19 * tot THEN 'B' ELSE 'C' END cls " +
+        "FROM c, t) " +
+        "SELECT cls, CAST(count(*) AS BIGINT) n_cust, round(CAST(sum(revc) AS DOUBLE) / 100.0, 4) revenue, " +
+        "round(CAST(min(revc) AS DOUBLE) / 100.0, 4) min_rev, round(CAST(max(revc) AS DOUBLE) / 100.0, 4) max_rev " +
+        "FROM k GROUP BY 1 ORDER BY 1"),
+    ("q_assoc_rules", qAssocRules,
+      "WITH pres AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) n FROM pres), " +
+        "s1 AS (SELECT event_type t, CAST(count(*) AS BIGINT) n1 FROM pres GROUP BY 1), " +
+        "pr AS (SELECT x.event_type ante, y.event_type cons, CAST(count(*) AS BIGINT) n_ab " +
+        "FROM pres x JOIN pres y ON x.user_id = y.user_id AND x.event_type <> y.event_type GROUP BY 1, 2) " +
+        "SELECT ante, cons, a.n1 n_a, b.n1 n_b, n_ab, " +
+        "round(CAST(n_ab AS DOUBLE) / nu.n, 6) support, " +
+        "round(CAST(n_ab AS DOUBLE) / a.n1, 6) confidence, " +
+        "round(CAST(n_ab AS DOUBLE) * nu.n / (CAST(a.n1 AS DOUBLE) * b.n1), 6) lift " +
+        "FROM pr JOIN s1 a ON a.t = ante JOIN s1 b ON b.t = cons, nu ORDER BY ante, cons"),
+    ("q_ts_gini", qTsGini,
+      "WITH ux AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) x FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, x, CAST(row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY x, user_id) AS BIGINT) i FROM ux) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) total, " +
+        "round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE) / " +
+        "CAST(count(*) * sum(x) AS DOUBLE), 6) gini " +
+        "FROM r GROUP BY 1 ORDER BY 1"),
     ("q_agg_mode", qAggMode,
       "WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) n FROM events GROUP BY 1, 2), " +
         "r AS (SELECT user_id, event_type, n, row_number() OVER " +

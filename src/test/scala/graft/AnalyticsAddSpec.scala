@@ -1,10 +1,12 @@
 package graft
 
 import graft.operators.Analytics
+import org.apache.spark.sql.functions.lit
 
-/** Edge semantics of the round-9 relational additions: deterministic
-  * mode tie-break, ordered string aggregation, nearest-rank discrete
-  * percentiles. */
+/** Edge semantics of the round-9 relational/business-analytics additions:
+  * deterministic mode tie-break, ordered string aggregation, nearest-rank
+  * discrete percentiles, inclusive ABC class boundaries, directional
+  * association rules, exact-integer Gini. */
 class AnalyticsAddSpec extends SparkSuite {
   import spark.implicits._
 
@@ -38,6 +40,53 @@ class AnalyticsAddSpec extends SparkSuite {
     val r = Analytics.qStringAgg(spark, dir)
       .select("r_name", "n_nations", "nations").as[(String, Long, String)].collect().toSeq
     assert(r == Seq(("r0", 3L, "alpha,mid,zeta")))
+  }
+
+  test("abc pareto: the exactly-80% customer is still class A (inclusive boundary, integer test)") {
+    // revenues 80, 15, 5 ⇒ cum shares 0.80 (A — 5*8000 == 4*10000), 0.95 (B), 1.0 (C)
+    Seq((1L, 10L, 80.0), (2L, 20L, 15.0), (3L, 30L, 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderpriority", lit("P1"))
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Analytics.qAbcPareto(spark, dir)
+      .select("cls", "n_cust", "revenue").as[(String, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r == Map("A" -> ((1L, 80.0)), "B" -> ((1L, 15.0)), "C" -> ((1L, 5.0))))
+  }
+
+  test("assoc rules: confidence is directional, lift is symmetric") {
+    // u1 {click, view}, u2 {click}: click→view conf 1/2, view→click conf 1;
+    // lift both directions = 1*2/(2*1) = 1.0
+    Seq(
+      (1L, ns(t0), 1L, "click", 1.0, "{}"),
+      (2L, ns(t0), 1L, "view", 1.0, "{}"),
+      (3L, ns(t0), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Analytics.qAssocRules(spark, dir)
+      .select("ante", "cons", "confidence", "lift")
+      .as[(String, String, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(r(("click", "view")) == ((0.5, 1.0)))
+    assert(r(("view", "click")) == ((1.0, 1.0)))
+  }
+
+  test("gini: uniform activity scores 0; a skewed split scores its exact closed form") {
+    // click: users 1,2 with 2 events each ⇒ G = 0
+    // error: counts 1,1,6 across users 1,2,3 ⇒
+    //   G = (2*(1*1+2*1+3*6) - 4*8)/(3*8) = 10/24 = 0.416667
+    val clicks = Seq(
+      (10L, 1L), (11L, 1L), (12L, 2L), (13L, 2L)).map { case (id, u) =>
+      (id, ns(t0), u, "click", 1.0, "{}") }
+    val errs = (0 until 6).map(i => (20L + i, ns(t0), 3L, "error", 1.0, "{}")) ++
+      Seq((30L, ns(t0), 1L, "error", 1.0, "{}"), (31L, ns(t0), 2L, "error", 1.0, "{}"))
+    (clicks ++ errs)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val g = Analytics.qTsGini(spark, dir)
+      .select("event_type", "gini").as[(String, Double)].collect().toMap
+    assert(g("click") == 0.0)
+    assert(g("error") == 0.416667, s"got $g")
   }
 
   test("percentile_disc: nearest-rank picks actual values (n=4: ranks 1,2,3)") {
