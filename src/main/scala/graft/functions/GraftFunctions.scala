@@ -225,8 +225,18 @@ object GraftFunctions {
   private val mightContainInfo = new ExpressionInfo(
     classOf[BloomMightContain].getName, "graft_might_contain")
 
+  private val timeSlicesBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, w) => TimeSlices(a, b, w)
+    case other => throw new IllegalArgumentException(
+      s"graft_time_slices expects 3 arguments, got ${other.size}")
+  }
+
+  private val timeSlicesInfo = new ExpressionInfo(
+    classOf[TimeSlices].getName, "graft_time_slices")
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
+      (FunctionIdentifier("graft_time_slices"), timeSlicesInfo, timeSlicesBuilder),
       (FunctionIdentifier("graft_pq_adc"), pqAdcInfo, pqAdcBuilder),
       (FunctionIdentifier("graft_bloom"), bloomInfo, bloomBuilder),
       (FunctionIdentifier("graft_bloom_merge"), bloomMergeInfo, bloomMergeBuilder),

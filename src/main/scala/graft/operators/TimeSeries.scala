@@ -993,7 +993,50 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Session minutes per hour — occupancy accounting: every 30-min-gap
+    * session's duration is allocated EXACTLY across the hour buckets it
+    * spans (a 14:50–15:20 session contributes 10 min to 14:00 and 20 min
+    * to 15:00), the arithmetic behind concurrency heatmaps and
+    * time-weighted billing. The interval→bucket explosion is
+    * [[graft.functions.TimeSlices]] — a native Catalyst GENERATOR (the
+    * UDTF extension rung): the analyzer wraps it in Generate, so the
+    * fan-out runs map-side inside the session rollup, ≤ span/width rows
+    * per session, no shuffle beyond the sessionize itself. Zero-duration
+    * (single-event) sessions register presence with 0 minutes. All
+    * overlap arithmetic is exact integer µs; one divide at the end. */
+  val qTsSessionHours: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || expr("ts - prev_ts > INTERVAL '30' MINUTE"), 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(w))
+      .groupBy("user_id", "sid")
+      .agg(expr("unix_micros(cast(min(ts) as timestamp))").as("s_us"),
+        expr("unix_micros(cast(max(ts) as timestamp))").as("e_us"))
+    sess.select(expr("graft_time_slices(s_us, e_us, 3600000000)"))
+      .groupBy(expr("cast(timestamp_micros(slice_us) as timestamp_ntz)").as("h"))
+      .agg(count(lit(1)).as("n_sessions"),
+        Num.roundd(sum("ov_us").cast("double") / 60000000.0, 4).as("mins"))
+      .orderBy("h")
+  }
+
   val all: Seq[(String, Q, String)] = Seq(
+    ("q_ts_session_hours", qTsSessionHours,
+      "WITH m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END new_s FROM events), " +
+        "se AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) sid FROM m), " +
+        "sess AS (SELECT user_id, sid, CAST(epoch_us(min(ts)) AS BIGINT) s_us, " +
+        "CAST(epoch_us(max(ts)) AS BIGINT) e_us FROM se GROUP BY 1, 2), " +
+        "sl AS (SELECT s_us, e_us, unnest(range((s_us // 3600000000) * 3600000000, " +
+        "greatest(e_us, s_us + 1), 3600000000)) b FROM sess), " +
+        "o AS (SELECT CAST(b AS BIGINT) slice_us, " +
+        "least(e_us, b + 3600000000) - greatest(s_us, b) ov_us FROM sl) " +
+        "SELECT make_timestamp(slice_us) h, CAST(count(*) AS BIGINT) n_sessions, " +
+        "round(CAST(sum(ov_us) AS DOUBLE) / 60000000.0, 4) mins " +
+        "FROM o GROUP BY 1 ORDER BY 1"),
     ("q_ts_range_frame", qTsRangeFrame,
       "WITH t AS (SELECT event_id, event_type, ts, CAST(round(value * 100.0) AS BIGINT) cents FROM events), " +
         "w AS (SELECT event_id, event_type, ts, CAST(count(*) OVER f AS BIGINT) n_1h, " +

@@ -159,4 +159,28 @@ class FunctionsSpec extends SparkSuite {
     assert(spark.sql("SELECT graft_dot_long(CAST(NULL AS ARRAY<BIGINT>), array(1L)) d")
       .head().isNullAt(0))
   }
+
+  test("graft_time_slices: boundary split, alignment, zero-duration, null explode semantics") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // 14:50-15:20 across the 15:00 boundary: 10 min + 20 min, buckets aligned
+    val h = 3600000000L
+    val t1450 = 53 * h + 50 * 60000000L
+    val rows = spark.sql(
+      s"SELECT graft_time_slices(${t1450}L, ${t1450 + 30 * 60000000L}L, ${h}L)")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((53 * h, 10 * 60000000L), (54 * h, 20 * 60000000L)), s"got $rows")
+    // inside one bucket: single row, full duration
+    assert(spark.sql(s"SELECT graft_time_slices(100L, 200L, ${h}L)")
+      .as[(Long, Long)].collect().toSeq == Seq((0L, 100L)))
+    // zero-duration: presence row with 0 overlap in its containing bucket
+    assert(spark.sql(s"SELECT graft_time_slices(${h + 5}L, ${h + 5}L, ${h}L)")
+      .as[(Long, Long)].collect().toSeq == Seq((h, 0L)))
+    // null start: generator emits no rows (explode semantics)
+    assert(spark.sql(s"SELECT graft_time_slices(CAST(NULL AS BIGINT), 10L, ${h}L)").count() == 0)
+    // sliced overlaps always re-sum to the interval length
+    val tot = spark.sql(s"SELECT graft_time_slices(123456L, 9876543L, 1000000L)")
+      .as[(Long, Long)].collect().map(_._2).sum
+    assert(tot == 9876543L - 123456L)
+  }
 }
