@@ -374,4 +374,52 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("sortmergejoin") && !p.contains("CartesianProduct"),
       s"no shuffled pair materialization:\n$p")
   }
+
+  test("winsorize: the per-type fence table broadcasts back onto the fact scan") {
+    val p = plan(graft.operators.Sre.qTsWinsorize(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"fences must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffled join for a <=types-row dim:\n$p")
+  }
+
+  test("bollinger: one raw-scan aggregate; the rolling window rides the (type x hour) panel") {
+    val p = plan(graft.operators.Sre.qTsBollinger(spark, sf0001))
+    // events scanned twice by design (type dim + hourly agg), both collapse
+    // before the window; the 24h moments must NOT window the raw scan
+    assert(p.contains("Window"), s"rolling frame expected:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      s"grid join must broadcast, not shuffle:\n$p")
+  }
+
+  test("assoc rules: singles and the user-count dim broadcast onto the pair aggregate") {
+    val p = plan(graft.operators.Analytics.qAssocRules(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both single-count dims must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row user count must broadcast:\n$p")
+  }
+
+  test("mode: one scan, pair aggregate, rank window inside the user shuffle — no join") {
+    val p = plan(graft.operators.Analytics.qAggMode(spark, sf0001))
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+    assert(!"(?i)(sortmergejoin|hashjoin|nestedloopjoin|cartesianproduct)".r.findFirstIn(p).isDefined,
+      s"no join anywhere:\n$p")
+  }
+
+  test("range frame: one shuffle on event_type carries the RANGE window; no join, no grid") {
+    val p = plan(graft.operators.TimeSeries.qTsRangeFrame(spark, sf0001))
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+    assert(!"(?i)(sortmergejoin|hashjoin|nestedloopjoin|cartesianproduct)".r.findFirstIn(p).isDefined,
+      s"no join anywhere:\n$p")
+    // type-partition exchange + the final event_id order exchange
+    assert(countExchanges(p) <= 2, s"too many exchanges:\n$p")
+  }
+
+  test("session hours: the generator fans out map-side (Generate node, no extra exchange)") {
+    val p = plan(graft.operators.TimeSeries.qTsSessionHours(spark, sf0001))
+    assert(p.contains("Generate"), s"TimeSlices must plan as a Generate node:\n$p")
+    // user window exchange + (user,sid) agg + slice agg + final order; the
+    // explosion itself must not add an exchange
+    assert(countExchanges(p) <= 4, s"too many exchanges:\n$p")
+  }
 }
