@@ -119,9 +119,95 @@ object Quality {
       .select("dim", "n", "mean", "variance", "mn", "mx", "dead")
       .orderBy("dim")
 
+  // ---- held-out cross-entropy ---------------------------------------------
+
+  /** Held-out language-model evaluation: an add-one-smoothed unigram LM
+    * trained on every source EXCEPT src0 scores the src0 documents —
+    * per-doc token count and cross-entropy (avg negative log-likelihood,
+    * nats). The canonical filter-quality loop: rising held-out NLL after
+    * a pipeline change means the change hurt the data. Reported as NLL
+    * rather than perplexity deliberately — exp() is libm, not
+    * engine-portable (the q_ts_decay_topk lesson).
+    *
+    * P(w) = (c_w + 1)/(N + V) is an exact integer rational; the ln is
+    * pre-rounded at 6 dp (zipf discipline), the per-doc sum runs over
+    * ≤doc-tokens pre-rounded terms. Train counts are a vocabulary-sized
+    * dim → BROADCAST onto the eval tokenize; (N, V) ride as a broadcast
+    * 1-row aggregate. Scale: one tokenize per side, no shuffle beyond
+    * the count aggregates — the eval set is small by definition. */
+  val qTextHeldoutPpl: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val trainCnt = doc.filter(col("source") =!= "src0")
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("tw"))
+      .filter(col("tw") =!= "")
+      .groupBy("tw").agg(count(lit(1)).as("c"))
+    val stats = trainCnt.agg(sum("c").as("bign"), count(lit(1)).as("v"))
+    doc.filter(col("source") === "src0")
+      .select(col("doc_id"), explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(trainCnt), col("w") === col("tw"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lnp", Num.roundd(log(
+        (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("bign") + col("v")).cast("double")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.roundd(-sum("lnp") / count(lit(1)).cast("double"), 4).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  // ---- embedding norm distribution ----------------------------------------
+
+  /** Vector-norm distribution per label: median/mean/min/max of ‖v‖ —
+    * the second embedding-health axis next to [[qEmbDimStats]] (norm
+    * drift breaks dot-product retrieval even when directions hold; a
+    * norm-collapsed label is an encoder regression). Sum-of-squares per
+    * vector is rounded at 8 BEFORE the sqrt, so aggregation order
+    * vanishes ahead of the only libm call, which then runs on identical
+    * doubles in both engines; the median is exact sort-based percentile
+    * over 6-dp norms. One posexplode + two hash aggs; state per group is
+    * that label's norms. */
+  val qEmbNormDist: Q = (s, d) => {
+    val norms = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("v").cast("double").as("v"))
+      .groupBy("vec_id", "label")
+      .agg(Num.roundd(sum(col("v") * col("v")), 8).as("ss"))
+      .withColumn("nrm", Num.roundd(sqrt(col("ss")), 6))
+    norms.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        Num.roundd(expr("percentile(nrm, 0.5d)"), 6).as("p50"),
+        Num.roundd(Num.roundd(sum("nrm"), 8) / count(lit(1)).cast("double"), 6).as("mean_norm"),
+        min("nrm").as("mn"), max("nrm").as("mx"))
+      .select(col("label").cast("long").as("label"), col("n"), col("p50"),
+        col("mean_norm"), col("mn"), col("mx"))
+      .orderBy("label")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_text_heldout_ppl", qTextHeldoutPpl, Some(
+      "WITH tc AS (SELECT w tw, CAST(count(*) AS BIGINT) c FROM " +
+        "(SELECT unnest(string_split(coalesce(text, ''), ' ')) w FROM documents WHERE source != 'src0') " +
+        "WHERE w != '' GROUP BY 1), " +
+        "st AS (SELECT CAST(sum(c) AS BIGINT) bign, CAST(count(*) AS BIGINT) v FROM tc), " +
+        "ev AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) w " +
+        "FROM documents WHERE source = 'src0') WHERE w != ''), " +
+        "sc AS (SELECT ev.doc_id, round(ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / (st.bign + st.v)), 6) lnp " +
+        "FROM ev LEFT JOIN tc ON tc.tw = ev.w, st) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens, " +
+        "round(-sum(lnp) / count(*), 4) nll FROM sc GROUP BY 1 ORDER BY 1")),
+    ("q_emb_norm_dist", qEmbNormDist, Some(
+      "WITH x AS (SELECT vec_id, label, CAST(embedding[p.pos + 1] AS DOUBLE) v " +
+        "FROM embeddings, (SELECT unnest(range(64)) pos) p), " +
+        "ss AS (SELECT vec_id, label, round(sum(v * v), 8) ss FROM x GROUP BY 1, 2), " +
+        "nr AS (SELECT label, round(sqrt(ss), 6) nrm FROM ss) " +
+        "SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) n, " +
+        "round(quantile_cont(nrm, 0.5), 6) p50, " +
+        "round(round(sum(nrm), 8) / count(*), 6) mean_norm, " +
+        "min(nrm) mn, max(nrm) mx " +
+        "FROM nr GROUP BY 1 ORDER BY 1")),
     ("q_text_fertility", qTextFertility, Some(
       "WITH t AS (SELECT lang, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) tok, " +
         "CAST(length(coalesce(text, '')) AS BIGINT) chars FROM documents), " +

@@ -66,6 +66,33 @@ class QualitySpec extends SparkSuite {
     assert(m("s2") == ((1L, 0.1667, 0.1667, 0.1667)))
   }
 
+  // ---- held-out cross-entropy ---------------------------------------------
+
+  test("heldout nll: add-one smoothing charges unseen words 1/(N+V) exactly") {
+    writeDocs(Seq(
+      (1L, "a a b", "en", "src1"),  // train: c(a)=2, c(b)=1, N=3, V=2
+      (2L, "a c", "en", "src0")))   // eval: P(a)=3/5, P(c)=1/5
+    val r = Quality.qTextHeldoutPpl(spark, dir)
+      .select("doc_id", "n_tokens", "nll").as[(Long, Long, Double)].collect().toSeq
+    // nll = -(round(ln .6, 6) + round(ln .2, 6))/2 = (0.510826 + 1.609438)/2
+    assert(r == Seq((2L, 2L, 1.0601)), s"got $r")
+  }
+
+  // ---- embedding norm distribution ----------------------------------------
+
+  test("norm dist: 3-4-5 vectors and the zero vector land exactly") {
+    writeEmb(Seq(
+      (1L, Array(3.0f, 4.0f), 0),
+      (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(0.0f, 0.0f), 1)))
+    val m = Quality.qEmbNormDist(spark, dir)
+      .select("label", "n", "p50", "mean_norm", "mn", "mx")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5, t._6)).toMap
+    assert(m(0L) == ((2L, 5.0, 5.0, 5.0, 5.0)))
+    assert(m(1L) == ((1L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   // ---- embedding dimension stats ------------------------------------------
 
   test("emb dim stats: a constant dimension is dead (var 0), a varying one is not") {
