@@ -194,9 +194,65 @@ object Sre {
       .orderBy("digit")
   }
 
+  // ---- token-bucket rate limiter ------------------------------------------
+
+  /** Token-bucket admission control, replayed over the event log: each
+    * user's bucket holds 2 tokens refilling at 1 per 2 h; an event is
+    * admitted if a token is available — the per-tenant API quota
+    * simulation that sizes rate limits BEFORE they go live ("how many of
+    * last month's requests would this limit have rejected, and for
+    * whom?").
+    *
+    * The bucket is a sequential recurrence (credit carries between
+    * events), so it uses the same chunked-fold machinery as the greedy
+    * packer: one codegen'd `aggregate` over each user's (ts, event_id)
+    * -sorted event list. ALL state is exact integer µs — credit is "µs
+    * of refill", capacity 14 400 s, cost 7 200 s — so the admit decision
+    * is an integer compare at every step in both engines; the oracle is
+    * an independent recursive CTE running the identical sequence. State
+    * is O(user's events) — the per-key bound that holds because rate
+    * limits are per-tenant by definition; the unbounded-stream form is
+    * the flatMapGroupsWithState sibling with O(1) (credit, last) state. */
+  val qTsRateLimit: Q = (s, d) => {
+    val C = 14400000000L   // 2 tokens × 2 h of credit, in µs
+    val COST = 7200000000L // 1 token = 2 h refill
+    Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tus"), col("event_id"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("tus"), col("event_id")))).as("es"))
+      .withColumn("r", expr(
+        s"""aggregate(es,
+           |  named_struct('cr', ${C}L, 'last', -1L, 'adm', 0L, 'rej', 0L),
+           |  (a, x) -> if(least(${C}L, a.cr + if(a.last < 0L, 0L, x.tus - a.last)) >= ${COST}L,
+           |    named_struct('cr', least(${C}L, a.cr + if(a.last < 0L, 0L, x.tus - a.last)) - ${COST}L,
+           |      'last', x.tus, 'adm', a.adm + 1L, 'rej', a.rej),
+           |    named_struct('cr', least(${C}L, a.cr + if(a.last < 0L, 0L, x.tus - a.last)),
+           |      'last', x.tus, 'adm', a.adm, 'rej', a.rej + 1L)))""".stripMargin))
+      .select(col("user_id"), (col("r.adm") + col("r.rej")).as("n_events"),
+        col("r.adm").as("n_admitted"), col("r.rej").as("n_rejected"))
+      .orderBy("user_id")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ts_rate_limit", qTsRateLimit, Some(
+      "WITH RECURSIVE t AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) tus, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) i FROM events), " +
+        "rec AS (" +
+        "SELECT user_id, i, tus, CAST(14400000000 - 7200000000 AS BIGINT) cr, CAST(1 AS BIGINT) adm " +
+        "FROM t WHERE i = 1 " +
+        "UNION ALL " +
+        "SELECT t.user_id, t.i, t.tus, " +
+        "CASE WHEN least(14400000000, r.cr + t.tus - r.tus) >= 7200000000 " +
+        "THEN least(14400000000, r.cr + t.tus - r.tus) - 7200000000 " +
+        "ELSE least(14400000000, r.cr + t.tus - r.tus) END, " +
+        "CASE WHEN least(14400000000, r.cr + t.tus - r.tus) >= 7200000000 THEN 1 ELSE 0 END " +
+        "FROM rec r JOIN t ON t.user_id = r.user_id AND t.i = r.i + 1) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) n_events, CAST(sum(adm) AS BIGINT) n_admitted, " +
+        "CAST(count(*) - sum(adm) AS BIGINT) n_rejected " +
+        "FROM rec GROUP BY 1 ORDER BY 1")),
     ("q_ts_apdex", qTsApdex, Some(
       "SELECT CAST(date_trunc('day', ts) AS DATE) dday, event_type, CAST(count(*) AS BIGINT) n, " +
         "CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) n_sat, " +

@@ -92,6 +92,22 @@ class SreSpec extends SparkSuite {
     assert(r._4 == 59.0005 && r._5 == 12.450025, s"got $r")
   }
 
+  // ---- token bucket -------------------------------------------------------
+
+  test("rate limit: burst drains the 2-token bucket, the 2-hour refill re-admits") {
+    // e1, e2 spend the full bucket; e3 one second later is rejected;
+    // e4 exactly one refill period after e3 is admitted again
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 1.0, "{}"),
+      (2L, ns(t0 + 1), 1L, "click", 1.0, "{}"),
+      (3L, ns(t0 + 2), 1L, "click", 1.0, "{}"),
+      (4L, ns(t0 + 2 + 7200), 1L, "click", 1.0, "{}")))
+    val r = Sre.qTsRateLimit(spark, dir)
+      .select("n_events", "n_admitted", "n_rejected")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((4L, 3L, 1L)), s"got $r")
+  }
+
   // ---- benford ------------------------------------------------------------
 
   test("benford: first significant digit comes from cents (0.03 -> 3, 12.31 -> 1)") {
