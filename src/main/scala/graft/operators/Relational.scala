@@ -267,6 +267,26 @@ object Relational {
       .limit(1000)
   }
 
+  /** Positional window functions — first_value / nth_value / last_value
+    * over an explicit full-partition frame: each order sees its
+    * customer's cheapest, 2nd-cheapest and priciest order. The frame is
+    * pinned to UNBOUNDED..UNBOUNDED because last_value's default frame
+    * (..CURRENT ROW) is the classic silent-wrong-answer; the ORDER BY
+    * (price, key) is total so every position is engine-deterministic.
+    * One window shuffle on the partition key, same as every ranked
+    * report. */
+  val qWindowNth: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first("o_totalprice").over(w).as("cheapest"),
+        nth_value(col("o_totalprice"), 2).over(w).as("secnd"),
+        last("o_totalprice").over(w).as("priciest"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
   // Distribution window functions: percent_rank/cume_dist/ntile share exact
   // definitions across engines; total order makes them deterministic.
   val qWindowDist: Q = (s, d) => {
@@ -438,6 +458,14 @@ object Relational {
       "SELECT o_custkey, o_orderkey, o_orderdate, lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) prev_price FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 1000"),
     ("q_window_frame", qWindowFrame,
       "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),2) run3 FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000"),
+    ("q_window_nth", qWindowNth,
+      "SELECT o_custkey, o_orderkey, " +
+        "first_value(o_totalprice) OVER w cheapest, " +
+        "nth_value(o_totalprice, 2) OVER w secnd, " +
+        "last_value(o_totalprice) OVER w priciest " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey LIMIT 1000"),
     ("q_scalar_string", qScalarString,
       "SELECT c_custkey, upper(c_name) u, substr(c_name,1,8) s, CAST(length(c_name) AS BIGINT) l, regexp_extract(c_name,'([0-9]+)',1) num FROM customer WHERE c_name LIKE 'Customer%' ORDER BY c_custkey LIMIT 500"),
     ("q_scalar_date", qScalarDate,

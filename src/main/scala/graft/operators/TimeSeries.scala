@@ -964,6 +964,44 @@ object TimeSeries {
       .orderBy("event_type", "hod")
   }
 
+  /** Max-duration-capped sessionization: a session ends after 30 min of
+    * inactivity OR when it reaches 2 h of total duration — the analytics
+    * -suite session rule (uncapped gap sessions let a slow crawler string
+    * one session across a week). The cap makes this a TRUE RECURRENCE:
+    * whether an event opens a session depends on the CURRENT session's
+    * start, which no fixed window frame can express — so it rides the
+    * same chunked-fold machinery as the greedy packer / rate limiter (one
+    * codegen'd `aggregate` per user's sorted event list, exact integer µs
+    * throughout), and the oracle is an independent recursive CTE. Per-key
+    * state is the user's events — the sessionization bound that already
+    * holds for q_ts_session. Emits per-session (start, events, duration);
+    * q_stream_session's gap-only islands are the cap→∞ special case. */
+  val qTsSessionCapped: Q = (s, d) => {
+    val GAP = 1800000000L  // 30 min
+    val CAP = 7200000000L  // 2 h
+    Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tus"), col("event_id"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("tus"), col("event_id")))).as("es"))
+      .withColumn("assigned", expr(
+        s"""aggregate(es,
+           |  named_struct('ss', -1L, 'prev', -1L,
+           |    'out', cast(array() as array<struct<tus:bigint,sst:bigint>>)),
+           |  (a, x) -> if(a.prev < 0L OR x.tus - a.prev > ${GAP}L OR x.tus - a.ss > ${CAP}L,
+           |    named_struct('ss', x.tus, 'prev', x.tus,
+           |      'out', concat(a.out, array(named_struct('tus', x.tus, 'sst', x.tus)))),
+           |    named_struct('ss', a.ss, 'prev', x.tus,
+           |      'out', concat(a.out, array(named_struct('tus', x.tus, 'sst', a.ss))))),
+           |  a -> a.out)""".stripMargin))
+      .select(col("user_id"), explode(col("assigned")).as("e"))
+      .groupBy(col("user_id"),
+        expr("cast(timestamp_micros(e.sst) as timestamp_ntz)").as("s_start"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(e.tus) - min(e.tus)) div 1000000L").as("dur_s"))
+      .orderBy("user_id", "s_start")
+  }
+
   /** Trailing-ONE-HOUR window per event — a true time-interval RANGE
     * frame, not a row count: each event sees the count and mean of its
     * type over [ts − 1 h, ts]. ROWS frames lie whenever density varies
@@ -1024,6 +1062,18 @@ object TimeSeries {
   }
 
   val all: Seq[(String, Q, String)] = Seq(
+    ("q_ts_session_capped", qTsSessionCapped,
+      "WITH RECURSIVE t AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) tus, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) i FROM events), " +
+        "rec AS (" +
+        "SELECT user_id, i, tus, tus ss FROM t WHERE i = 1 " +
+        "UNION ALL " +
+        "SELECT t.user_id, t.i, t.tus, " +
+        "CASE WHEN t.tus - r.tus > 1800000000 OR t.tus - r.ss > 7200000000 THEN t.tus ELSE r.ss END " +
+        "FROM rec r JOIN t ON t.user_id = r.user_id AND t.i = r.i + 1) " +
+        "SELECT user_id, make_timestamp(ss) s_start, CAST(count(*) AS BIGINT) n_events, " +
+        "CAST((max(tus) - min(tus)) // 1000000 AS BIGINT) dur_s " +
+        "FROM rec GROUP BY 1, 2 ORDER BY 1, 2"),
     ("q_ts_session_hours", qTsSessionHours,
       "WITH m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
         "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END new_s FROM events), " +

@@ -108,6 +108,28 @@ class SreSpec extends SparkSuite {
     assert(r == Seq((4L, 3L, 1L)), s"got $r")
   }
 
+  // ---- capped sessions ----------------------------------------------------
+
+  test("capped sessions: exactly-2h stays one session, the next event splits; 31-min gap splits") {
+    import graft.operators.TimeSeries
+    // user 1: events every 20 min, 0..180 — duration reaches exactly 120 min
+    // at event 7 (inclusive boundary holds), event at 140 min opens session 2
+    val u1 = (0 to 9).map(i =>
+      (i.toLong, ns(t0 + i * 20 * 60), 1L, "click", 1.0, "{}"))
+    // user 2: gap rule alone — 31 min apart ⇒ two singleton sessions
+    val u2 = Seq(
+      (100L, ns(t0), 2L, "click", 1.0, "{}"),
+      (101L, ns(t0 + 31 * 60), 2L, "click", 1.0, "{}"))
+    writeEvents(u1 ++ u2)
+    val r = TimeSeries.qTsSessionCapped(spark, dir)
+      .select("user_id", "n_events", "dur_s").as[(Long, Long, Long)].collect().toSeq
+      .sortBy(t => (t._1, -t._2))
+    assert(r == Seq(
+      (1L, 7L, 7200L),  // 0..120 min inclusive
+      (1L, 3L, 2400L),  // 140, 160, 180
+      (2L, 1L, 0L), (2L, 1L, 0L)), s"got $r")
+  }
+
   // ---- benford ------------------------------------------------------------
 
   test("benford: first significant digit comes from cents (0.03 -> 3, 12.31 -> 1)") {

@@ -153,6 +153,36 @@ class StreamParitySpec extends SparkSuite {
     assert(nullCids.count() > 0, "watermark never proved any click unmatched")
   }
 
+  test("token-bucket limiter: sealed decisions equal the batch fold, ordered + jittered") {
+    import graft.streaming.StatefulRateLimit
+    import StatefulRateLimit.{CapacityUs, CostUs}
+    // reference fold in plain Scala over the batch table
+    val ev = graft.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "event_id", "unix_micros(cast(ts as timestamp)) tus")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (_, es) =>
+      var credit = CapacityUs; var last = -1L
+      es.map(e => (e._3, e._2)).sorted.toSeq.map { case (tus, id) =>
+        if (last >= 0L) credit = math.min(CapacityUs, credit + (tus - last))
+        last = tus
+        val ok = credit >= CostUs
+        if (ok) credit -= CostUs
+        id -> ok
+      }
+    }.toMap
+    for (dir <- Seq(replayDir, StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4))) {
+      val stream = StreamingQueries.eventsStream(spark, dir).withWatermark("ts", "10 minutes")
+      val got = StreamReplay.runToCompletion(
+          spark, StatefulRateLimit.rateLimitStream(stream).toDF(), s"t_rl_${dir.hashCode.abs}")
+        .select("event_id", "admitted")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+      assert(got.nonEmpty, "limiter sealed no decisions")
+      val wrong = got.filter { case (id, adm) => expected.get(id).exists(_ != adm) }
+      assert(wrong.isEmpty, s"stream decisions diverge from the batch fold: ${wrong.take(5).toSeq}")
+      assert(got.map(_._1).distinct.length == got.length, "duplicate decisions emitted")
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with gaps-and-islands on emitted sessions") {
     import graft.streaming.StatefulSessions
     import spark.implicits._
