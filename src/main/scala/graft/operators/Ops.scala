@@ -342,7 +342,102 @@ object Ops {
 
   // ---- catalog ------------------------------------------------------------
 
+  /** Max-min fair-share (water-filling) allocation: per-user demands are
+    * their event counts, capacity is half the total, and the allocator
+    * finds the waterline w with Σ min(dᵢ, w) = C — small tenants get
+    * their full demand, big ones are capped at w. THE quota-planning
+    * computation for any shared resource (API budget, GPU hours, ingest
+    * slots): "who would a fair cap actually cut, and at what level?".
+    *
+    * Closed form via one sort, no iteration: with demands ascending and
+    * prefix sums Sᵢ, the last fully-satisfied rank is
+    * k = max{i : Sᵢ + dᵢ·(n−i) ≤ C}, then w = (C − S_k)/(n − k). Every
+    * quantity through the compare is an exact long (the cross-multiplied
+    * -threshold discipline); w is the single final divide. The rank
+    * window runs over the COLLAPSED per-user rollup; at 100 TB the exact
+    * sort swaps for a demand-histogram waterline (same equation on
+    * bucket boundaries). */
+  val qOpsFairShare: Q = (s, d) => {
+    val dem = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("dem"))
+    val w = Window.orderBy("dem", "user_id")
+    val ranked = dem
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("si", sum("dem").over(w))
+    val stats = ranked.agg(max("i").as("n"), sum("dem").as("tot"))
+    val kRow = ranked.crossJoin(broadcast(stats))
+      .filter(col("si") + col("dem") * (col("n") - col("i")) <= expr("tot div 2L"))
+      .agg(coalesce(max("i"), lit(0L)).as("k"), coalesce(max("si"), lit(0L)).as("sk"))
+    ranked.crossJoin(broadcast(stats)).crossJoin(broadcast(kRow))
+      .withColumn("c", expr("tot div 2L"))
+      .withColumn("wline", Num.roundd(
+        (col("c") - col("sk")).cast("double") / (col("n") - col("k")).cast("double"), 4))
+      .select(col("user_id"), col("dem"),
+        when(col("i") <= col("k"), col("dem").cast("double"))
+          .otherwise(col("wline")).as("alloc"),
+        (col("i") <= col("k")).cast("long").as("satisfied"))
+      .orderBy("user_id")
+  }
+
+  /** BFS hop distances from the 'signup' state over the behavior
+    * transition graph — "how many steps from acquisition does each state
+    * sit". Same execution split as PageRank: the DISTRIBUTED stage is
+    * the edge derivation (window shuffle + hash agg, scales with the
+    * scan); the BFS then runs driver-local on the collapsed
+    * ≤vocabulary² edge list. The oracle is DuckDB's native recursive
+    * CTE — an independent fixpoint implementation; unreachable states
+    * report -1 so the report is total. */
+  val qGraphBfsDist: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("src"))
+      .withColumn("dst", lead("src", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select("src", "dst").distinct()
+    val e = edges.collect().map(r => (r.getString(0), r.getString(1)))
+    val nodes = Tables.events(s, d).select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val adj = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var dist = Map("signup" -> 0L)
+    var frontier = Set("signup")
+    var hop = 0L
+    while (frontier.nonEmpty) {
+      hop += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      next.foreach(n => dist += n -> hop)
+      frontier = next
+    }
+    import s.implicits._
+    nodes.map(n => (n, dist.getOrElse(n, -1L))).toSeq
+      .toDF("node", "hops").orderBy("node")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ops_fair_share", qOpsFairShare, Some(
+      "WITH dem AS (SELECT user_id, CAST(count(*) AS BIGINT) dem FROM events GROUP BY 1), " +
+        "r AS (SELECT user_id, dem, CAST(row_number() OVER o AS BIGINT) i, " +
+        "CAST(sum(dem) OVER o AS BIGINT) si FROM dem " +
+        "WINDOW o AS (ORDER BY dem, user_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "st AS (SELECT CAST(max(i) AS BIGINT) n, CAST(sum(dem) AS BIGINT) tot FROM r), " +
+        "kk AS (SELECT CAST(coalesce(max(i), 0) AS BIGINT) k, CAST(coalesce(max(si), 0) AS BIGINT) sk " +
+        "FROM r, st WHERE si + dem * (n - i) <= tot // 2) " +
+        "SELECT user_id, dem, " +
+        "CASE WHEN i <= k THEN CAST(dem AS DOUBLE) " +
+        "ELSE round(CAST(tot // 2 - sk AS DOUBLE) / (n - k), 4) END alloc, " +
+        "CAST(CASE WHEN i <= k THEN 1 ELSE 0 END AS BIGINT) satisfied " +
+        "FROM r, st, kk ORDER BY user_id")),
+    ("q_graph_bfs_dist", qGraphBfsDist, Some(
+      "WITH RECURSIVE ed AS (SELECT DISTINCT event_type src, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) dst FROM events), " +
+        "e AS (SELECT src, dst FROM ed WHERE dst IS NOT NULL), " +
+        "bfs AS (" +
+        "SELECT 'signup' node, CAST(0 AS BIGINT) hops " +
+        "UNION ALL " +
+        "SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.node WHERE b.hops < 6) " +
+        "SELECT n.event_type node, CAST(coalesce(min(b.hops), -1) AS BIGINT) hops " +
+        "FROM (SELECT DISTINCT event_type FROM events) n LEFT JOIN bfs b ON b.node = n.event_type " +
+        "GROUP BY 1 ORDER BY 1")),
     ("q_ts_topk_churn", qTsTopkChurn, Some(
       "WITH w1 AS (SELECT user_id, round(sum(value), 6) sv FROM events " +
         "WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08' GROUP BY 1), " +

@@ -304,4 +304,32 @@ class OpsSpec extends SparkSuite {
       .select("n_conv", "p50_s", "p90_s", "avg_s").as[(Long, Double, Double, Double)].collect().toSeq
     assert(out == Seq((1L, 50.0, 50.0, 50.0)), s"got $out")
   }
+
+  test("fair share: waterline splits exactly — demands 1,2,3,10 at capacity 8 give w = 2.5") {
+    // k = 2 (1 and 2 fully served), w = (8-3)/2 = 2.5; allocations sum to C
+    writeEvents(
+      Seq((1L, ns(t0), 1L, "click", 1.0)) ++
+      (0 until 2).map(i => (10L + i, ns(t0 + i), 2L, "click", 1.0)) ++
+      (0 until 3).map(i => (20L + i, ns(t0 + i), 3L, "click", 1.0)) ++
+      (0 until 10).map(i => (30L + i, ns(t0 + i), 4L, "click", 1.0)))
+    val r = Ops.qOpsFairShare(spark, dir)
+      .select("user_id", "dem", "alloc", "satisfied")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 1L, 1.0, 1L), (2L, 2L, 2.0, 1L),
+      (3L, 3L, 2.5, 0L), (4L, 10L, 2.5, 0L)), s"got $r")
+    assert(r.map(_._3).sum == 8.0, "allocations must exhaust the capacity")
+  }
+
+  test("bfs distances: chain counts hops, disconnected states report -1") {
+    // user 1 walks signup -> click -> purchase; user 2 only errors
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "signup", 1.0),
+      (2L, ns(t0 + 60), 1L, "click", 1.0),
+      (3L, ns(t0 + 120), 1L, "purchase", 1.0),
+      (4L, ns(t0), 2L, "error", 1.0),
+      (5L, ns(t0 + 60), 2L, "error", 1.0)))
+    val r = Ops.qGraphBfsDist(spark, dir)
+      .select("node", "hops").as[(String, Long)].collect().toMap
+    assert(r == Map("signup" -> 0L, "click" -> 1L, "purchase" -> 2L, "error" -> -1L), s"got $r")
+  }
 }
