@@ -413,7 +413,119 @@ object Ops {
       .toDF("node", "hops").orderBy("node")
   }
 
+  /** Join-cardinality estimation report — the planner-statistics view:
+    * the true |events ⋈ customer| next to the two standard estimators,
+    * the global NDV formula |A|·|B|/max(ndvA, ndvB) and the 64-bucket
+    * histogram refinement (same formula per hash bucket, summed). The
+    * report IS the calibration loop for any cost-based decision this
+    * library makes (broadcast vs shuffle, bucket count) — "how wrong
+    * would the planner have been, and does a histogram fix it?".
+    *
+    * Buckets use the shared md5 hash family, so both engines bin
+    * identically; every count is an exact long and each estimator is
+    * one final double expression. The exact count is one join-aggregate
+    * (the thing being estimated); the stats side is two scans collapsed
+    * to ≤64-row profiles. */
+  val qOpsJoinCard: Q = (s, d) => {
+    def bkt(c: String) = expr(s"pmod(${Dedup.h60("'jc'", s"cast($c as string)")}, 64)")
+    val a = Tables.events(s, d).select(col("user_id").as("k"))
+      .withColumn("b", bkt("k"))
+      .groupBy("b").agg(count(lit(1)).as("na"), countDistinct("k").as("da"))
+    val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .withColumn("b", bkt("k"))
+      .groupBy("b").agg(count(lit(1)).as("nc"), countDistinct("k").as("dc"))
+    val hist = a.join(c, "b")
+      .select((col("na") * col("nc")).cast("double") /
+        greatest(col("da"), col("dc")).cast("double") as "contrib")
+      .agg(Num.roundd(sum("contrib"), 4).as("est"))
+      .select(lit("histogram_64").as("estimator"), col("est"))
+    val ga = Tables.events(s, d)
+      .agg(count(lit(1)).as("na"), countDistinct("user_id").as("da"))
+    val gc = Tables.customer(s, d)
+      .agg(count(lit(1)).as("nc"), countDistinct("c_custkey").as("dc"))
+    val ndv = ga.crossJoin(gc)
+      .select(lit("global_ndv").as("estimator"),
+        Num.roundd((col("na") * col("nc")).cast("double") /
+          greatest(col("da"), col("dc")).cast("double"), 4).as("est"))
+    val exact = Tables.events(s, d)
+      .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+      .agg(count(lit(1)).cast("double").as("exact"))
+    ndv.unionByName(hist).crossJoin(broadcast(exact))
+      .withColumn("err_pct", Num.roundd(
+        (col("est") - col("exact")) * 100.0 / col("exact"), 4))
+      .select("estimator", "est", "exact", "err_pct")
+      .orderBy("estimator")
+  }
+
+  /** Bitwise scalar coverage (§2.1-H): mask/shift/xor/popcount over the
+    * id columns — the field-packing arithmetic behind the z-order tier
+    * and any bit-packed encoding, surfaced as first-class scalars. Pure
+    * codegen'd projection; one scan. */
+  val qScalarBits: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") < 500)
+      .select(col("event_id"),
+        expr("event_id & 255").as("band"),
+        expr("event_id | 4096").as("bor"),
+        expr("cast(event_id as bigint) ^ user_id").as("bxor"),
+        expr("shiftleft(event_id, 3)").as("shl"),
+        expr("shiftright(event_id, 2)").as("shr"),
+        expr("cast(bit_count(event_id) as bigint)").as("pc"))
+      .orderBy("event_id")
+
+  /** Top-3 users per TRAILING-24 h window, hourly steps — the sliding
+    * leaderboard a live dashboard shows, where tumbling top-k
+    * (q_ts_topk_per_day) would jump at day boundaries. Same expansion
+    * device as the exact sliding distinct: hourly per-user counts
+    * (bounded by users × hours regardless of event volume) fan out to
+    * the ≤24 windows each hour serves, re-aggregate per (window, user),
+    * and rank inside the window shuffle with a total (count, user)
+    * order. Shuffle volume is 24× the COMPRESSED panel, never the raw
+    * scan. */
+  val qTsSlidingTopk: Q = (s, d) => {
+    val uh = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val wc = uh
+      .withColumn("w", explode(expr(
+        "sequence(h, h + INTERVAL '23' HOUR, INTERVAL '1' HOUR)")))
+      .filter(col("w") <= lit("2024-01-30 23:00:00").cast("timestamp_ntz"))
+      .groupBy("w", "user_id").agg(sum("c").as("cnt"))
+    wc.withColumn("rk", row_number().over(
+        Window.partitionBy("w").orderBy(desc("cnt"), asc("user_id"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("w", "rk", "user_id", "cnt")
+      .orderBy("w", "rk")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ts_sliding_topk", qTsSlidingTopk, Some(
+      "WITH uh AS (SELECT user_id, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "ex AS (SELECT user_id, h + i * INTERVAL 1 HOUR w, c FROM uh " +
+        "CROSS JOIN (SELECT unnest(range(0, 24)) i) " +
+        "WHERE h + i * INTERVAL 1 HOUR <= TIMESTAMP '2024-01-30 23:00:00'), " +
+        "wc AS (SELECT w, user_id, CAST(sum(c) AS BIGINT) cnt FROM ex GROUP BY 1, 2), " +
+        "r AS (SELECT w, user_id, cnt, CAST(row_number() OVER " +
+        "(PARTITION BY w ORDER BY cnt DESC, user_id ASC) AS BIGINT) rk FROM wc) " +
+        "SELECT w, rk, user_id, cnt FROM r WHERE rk <= 3 ORDER BY w, rk")),
+    ("q_ops_join_card", qOpsJoinCard, Some(
+      "WITH a AS (SELECT CAST('0x' || substr(md5('jc' || ':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 b, " +
+        "CAST(count(*) AS BIGINT) na, CAST(count(DISTINCT user_id) AS BIGINT) da FROM events GROUP BY 1), " +
+        "c AS (SELECT CAST('0x' || substr(md5('jc' || ':' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 64 b, " +
+        "CAST(count(*) AS BIGINT) nc, CAST(count(DISTINCT c_custkey) AS BIGINT) dc FROM customer GROUP BY 1), " +
+        "hist AS (SELECT 'histogram_64' estimator, round(sum(CAST(na * nc AS DOUBLE) / greatest(da, dc)), 4) est " +
+        "FROM a JOIN c USING (b)), " +
+        "ga AS (SELECT CAST(count(*) AS BIGINT) na, CAST(count(DISTINCT user_id) AS BIGINT) da FROM events), " +
+        "gc AS (SELECT CAST(count(*) AS BIGINT) nc, CAST(count(DISTINCT c_custkey) AS BIGINT) dc FROM customer), " +
+        "ndv AS (SELECT 'global_ndv' estimator, round(CAST(ga.na * gc.nc AS DOUBLE) / greatest(ga.da, gc.dc), 4) est FROM ga, gc), " +
+        "ex AS (SELECT CAST(count(*) AS DOUBLE) exact FROM events JOIN customer ON user_id = c_custkey) " +
+        "SELECT estimator, est, exact, round((est - exact) * 100.0 / exact, 4) err_pct " +
+        "FROM (SELECT * FROM ndv UNION ALL SELECT * FROM hist), ex ORDER BY estimator")),
+    ("q_scalar_bits", qScalarBits, Some(
+      "SELECT event_id, event_id & 255 band, event_id | 4096 bor, " +
+        "xor(event_id, user_id) bxor, event_id << 3 shl, event_id >> 2 shr, " +
+        "CAST(bit_count(event_id) AS BIGINT) pc " +
+        "FROM events WHERE event_id < 500 ORDER BY event_id")),
     ("q_ops_fair_share", qOpsFairShare, Some(
       "WITH dem AS (SELECT user_id, CAST(count(*) AS BIGINT) dem FROM events GROUP BY 1), " +
         "r AS (SELECT user_id, dem, CAST(row_number() OVER o AS BIGINT) i, " +
