@@ -964,6 +964,58 @@ object TimeSeries {
       .orderBy("event_type", "hod")
   }
 
+  /** Local-timezone daily rollup: the UTC event stream aggregated by
+    * AMERICA/NEW_YORK calendar day — the "our business day" report every
+    * multi-region TSDB must answer, where day boundaries sit at 05:00
+    * UTC (EST), not midnight. Conversion runs through the IANA tz
+    * database on BOTH engines (Spark from_utc_timestamp ≡ DuckDB double
+    * AT TIME ZONE), so offsets — including DST transitions in longer
+    * windows — agree by construction rather than by hand-coded offset.
+    * One hash aggregate; the tz conversion is a codegen'd scalar in the
+    * scan projection. */
+  val qTsLocalDay: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(expr("cast(date_trunc('day', from_utc_timestamp(cast(ts as timestamp), 'America/New_York')) as date)").as("nyday"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        Num.roundd(sum("value"), 2).as("sv"))
+      .orderBy("nyday", "event_type")
+
+  /** Exclusion funnel: signup → purchase conversion WITHOUT an
+    * intervening error — the funnel variant product analytics actually
+    * needs ("did checkout errors cost us conversions?"), which a plain
+    * two-step funnel can't see. Per user: first signup, first purchase
+    * after it, and whether any error fell strictly between; rolled up by
+    * signup day into converted/error-tainted/unconverted counts.
+    *
+    * One scan → three conditional min aggregates per user (signup,
+    * purchase-after, error-between run over the same user shuffle), then
+    * a days-sized rollup. The error-between test uses the min-purchase
+    * bound, so "between" means inside the conversion interval that
+    * actually counted. */
+  val qTsFunnelExclusion: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("sts"))
+    val joined = ev.join(su, "user_id")
+      .groupBy(col("user_id"), col("sts"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("sts"), col("ts"))).as("pts"))
+    val withErr = ev.filter(col("event_type") === "error")
+      .join(joined.filter(col("pts").isNotNull), "user_id")
+      .filter(col("ts") > col("sts") && col("ts") < col("pts"))
+      .select("user_id").distinct()
+      .withColumn("tainted", lit(1L))
+    joined.join(withErr, Seq("user_id"), "left")
+      .groupBy(date_trunc("day", col("sts")).cast("date").as("sday"))
+      .agg(count(lit(1)).as("n_signup"),
+        sum(when(col("pts").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+        sum(when(col("pts").isNotNull && col("tainted").isNotNull, 1L).otherwise(0L)).as("n_tainted"),
+        sum(when(col("pts").isNotNull && col("tainted").isNull, 1L).otherwise(0L)).as("n_clean"))
+      .withColumn("clean_rate",
+        Num.roundd(col("n_clean").cast("double") / col("n_signup").cast("double"), 4))
+      .orderBy("sday")
+  }
+
   /** Max-duration-capped sessionization: a session ends after 30 min of
     * inactivity OR when it reaches 2 h of total duration — the analytics
     * -suite session rule (uncapped gap sessions let a slow crawler string
@@ -1062,6 +1114,23 @@ object TimeSeries {
   }
 
   val all: Seq[(String, Q, String)] = Seq(
+    ("q_ts_local_day", qTsLocalDay,
+      "SELECT CAST(date_trunc('day', (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS DATE) nyday, " +
+        "event_type, CAST(count(*) AS BIGINT) cnt, round(sum(value), 2) sv " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    ("q_ts_funnel_exclusion", qTsFunnelExclusion,
+      "WITH su AS (SELECT user_id, min(ts) sts FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "j AS (SELECT e.user_id, su.sts, " +
+        "min(CASE WHEN e.event_type = 'purchase' AND e.ts > su.sts THEN e.ts END) pts " +
+        "FROM events e JOIN su ON su.user_id = e.user_id GROUP BY 1, 2), " +
+        "err AS (SELECT DISTINCT e.user_id FROM events e JOIN j ON j.user_id = e.user_id " +
+        "WHERE j.pts IS NOT NULL AND e.event_type = 'error' AND e.ts > j.sts AND e.ts < j.pts) " +
+        "SELECT CAST(date_trunc('day', j.sts) AS DATE) sday, CAST(count(*) AS BIGINT) n_signup, " +
+        "CAST(sum(CASE WHEN j.pts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) n_converted, " +
+        "CAST(sum(CASE WHEN j.pts IS NOT NULL AND err.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) n_tainted, " +
+        "CAST(sum(CASE WHEN j.pts IS NOT NULL AND err.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_clean, " +
+        "round(CAST(sum(CASE WHEN j.pts IS NOT NULL AND err.user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) clean_rate " +
+        "FROM j LEFT JOIN err ON err.user_id = j.user_id GROUP BY 1 ORDER BY 1"),
     ("q_ts_session_capped", qTsSessionCapped,
       "WITH RECURSIVE t AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) tus, " +
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) i FROM events), " +

@@ -108,6 +108,43 @@ class SreSpec extends SparkSuite {
     assert(r == Seq((4L, 3L, 1L)), s"got $r")
   }
 
+  // ---- local-timezone rollup ----------------------------------------------
+
+  test("local day: 03:00 UTC in January lands on the PREVIOUS New York day (EST -5)") {
+    import graft.operators.TimeSeries
+    writeEvents(Seq(
+      (1L, ns(t0 + 14 * 86400 + 3 * 3600), 1L, "click", 1.0, "{}"),  // Jan 15 03:00 UTC
+      (2L, ns(t0 + 14 * 86400 + 6 * 3600), 1L, "click", 1.0, "{}"))) // Jan 15 06:00 UTC
+    val r = TimeSeries.qTsLocalDay(spark, dir)
+      .select("nyday", "cnt").collect()
+      .map(row => row.getDate(0).toString -> row.getLong(1)).toMap
+    assert(r == Map("2024-01-14" -> 1L, "2024-01-15" -> 1L), s"got $r")
+  }
+
+  // ---- exclusion funnel ---------------------------------------------------
+
+  test("exclusion funnel: only errors INSIDE the conversion interval taint") {
+    import graft.operators.TimeSeries
+    writeEvents(Seq(
+      // user 1: clean conversion
+      (1L, ns(t0), 1L, "signup", 1.0, "{}"),
+      (2L, ns(t0 + 100), 1L, "purchase", 1.0, "{}"),
+      // user 2: error between signup and purchase ⇒ tainted
+      (3L, ns(t0), 2L, "signup", 1.0, "{}"),
+      (4L, ns(t0 + 50), 2L, "error", 1.0, "{}"),
+      (5L, ns(t0 + 100), 2L, "purchase", 1.0, "{}"),
+      // user 3: never converts
+      (6L, ns(t0), 3L, "signup", 1.0, "{}"),
+      // user 4: error AFTER the first purchase — conversion stays clean
+      (7L, ns(t0), 4L, "signup", 1.0, "{}"),
+      (8L, ns(t0 + 100), 4L, "purchase", 1.0, "{}"),
+      (9L, ns(t0 + 200), 4L, "error", 1.0, "{}")))
+    val r = TimeSeries.qTsFunnelExclusion(spark, dir)
+      .select("n_signup", "n_converted", "n_tainted", "n_clean", "clean_rate")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((4L, 3L, 1L, 2L, 0.5)), s"got $r")
+  }
+
   // ---- capped sessions ----------------------------------------------------
 
   test("capped sessions: exactly-2h stays one session, the next event splits; 31-min gap splits") {
