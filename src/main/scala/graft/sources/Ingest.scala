@@ -1193,6 +1193,41 @@ object Ingest {
     (a, b)
   }
 
+  /** Merge-on-read (MoR) delete fixture — the COMPLEMENT of
+    * [[gdprDeleted]]'s copy-on-write: the forget request writes only a
+    * tiny TOMBSTONE table next to the corpus; NO data file is rewritten.
+    * The read path ([[readMorDocs]]) anti-joins the tombstones, and a
+    * later compaction (the q_ingest_compacted machinery) folds them in
+    * for real.
+    *
+    * The trade: CoW pays |affected files| I/O once at delete time and
+    * reads stay free; MoR pays O(batch) at delete time — independent of
+    * corpus OR affected-file count — and taxes every read with a
+    * broadcast anti-join until compaction. At 100 TB with frequent small
+    * forget batches, MoR + periodic compaction is the only shape whose
+    * delete latency doesn't scale with data layout; the Bloom-indexed
+    * CoW path stays right for rare bulk erasure. Returns
+    * (dataPath, tombstonePath). */
+  def morDeleted(spark: SparkSession, sfDir: String, root: String = defaultRoot): (String, String) = {
+    val joined = materialized.getOrElseUpdate(s"mor_deleted:$sfDir:$root", {
+      val pd = s"$root/${slug(sfDir)}/docs_mor"
+      val pt = s"$root/${slug(sfDir)}/docs_mor_tombstones"
+      Tables.documents(spark, sfDir).write.mode("overwrite").parquet(pd)
+      import spark.implicits._
+      gdprIds.toDF("doc_id").repartition(1).write.mode("overwrite").parquet(pt)
+      s"$pd|$pt"
+    })
+    val Array(a, b) = joined.split('|')
+    (a, b)
+  }
+
+  /** MoR read path: data minus tombstones. The tombstone side is small
+    * by construction (pending deletes since the last compaction), so the
+    * anti-join BROADCASTS and the read tax is one map-side probe. */
+  def readMorDocs(spark: SparkSession, dataPath: String, tombPath: String): DataFrame =
+    spark.read.parquet(dataPath)
+      .join(broadcast(spark.read.parquet(tombPath)), Seq("doc_id"), "left_anti")
+
   // ---- hash-bucketed tables (co-located joins) ----------------------------
 
   /** Save `df` as a bucketed table: hash-bucketed AND sorted by `key` into

@@ -271,6 +271,20 @@ object IngestQueries {
     * UNION ALL of the same batch rows) — a pass proves MERGE semantics:
     * stale versions gone, replacements and inserts present, everything
     * else untouched. */
+  /** Merge-on-read delete round-trip (Ingest.morDeleted): the corpus
+    * served THROUGH the tombstone anti-join, checksummed per lang. The
+    * oracle anti-filters the raw table — a pass proves the read path
+    * hides exactly the forgotten rows while WritePathSpec proves the
+    * data files still physically contain them (no rewrite happened),
+    * which together are the MoR contract. */
+  val qDocsDeleteMor: Q = (s, d) => {
+    val (pd, pt) = Ingest.morDeleted(s, d)
+    Ingest.readMorDocs(s, pd, pt)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"), sum("n_chars").as("chars"))
+      .orderBy("lang")
+  }
+
   val qDocsUpsert: Q = (s, d) => {
     val p = Ingest.cdcUpserted(s, d)
     s.read.parquet(p)
@@ -367,6 +381,10 @@ object IngestQueries {
         "UNION ALL SELECT 100001, 'new doc two', 'en', 'cdc', 11) " +
         "SELECT lang, source, count(*) n, CAST(sum(doc_id) AS BIGINT) id_sum, CAST(sum(n_chars) AS BIGINT) chars " +
         "FROM up GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_docs_delete_mor", qDocsDeleteMor, Some(
+      "SELECT lang, CAST(count(*) AS BIGINT) n, CAST(sum(doc_id) AS BIGINT) id_sum, " +
+        "CAST(sum(n_chars) AS BIGINT) chars FROM documents " +
+        "WHERE doc_id NOT IN (7,13,101,256) GROUP BY lang ORDER BY lang")),
     ("q_docs_delete", qDocsDelete, Some(
       "SELECT 'docs' part, count(*) n, CAST(sum(doc_id) AS BIGINT) id_sum FROM documents WHERE doc_id NOT IN (7,13,101,256) " +
         "UNION ALL SELECT 'emb' part, count(*) n, CAST(sum(vec_id) AS BIGINT) id_sum FROM embeddings WHERE vec_id NOT IN (7,13,101,256) " +

@@ -820,4 +820,23 @@ class WritePathSpec extends SparkSuite {
     assert(df.count() == Tables.events(spark, sf0001).count(),
       "evolution must not drop or duplicate rows")
   }
+
+  test("merge-on-read delete: read path hides the ids while data files still contain them") {
+    val (pd, pt) = Ingest.morDeleted(spark, sf0001, root)
+    val served = Ingest.readMorDocs(spark, pd, pt)
+    val servedIds = served.filter(col("doc_id").isin(Ingest.gdprIds: _*)).count()
+    assert(servedIds == 0, "the MoR read must hide every tombstoned row")
+    // the PROOF that no rewrite happened: the data files still hold the rows
+    val rawHits = spark.read.parquet(pd)
+      .filter(col("doc_id").isin(Ingest.gdprIds: _*)).count()
+    assert(rawHits == Ingest.gdprIds.size.toLong,
+      s"data files must be untouched (expected ${Ingest.gdprIds.size} tombstoned rows on disk, got $rawHits)")
+    // tombstone side is exactly the forget batch
+    val tomb = spark.read.parquet(pt).collect().map(_.getLong(0)).sorted.toSeq
+    assert(tomb == Ingest.gdprIds.sorted, s"tombstones must be the forget batch: $tomb")
+    // and the read tax is a broadcast anti-join, not a shuffle
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"MoR read must broadcast the tombstones:\n$plan")
+  }
 }
