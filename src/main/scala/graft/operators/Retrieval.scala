@@ -152,39 +152,66 @@ object Retrieval {
     * UNROLLS the same 5 steps as chained CTEs (the q_graph_pagerank
     * device — independent formulation, no fold). */
   val qSimMmr: Q = (s, d) => {
+    import s.implicits._
     val e = Tables.embeddings(s, d)
     val qs = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val cs = e.filter(col("vec_id") >= 20)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // relevance stays a distributed codegen'd expression — the scan-sized
+    // stage; the 5-step greedy then runs PER QUERY inside one mapGroups
+    // task (candidates per query are shortlist-bounded by construction),
+    // replacing the former 5 chained Spark jobs: the greedy loop is
+    // sequential in its own picks, so the right distribution axis is
+    // queries, not steps. Scalar arithmetic below replicates the codegen
+    // expressions exactly (sequential fma order, roundd), so the result
+    // is bit-identical to the unrolled-CTE oracle.
     val base = cs.crossJoin(broadcast(qs))
       .withColumn("rel", Num.roundd(Llm.cosineNative(s, "qv", "cv"), 6))
-      .select("qid", "cid", "rel", "cv")
-      .localCheckpoint()
-    val wPick = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
-    var selected = base
-      .withColumn("score", Num.roundd(lit(0.7) * col("rel"), 6))
-      .withColumn("rn", row_number().over(wPick))
-      .filter(col("rn") === 1)
-      .select(col("qid"), lit(1L).as("pick"), col("cid"), col("rel"), col("score"), col("cv").as("sv"))
-    for (i <- 2 to 5) {
-      val remaining = base.join(
-        selected.select(col("qid").as("jq"), col("cid").as("jc")),
-        col("qid") === col("jq") && col("cid") === col("jc"), "left_anti")
-      val next = remaining
-        .join(broadcast(selected.select(col("qid").as("sq"), col("sv"))), col("qid") === col("sq"))
-        .withColumn("ps", Num.roundd(Llm.cosineNative(s, "cv", "sv"), 6))
-        .groupBy("qid", "cid")
-        .agg(max("rel").as("rel"), max("ps").as("pen"))
-        .withColumn("score", Num.roundd(lit(0.7) * col("rel") - lit(0.3) * col("pen"), 6))
-        .withColumn("rn", row_number().over(wPick))
-        .filter(col("rn") === 1)
-        .join(base.select(col("qid").as("bq"), col("cid").as("bc"), col("cv")),
-          col("qid") === col("bq") && col("cid") === col("bc"))
-        .select(col("qid"), lit(i.toLong).as("pick"), col("cid"), col("rel"), col("score"), col("cv").as("sv"))
-      selected = selected.unionByName(next).localCheckpoint()
+      .select(col("qid"), col("cid"), col("rel"), col("cv"))
+    def r6(x: Double): Double = {
+      val m = math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      if (x < 0) -m else m
     }
-    selected.select("qid", "pick", "cid", "rel", "score").orderBy("qid", "pick")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    base.as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val cands = it.map { case (_, cid, rel, cv) => (cid, rel, cv) }.toArray
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Double)]
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val used = scala.collection.mutable.Set.empty[Long]
+        // a pool smaller than 5 exhausts: picks simply stop (no padding)
+        for (pick <- 1L to math.min(5L, cands.length.toLong)) {
+          var best: (Double, Long, Double) = null // (score, cid, rel)
+          cands.foreach { case (cid, rel, cv) =>
+            if (!used(cid)) {
+              val score =
+                if (chosen.isEmpty) r6(0.7 * rel)
+                else {
+                  val pen = chosen.map(sv => r6(cos(cv, sv))).max
+                  r6(0.7 * rel - 0.3 * pen)
+                }
+              if (best == null || score > best._1 || (score == best._1 && cid < best._2))
+                best = (score, cid, rel)
+            }
+          }
+          used += best._2
+          chosen += cands.find(_._1 == best._2).get._3
+          picked += ((qid, pick, best._2, best._3, best._1))
+        }
+        picked.iterator
+      }
+      .toDF("qid", "pick", "cid", "rel", "score")
+      .orderBy("qid", "pick")
   }
 
   /** Hard-negative mining for contrastive training: per query vector, the
