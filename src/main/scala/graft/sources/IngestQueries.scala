@@ -335,6 +335,32 @@ object IngestQueries {
     }.reduce(_ unionByName _).orderBy("ver")
   }
 
+  /** Snapshot diff v1 → v3 over the versioned corpus: every row
+    * classified added / removed / changed / unchanged with count, id
+    * checksum and the net character delta — the audit report that
+    * answers "what exactly did the last two commits do?" without replaying
+    * them. One full-outer join of two MANIFEST-RESOLVED snapshot reads
+    * (each is just a parquet scan of its version's file set — snapshot
+    * isolation makes the diff consistent by construction); the oracle
+    * rebuilds both versions from raw and diffs them independently. At
+    * 100 TB the join prunes to the files that DIFFER between manifests
+    * (the manifest set-difference is the candidate list). */
+  val qIngestSnapshotDiff: Q = (s, d) => {
+    val dir = Versioned.timeTravelFixture(s, d)
+    val a = Versioned.read(s, dir, 1L).select(col("doc_id"), col("n_chars").as("ca"))
+    val b = Versioned.read(s, dir, 3L).select(col("doc_id"), col("n_chars").as("cb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("cls",
+        when(col("ca").isNull, "added")
+          .when(col("cb").isNull, "removed")
+          .when(col("ca") =!= col("cb"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+        sum(coalesce(col("cb"), lit(0L)) - coalesce(col("ca"), lit(0L))).as("chars_delta"))
+      .orderBy("cls")
+  }
+
   /** Serve one shard of the sharded docs export (the layout whose manifest
     * is Corpus.qDocsShardAssign): `shard = 3` is a partition filter, so
     * the scan reads 1/16 of the corpus directories (WritePathSpec asserts
@@ -353,6 +379,20 @@ object IngestQueries {
   }
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ingest_snapshot_diff", qIngestSnapshotDiff, Some(
+      "WITH v1 AS (SELECT doc_id, n_chars FROM documents), " +
+        "ups AS (SELECT doc_id, n_chars + 1000 n_chars FROM documents WHERE doc_id % 10 = 0), " +
+        "ins AS (SELECT doc_id + 1000000 doc_id, n_chars FROM documents WHERE doc_id < 5), " +
+        "v2 AS (SELECT v1.doc_id, COALESCE(ups.n_chars, v1.n_chars) n_chars FROM v1 LEFT JOIN ups USING (doc_id) " +
+        "UNION ALL SELECT * FROM ins), " +
+        "v3 AS (SELECT * FROM v2 WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)), " +
+        "j AS (SELECT COALESCE(v1.doc_id, v3.doc_id) doc_id, v1.n_chars ca, v3.n_chars cb " +
+        "FROM v1 FULL OUTER JOIN v3 ON v1.doc_id = v3.doc_id), " +
+        "k AS (SELECT doc_id, ca, cb, CASE WHEN ca IS NULL THEN 'added' WHEN cb IS NULL THEN 'removed' " +
+        "WHEN ca <> cb THEN 'changed' ELSE 'unchanged' END cls FROM j) " +
+        "SELECT cls, CAST(count(*) AS BIGINT) n, CAST(sum(doc_id) AS BIGINT) id_sum, " +
+        "CAST(sum(COALESCE(cb, 0) - COALESCE(ca, 0)) AS BIGINT) chars_delta " +
+        "FROM k GROUP BY 1 ORDER BY 1")),
     ("q_ingest_time_travel", qIngestTimeTravel, Some(
       "WITH v1 AS (SELECT doc_id, n_chars FROM documents), " +
         "ups AS (SELECT doc_id, n_chars + 1000 n_chars FROM documents WHERE doc_id % 10 = 0), " +

@@ -392,4 +392,24 @@ class SignalSpec extends SparkSuite {
       .select("phase", "n_docs", "toks").as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L, 8L), (2L, 2L, 8L), (3L, 2L, 8L), (4L, 2L, 8L)), s"got $out")
   }
+
+  test("scd2: runs collapse, intervals chain end-to-start, only the last is current") {
+    import graft.operators.Features
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 1.0, "{}"),
+      (2L, ns(t0 + 60), 1L, "click", 1.0, "{}"),    // same status: same run
+      (3L, ns(t0 + 120), 1L, "view", 1.0, "{}"),
+      (4L, ns(t0 + 180), 1L, "click", 1.0, "{}")))  // back to click: NEW run
+    val r = Features.qScd2Build(spark, dir)
+      .select("status", "valid_from", "valid_to", "is_current")
+      .collect().map { x =>
+        def sec(i: Int): Long = x.getAs[java.time.LocalDateTime](i)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        (x.getString(0), sec(1), if (x.isNullAt(2)) -1L else sec(2), x.getLong(3))
+      }.toSeq
+    assert(r == Seq(
+      ("click", t0, t0 + 120, 0L),
+      ("view", t0 + 120, t0 + 180, 0L),
+      ("click", t0 + 180, -1L, 1L)), s"got $r")
+  }
 }
