@@ -153,6 +153,22 @@ class StreamParitySpec extends SparkSuite {
     assert(nullCids.count() > 0, "watermark never proved any click unmatched")
   }
 
+  test("seasonal spike detector: sealed cells equal the batch grid rows, ordered + jittered") {
+    import graft.streaming.StatefulSpike
+    val batch = graft.operators.Sre.qTsSpikeRatio(spark, sf0001)
+      .select("event_type", "dday", "hod", "x", "base", "ratio", "spike")
+    for (dir <- Seq(replayDir, StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4))) {
+      val stream = StreamingQueries.eventsStream(spark, dir).withWatermark("ts", "10 minutes")
+      val got = StreamReplay.runToCompletion(
+        spark, StatefulSpike.spikeStream(stream).toDF(), s"t_spike_${dir.hashCode.abs}")
+      assert(got.count() > 0, "spike stream sealed no cells")
+      assert(got.except(batch).count() == 0,
+        "stream emitted a spike cell the batch grid disagrees with")
+      assert(got.count() == got.dropDuplicates("event_type", "dday", "hod").count(),
+        "duplicate seals emitted")
+    }
+  }
+
   test("token-bucket limiter: sealed decisions equal the batch fold, ordered + jittered") {
     import graft.streaming.StatefulRateLimit
     import StatefulRateLimit.{CapacityUs, CostUs}
