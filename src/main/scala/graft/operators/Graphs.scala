@@ -200,7 +200,31 @@ object Graphs {
       "(PARTITION BY user_id ORDER BY ts, event_id) dst FROM events), " +
       "ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) n FROM p0 WHERE dst IS NOT NULL GROUP BY 1, 2)"
 
+  /** Two-step transition probabilities P² — "where is a user two clicks
+    * from now": the first-order matrix multiplied with itself, computed
+    * as a self-join of the COLLAPSED transition table on the middle
+    * state (the edge derivation pays the scan once; the multiply touches
+    * ≤ vocabulary³ rows, never events). Each P entry is pre-rounded at 6
+    * (the published matrix IS the input — consumers compose what they
+    * read, not hidden full-precision values); the ≤vocabulary-term dot
+    * product re-rounds at 6. */
+  val qGraphMarkov2: Q = (s, d) => {
+    val p1 = edges(s, d)
+      .withColumn("p", Num.roundd(
+        col("n").cast("double") / sum("n").over(Window.partitionBy("src")), 6))
+      .select("src", "dst", "p")
+    p1.as("a").join(p1.as("b"), col("a.dst") === col("b.src"))
+      .groupBy(col("a.src").as("src"), col("b.dst").as("dst"))
+      .agg(Num.roundd(sum(col("a.p") * col("b.p")), 6).as("p2"))
+      .orderBy("src", "dst")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_graph_markov2", qGraphMarkov2, Some(
+      s"WITH $EDGE_SQL, " +
+        "p1 AS (SELECT src, dst, round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS BIGINT), 6) p FROM ed) " +
+        "SELECT a.src, b.dst, round(sum(a.p * b.p), 6) p2 " +
+        "FROM p1 a JOIN p1 b ON b.src = a.dst GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_graph_transitions", qGraphTransitions, Some(
       s"WITH $EDGE_SQL " +
         "SELECT src, dst, n, round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS BIGINT), 6) p " +

@@ -332,4 +332,19 @@ class OpsSpec extends SparkSuite {
       .select("node", "hops").as[(String, Long)].collect().toMap
     assert(r == Map("signup" -> 0L, "click" -> 1L, "purchase" -> 2L, "error" -> -1L), s"got $r")
   }
+
+  test("markov2: a deterministic chain squares to the two-step hop") {
+    import graft.operators.Graphs
+    // one user cycling signup -> click -> purchase -> signup ... :
+    // P(signup->click)=1, P(click->purchase)=1 => P2(signup->purchase)=1
+    val cyc = Seq("signup", "click", "purchase")
+    val rows = (0 until 9).map(i => (i.toLong, ns(t0 + i * 60), 1L, cyc(i % 3), 1.0))
+    writeEvents(rows)
+    val r = Graphs.qGraphMarkov2(spark, dir)
+      .select("src", "dst", "p2").as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r(("signup", "purchase")) == 1.0, s"got $r")
+    assert(r(("click", "signup")) == 1.0 && r(("purchase", "click")) == 1.0, s"got $r")
+    assert(r.size == 3, s"deterministic cycle has exactly 3 two-step arcs: $r")
+  }
 }
