@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions._
   * with sinks.
   *
   * Determinism: edge weights and out-degrees are exact longs; per-step
-  * ranks round through [[Num.roundd]] at 8 decimals on both engines, so
-  * engine-order contribution sums (≤ vocabulary-size terms) cannot drift
-  * across 20 iterations. The oracle UNROLLS the same 20 steps as chained
-  * CTEs — an independent algorithm (no recursion, no fold) computing the
-  * identical IEEE sequence.
+  * ranks round through [[Num.roundd]] at 8 decimals on both engines.
+  * SQL SUM order is unspecified, so agreement rests on that per-step
+  * round absorbing sub-1e-8 summation-order drift (≤ vocabulary-size
+  * terms per sum) before it can compound across the 20 iterations — not
+  * on any engine-level guarantee of a matching IEEE sequence. The
+  * oracle UNROLLS the same 20 steps as chained CTEs — an independent
+  * algorithm (no recursion, no fold) over the same rounded iterates.
   */
 object Graphs {
   type Q = (SparkSession, String) => DataFrame
@@ -74,9 +76,11 @@ object Graphs {
     * SWITCH POINT is "does the rank vector broadcast", same as any
     * broadcast-vs-shuffle join decision.
     *
-    * Per-step ranks round at 8 decimals (so the ≤V-term contribution sum
-    * order can't drift), contributions fold in sorted-src order — the
-    * identical IEEE sequence the unrolled-CTE oracle computes. */
+    * Per-step ranks round at 8 decimals; contributions fold in
+    * sorted-src order here, but SQL gives no sum-order guarantee, so the
+    * real invariant is that the per-step round absorbs sub-1e-8 order
+    * drift (it could only surface at an exact .5-ulp round boundary),
+    * not that the two engines compute the same IEEE sequence. */
   val qGraphPagerank: Q = (s, d) => {
     val ef = edges(s, d)
       .withColumn("outw", sum("n").over(Window.partitionBy("src")))

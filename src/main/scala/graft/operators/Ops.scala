@@ -546,7 +546,8 @@ object Ops {
         "bfs AS (" +
         "SELECT 'signup' node, CAST(0 AS BIGINT) hops " +
         "UNION ALL " +
-        "SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.node WHERE b.hops < 6) " +
+        "SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.node " +
+        "WHERE b.hops < (SELECT count(DISTINCT event_type) FROM events)) " +
         "SELECT n.event_type node, CAST(coalesce(min(b.hops), -1) AS BIGINT) hops " +
         "FROM (SELECT DISTINCT event_type FROM events) n LEFT JOIN bfs b ON b.node = n.event_type " +
         "GROUP BY 1 ORDER BY 1")),

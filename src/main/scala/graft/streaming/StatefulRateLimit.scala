@@ -47,9 +47,22 @@ object StatefulRateLimit {
       if (ok) credit -= CostUs
       Decision(key, id, tus, ok)
     }
-    state.update(RlState(credit, last, rest))
-    // re-fire as the watermark advances so the buffered tail still seals
-    if (rest.nonEmpty) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+    // A fully-refilled idle bucket is indistinguishable from the initial
+    // state (any future event tops credit up to CapacityUs before the
+    // first charge), so drop it instead of keeping one entry per user
+    // ever seen — state size stays bounded by the *active* user set.
+    val backAtFull = last < 0L || wmUs - last >= CapacityUs - credit
+    if (rest.isEmpty && backAtFull) state.remove()
+    else {
+      state.update(RlState(credit, last, rest))
+      if (rest.nonEmpty)
+        // re-fire as the watermark advances so the buffered tail still seals
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+      else
+        // idle but not yet refilled: re-fire once the bucket is provably
+        // full again so the entry self-removes without another event
+        state.setTimeoutTimestamp((last + (CapacityUs - credit)) / 1000 + 1)
+    }
     out.iterator
   }
 
