@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trend-fitting and sequential-fold tier over the event stream — the
+  * operators that turn an hourly metric panel into a model: OLS line
+  * fit (slope / intercept / r²), the Theil–Sen robust slope (median of
+  * pairwise slopes — outlier-immune where OLS is not), drawdown
+  * analysis (running-peak shortfall, the capacity/finance staple), and
+  * the capped cumulative fold (a clamped running balance — the batch
+  * twin of the streaming token bucket, and the canonical example of a
+  * sequential recurrence no window frame can express).
+  *
+  * Determinism (SURVEY §2.0): OLS moments are EXACT integer sums over
+  * the gapless hourly COUNT grid (the q_ts_corr_pair device) — the only
+  * doubles are the final one-shot formulas, identical expressions on
+  * both engines. Theil–Sen slopes are single-division rationals of
+  * exact ints; the exact interpolated median sees the same double
+  * multiset on both engines. Drawdown folds exact micro-unit longs
+  * (per-hour sums rounded once at 6 dp, then ×1e6 → BIGINT), so the
+  * running sum/max is order-free. The capped fold replays the identical
+  * IEEE op sequence (add, clamp-low, clamp-high) in the identical
+  * (ts, event_id) order on both engines.
+  *
+  * Scale notes: regr/theil_sen/drawdown all ride the POST-aggregate
+  * hourly panel (≤ types × hours rows regardless of event volume); the
+  * Theil–Sen pair fan-out is (grid)²/2 per type — bounded by the panel,
+  * never the raw scan, and embarrassingly parallel after the self-join.
+  * The capped fold shuffles once on user_id and folds each user's
+  * (bounded) history in memory — the same per-key contract the
+  * sessionizer and the streaming rate limiter already rely on.
+  */
+object Fit {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Gapless hour grid of the dataset's range (q_ts_gapfill bounds). */
+  private def hourGrid(s: SparkSession): DataFrame = s.sql(
+    "SELECT explode(sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00', TIMESTAMP_NTZ '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h")
+
+  /** (et, x, c) panel: per-type hourly event counts on the gapless grid
+    * (absent hours are real zeros), x = hours since 2024-01-01. Shared
+    * by the OLS and Theil–Sen fits so both see the identical series. */
+  private def hourlyPanel(s: SparkSession, d: String): DataFrame = {
+    val types = Tables.events(s, d).select(col("event_type").as("et")).distinct()
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    types.crossJoin(broadcast(hourGrid(s)))
+      .join(hourly, Seq("et", "h"), "left")
+      .select(col("et"),
+        expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', h)")
+          .cast("long").as("x"),
+        coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  /** OLS line fit per event_type over the hourly count series: slope,
+    * intercept, r² from exact integer moments (one hash aggregate over
+    * the panel). The closed-form normal equations divide once at the
+    * end — no iterative fitting, no per-row doubles. */
+  val qTsRegrFit: Q = (s, d) =>
+    hourlyPanel(s, d)
+      .groupBy("et")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("c").as("sy"),
+        sum(col("x") * col("c")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("c") * col("c")).as("syy"))
+      .select(col("et").as("event_type"), col("n"),
+        Num.roundd((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6).as("slope"),
+        Num.roundd((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6).as("intercept"),
+        Num.roundd(
+          pow((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"), 2) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6).as("r2"))
+      .orderBy("event_type")
+
+  /** Theil–Sen robust slope per event_type: the exact median of all
+    * pairwise slopes (c_j - c_i)/(x_j - x_i) over the hourly panel —
+    * a 29%-breakdown estimator where one spiky hour drags OLS. The
+    * pair fan-out is a type-local self-join of the POST-aggregate grid
+    * (≤ hours²/2 pairs per type), then one exact percentile. */
+  val qTsTheilSen: Q = (s, d) => {
+    val p = hourlyPanel(s, d)
+    val a = p.select(col("et"), col("x").as("xa"), col("c").as("ca"))
+    val b = p.select(col("et"), col("x").as("xb"), col("c").as("cb"))
+    a.join(b, Seq("et"))
+      .filter(col("xa") < col("xb"))
+      .select(col("et"),
+        ((col("cb") - col("ca")).cast("double") /
+          (col("xb") - col("xa")).cast("double")).as("sl"))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_pairs"),
+        Num.roundd(expr("percentile(sl, 0.5d)"), 6).as("slope"))
+      .select(col("et").as("event_type"), col("n_pairs"), col("slope"))
+      .orderBy("event_type")
+  }
+
+  /** Max drawdown per event_type over the cumulative hourly value
+    * series: running peak minus running sum, reported with the overall
+    * peak and the (earliest) trough hour. Per-hour sums round once at
+    * 6 dp then live as exact micro-unit longs, so the cumulative fold
+    * and running max are summation-order-free; only the final /1e6
+    * display division is floating-point. */
+  val qTsDrawdown: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
+      .agg(Num.roundd(sum("value") * 1e6, 0).cast("long").as("v"))
+    val wc = Window.partitionBy("et").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy("et")
+    hourly
+      .withColumn("cum", sum("v").over(wc))
+      .withColumn("runmax", max("cum").over(wc))
+      .withColumn("dd", col("runmax") - col("cum"))
+      .withColumn("ddmax", max("dd").over(wp))
+      .groupBy(col("et").as("event_type"))
+      .agg(
+        Num.roundd(max("cum").cast("double") / 1e6, 6).as("peak"),
+        Num.roundd(max("dd").cast("double") / 1e6, 6).as("max_dd"),
+        min(when(col("dd") === col("ddmax"), col("h"))).as("trough_h"))
+      .orderBy("event_type")
+  }
+
+  /** Capped cumulative balance per user — bal_i = clamp(bal_{i-1} +
+    * (value_i - 40), 0, 200) from a starting 100 — the inventory /
+    * leaky-bucket recurrence that NO window frame can express (each
+    * step depends on the clamped previous step). One shuffle on
+    * user_id, then an in-memory fold over each user's (ts, event_id)-
+    * ordered history — the batch twin of StatefulRateLimit's buffered
+    * fold, with per-user state bounded by user activity, not corpus
+    * size. The oracle replays the identical recurrence as a per-rank
+    * recursive CTE. */
+  val qTsCappedCumsum: Q = (s, d) => {
+    import s.implicits._
+    def r6(v: Double): Double = {
+      val m = math.floor(math.abs(v) * 1e6 + 0.5) / 1e6
+      if (v < 0) -m else m
+    }
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tus"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long, Double)]) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._2))
+        var bal = 100.0
+        evs.iterator.map { e =>
+          // same IEEE sequence as the oracle: delta first, one add, two clamps
+          bal = math.min(200.0, math.max(0.0, bal + (r6(e._4) - 40.0)))
+          (u, e._2, r6(bal))
+        }
+      }
+      .toDF("user_id", "event_id", "bal")
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---- catalog ------------------------------------------------------------
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ts_regr_fit", qTsRegrFit, Some(
+      "WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, CAST(datediff('hour', TIMESTAMP '2024-01-01', g.h) AS BIGINT) x, coalesce(hc.c, 0) c " +
+        "FROM ty CROSS JOIN g LEFT JOIN hc ON hc.et = ty.et AND hc.h = g.h), " +
+        "m AS (SELECT et, CAST(count(*) AS BIGINT) n, sum(x) sx, sum(c) sy, sum(x * c) sxy, " +
+        "sum(x * x) sxx, sum(c * c) syy FROM p GROUP BY 1) " +
+        "SELECT et event_type, n, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) slope, " +
+        "round(CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) intercept, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) r2 " +
+        "FROM m ORDER BY 1")),
+    ("q_ts_theil_sen", qTsTheilSen, Some(
+      "WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, CAST(datediff('hour', TIMESTAMP '2024-01-01', g.h) AS BIGINT) x, coalesce(hc.c, 0) c " +
+        "FROM ty CROSS JOIN g LEFT JOIN hc ON hc.et = ty.et AND hc.h = g.h), " +
+        "pr AS (SELECT a.et, CAST(b.c - a.c AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) sl " +
+        "FROM p a JOIN p b ON b.et = a.et AND a.x < b.x) " +
+        "SELECT et event_type, CAST(count(*) AS BIGINT) n_pairs, " +
+        "round(quantile_cont(sl, 0.5), 6) slope FROM pr GROUP BY 1 ORDER BY 1")),
+    ("q_ts_drawdown", qTsDrawdown, Some(
+      "WITH h AS (SELECT event_type et, date_trunc('hour', ts) h, " +
+        "CAST(round(sum(value) * 1000000, 0) AS BIGINT) v FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT et, h, CAST(sum(v) OVER w AS BIGINT) cum FROM h " +
+        "WINDOW w AS (PARTITION BY et ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "dd AS (SELECT et, h, cum, CAST(max(cum) OVER w AS BIGINT) - cum dd FROM c " +
+        "WINDOW w AS (PARTITION BY et ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "x AS (SELECT et, h, cum, dd, CAST(max(dd) OVER (PARTITION BY et) AS BIGINT) ddmax FROM dd) " +
+        "SELECT et event_type, round(CAST(max(cum) AS DOUBLE) / 1000000, 6) peak, " +
+        "round(CAST(max(dd) AS DOUBLE) / 1000000, 6) max_dd, " +
+        "min(CASE WHEN dd = ddmax THEN h END) trough_h " +
+        "FROM x GROUP BY 1 ORDER BY 1")),
+    ("q_ts_capped_cumsum", qTsCappedCumsum, Some(
+      "WITH RECURSIVE e AS (SELECT user_id, event_id, round(value, 6) - 40.0 delta, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) rn FROM events), " +
+        "s AS (SELECT user_id, event_id, rn, least(greatest(100.0 + delta, 0.0), 200.0) bal FROM e WHERE rn = 1 " +
+        "UNION ALL SELECT e.user_id, e.event_id, e.rn, least(greatest(s.bal + e.delta, 0.0), 200.0) " +
+        "FROM s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1) " +
+        "SELECT user_id, event_id, round(bal, 6) bal FROM s ORDER BY user_id, event_id")))
+}

@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.{Fit, Mining}
+
+/** Edge semantics of the trend-fit (Fit) and corpus-mining (Mining)
+  * tiers via crafted fixtures (raw ns LONG ts per §1.3). */
+class FitMiningSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-fitmining"
+
+  private def ns(sec: Long): Long = sec * 1000000000L
+  private val hour = 3600L
+  private val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): Unit =
+    rows.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private def writeEmb(rows: Seq[(Long, Array[Float], Int)]): Unit =
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+  /** c(x) = x events in hour x across the full 720-h grid, one type. */
+  private def lineEvents(outlierAt: Option[Int]): Seq[(Long, Long, Long, String, Double, String)] = {
+    var id = 0L
+    (0 until 720).flatMap { x =>
+      val c = x + outlierAt.map(o => if (x == o) 1000 else 0).getOrElse(0)
+      (0 until c).map { _ =>
+        id += 1
+        (id, ns(t0 + x * hour), 1L, "click", 1.0, "{}")
+      }
+    }
+  }
+
+  // ---- regr_fit / theil_sen ----------------------------------------------
+
+  test("regr_fit: perfect line c = x gives slope 1, intercept 0, r2 1") {
+    writeEvents(lineEvents(None))
+    val r = Fit.qTsRegrFit(spark, dir)
+      .select("event_type", "slope", "intercept", "r2")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(r == Seq(("click", 1.0, 0.0, 1.0)))
+  }
+
+  test("theil_sen: median pairwise slope is 1 on the line AND under a 1000-count outlier hour (where OLS moves)") {
+    writeEvents(lineEvents(None))
+    val clean = Fit.qTsTheilSen(spark, dir)
+      .select("event_type", "n_pairs", "slope")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(clean == Seq(("click", 720L * 719 / 2, 1.0)))
+
+    writeEvents(lineEvents(Some(360)))
+    val robust = Fit.qTsTheilSen(spark, dir)
+      .select("slope").as[Double].collect().toSeq
+    assert(robust == Seq(1.0)) // 719 of 258840 pair slopes moved — median didn't
+    val ols = Fit.qTsRegrFit(spark, dir).select("slope").as[Double].head()
+    assert(ols != 1.0) // the same outlier drags the OLS fit
+  }
+
+  // ---- drawdown -----------------------------------------------------------
+
+  test("drawdown: cum [10,6,3,8] has peak 10, max_dd 7, trough at hour 2") {
+    writeEvents(Seq(
+      (1L, ns(t0 + 0 * hour), 1L, "click", 10.0, "{}"),
+      (2L, ns(t0 + 1 * hour), 1L, "click", -4.0, "{}"),
+      (3L, ns(t0 + 2 * hour), 1L, "click", -3.0, "{}"),
+      (4L, ns(t0 + 3 * hour), 1L, "click", 5.0, "{}")))
+    val r = Fit.qTsDrawdown(spark, dir)
+      .select("event_type", "peak", "max_dd", "trough_h")
+      .as[(String, Double, Double, java.time.LocalDateTime)].collect().toSeq
+    assert(r.map(t => (t._1, t._2, t._3)) == Seq(("click", 10.0, 7.0)))
+    assert(r.head._4 == java.time.LocalDateTime.of(2024, 1, 1, 2, 0))
+  }
+
+  // ---- capped cumsum ------------------------------------------------------
+
+  test("capped_cumsum: clamps at 200 and 0; same-ts events fold in event_id order") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 200.0, "{}"),     // 100+160 -> clamp 200
+      (2L, ns(t0 + 1), 1L, "click", 10.0, "{}"),  // 200-30 -> 170
+      // same ts: event_id order decides the fold
+      (4L, ns(t0 + 2), 1L, "click", 0.0, "{}"),   // applied AFTER 3
+      (3L, ns(t0 + 2), 1L, "click", 0.0, "{}"),   // 170-40 -> 130; then 4: 130-40 -> 90
+      (5L, ns(t0 + 3), 1L, "click", 0.0, "{}"),   // 50
+      (6L, ns(t0 + 4), 1L, "click", 0.0, "{}"),   // 10
+      (7L, ns(t0 + 5), 1L, "click", 0.0, "{}"),   // 10-40 -> clamp 0
+      (8L, ns(t0 + 6), 1L, "click", 90.0, "{}"))) // 0+50 -> 50
+    val m = Fit.qTsCappedCumsum(spark, dir)
+      .select("event_id", "bal").as[(Long, Double)].collect().toMap
+    assert(m == Map(1L -> 200.0, 2L -> 170.0, 3L -> 130.0, 4L -> 90.0,
+      5L -> 50.0, 6L -> 10.0, 7L -> 0.0, 8L -> 50.0))
+  }
+
+  // ---- bigrams ------------------------------------------------------------
+
+  test("bigrams: 'a b a b' yields 'a b'x2 then 'b a'x1; 1-token and empty docs drop out") {
+    writeDocs(Seq(
+      (1L, "a b a b", "en", "s"),
+      (2L, "x", "en", "s"),
+      (3L, "", "en", "s")))
+    val r = Mining.qDocsBigrams(spark, dir)
+      .select("rk", "bg", "cnt").as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "a b", 2L), (2L, "b a", 1L)))
+  }
+
+  // ---- winnow -------------------------------------------------------------
+
+  test("winnow: a shared 6-token run guarantees a shared fingerprint; disjoint docs never pair") {
+    writeDocs(Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "en", "s"),
+      (2L, "z1 z2 w3 w4 w5 w6 w7 w8 z9 z10", "en", "s"), // shares run w3..w8 (6 tokens)
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10", "en", "s")))
+    val pairs = Mining.qDocsWinnow(spark, dir)
+      .select("d1", "d2", "shared").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists { case (d1, d2, sh) => d1 == 1L && d2 == 2L && sh >= 1L })
+    assert(!pairs.exists { case (d1, d2, _) => d1 == 3L || d2 == 3L })
+  }
+
+  // ---- dup rate -----------------------------------------------------------
+
+  test("dup_rate: cross-source exact dup counts in BOTH sources; unique doc does not") {
+    writeDocs(Seq(
+      (1L, "same text here", "en", "a"),
+      (2L, "same text here", "en", "a"),
+      (3L, "unique text one", "en", "a"),
+      (4L, "same text here", "en", "b"),
+      (5L, "unique text two", "en", "b")))
+    val m = Mining.qDocsDupRate(spark, dir)
+      .select("source", "n_docs", "n_dup", "dup_rate")
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(m("a") == ((3L, 2L, 0.666667)))
+    assert(m("b") == ((2L, 1L, 0.5)))
+  }
+
+  // ---- array hof ----------------------------------------------------------
+
+  test("array_hof: [0.5,-0.25,1.0] gives dim 3, n_pos 2, l2 sqrt(1.3125), relu 1.5") {
+    writeEmb(Seq((1L, Array(0.5f, -0.25f, 1.0f), 0)))
+    val r = Mining.qEmbArrayHof(spark, dir)
+      .select("vec_id", "dim", "n_pos", "l2", "relu_sum")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r == Seq((1L, 3L, 2L, 1.145644, 1.5)))
+  }
+}
