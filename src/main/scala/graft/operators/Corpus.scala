@@ -558,8 +558,13 @@ object Corpus {
       .filter(size(col("tk")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))")).as("gram"))
+      // two-level aggregate instead of countDistinct: (gram, doc) pairs
+      // collapse map-side BEFORE the shuffle (a distinct-agg would expand
+      // to a two-phase plan with no partial combine on the raw explode),
+      // then n_docs is a plain count over the pre-deduped pairs
+      .groupBy("gram", "doc_id").agg(count(lit(1)).as("n"))
       .groupBy("gram")
-      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occur"))
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_occur"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("n_occur").desc, col("gram"))
       .limit(50)

@@ -205,13 +205,21 @@ object Sketches {
     * the 20 smallest user ids; exact counts ride the same scan. */
   val qSketchCmPoint: Q = (s, d) => {
     def hj(j: Int) = s"pmod(${Dedup.h60(s"'cm$j'", "cast(user_id as string)")}, 256)"
-    val cells = Tables.events(s, d)
-      .select(col("user_id"), explode(expr("array(0, 1, 2, 3)")).as("j"))
+    // Pre-aggregate per key BEFORE hashing: a bucket's counter is the sum
+    // of its keys' counts, so the 4 md5 rows ride the |users| panel, not
+    // the raw event scan (4·|keys| hashes instead of 4·|events| — the
+    // same partial-aggregate-first rule every sketch build follows at
+    // scale; counters are bit-identical either way).
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val cells = perUser
+      .select(col("user_id"), col("n"), explode(expr("array(0, 1, 2, 3)")).as("j"))
       .withColumn("bucket", expr(
         s"CASE WHEN j = 0 THEN ${hj(0)} WHEN j = 1 THEN ${hj(1)} WHEN j = 2 THEN ${hj(2)} ELSE ${hj(3)} END"))
-      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
-    val probes = Tables.events(s, d)
-      .groupBy("user_id").agg(count(lit(1)).as("exact"))
+      .groupBy("j", "bucket").agg(sum("n").as("c"))
+    // probes share the per-user panel — identical subplan, so the
+    // exchange is computed once and reused (ReuseExchange)
+    val probes = perUser.select(col("user_id"), col("n").as("exact"))
       .orderBy("user_id").limit(20)
     val pj = probes.select(col("user_id"), col("exact"),
         explode(expr("array(0, 1, 2, 3)")).as("j"))
