@@ -157,6 +157,36 @@ object Fit {
       .orderBy("user_id", "event_id")
   }
 
+  /** Moving-average crossover signals per event_type (7-day fast vs
+    * 14-day slow over the daily value series): 'golden' when fast
+    * crosses above slow, 'death' when below — the trend-change detector
+    * every monitoring/trading stack ships. The comparison is PURE
+    * INTEGER: daily sums live as exact micro-unit longs, and
+    * fast > slow ⟺ sum_f·cnt_s > sum_s·cnt_f — no float ever decides a
+    * signal, so both engines flip on exactly the same day. Windows ride
+    * the ≤types×days post-aggregate panel. */
+  val qTsMaCross: Q = (s, d) => {
+    val wf = Window.partitionBy("et").orderBy("dd").rowsBetween(-6, Window.currentRow)
+    val ws = Window.partitionBy("et").orderBy("dd").rowsBetween(-13, Window.currentRow)
+    val wl = Window.partitionBy("et").orderBy("dd")
+    Tables.events(s, d)
+      .groupBy(col("event_type").as("et"), date_trunc("day", col("ts")).cast("date").as("dd"))
+      .agg(Num.roundd(sum("value") * 1e6, 0).cast("long").as("v"))
+      .withColumn("sf", sum("v").over(wf)).withColumn("cf", count(lit(1)).over(wf))
+      .withColumn("ss", sum("v").over(ws)).withColumn("cs", count(lit(1)).over(ws))
+      .withColumn("cmp",
+        when(col("sf") * col("cs") > col("ss") * col("cf"), 1L)
+          .when(col("sf") * col("cs") < col("ss") * col("cf"), -1L)
+          .otherwise(0L))
+      .withColumn("prev", lag("cmp", 1).over(wl))
+      .filter(col("prev").isNotNull && col("cmp") =!= col("prev") && col("cmp") =!= 0L)
+      .select(col("et").as("event_type"), col("dd").as("d"),
+        Num.roundd(col("sf").cast("double") / col("cf") / 1e6, 6).as("fast"),
+        Num.roundd(col("ss").cast("double") / col("cs") / 1e6, 6).as("slow"),
+        when(col("cmp") === 1L, "golden").otherwise("death").as("signal"))
+      .orderBy("event_type", "d")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -196,6 +226,23 @@ object Fit {
         "round(CAST(max(dd) AS DOUBLE) / 1000000, 6) max_dd, " +
         "min(CASE WHEN dd = ddmax THEN h END) trough_h " +
         "FROM x GROUP BY 1 ORDER BY 1")),
+    ("q_ts_ma_cross", qTsMaCross, Some(
+      "WITH dp AS (SELECT event_type et, CAST(date_trunc('day', ts) AS DATE) dd, " +
+        "CAST(round(sum(value) * 1000000, 0) AS BIGINT) v FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT et, dd, " +
+        "CAST(sum(v) OVER wf AS BIGINT) sf, CAST(count(*) OVER wf AS BIGINT) cf, " +
+        "CAST(sum(v) OVER ws AS BIGINT) ss, CAST(count(*) OVER ws AS BIGINT) cs FROM dp " +
+        "WINDOW wf AS (PARTITION BY et ORDER BY dd ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), " +
+        "ws AS (PARTITION BY et ORDER BY dd ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)), " +
+        "c AS (SELECT et, dd, sf, cf, ss, cs, " +
+        "CAST(CASE WHEN sf * cs > ss * cf THEN 1 WHEN sf * cs < ss * cf THEN -1 ELSE 0 END AS BIGINT) cmp FROM m), " +
+        "x AS (SELECT *, lag(cmp) OVER (PARTITION BY et ORDER BY dd) prev FROM c) " +
+        "SELECT et event_type, dd d, " +
+        "round(CAST(sf AS DOUBLE) / cf / 1000000, 6) fast, " +
+        "round(CAST(ss AS DOUBLE) / cs / 1000000, 6) slow, " +
+        "CASE WHEN cmp = 1 THEN 'golden' ELSE 'death' END signal " +
+        "FROM x WHERE prev IS NOT NULL AND cmp <> prev AND cmp <> 0 " +
+        "ORDER BY event_type, d")),
     ("q_ts_capped_cumsum", qTsCappedCumsum, Some(
       "WITH RECURSIVE e AS (SELECT user_id, event_id, round(value, 6) - 40.0 delta, " +
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) rn FROM events), " +

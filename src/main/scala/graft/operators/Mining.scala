@@ -125,6 +125,55 @@ object Mining {
           .as("relu_sum"))
       .orderBy("vec_id")
 
+  /** Dominant principal direction of the embedding corpus by 8 rounded
+    * power-iteration steps over the (uncentered) second-moment matrix —
+    * the anisotropy probe run before whitening / ABTT-style common-
+    * direction removal. The DISTRIBUTED part is the Gram build: per-
+    * element micro-unit longs make Σ mᵢmⱼ an exact integer aggregate
+    * (order-free, map-side combinable — at 100 TB this is the one
+    * pass over the data). The dim×dim matrix (64² here) then collapses
+    * to the driver — the same bounded-state broadcast switch-point as
+    * PageRank's rank vector — and iterates with per-step 8-dp rounding.
+    * SQL gives no sum-order guarantee for the matrix-vector products,
+    * so cross-engine agreement rests on the per-step round absorbing
+    * sub-1e-8 drift (the PageRank invariant), while the Gram matrix
+    * itself is exact on both engines. The result is DEFINED as the
+    * 8-step rounded iterate — convergence is a property of the data,
+    * not a termination condition. */
+  val qEmbPowerIter: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>), x -> if(x < 0, -floor(abs(x)*1000000 + 0.5d), floor(abs(x)*1000000 + 0.5d)))")
+        .as("m"))
+      .select(col("vec_id"), posexplode(col("m")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"), col("col").as("mi"))
+    val gram = e.join(e.select(col("vec_id"), col("i").as("j"), col("mi").as("mj")), "vec_id")
+      .groupBy("i", "j").agg(sum(col("mi") * col("mj")).as("sij"))
+      .collect()
+    val dim = gram.iterator.map(_.getInt(0)).max
+    val mat = Array.ofDim[Double](dim, dim)
+    gram.foreach(r => mat(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2).toDouble / 1e12)
+    def r8(x: Double): Double = {
+      val m = math.floor(math.abs(x) * 1e8 + 0.5) / 1e8; if (x < 0) -m else m
+    }
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to 8) {
+      val u = Array.tabulate(dim) { i =>
+        (0 until dim).foldLeft(0.0)((a, j) => a + mat(i)(j) * v(j))
+      }
+      val norm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
+      v = u.map(x => r8(x / norm))
+    }
+    val lamRaw = (0 until dim).foldLeft(0.0) { (a, i) =>
+      a + v(i) * (0 until dim).foldLeft(0.0)((b, j) => b + mat(i)(j) * v(j))
+    }
+    val lam = { val m = math.floor(math.abs(lamRaw) * 1e6 + 0.5) / 1e6
+      if (lamRaw < 0) -m else m }
+    import s.implicits._
+    (1 to dim).map(i => (i.toLong, v(i - 1), lam)).toDF("i", "loading", "lam")
+      .orderBy("i")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -149,6 +198,25 @@ object Mining {
         "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) n_dup, " +
         "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) dup_rate " +
         "FROM fp JOIN c USING (fp) GROUP BY 1 ORDER BY 1")),
+    ("q_emb_power_iter", qEmbPowerIter, Some {
+      val steps = (1 to 8).map { k =>
+        s"u$k AS (SELECT mm.i, sum(mm.v * v${k - 1}.v) u FROM mm JOIN v${k - 1} ON v${k - 1}.i = mm.j GROUP BY 1), " +
+          s"n$k AS (SELECT sqrt(sum(u * u)) n FROM u$k), " +
+          s"v$k AS (SELECT i, round(u / n, 8) v FROM u$k, n$k)"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) i, " +
+        "unnest(list_transform(embedding, x -> CAST(CASE WHEN x < 0 " +
+        "THEN -floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) " +
+        "ELSE floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) END AS BIGINT))) m FROM embeddings), " +
+        "g AS (SELECT a.i, b.i j, CAST(sum(a.m * b.m) AS BIGINT) s " +
+        "FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2), " +
+        "mm AS (SELECT i, j, CAST(s AS DOUBLE) / 1e12 v FROM g), " +
+        "v0 AS (SELECT DISTINCT i, 1.0 v FROM mm), " +
+        steps + ", " +
+        "lam AS (SELECT round(sum(a.v * mm.v * b.v), 6) l FROM mm " +
+        "JOIN v8 a ON a.i = mm.i JOIN v8 b ON b.i = mm.j) " +
+        "SELECT CAST(v8.i AS BIGINT) i, v8.v loading, lam.l lam FROM v8, lam ORDER BY i"
+    }),
     ("q_emb_array_hof", qEmbArrayHof, Some(
       "WITH t AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) dim, " +
         "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) n_pos, " +

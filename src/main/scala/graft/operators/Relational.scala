@@ -166,6 +166,25 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("p_brand")
 
+  /** Correlated LATERAL join — top-2 customers by balance per nation as
+    * a per-row dependent subquery, the SQL face every "top-N per group"
+    * report reaches for. Catalyst DECORRELATES the lateral limit into a
+    * partitioned rank under the hood (DecorrelateInnerQuery), so the
+    * executed plan is the same single window shuffle the explicit
+    * row_number formulation pays — the lateral form costs nothing extra
+    * and never executes per-outer-row. */
+  val qJoinLateral: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_lat")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_lat")
+    s.sql(
+      """SELECT n_name, c_name, c_acctbal
+        |FROM graft_nation_lat,
+        |LATERAL (SELECT c_name, c_acctbal FROM graft_customer_lat
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2)
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+  }
+
   /** Bloom-pruned join — the RUNTIME-FILTER pattern for 100 TB fact⋈dim:
     * build a mergeable Bloom filter (graft.functions.BloomSketch) over the
     * selective side's keys (one single-shuffle aggregate; the one-row
@@ -435,6 +454,11 @@ object Relational {
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey) ORDER BY c_custkey"),
     ("q_join_theta_range", qJoinThetaRange,
       "SELECT p_brand, count(*) cnt FROM part JOIN lineitem ON l_partkey=p_partkey AND l_quantity BETWEEN p_size-5 AND p_size+5 GROUP BY p_brand ORDER BY p_brand"),
+    ("q_join_lateral", qJoinLateral,
+      "SELECT n_name, c_name, c_acctbal FROM nation, " +
+        "LATERAL (SELECT c_name, c_acctbal FROM customer WHERE c_nationkey = n_nationkey " +
+        "ORDER BY c_acctbal DESC, c_name LIMIT 2) " +
+        "ORDER BY n_name, c_acctbal DESC, c_name"),
     ("q_join_bloom_pruned", qJoinBloomPruned,
       "SELECT l_orderkey, o_totalprice, count(*) n_items, round(round(sum(l_extendedprice*(1-l_discount)),8),2) revenue " +
         "FROM lineitem JOIN orders ON l_orderkey=o_orderkey WHERE o_totalprice>400000 " +

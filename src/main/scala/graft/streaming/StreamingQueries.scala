@@ -63,6 +63,16 @@ object StreamingQueries {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("w"), col("event_type"), col("cnt"))
 
+  /** Sliding 3 h / 1 h hop counts per type — each event serves the 3
+    * hourly-aligned windows covering it (Spark's Expand under window();
+    * streaming state = open windows × types, bounded by the watermark,
+    * never by history). */
+  private def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col("event_type"), col("cnt"))
+
   private def sessionAgg(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -115,6 +125,9 @@ object StreamingQueries {
 
   val qStreamTumblingWm: Q = (s, d) =>
     tumblingCounts(Tables.events(s, d)).orderBy("w", "event_type")
+
+  val qStreamSliding: Q = (s, d) =>
+    slidingCounts(Tables.events(s, d)).orderBy("w", "event_type")
 
   val qStreamBurnCounters: Q = (s, d) =>
     burnCounters(Tables.events(s, d)).orderBy("h")
@@ -194,6 +207,10 @@ object StreamingQueries {
 
   def sessionStream(s: SparkSession, dir: String): DataFrame =
     sessionAgg(eventsStream(s, dir).withWatermark("ts", "30 minutes"))
+
+  def slidingStream(s: SparkSession, dir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    slidingCounts(eventsStream(s, dir, maxFilesPerTrigger).withWatermark("ts", "10 minutes"))
 
   def dedupStream(s: SparkSession, dir: String): DataFrame =
     eventsStream(s, dir)
@@ -367,6 +384,11 @@ object StreamingQueries {
         "ON p.user_id = r.user_id AND r.ts <= p.ts ORDER BY p.event_id")),
     ("q_stream_tumbling_wm", qStreamTumblingWm, Some(
       "SELECT date_trunc('hour', ts) w, event_type, count(*) cnt FROM events GROUP BY 1,2 ORDER BY 1,2")),
+    ("q_stream_sliding", qStreamSliding, Some(
+      // each event belongs to the 3 hourly-aligned 3h windows covering it
+      "SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR w, event_type, count(*) cnt " +
+        "FROM (SELECT ts, event_type, unnest([0, 1, 2]) i FROM events) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_stream_session", qStreamSession, Some(
       "WITH marked AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END new_s FROM events), sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) sid FROM marked) SELECT user_id, min(ts) s_start, count(*) n_events FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start")),
     ("q_stream_dedup", qStreamDedup, Some(

@@ -97,6 +97,34 @@ class FitMiningSpec extends SparkSuite {
       5L -> 50.0, 6L -> 10.0, 7L -> 0.0, 8L -> 50.0))
   }
 
+  // ---- ma_cross -----------------------------------------------------------
+
+  test("ma_cross: spike day fires golden, decay fires death; flat prefix emits nothing") {
+    val day = 86400L
+    val rows =
+      (0 to 13).map(i => ((i + 1).toLong, ns(t0 + i * day), 1L, "click", 10.0, "{}")) ++
+        Seq((15L, ns(t0 + 14 * day), 1L, "click", 100.0, "{}")) ++
+        (15 to 21).map(i => ((i + 1).toLong, ns(t0 + i * day), 1L, "click", 1.0, "{}"))
+    writeEvents(rows)
+    val r = Fit.qTsMaCross(spark, dir)
+      .select("d", "signal").as[(java.sql.Date, String)].collect().toSeq
+      .map(t => (t._1.toLocalDate.getDayOfMonth, t._2))
+    assert(r == Seq((15, "golden"), (22, "death"))) // days 14 and 21 (0-based)
+  }
+
+  // ---- power_iter ---------------------------------------------------------
+
+  test("power_iter: axis-dominated corpus converges to that axis, lam = top Gram eigenvalue") {
+    writeEmb(Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (4L, Array(0.0f, 0.5f, 0.0f, 0.0f), 0)))
+    val r = Mining.qEmbPowerIter(spark, dir)
+      .select("i", "loading", "lam").as[(Long, Double, Double)].collect().toSeq
+    assert(r == Seq((1L, 1.0, 3.0), (2L, 0.0, 3.0), (3L, 0.0, 3.0), (4L, 0.0, 3.0)))
+  }
+
   // ---- bigrams ------------------------------------------------------------
 
   test("bigrams: 'a b a b' yields 'a b'x2 then 'b a'x1; 1-token and empty docs drop out") {

@@ -22,6 +22,16 @@ class StreamParitySpec extends SparkSuite {
     assert(g > b / 2 && g <= b, s"stream=$g batch=$b")
   }
 
+  test("sliding windows: emitted rows ⊆ batch, and most windows close") {
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.slidingStream(spark, replayDir), "t_slide")
+      .withColumn("w", col("w").cast("timestamp_ntz"))
+    val batch = StreamingQueries.qStreamSliding(spark, sf0001)
+    assert(got.except(batch).count() == 0, "stream emitted a row batch disagrees with")
+    val (g, b) = (got.count(), batch.count())
+    assert(g > b / 2 && g <= b, s"stream=$g batch=$b")
+  }
+
   test("session windows: emitted sessions ⊆ batch sessions") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.sessionStream(spark, replayDir), "t_sess")
