@@ -124,6 +124,32 @@ object Fit {
       .orderBy("event_type")
   }
 
+  /** Wilson 95% score interval for the daily error rate — the CI that
+    * stays inside [0,1] and behaves at small n where the normal
+    * approximation fails, i.e. the interval an SLO dashboard should
+    * draw. Counts are exact longs; both engines evaluate the IDENTICAL
+    * double expression tree (same literals, same association), so the
+    * bounds agree bit-for-bit before the display rounding. */
+  val qTsWilsonCi: Q = (s, d) => {
+    val z = lit(1.96)
+    val z2 = z * z
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("x"),
+        count(lit(1)).as("n"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("p", col("x").cast("double") / col("nd"))
+      .withColumn("den", lit(1.0) + z2 / col("nd"))
+      .withColumn("center", col("p") + z2 / (lit(2.0) * col("nd")))
+      .withColumn("rad", z * sqrt(
+        col("p") * (lit(1.0) - col("p")) / col("nd") +
+          z2 / (lit(4.0) * col("nd") * col("nd"))))
+      .select(col("d"), col("n"), col("x"), Num.roundd(col("p"), 6).as("p"),
+        Num.roundd((col("center") - col("rad")) / col("den"), 6).as("lo"),
+        Num.roundd((col("center") + col("rad")) / col("den"), 6).as("hi"))
+      .orderBy("d")
+  }
+
   /** Capped cumulative balance per user — bal_i = clamp(bal_{i-1} +
     * (value_i - 40), 0, 200) from a starting 100 — the inventory /
     * leaky-bucket recurrence that NO window frame can express (each
@@ -226,6 +252,15 @@ object Fit {
         "round(CAST(max(dd) AS DOUBLE) / 1000000, 6) max_dd, " +
         "min(CASE WHEN dd = ddmax THEN h END) trough_h " +
         "FROM x GROUP BY 1 ORDER BY 1")),
+    ("q_ts_wilson_ci", qTsWilsonCi, Some(
+      "WITH a AS (SELECT CAST(date_trunc('day', ts) AS DATE) d, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) x, " +
+        "CAST(count(*) AS BIGINT) n FROM events GROUP BY 1), " +
+        "b AS (SELECT d, n, x, CAST(n AS DOUBLE) nd, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) p FROM a), " +
+        "cx AS (SELECT *, 1.0 + (1.96 * 1.96) / nd den, p + (1.96 * 1.96) / (2.0 * nd) center, " +
+        "1.96 * sqrt(p * (1.0 - p) / nd + (1.96 * 1.96) / (4.0 * nd * nd)) rad FROM b) " +
+        "SELECT d, n, x, round(p, 6) p, round((center - rad) / den, 6) lo, " +
+        "round((center + rad) / den, 6) hi FROM cx ORDER BY d")),
     ("q_ts_ma_cross", qTsMaCross, Some(
       "WITH dp AS (SELECT event_type et, CAST(date_trunc('day', ts) AS DATE) dd, " +
         "CAST(round(sum(value) * 1000000, 0) AS BIGINT) v FROM events GROUP BY 1, 2), " +

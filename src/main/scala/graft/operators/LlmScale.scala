@@ -708,6 +708,39 @@ object LlmScale {
       .toDF()
       .orderBy("id")
 
+  /** Perceptual near-dup hash over the REAL image decode path: each
+    * executor-generated PNG/BMP decodes through ImageIO and hashes via
+    * the exact-integer aHash kernel ([[Multimodal.aHash64]]). The oracle
+    * never decodes — it predicts every pixel from the generator contract
+    * and replays the same integer block arithmetic, so a hash match
+    * proves the real decode round-trip is bit-faithful, pixel by pixel
+    * (q_multimodal_decode only pins dimensions + payload sha). */
+  val qMultimodalPhash: Q = (s, d) => {
+    import s.implicits._
+    Multimodal.syntheticImages(s, d)
+      .repartition(32)
+      .mapPartitions(_.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val (ph, nb) = Multimodal.aHash64(img)
+        (r.id, img.getWidth.toLong, img.getHeight.toLong, ph, nb)
+      })
+      .toDF("doc_id", "w", "h", "phash", "nbits")
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID confusion matrix: the n-gram classifier's predictions
+    * against the labeled lang column, with per-true-lang recall shares —
+    * the quality report that tells a corpus pipeline which languages the
+    * cheap classifier can be trusted on (zh has no marker list, so its
+    * row shows exactly where those docs leak). */
+  val qTextLangConfusion: Q = (s, d) =>
+    TextAnalysis.langId(Tables.documents(s, d), "text")
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("recall", Num.roundd(
+        col("n").cast("double") /
+          sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("lang")), 6))
+      .orderBy("lang", "pred_lang")
+
   /** Frame-sample plumbing as a catalog query: every 2nd frame index of
     * each (stub-decoded) media row with a per-frame fingerprint. Same
     * explode-then-process shape a real video pipeline needs so one long
@@ -993,6 +1026,36 @@ object LlmScale {
     ("q_multimodal_audio", qMultimodalAudio, Some(
       "SELECT doc_id id, 8000 sample_rate, 1 channels, 16 bits, " +
         "CAST(800 + doc_id % 800 AS BIGINT) frames FROM documents ORDER BY doc_id")),
+    ("q_multimodal_phash", qMultimodalPhash, Some(
+      // predicts every pixel from the generator contract (id-seeded RGB,
+      // low 24 bits of id*2654435761 + x*31 + y*17) and replays the same
+      // integer aHash block arithmetic the kernel runs on DECODED pixels
+      "WITH d AS (SELECT doc_id id, 16 + doc_id % 32 w, 16 + doc_id % 24 h FROM documents), " +
+        "xs AS (SELECT unnest(range(0, 47)) x), ys AS (SELECT unnest(range(0, 39)) y), " +
+        "pv AS (SELECT id, w, h, x, y, (id * 2654435761 + x * 31 + y * 17) % 16777216 p " +
+        "FROM d CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h), " +
+        "g AS (SELECT id, w, h, x * 8 // w bx, y * 8 // h bq, " +
+        "((p // 65536) % 256 + (p // 256) % 256 + p % 256) // 3 gray FROM pv), " +
+        "bs AS (SELECT id, w, h, bq, bx, sum(gray) sb, count(*) cb FROM g GROUP BY 1, 2, 3, 4, 5), " +
+        "t AS (SELECT id, sum(sb) s, sum(cb) n FROM bs GROUP BY 1), " +
+        "bits AS (SELECT bs.id, bs.w, bs.h, bq * 8 + bx pos, " +
+        "CASE WHEN sb * n > s * cb THEN 1 ELSE 0 END bv FROM bs JOIN t USING (id)) " +
+        "SELECT id doc_id, CAST(w AS BIGINT) w, CAST(h AS BIGINT) h, " +
+        "string_agg(CAST(bv AS VARCHAR), '' ORDER BY pos) phash, " +
+        "CAST(sum(bv) AS BIGINT) nbits FROM bits GROUP BY 1, 2, 3 ORDER BY doc_id")),
+    ("q_text_lang_confusion", qTextLangConfusion, Some(
+      "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) tok FROM documents), " +
+        "sc AS (SELECT doc_id, CAST(len(list_intersect(tok, ['der','die','das','und','ist','ein','nicht'])) AS BIGINT) s_de, " +
+        "CAST(len(list_intersect(tok, ['the','a','of','and','to','in','is'])) AS BIGINT) s_en, " +
+        "CAST(len(list_intersect(tok, ['el','la','de','y','que','un','es'])) AS BIGINT) s_es, " +
+        "CAST(len(list_intersect(tok, ['le','la','de','et','un','est','que'])) AS BIGINT) s_fr FROM t), " +
+        "pr AS (SELECT doc_id, CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' ELSE 'fr' END pred_lang " +
+        "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr) m FROM sc)), " +
+        "mx AS (SELECT d.lang, pr.pred_lang, CAST(count(*) AS BIGINT) n " +
+        "FROM pr JOIN documents d USING (doc_id) GROUP BY 1, 2) " +
+        "SELECT lang, pred_lang, n, " +
+        "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) recall " +
+        "FROM mx ORDER BY lang, pred_lang")),
     ("q_multimodal_framesample", qMultimodalFramesample, Some(
       "WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) % 16 + 1 frames, sha256(text) sha FROM documents), " +
         "u AS (SELECT doc_id, sha, unnest(range(0, frames, 2)) f FROM m) " +

@@ -174,6 +174,61 @@ object Mining {
       .orderBy("i")
   }
 
+  /** Line-level dedup report (the C4/RefinedWeb pipeline stage between
+    * exact-doc and near-dup dedup): documents chunk into 16-token
+    * "lines", lines fingerprint exactly, and each doc reports how much
+    * of it is corpus-duplicated at line granularity — catching the
+    * boilerplate that whole-doc hashing misses. Fingerprint counting is
+    * one map-side-combinable aggregate; the count join is the standard
+    * fp-bucket shape. */
+  val qDocsLineDedup: Q = (s, d) => {
+    val lines = withTokens(Tables.documents(s, d))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, ((size(tk) - 1) div 16) + 1), k -> array_join(slice(tk, (k - 1) * 16 + 1, 16), ' '))"))
+        .as("line"))
+      .select(col("doc_id"), md5(col("line")).as("fp"))
+    val counts = lines.groupBy("fp").agg(count(lit(1)).as("cnt"))
+    lines.join(counts, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup"),
+        Num.roundd(col("n_dup").cast("double") / col("n_lines").cast("double"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** One exact Lloyd iteration of k-means (k=4, centroids seeded from
+    * the 4 smallest vec_ids): assign each vector to its nearest centroid
+    * by squared L2 over exact micro-unit longs (no float ever decides an
+    * assignment; ties break on centroid id), then re-estimate centroids
+    * as per-dimension means. The oracle-backed complement to the
+    * approximate IVF tier's internal k-means. Scale shape: centroids
+    * BROADCAST (k×dim, bounded), assignment is one narrow pass over the
+    * corpus, re-estimation one hash aggregate on (cid, dim) — the
+    * canonical distributed k-means step. */
+  val qEmbKmeansStep: Q = (s, d) => {
+    val m = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>), x -> if(x < 0, -floor(abs(x)*1000000 + 0.5d), floor(abs(x)*1000000 + 0.5d)))")
+        .as("m"))
+    val cents = m.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("cid"), col("m").as("cm"))
+    val wv = Window.partitionBy("vec_id").orderBy("dd", "cid")
+    m.crossJoin(broadcast(cents))
+      .withColumn("dd", expr(
+        "aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("cid"), posexplode(col("m")))
+      .groupBy("cid", "pos")
+      .agg(sum("col").as("sm"), count(lit(1)).as("n"))
+      .select(col("cid"), (col("pos") + 1).cast("long").as("i"), col("n"),
+        Num.roundd(col("sm").cast("double") / col("n") / 1e6, 6).as("c_new"))
+      .orderBy("cid", "i")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -198,6 +253,29 @@ object Mining {
         "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) n_dup, " +
         "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) dup_rate " +
         "FROM fp JOIN c USING (fp) GROUP BY 1 ORDER BY 1")),
+    ("q_docs_line_dedup", qDocsLineDedup, Some(
+      "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') tk FROM documents), " +
+        "l AS (SELECT doc_id, md5(array_to_string(tk[(k - 1) * 16 + 1 : k * 16], ' ')) fp " +
+        "FROM (SELECT doc_id, tk, unnest(range(1, ((len(tk) - 1) // 16) + 2)) k FROM t WHERE len(tk) >= 1)), " +
+        "c AS (SELECT fp, CAST(count(*) AS BIGINT) cnt FROM l GROUP BY 1) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) n_lines, " +
+        "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) n_dup, " +
+        "round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) dup_frac " +
+        "FROM l JOIN c USING (fp) GROUP BY 1 ORDER BY doc_id")),
+    ("q_emb_kmeans_step", qEmbKmeansStep, Some(
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(CASE WHEN x < 0 " +
+        "THEN -floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) " +
+        "ELSE floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) END AS BIGINT)) m FROM embeddings), " +
+        "c AS (SELECT vec_id cid, m cm FROM e ORDER BY vec_id LIMIT 4), " +
+        "dist AS (SELECT e.vec_id, c.cid, e.m, " +
+        "list_sum([(m[i] - cm[i]) * (m[i] - cm[i]) FOR i IN range(1, len(m) + 1)]) dd " +
+        "FROM e CROSS JOIN c), " +
+        "a AS (SELECT vec_id, cid, m FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn FROM dist) WHERE rn = 1), " +
+        "x AS (SELECT cid, unnest(range(1, len(m) + 1)) i, unnest(m) mv FROM a) " +
+        "SELECT cid, CAST(i AS BIGINT) i, CAST(count(*) AS BIGINT) n, " +
+        "round(CAST(sum(mv) AS DOUBLE) / count(*) / 1000000, 6) c_new " +
+        "FROM x GROUP BY 1, 2 ORDER BY cid, i")),
     ("q_emb_power_iter", qEmbPowerIter, Some {
       val steps = (1 to 8).map { k =>
         s"u$k AS (SELECT mm.i, sum(mm.v * v${k - 1}.v) u FROM mm JOIN v${k - 1} ON v${k - 1}.i = mm.j GROUP BY 1), " +

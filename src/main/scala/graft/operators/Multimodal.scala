@@ -176,6 +176,43 @@ object Multimodal {
       .mapPartitions(it => it.map(decoder.decode))
   }
 
+  /** Exact-integer average-hash (aHash) of a decoded raster: 8×8 block
+    * grid, each block's bit set when its mean gray exceeds the image
+    * mean — compared as the integer cross-product sb·N > S·cb so no
+    * division ever happens. gray = (r+g+b) div 3, blocks bx = x·8 div w.
+    * Returns the 64 bits as a '0'/'1' string in pos = by·8+bx order plus
+    * the popcount. Pure integer math end-to-end, so an oracle that knows
+    * the pixel generator can predict the hash without decoding — which
+    * is exactly how q_multimodal_phash pins the REAL decode path. */
+  def aHash64(img: java.awt.image.BufferedImage): (String, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val bsum = new Array[Long](64); val bcnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val gray = (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
+        val k = by * 8 + x * 8 / w
+        bsum(k) += gray; bcnt(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val s = bsum.sum; val n = w.toLong * h
+    val sb = new StringBuilder(64)
+    var nbits = 0L
+    var k = 0
+    while (k < 64) {
+      val bit = bsum(k) * n > s * bcnt(k)
+      if (bit) nbits += 1
+      sb.append(if (bit) '1' else '0')
+      k += 1
+    }
+    (sb.toString, nbits)
+  }
+
   /** Frame sampling stage: every `step`-th frame index per media row, each
     * with a deterministic per-frame fingerprint (decode-stub analogue of
     * hashing the decoded frame). Runs AFTER decode as a pure projection +

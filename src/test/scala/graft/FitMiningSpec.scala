@@ -167,6 +167,96 @@ class FitMiningSpec extends SparkSuite {
     assert(m("b") == ((2L, 1L, 0.5)))
   }
 
+  // ---- wilson ci ----------------------------------------------------------
+
+  test("wilson_ci: x=0 day pins lo to 0; p=0.5 day gives a symmetric interval (lo+hi=1)") {
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 1.0, "{}"),
+      (2L, ns(t0), 1L, "click", 1.0, "{}"),
+      (3L, ns(t0), 1L, "click", 1.0, "{}"),
+      (4L, ns(t0), 1L, "click", 1.0, "{}"),
+      (5L, ns(t0 + 86400), 1L, "error", 1.0, "{}"),
+      (6L, ns(t0 + 86400), 1L, "error", 1.0, "{}"),
+      (7L, ns(t0 + 86400), 1L, "click", 1.0, "{}"),
+      (8L, ns(t0 + 86400), 1L, "click", 1.0, "{}")))
+    val m = graft.operators.Fit.qTsWilsonCi(spark, dir)
+      .select("d", "p", "lo", "hi").as[(java.sql.Date, Double, Double, Double)]
+      .collect().map(t => t._1.toLocalDate.getDayOfMonth -> (t._2, t._3, t._4)).toMap
+    val (p1, lo1, hi1) = m(1)
+    assert(p1 == 0.0 && lo1 == 0.0 && hi1 > 0.0 && hi1 < 1.0)
+    val (p2, lo2, hi2) = m(2)
+    assert(p2 == 0.5 && lo2 + hi2 == 1.0 && lo2 > 0.0 && lo2 < 0.5)
+  }
+
+  // ---- line dedup ---------------------------------------------------------
+
+  test("line_dedup: a shared 16-token line counts as duplicated in both docs") {
+    val lineA = Array.fill(16)("a").mkString(" ")
+    val lineB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val lineC = (1 to 16).map(i => s"c$i").mkString(" ")
+    writeDocs(Seq(
+      (1L, s"$lineA $lineB", "en", "s"),
+      (2L, s"$lineA $lineC", "en", "s"),
+      (3L, (1 to 16).map(i => s"d$i").mkString(" "), "en", "s")))
+    val m = Mining.qDocsLineDedup(spark, dir)
+      .select("doc_id", "n_lines", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(m(1L) == ((2L, 1L, 0.5)))
+    assert(m(2L) == ((2L, 1L, 0.5)))
+    assert(m(3L) == ((1L, 0L, 0.0)))
+  }
+
+  // ---- kmeans step --------------------------------------------------------
+
+  test("kmeans_step: near-seed point joins its seed; equidistant point ties to the smallest cid") {
+    writeEmb(Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(-1.0f, 0.0f), 0),
+      (4L, Array(0.0f, -1.0f), 0),
+      (5L, Array(0.8f, 0.2f), 0),   // nearest seed 1
+      (6L, Array(0.0f, 0.0f), 0))) // equidistant to all 4 -> cid 1
+    val r = Mining.qEmbKmeansStep(spark, dir)
+      .select("cid", "i", "n", "c_new").as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(r((1L, 1L)) == ((3L, 0.6)))      // mean(1, 0.8, 0) = 0.6
+    assert(r((1L, 2L)) == ((3L, 0.066667))) // mean(0, 0.2, 0) rounded
+    assert(r((2L, 1L)) == ((1L, 0.0)) && r((2L, 2L)) == ((1L, 1.0)))
+    assert(r((3L, 1L)) == ((1L, -1.0)) && r((4L, 2L)) == ((1L, -1.0)))
+  }
+
+  // ---- phash --------------------------------------------------------------
+
+  test("phash: PNG and BMP containers decode to the identical aHash; nbits equals popcount") {
+    import graft.operators.Multimodal
+    val png = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeImage(5L, "png")))
+    val bmp = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeImage(5L, "bmp")))
+    assert(Multimodal.aHash64(png) == Multimodal.aHash64(bmp))
+    writeDocs(Seq((1L, "x", "en", "s"), (2L, "y", "en", "s")))
+    val rows = graft.operators.LlmScale.qMultimodalPhash(spark, dir)
+      .select("phash", "nbits").as[(String, Long)].collect().toSeq
+    assert(rows.size == 2)
+    rows.foreach { case (ph, nb) =>
+      assert(ph.length == 64 && ph.forall(c => c == '0' || c == '1'))
+      assert(nb == ph.count(_ == '1'))
+    }
+  }
+
+  // ---- lang confusion -----------------------------------------------------
+
+  test("lang_confusion: mislabeled doc lands off-diagonal with recall share 1") {
+    writeDocs(Seq(
+      (1L, "the a of and to", "en", "s"),
+      (2L, "the a of and to", "zh", "s"))) // zh-labeled but en-looking
+    val r = graft.operators.LlmScale.qTextLangConfusion(spark, dir)
+      .select("lang", "pred_lang", "n", "recall")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(r == Set(("en", "en", 1L, 1.0), ("zh", "en", 1L, 1.0)))
+  }
+
   // ---- array hof ----------------------------------------------------------
 
   test("array_hof: [0.5,-0.25,1.0] gives dim 3, n_pos 2, l2 sqrt(1.3125), relu 1.5") {
