@@ -124,6 +124,37 @@ object Fit {
       .orderBy("event_type")
   }
 
+  /** Seasonality strength per event_type over the gapless hourly count
+    * grid: 1 − Var(residual)/Var(series), where the seasonal component
+    * is each hour-of-day's 30-day mean. PURE INTEGER until one final
+    * division: residuals scale by 30 (r30 = 30·c − s_hod, exact), so
+    * strength = 1 − (n·Σr30² − (Σr30)²) / (900·(n·Σc² − (Σc)²)) divides
+    * exact longs once. Also reports the peak hour-of-day (tie → earliest).
+    * Strength near 1 = the daily cycle explains the series; near 0 =
+    * no usable seasonality for the seasonal-naive forecaster. */
+  val qTsSeasonStrength: Q = (s, d) => {
+    val panel = hourlyPanel(s, d)
+      .withColumn("hod", col("x") % 24)
+      .withColumn("sh", sum("c").over(Window.partitionBy("et", "hod")))
+      .withColumn("r30", lit(30L) * col("c") - col("sh"))
+    val peak = panel
+      .groupBy("et", "hod").agg(max("sh").as("shod"))
+      .withColumn("mx", max("shod").over(Window.partitionBy("et")))
+      .filter(col("shod") === col("mx"))
+      .groupBy("et").agg(min("hod").as("peak_hod"))
+    panel
+      .groupBy("et")
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"), sum(col("c") * col("c")).as("scc"),
+        sum("r30").as("sr"), sum(col("r30") * col("r30")).as("srr"))
+      .join(peak, "et")
+      .select(col("et").as("event_type"), col("peak_hod"),
+        Num.roundd(lit(1.0) -
+          (col("n") * col("srr") - col("sr") * col("sr")).cast("double") /
+            (lit(900.0) * (col("n") * col("scc") - col("sc") * col("sc")).cast("double")), 6)
+          .as("strength"))
+      .orderBy("event_type")
+  }
+
   /** Wilson 95% score interval for the daily error rate — the CI that
     * stays inside [0,1] and behaves at small n where the normal
     * approximation fails, i.e. the interval an SLO dashboard should
@@ -252,6 +283,22 @@ object Fit {
         "round(CAST(max(dd) AS DOUBLE) / 1000000, 6) max_dd, " +
         "min(CASE WHEN dd = ddmax THEN h END) trough_h " +
         "FROM x GROUP BY 1 ORDER BY 1")),
+    ("q_ts_season_strength", qTsSeasonStrength, Some(
+      "WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, CAST(datediff('hour', TIMESTAMP '2024-01-01', g.h) AS BIGINT) x, coalesce(hc.c, 0) c " +
+        "FROM ty CROSS JOIN g LEFT JOIN hc ON hc.et = ty.et AND hc.h = g.h), " +
+        "q AS (SELECT et, x % 24 hod, c FROM p), " +
+        "sh AS (SELECT et, hod, CAST(sum(c) AS BIGINT) sh FROM q GROUP BY 1, 2), " +
+        "r AS (SELECT q.et, 30 * q.c - sh.sh r30, q.c FROM q JOIN sh ON sh.et = q.et AND sh.hod = q.hod), " +
+        "m AS (SELECT et, CAST(count(*) AS BIGINT) n, sum(c) sc, sum(c * c) scc, " +
+        "sum(r30) sr, sum(r30 * r30) srr FROM r GROUP BY 1), " +
+        "pk AS (SELECT et, CAST(min(hod) AS BIGINT) peak_hod FROM sh a " +
+        "WHERE sh = (SELECT max(sh) FROM sh b WHERE b.et = a.et) GROUP BY 1) " +
+        "SELECT m.et event_type, peak_hod, " +
+        "round(1.0 - CAST(n * srr - sr * sr AS DOUBLE) / (900.0 * CAST(n * scc - sc * sc AS DOUBLE)), 6) strength " +
+        "FROM m JOIN pk ON pk.et = m.et ORDER BY 1")),
     ("q_ts_wilson_ci", qTsWilsonCi, Some(
       "WITH a AS (SELECT CAST(date_trunc('day', ts) AS DATE) d, " +
         "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) x, " +

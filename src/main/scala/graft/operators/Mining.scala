@@ -174,6 +174,67 @@ object Mining {
       .orderBy("i")
   }
 
+  /** Per-document n-gram novelty (the curation curve: how much of each
+    * doc is unseen in any earlier doc, by doc_id order): first-occurrence
+    * doc per distinct 3-gram, then each doc's novel-gram share. The
+    * min-doc aggregate is map-side combinable; the gram join is the
+    * standard fp-bucket shape. A corpus whose tail goes to zero novelty
+    * is telling you to stop crawling that source. */
+  val qDocsNgramNovelty: Q = (s, d) => {
+    val ng = Dedup.withShingles(
+        Tables.documents(s, d).select("doc_id", "text"), "text", 3)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val firsts = ng.groupBy("g").agg(min("doc_id").as("fd"))
+    ng.join(firsts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        Num.roundd(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** One BPE merge step over the corpus vocabulary — the tokenizer-
+    * training primitive: count adjacent character pairs weighted by word
+    * frequency, merge the argmax pair everywhere (left-to-right,
+    * non-overlapping — both engines' replace semantics), and report the
+    * top-10 pairs of the NEXT round. Pair counting rides the compressed
+    * word-frequency table (vocabulary-bounded, never token volume), so
+    * the step costs the same at any corpus scale once the vocab
+    * aggregate is paid. */
+  val qTextBpeStep: Q = (s, d) => {
+    val vocab = withTokens(Tables.documents(s, d))
+      .select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    // guard: Spark's sequence(1, 0) runs DESCENDING, so 1-char words must
+    // filter out rather than produce an empty pair list
+    val pairs1 = vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"))
+        .as("p"))
+      .groupBy("p").agg(sum("f").as("cnt"))
+    val best = pairs1.orderBy(desc("cnt"), asc("p")).limit(1)
+      .select(col("p").as("bp"), col("cnt").as("bcnt"))
+    val merged = vocab.crossJoin(broadcast(best))
+      .withColumn("sp", expr(
+        "array_join(transform(sequence(1, char_length(w)), i -> substring(w, i, 1)), ' ')"))
+      .withColumn("m", expr("replace(sp, bp, replace(bp, ' ', ''))"))
+    val pairs2 = merged
+      .filter(size(split(col("m"), " ")) >= 2) // same descending-sequence guard
+      .select(col("f"), col("bp"), col("bcnt"), explode(expr(
+        "transform(sequence(1, size(split(m, ' ')) - 1), i -> concat(element_at(split(m, ' '), i), ' ', element_at(split(m, ' '), i + 1)))"))
+        .as("p"))
+      .groupBy("bp", "bcnt", "p").agg(sum("f").as("cnt"))
+    pairs2
+      .orderBy(desc("cnt"), asc("p")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("cnt"), asc("p"))).cast("long"))
+      .select("rk", "p", "cnt", "bp", "bcnt")
+      .orderBy("rk")
+  }
+
   /** Line-level dedup report (the C4/RefinedWeb pipeline stage between
     * exact-doc and near-dup dedup): documents chunk into 16-token
     * "lines", lines fingerprint exactly, and each doc reports how much
@@ -253,6 +314,28 @@ object Mining {
         "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) n_dup, " +
         "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) dup_rate " +
         "FROM fp JOIN c USING (fp) GROUP BY 1 ORDER BY 1")),
+    ("q_docs_ngram_novelty", qDocsNgramNovelty, Some(
+      "WITH ng AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2), " +
+        "i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) g " +
+        "FROM (SELECT doc_id, string_split(text, ' ') w FROM documents) WHERE len(w) >= 3), " +
+        "f AS (SELECT g, min(doc_id) fd FROM ng GROUP BY 1) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) n_grams, " +
+        "CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) n_novel, " +
+        "round(CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) novelty " +
+        "FROM ng JOIN f USING (g) GROUP BY 1 ORDER BY doc_id")),
+    ("q_text_bpe_step", qTextBpeStep, Some(
+      "WITH v AS (SELECT w, CAST(count(*) AS BIGINT) f FROM " +
+        "(SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) w FROM documents) GROUP BY 1), " +
+        "p1 AS (SELECT p, CAST(sum(f) AS BIGINT) cnt FROM " +
+        "(SELECT f, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) p FROM v WHERE len(w) >= 2) GROUP BY 1), " +
+        "best AS (SELECT p bp, cnt bcnt FROM p1 ORDER BY cnt DESC, p LIMIT 1), " +
+        "m AS (SELECT f, bp, bcnt, replace(array_to_string([w[i] FOR i IN range(1, len(w) + 1)], ' '), " +
+        "bp, replace(bp, ' ', '')) m FROM v CROSS JOIN best), " +
+        "p2 AS (SELECT bp, bcnt, p, CAST(sum(f) AS BIGINT) cnt FROM " +
+        "(SELECT f, bp, bcnt, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) p FROM " +
+        "(SELECT f, bp, bcnt, string_split(m, ' ') t FROM m) WHERE len(t) >= 2) GROUP BY 1, 2, 3), " +
+        "r AS (SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, p) AS BIGINT) rk FROM p2) " +
+        "SELECT rk, p, cnt, bp, bcnt FROM r WHERE rk <= 10 ORDER BY rk")),
     ("q_docs_line_dedup", qDocsLineDedup, Some(
       "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') tk FROM documents), " +
         "l AS (SELECT doc_id, md5(array_to_string(tk[(k - 1) * 16 + 1 : k * 16], ' ')) fp " +

@@ -167,6 +167,51 @@ class FitMiningSpec extends SparkSuite {
     assert(m("b") == ((2L, 1L, 0.5)))
   }
 
+  // ---- season strength ----------------------------------------------------
+
+  test("season_strength: a pure hour-of-day cycle scores 1.0 with the right peak; a 2-event blip scores near 0") {
+    val day = 86400L
+    val rows =
+      (0 until 30).flatMap(dd => Seq(
+        (dd * 2 + 1L, ns(t0 + dd * day + 5 * hour), 1L, "click", 1.0, "{}"),
+        (dd * 2 + 2L, ns(t0 + dd * day + 5 * hour), 1L, "click", 1.0, "{}"))) ++
+        Seq((1000L, ns(t0), 1L, "error", 1.0, "{}"),
+          (1001L, ns(t0 + day + hour), 1L, "error", 1.0, "{}"))
+    writeEvents(rows)
+    val m = graft.operators.Fit.qTsSeasonStrength(spark, dir)
+      .select("event_type", "peak_hod", "strength")
+      .as[(String, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m("click") == ((5L, 1.0)))
+    val (_, s2) = m("error")
+    assert(s2 > 0.0 && s2 < 0.1) // two off-cycle events: daily cycle explains almost nothing
+  }
+
+  // ---- ngram novelty ------------------------------------------------------
+
+  test("ngram_novelty: later doc sharing one gram of two scores 0.5; the first doc scores 1") {
+    writeDocs(Seq(
+      (1L, "a b c d", "en", "s"),  // grams: abc, bcd — both first here
+      (2L, "a b c x", "en", "s"))) // abc seen in doc 1, bcx novel -> 0.5
+    val m = Mining.qDocsNgramNovelty(spark, dir)
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(m(1L) == ((2L, 2L, 1.0)))
+    assert(m(2L) == ((2L, 1L, 0.5)))
+  }
+
+  // ---- bpe step -----------------------------------------------------------
+
+  test("bpe_step: merging the argmax pair 'a b' leaves 'a ab' as the next round's top pair") {
+    writeDocs(Seq((1L, "aab aab ab", "en", "s")))
+    // vocab: aab f=2 (pairs 'a a'x2, 'a b'x2), ab f=1 ('a b'x1) -> best 'a b' cnt 3
+    // merged: aab -> 'a ab' (pair 'a ab' f=2); ab -> single symbol, no pairs
+    val r = Mining.qTextBpeStep(spark, dir)
+      .select("rk", "p", "cnt", "bp", "bcnt")
+      .as[(Long, String, Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "a ab", 2L, "a b", 3L)))
+  }
+
   // ---- wilson ci ----------------------------------------------------------
 
   test("wilson_ci: x=0 day pins lo to 0; p=0.5 day gives a symmetric interval (lo+hi=1)") {
