@@ -225,6 +225,15 @@ object GraftFunctions {
   private val mightContainInfo = new ExpressionInfo(
     classOf[BloomMightContain].getName, "graft_might_contain")
 
+  private val jaroWinklerBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => JaroWinkler(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_jaro_winkler expects 2 arguments, got ${other.size}")
+  }
+
+  private val jaroWinklerInfo = new ExpressionInfo(
+    classOf[JaroWinkler].getName, "graft_jaro_winkler")
+
   private val timeSlicesBuilder: Seq[Expression] => Expression = {
     case Seq(a, b, w) => TimeSlices(a, b, w)
     case other => throw new IllegalArgumentException(
@@ -236,6 +245,7 @@ object GraftFunctions {
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
+      (FunctionIdentifier("graft_jaro_winkler"), jaroWinklerInfo, jaroWinklerBuilder),
       (FunctionIdentifier("graft_time_slices"), timeSlicesInfo, timeSlicesBuilder),
       (FunctionIdentifier("graft_pq_adc"), pqAdcInfo, pqAdcBuilder),
       (FunctionIdentifier("graft_bloom"), bloomInfo, bloomBuilder),

@@ -125,6 +125,26 @@ object Mining {
           .as("relu_sum"))
       .orderBy("vec_id")
 
+  /** Jaro–Winkler similarity between adjacent docs per lang (the fuzzy-
+    * match complement to the Levenshtein tier) through the NATIVE
+    * [[graft.functions.JaroWinkler]] expression — whole-stage codegen
+    * emits a direct static call, no UDF boxing. Semantics are pinned
+    * bit-exact to DuckDB's jaro_winkler_similarity (see the kernel's
+    * Scaladoc), so the oracle needs no rounding slack; the 6-dp round is
+    * display-only. */
+  val qTextJaroPairs: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 32).as("t"))
+      .withColumn("next_id", lead("doc_id", 1).over(w))
+      .withColumn("next_t", lead("t", 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .select(col("lang"), col("doc_id").as("id_a"), col("next_id").as("id_b"),
+        Num.roundd(expr("graft_jaro_winkler(t, next_t)"), 6).as("sim"))
+      .orderBy("id_a")
+  }
+
   /** Dominant principal direction of the embedding corpus by 8 rounded
     * power-iteration steps over the (uncentered) second-moment matrix —
     * the anisotropy probe run before whitening / ABTT-style common-
@@ -345,6 +365,13 @@ object Mining {
         "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) n_dup, " +
         "round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) dup_frac " +
         "FROM l JOIN c USING (fp) GROUP BY 1 ORDER BY doc_id")),
+    ("q_text_jaro_pairs", qTextJaroPairs, Some(
+      "WITH t AS (SELECT doc_id, lang, substr(text, 1, 32) t, " +
+        "lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) next_id, " +
+        "lead(substr(text, 1, 32)) OVER (PARTITION BY lang ORDER BY doc_id) next_t FROM documents) " +
+        "SELECT lang, doc_id id_a, next_id id_b, " +
+        "round(jaro_winkler_similarity(t, next_t), 6) sim " +
+        "FROM t WHERE next_id IS NOT NULL ORDER BY id_a")),
     ("q_emb_kmeans_step", qEmbKmeansStep, Some(
       "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(CASE WHEN x < 0 " +
         "THEN -floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) " +
