@@ -135,24 +135,25 @@ object Analytics {
   /** RFM (recency / frequency / monetary) customer segmentation — the
     * classic lifecycle-marketing report: per-user metrics from ONE hash
     * aggregate of the raw scan, each scored into quintiles, users
-    * counted per "rfm" segment code. The three ntiles are exact global
-    * windows over the USERS table (bounded — the aggregate already
-    * collapsed event volume) with (metric, user_id) total orders, so
-    * quintile edges are engine-identical; at 100 TB the exact ntile
-    * swaps for quantile cut points + map-side bucketing (the
-    * q_docs_curriculum path, documented there). Monetary means derive
-    * from pre-rounded sums per the repo contract. */
+    * counted per "rfm" segment code. The three quintile scores each run
+    * the distributed ntile (Rank.withNtile — range repartition +
+    * per-partition rank + P-row offset broadcast; RankSpec pins the
+    * equality to the exact window ntile) over the USERS rollup with
+    * (metric, user_id) total orders, so quintile edges are
+    * engine-identical and no stage is single-partition. Monetary means
+    * derive from pre-rounded sums per the repo contract. */
   val qRfmSegments: Q = (s, d) => {
-    val w = org.apache.spark.sql.expressions.Window
     val u = Tables.events(s, d).groupBy("user_id")
       .agg(max(to_date(col("ts"))).as("last_day"),
         count(lit(1)).as("freq"),
         Num.roundd(sum("value"), 6).as("mon"))
       .withColumn("rec", datediff(lit("2024-01-31").cast("date"), col("last_day")).cast("long"))
-    u.withColumn("r", ntile(5).over(w.orderBy(col("rec").asc, col("user_id"))).cast("long"))
-      .withColumn("f", ntile(5).over(w.orderBy(col("freq").desc, col("user_id"))).cast("long"))
-      .withColumn("m", ntile(5).over(w.orderBy(col("mon").desc, col("user_id"))).cast("long"))
-      .withColumn("segment", concat(col("r"), col("f"), col("m")))
+    val scored = Rank.withNtile(
+      Rank.withNtile(
+        Rank.withNtile(u, Seq(col("rec").asc, col("user_id").asc), 5, "r"),
+        Seq(col("freq").desc, col("user_id").asc), 5, "f"),
+      Seq(col("mon").desc, col("user_id").asc), 5, "m")
+    scored.withColumn("segment", concat(col("r"), col("f"), col("m")))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_users"),
         Num.roundd(Num.roundd(sum("mon"), 6) / count(lit(1)), 2).as("avg_monetary"))
@@ -285,17 +286,18 @@ object Analytics {
     * accumulation order can't move a customer across a class edge at any
     * row count.
     *
-    * The running sum is a single global-order window over the CUSTOMER
-    * rollup (already collapsed from the scan) — fine to |customers|
-    * ≈ millions; past that the classifier switches to a two-pass
-    * histogram cut (the q_docs_curriculum device) since only the two
-    * boundary revenues matter, not every rank. */
+    * The running sum is Rank.withGlobalOrder over the CUSTOMER rollup
+    * (already collapsed from the scan): range-repartition + local sums +
+    * P-row offset broadcast, no single-partition window — exact at any
+    * |customers|; RankSpec pins it equal to `sum(revc) OVER (ORDER BY
+    * revc DESC, o_custkey)`. */
   val qAbcPareto: Q = (s, d) => {
     val rev = Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(expr("cast(round(o_totalprice * 100.0) as bigint)")).as("revc"))
-    val w = Window.orderBy(desc("revc"), asc("o_custkey"))
-    rev.withColumn("cum", sum("revc").over(w))
+    Rank.withGlobalOrder(rev, Seq(desc("revc"), asc("o_custkey")), "__rk",
+        Seq(("revc", "cum")))
+      .drop("__rk")
       .crossJoin(broadcast(rev.agg(sum("revc").as("tot"))))
       .withColumn("cls",
         when(lit(5L) * col("cum") <= lit(4L) * col("tot"), "A")

@@ -170,6 +170,13 @@ object Mining {
     val gram = e.join(e.select(col("vec_id"), col("i").as("j"), col("mi").as("mj")), "vec_id")
       .groupBy("i", "j").agg(sum(col("mi") * col("mj")).as("sij"))
       .collect()
+    // Micro-unit Gram entries are exact only while n_vectors·(1e6·|x|)²
+    // stays under Long.MaxValue — i.e. |x|≤1 needs n ≲ 9.2e6 rows per
+    // Gram cell; beyond that the Gram pass must move to DecimalType.
+    import s.implicits._
+    if (gram.isEmpty)
+      Seq.empty[(Long, Double, Double)].toDF("i", "loading", "lam")
+    else {
     val dim = gram.iterator.map(_.getInt(0)).max
     val mat = Array.ofDim[Double](dim, dim)
     gram.foreach(r => mat(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2).toDouble / 1e12)
@@ -189,29 +196,37 @@ object Mining {
     }
     val lam = { val m = math.floor(math.abs(lamRaw) * 1e6 + 0.5) / 1e6
       if (lamRaw < 0) -m else m }
-    import s.implicits._
     (1 to dim).map(i => (i.toLong, v(i - 1), lam)).toDF("i", "loading", "lam")
       .orderBy("i")
+    }
   }
 
   /** Per-document n-gram novelty (the curation curve: how much of each
-    * doc is unseen in any earlier doc, by doc_id order): first-occurrence
-    * doc per distinct 3-gram, then each doc's novel-gram share. The
-    * min-doc aggregate is map-side combinable; the gram join is the
-    * standard fp-bucket shape. A corpus whose tail goes to zero novelty
-    * is telling you to stop crawling that source. */
+    * doc is unseen in any earlier doc, by doc_id order). Shingles are
+    * distinct per doc (withShingles array_distincts), so per-doc totals
+    * are just `size(shingles)` — no explode — and per-doc novel counts
+    * fall out of the first-occurrence aggregate re-keyed by its OWN
+    * doc_id column: a gram g with min(doc_id)=d necessarily occurs in d,
+    * so `firsts.groupBy(fd).count()` IS the novel count. The only
+    * gram-level shuffle left is the unavoidable min-doc aggregate
+    * (map-side combinable); everything after is doc-sized. No
+    * gram-table broadcast, no second shingle explode — the previous
+    * shape re-joined the corpus gram table against a full second
+    * shingle pass and died at scale. A corpus whose tail goes to zero
+    * novelty is telling you to stop crawling that source. */
   val qDocsNgramNovelty: Q = (s, d) => {
-    val ng = Dedup.withShingles(
-        Tables.documents(s, d).select("doc_id", "text"), "text", 3)
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
-    val firsts = ng.groupBy("g").agg(min("doc_id").as("fd"))
-    ng.join(firsts, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        Num.roundd(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
-          .as("novelty"))
+    val sh = Dedup.withShingles(
+      Tables.documents(s, d).select("doc_id", "text"), "text", 3)
+    val totals = sh.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("n_grams"))
+    val novel = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+      .groupBy("g").agg(min("doc_id").as("fd"))
+      .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        Num.roundd(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("novelty"))
       .orderBy("doc_id")
   }
 
@@ -387,18 +402,22 @@ object Mining {
         "round(CAST(sum(mv) AS DOUBLE) / count(*) / 1000000, 6) c_new " +
         "FROM x GROUP BY 1, 2 ORDER BY cid, i")),
     ("q_emb_power_iter", qEmbPowerIter, Some {
+      // AS MATERIALIZED is load-bearing: each step CTE references its
+      // predecessor twice (u_k and n_k); without materialization DuckDB
+      // inlines and re-evaluates the whole chain exponentially (~2^8
+      // Gram rebuilds), turning a sub-second oracle into minutes.
       val steps = (1 to 8).map { k =>
-        s"u$k AS (SELECT mm.i, sum(mm.v * v${k - 1}.v) u FROM mm JOIN v${k - 1} ON v${k - 1}.i = mm.j GROUP BY 1), " +
-          s"n$k AS (SELECT sqrt(sum(u * u)) n FROM u$k), " +
-          s"v$k AS (SELECT i, round(u / n, 8) v FROM u$k, n$k)"
+        s"u$k AS MATERIALIZED (SELECT mm.i, sum(mm.v * v${k - 1}.v) u FROM mm JOIN v${k - 1} ON v${k - 1}.i = mm.j GROUP BY 1), " +
+          s"n$k AS MATERIALIZED (SELECT sqrt(sum(u * u)) n FROM u$k), " +
+          s"v$k AS MATERIALIZED (SELECT i, round(u / n, 8) v FROM u$k, n$k)"
       }.mkString(", ")
       "WITH e AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) i, " +
         "unnest(list_transform(embedding, x -> CAST(CASE WHEN x < 0 " +
         "THEN -floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) " +
         "ELSE floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) END AS BIGINT))) m FROM embeddings), " +
-        "g AS (SELECT a.i, b.i j, CAST(sum(a.m * b.m) AS BIGINT) s " +
+        "g AS MATERIALIZED (SELECT a.i, b.i j, CAST(sum(a.m * b.m) AS BIGINT) s " +
         "FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2), " +
-        "mm AS (SELECT i, j, CAST(s AS DOUBLE) / 1e12 v FROM g), " +
+        "mm AS MATERIALIZED (SELECT i, j, CAST(s AS DOUBLE) / 1e12 v FROM g), " +
         "v0 AS (SELECT DISTINCT i, 1.0 v FROM mm), " +
         steps + ", " +
         "lam AS (SELECT round(sum(a.v * mm.v * b.v), 6) l FROM mm " +

@@ -353,17 +353,17 @@ object Ops {
     * prefix sums Sᵢ, the last fully-satisfied rank is
     * k = max{i : Sᵢ + dᵢ·(n−i) ≤ C}, then w = (C − S_k)/(n − k). Every
     * quantity through the compare is an exact long (the cross-multiplied
-    * -threshold discipline); w is the single final divide. The rank
-    * window runs over the COLLAPSED per-user rollup; at 100 TB the exact
-    * sort swaps for a demand-histogram waterline (same equation on
-    * bucket boundaries). */
+    * -threshold discipline); w is the single final divide. Rank and
+    * prefix sum come from Rank.withGlobalOrder over the COLLAPSED
+    * per-user rollup (range repartition + local rank/sum + P-row offset
+    * broadcast — no single-partition window; RankSpec pins the equality
+    * to the exact global window), so the sort stays distributed at any
+    * tenant count. */
   val qOpsFairShare: Q = (s, d) => {
     val dem = Tables.events(s, d)
       .groupBy("user_id").agg(count(lit(1)).as("dem"))
-    val w = Window.orderBy("dem", "user_id")
-    val ranked = dem
-      .withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("si", sum("dem").over(w))
+    val ranked = Rank.withGlobalOrder(dem,
+      Seq(col("dem").asc, col("user_id").asc), "i", Seq(("dem", "si")))
     val stats = ranked.agg(max("i").as("n"), sum("dem").as("tot"))
     val kRow = ranked.crossJoin(broadcast(stats))
       .filter(col("si") + col("dem") * (col("n") - col("i")) <= expr("tot div 2L"))

@@ -79,17 +79,18 @@ object Retrieval {
     * easy-to-hard ordering a curriculum-training schedule consumes; the
     * report gives each phase's size, token budget and language spread.
     *
-    * ntile over a global ORDER BY is a single-partition window — correct
-    * and exact, which is what the hash gate needs, but the 100 TB path
-    * replaces it with one quantile pass (exact or t-digest) and a
-    * map-side bucket assignment against the 3 broadcast cut points; the
+    * Phase assignment runs the distributed ntile (Rank.withNtile:
+    * range-repartition + per-partition rank + P-row offset broadcast —
+    * no single-partition window anywhere in the plan), which RankSpec
+    * pins exactly equal to `ntile(4) OVER (ORDER BY awl, doc_id)`; the
     * report stage is unchanged. */
   val qDocsCurriculum: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        expr("cast(size(split(coalesce(text, ''), ' ')) as bigint)").as("tok"))
-      .withColumn("awl", Num.roundd(col("n_chars").cast("double") / col("tok"), 6))
-      .withColumn("phase", ntile(4).over(Window.orderBy("awl", "doc_id")).cast("long"))
+    Rank.withNtile(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("cast(size(split(coalesce(text, ''), ' ')) as bigint)").as("tok"))
+        .withColumn("awl", Num.roundd(col("n_chars").cast("double") / col("tok"), 6)),
+      Seq(col("awl"), col("doc_id")), 4, "phase")
       .groupBy("phase")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("toks"),
         Num.roundd(Num.roundd(sum("awl"), 8) / count(lit(1)), 6).as("avg_awl"),

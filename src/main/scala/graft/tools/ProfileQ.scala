@@ -36,8 +36,13 @@ object ProfileQ {
             println(s"==== $name ====")
             fn(spark, sfDir).explain("formatted")
           } else {
-            // warm pass at sf0.001 (codegen), then timed passes at sfDir
-            try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+            // warm pass at the (overridable) small SF (codegen), then
+            // timed passes at sfDir. NonFatal only — a broken query must
+            // fail loudly here, not get silently timed as if warmed.
+            val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+            try fn(spark, warmDir).count()
+            catch { case scala.util.control.NonFatal(e) =>
+              println(s"[profileq] warm pass for $name failed: ${e.getMessage}") }
             val ts = (1 to passes).map { _ =>
               val t0 = System.nanoTime()
               fn(spark, sfDir).count()

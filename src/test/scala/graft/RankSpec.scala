@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{Analytics, Ops, Rank, Retrieval}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.AllTuples
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins the distributed global-order machinery (Rank.scala) to the
+  * exact single-partition windows it replaces: rank ≡ row_number,
+  * running sum ≡ sum-over-window, ntile ≡ ntile — bit-for-bit on the
+  * fixture tables under the strict total orders every caller uses —
+  * and asserts the entity-rank family's DEFAULT plans carry no
+  * single-partition window (the scale claim the operator docs make). */
+class RankSpec extends SparkSuite {
+
+  private def events = Tables.events(spark, sf0001)
+
+  private def demands: DataFrame =
+    events.groupBy("user_id").agg(count(lit(1)).as("dem"))
+
+  test("withGlobalOrder rank+cum ≡ exact global window (asc order)") {
+    val sort = Seq(col("dem").asc, col("user_id").asc)
+    val got = Rank.withGlobalOrder(demands, sort, "rk", Seq(("dem", "cum")), 7)
+      .select("user_id", "rk", "cum").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val w = Window.orderBy(sort: _*)
+    val want = demands
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("dem").over(w))
+      .select("user_id", "rk", "cum").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("withGlobalOrder rank+cum ≡ exact global window (desc order)") {
+    val sort = Seq(col("dem").desc, col("user_id").asc)
+    val got = Rank.withGlobalOrder(demands, sort, "rk", Seq(("dem", "cum")), 5)
+      .select("user_id", "rk", "cum").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val w = Window.orderBy(sort: _*)
+    val want = demands
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("dem").over(w))
+      .select("user_id", "rk", "cum").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("withNtile ≡ exact window ntile for k in {2, 4, 5, 7}") {
+    for (k <- Seq(2, 4, 5, 7)) {
+      val sort = Seq(col("dem").asc, col("user_id").asc)
+      val got = Rank.withNtile(demands, sort, k, "b", 6)
+        .select("user_id", "b").collect().map(r =>
+          (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val want = demands
+        .withColumn("b", ntile(k).over(Window.orderBy(sort: _*)).cast("long"))
+        .select("user_id", "b").collect().map(r =>
+          (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(got.toSeq == want.toSeq, s"ntile($k) mismatch")
+    }
+  }
+
+  test("withNtile: k larger than the row count degenerates to bucket = rank") {
+    val tiny = demands.limit(3)
+    val got = Rank.withNtile(tiny, Seq(col("user_id").asc), 10, "b", 4)
+      .select("b").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("withGlobalOrder on an empty input yields an empty frame (no NPE)") {
+    val empty = demands.filter(col("dem") < 0)
+    assert(Rank.withGlobalOrder(empty, Seq(col("user_id").asc), "rk",
+      Seq(("dem", "cum"))).count() == 0L)
+  }
+
+  /** A global-order window requires AllTuples of its child — i.e. an
+    * Exchange SinglePartition feeding a WindowExec. None of the four
+    * rewritten entity-rank defaults may contain one. (Pre-AQE sparkPlan
+    * so the tree is inspectable without executing.) */
+  private def assertNoGlobalWindow(name: String, df: DataFrame): Unit = {
+    val bad = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.requiredChildDistribution.contains(AllTuples) => w
+    }
+    assert(bad.isEmpty, s"$name still has a single-partition window:\n${bad.mkString}")
+  }
+
+  test("entity-rank family default plans are free of single-partition windows") {
+    assertNoGlobalWindow("q_docs_curriculum", Retrieval.qDocsCurriculum(spark, sf0001))
+    assertNoGlobalWindow("q_abc_pareto", Analytics.qAbcPareto(spark, sf0001))
+    assertNoGlobalWindow("q_rfm_segments", Analytics.qRfmSegments(spark, sf0001))
+    assertNoGlobalWindow("q_ops_fair_share", Ops.qOpsFairShare(spark, sf0001))
+  }
+
+  test("rewritten family still matches its previous exact-window form") {
+    // qDocsCurriculum vs the literal window ntile it replaced
+    val base = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("cast(size(split(coalesce(text, ''), ' ')) as bigint)").as("tok"))
+      .withColumn("awl",
+        graft.operators.Num.roundd(col("n_chars").cast("double") / col("tok"), 6))
+    val want = base
+      .withColumn("phase", ntile(4).over(Window.orderBy("awl", "doc_id")).cast("long"))
+      .groupBy("phase").agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val got = Retrieval.qDocsCurriculum(spark, sf0001)
+      .select("phase", "n_docs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+}
