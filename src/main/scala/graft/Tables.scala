@@ -26,8 +26,27 @@ import org.apache.spark.sql.types.TimestampType
   */
 object Tables {
 
+  /** Memoized relation resolution. `spark.read.parquet` lists the
+    * directory and reads footers on EVERY call — ~30-60 ms that lands in
+    * every catalog query's constant (the r10 floor audit). Keyed by
+    * session (a fresh session must never see another session's relation)
+    * and by the path's lastModified stamp, so suites that REWRITE a
+    * fixture dir between reads get a fresh resolution while the
+    * immutable testdata hits the memo every time. The logical plan
+    * returned is identical across calls, which is also what lets the
+    * CacheManager substitute pinned tables in the bench. */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+
+  private def memo(spark: SparkSession, sfDir: String, name: String)(
+      load: => DataFrame): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val stamp = new java.io.File(path).lastModified() // one stat, ~µs
+    resolved.computeIfAbsent((spark, path, stamp), _ => load)
+  }
+
   private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    ntz(spark.read.parquet(s"$sfDir/$name.parquet"))
+    memo(spark, sfDir, name)(ntz(spark.read.parquet(s"$sfDir/$name.parquet")))
 
   /** Cast every TIMESTAMP column to TIMESTAMP_NTZ (identity under UTC). */
   private def ntz(df: DataFrame): DataFrame =
@@ -55,7 +74,7 @@ object Tables {
     * plain TIMESTAMP(MICROS) (read natively, only the NTZ cast applies).
     * The branch is on the loaded Spark type, so the loader is schema-driven
     * rather than pinned to one generator version. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame = memo(s, d, "events") {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
     raw.schema("ts").dataType match {

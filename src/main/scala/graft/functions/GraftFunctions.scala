@@ -272,10 +272,20 @@ object GraftFunctions {
       (FunctionIdentifier("graft_shingles"), shinglesInfo, shinglesBuilder))
 
   /** Inject into a live session's registry (idempotent). */
+  /** Idempotent per session: operators call this on every invocation
+    * (they can't know whether the session came up with GraftExtensions),
+    * so re-registration must cost a set lookup, not a registry walk —
+    * part of the catalog's per-query constant (r10 floor audit). */
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
-    val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    registrations.foreach { case (id, info, builder) =>
-      registry.registerFunction(id, info, builder)
+    if (registered.add(spark)) {
+      val registry: FunctionRegistry = spark.sessionState.functionRegistry
+      registrations.foreach { case (id, info, builder) =>
+        registry.registerFunction(id, info, builder)
+      }
     }
   }
 }

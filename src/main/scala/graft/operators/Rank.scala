@@ -62,14 +62,18 @@ object Rank {
   }
 
   /** Closed-form ntile: with n rows and k buckets, bucket b ∈ [1, n%k]
-    * holds ceil(n/k) rows and the rest hold floor(n/k). */
+    * holds ceil(n/k) rows and the rest hold floor(n/k), so bucket b's
+    * cumulative upper bound is B_b = b·⌊n/k⌋ + min(b, n%k). The bucket
+    * of a rank is the smallest b with rank ≤ B_b — emitted as a k-arm
+    * integer-comparison CASE (k is small), exact by construction: no
+    * division anywhere, nothing to round. Degenerate n < k falls out:
+    * B_b = min(b, n) makes bucket = rank. */
   def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
     val q = n / k
     val r = n % k
-    if (q == 0L) rank // fewer rows than buckets: bucket = rank
-    else
-      when(rank <= lit(r * (q + 1)), (rank - lit(1L)) / lit(q + 1) + lit(1L))
-        .otherwise(lit(r) + (rank - lit(r * (q + 1)) - lit(1L)) / lit(q) + lit(1L))
+    (1 until k).reverse.foldLeft(lit(k.toLong): Column) { case (els, b) =>
+      when(rank <= lit(b * q + math.min(b.toLong, r)), lit(b.toLong)).otherwise(els)
+    }
   }
 
   /** Shared body: returns the ranked frame plus total row count n

@@ -174,15 +174,18 @@ object Relational {
     * row_number formulation pays — the lateral form costs nothing extra
     * and never executes per-outer-row. */
   val qJoinLateral: Q = (s, d) => {
-    Tables.nation(s, d).createOrReplaceTempView("graft_nation_lat")
-    Tables.customer(s, d).createOrReplaceTempView("graft_customer_lat")
-    s.sql(
-      """SELECT n_name, c_name, c_acctbal
-        |FROM graft_nation_lat,
-        |LATERAL (SELECT c_name, c_acctbal FROM graft_customer_lat
-        |         WHERE c_nationkey = n_nationkey
-        |         ORDER BY c_acctbal DESC, c_name LIMIT 2)
-        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+    // Dataset#lateralJoin (Spark 4): the correlated inner query references
+    // the outer row via Column#outer() — no temp-view catalog mutation
+    // (the previous SQL form createOrReplaceTempView'd on every call, the
+    // one catalog entry that mutated session state).
+    val inner = Tables.customer(s, d)
+      .where(col("c_nationkey") === col("n_nationkey").outer())
+      .orderBy(col("c_acctbal").desc, col("c_name"))
+      .limit(2)
+      .select("c_name", "c_acctbal")
+    Tables.nation(s, d).lateralJoin(inner)
+      .select("n_name", "c_name", "c_acctbal")
+      .orderBy(col("n_name"), col("c_acctbal").desc, col("c_name"))
   }
 
   /** Bloom-pruned join — the RUNTIME-FILTER pattern for 100 TB fact⋈dim:

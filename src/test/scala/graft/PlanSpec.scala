@@ -360,11 +360,21 @@ class PlanSpec extends SparkSuite {
       s"the cursor inequality must reach the scan:\n$p")
   }
 
-  test("rfm: one raw scan; the three quintile windows ride the collapsed users table") {
-    val p = plan(graft.operators.Analytics.qRfmSegments(spark, sf0001))
-    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
-    assert(!"(?i)(sortmergejoin|hashjoin|nestedloopjoin|cartesianproduct)".r.findFirstIn(p).isDefined,
-      s"no join anywhere:\n$p")
+  test("rfm: quintiles ride the collapsed users table; only offset broadcasts join") {
+    // Since the Rank.withNtile rewrite the users rollup is persisted and
+    // each quintile stage reads the previous stage's cache: the OUTER
+    // plan must touch no parquet at all (the one raw-events scan lives
+    // inside the innermost cached rollup), and the only joins allowed
+    // are the P-row partition-offset broadcasts — a shuffled join would
+    // mean the offset table stopped being broadcast-sized.
+    val df = graft.operators.Analytics.qRfmSegments(spark, sf0001)
+    val outerScans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(outerScans.isEmpty, s"outer plan must read the cached rollup, not parquet")
+    val p = plan(df)
+    assert(!"(?i)(sortmergejoin|shuffledhashjoin|cartesianproduct)".r.findFirstIn(p).isDefined,
+      s"only broadcast offset joins allowed:\n$p")
   }
 
   test("rrf fusion: the query block broadcasts; rank windows partition by query") {
