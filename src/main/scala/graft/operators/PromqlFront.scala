@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.promql.PromQL
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog tier for the PromQL front door (graft.promql): every entry is
+  * a REAL PromQL string compiled by Parser+Compiler onto the hourly-grid
+  * plans, gated against a hand-written DuckDB twin that mirrors the
+  * compiler's arithmetic step for step (exact window counts, one final
+  * divide, 6dp rounds — the repo determinism discipline). The SQL here
+  * is the oracle for the TEXT, not a second implementation: if the
+  * parser mis-associates or the compiler mis-frames a window, the hash
+  * gate catches it. PromqlFrontSpec separately brute-forces every
+  * function against a driver-side reference evaluator. */
+object PromqlFront {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def q(text: String): Q = (s, d) => PromQL.query(s, d, text)
+
+  private val hi =
+    "CAST(datediff('hour', TIMESTAMP '2024-01-01', date_trunc('hour', ts)) AS BIGINT)"
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q_pql_rate_sum",
+      q("""sum by (type) (rate(events{type!="view"}[6h]))"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) c FROM events WHERE event_type != 'view' GROUP BY 1,2,3,4), " +
+          "w AS (SELECT ty, h, CAST(sum(c) OVER (PARTITION BY ty, u ORDER BY hi " +
+          "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) wc FROM s) " +
+          "SELECT ty AS \"type\", h, round(CAST(sum(wc) AS DOUBLE)/21600.0, 6) AS \"value\" " +
+          "FROM w GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    ("q_pql_hist_quantile",
+      q("""histogram_quantile(0.9, sum by (le) (rate(events_bucket[1h])))"""),
+      Some(
+        "WITH b AS (SELECT date_trunc('hour', ts) h, " +
+          "CASE WHEN value <= 10 THEN 10.0 WHEN value <= 25 THEN 25.0 WHEN value <= 50 THEN 50.0 " +
+          "WHEN value <= 100 THEN 100.0 WHEN value <= 200 THEN 200.0 WHEN value <= 400 THEN 400.0 " +
+          "ELSE NULL END lev FROM events), " + // NULL = the +Inf bucket
+          "c AS (SELECT h, lev, CAST(count(*) AS BIGINT) c FROM b GROUP BY 1, 2), " +
+          "w AS (SELECT h, lev, c, " +
+          "CAST(sum(c) OVER (PARTITION BY h ORDER BY lev NULLS LAST) AS BIGINT) cum, " +
+          "CAST(sum(c) OVER (PARTITION BY h) AS BIGINT) tot, " +
+          "max(lev) OVER (PARTITION BY h) maxf, " +
+          "coalesce(lag(lev) OVER (PARTITION BY h ORDER BY lev NULLS LAST), 0.0) lo FROM c), " +
+          "t AS (SELECT *, 0.9 * CAST(tot AS DOUBLE) target FROM w) " +
+          "SELECT h, round(CASE WHEN lev IS NULL THEN maxf " +
+          "ELSE lo + (lev - lo) * (target - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE) END, 6) AS \"value\" " +
+          "FROM t WHERE CAST(cum AS DOUBLE) >= target AND CAST(cum - c AS DOUBLE) < target " +
+          "ORDER BY h")),
+
+    ("q_pql_topk",
+      q("""topk(2, sum by (type) (increase(events[24h])))"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1,2,3,4), " +
+          "w AS (SELECT ty, h, hi, CAST(sum(c) OVER (PARTITION BY ty, u ORDER BY hi " +
+          "RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) wc FROM s), " +
+          "g AS (SELECT ty, h, hi, CAST(sum(wc) AS BIGINT) v FROM w GROUP BY 1, 2, 3), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY hi ORDER BY v DESC, ty) rn FROM g) " +
+          "SELECT ty AS \"type\", h, round(CAST(v AS DOUBLE), 6) AS \"value\" " +
+          "FROM r WHERE rn <= 2 ORDER BY 1, 2")),
+
+    ("q_pql_ratio",
+      q("""sum(rate(events{type="click"}[1h])) / sum(rate(events{type="view"}[1h]))"""),
+      Some(
+        "WITH h AS (SELECT date_trunc('hour', ts) h, " +
+          "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) c, " +
+          "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) v FROM events GROUP BY 1) " +
+          "SELECT h, round((CAST(c AS DOUBLE)/3600.0) / (CAST(v AS DOUBLE)/3600.0), 6) AS \"value\" " +
+          "FROM h WHERE c > 0 AND v > 0 ORDER BY h")),
+
+    ("q_pql_quantile",
+      q("""quantile_over_time(0.9, events{type="click"}[4h])"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, value, " +
+          s"$hi hi0 FROM events WHERE event_type = 'click'), " +
+          "e AS (SELECT ty, u, value, hi0, unnest(range(hi0, hi0 + 4)) tick FROM s), " +
+          "g AS (SELECT ty, u, tick, round(quantile_cont(value, 0.9), 4) qv, " +
+          "max(CASE WHEN tick = hi0 THEN 1 ELSE 0 END) own FROM e GROUP BY 1, 2, 3) " +
+          "SELECT ty AS \"type\", u AS \"user\", " +
+          "TIMESTAMP '2024-01-01' + tick * INTERVAL 1 HOUR AS h, qv AS \"value\" " +
+          "FROM g WHERE own = 1 ORDER BY 1, 2, 3")),
+
+    ("q_pql_subquery",
+      q("""max_over_time(rate(events{type="error"}[1h])[24h:1h])"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) c FROM events WHERE event_type = 'error' GROUP BY 1,2,3,4), " +
+          "r AS (SELECT ty, u, h, hi, CAST(c AS DOUBLE)/3600.0 rate FROM s) " +
+          "SELECT ty AS \"type\", u AS \"user\", h, " +
+          "round(max(rate) OVER (PARTITION BY ty, u ORDER BY hi " +
+          "RANGE BETWEEN 23 PRECEDING AND CURRENT ROW), 6) AS \"value\" " +
+          "FROM r ORDER BY 1, 2, 3")),
+
+    ("q_pql_irate",
+      q("""irate(events{type="view"}[6h])"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, ts, value, event_id sid, " +
+          s"date_trunc('hour', ts) h, $hi hi FROM events WHERE event_type = 'view'), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY ty, u, h ORDER BY ts DESC, sid DESC) rn FROM s), " +
+          "t AS (SELECT ty, u, h, hi, " +
+          "max(CASE WHEN rn = 1 THEN ts END) l1t, max(CASE WHEN rn = 1 THEN value END) l1v, " +
+          "max(CASE WHEN rn = 2 THEN ts END) l2t, max(CASE WHEN rn = 2 THEN value END) l2v " +
+          "FROM r WHERE rn <= 2 GROUP BY 1, 2, 3, 4), " +
+          "p AS (SELECT ty, u, h, hi, l1t, l1v, l2t, l2v, " +
+          "lag(hi) OVER w ph, lag(l1t) OVER w plt, lag(l1v) OVER w plv " +
+          "FROM t WINDOW w AS (PARTITION BY ty, u ORDER BY hi)), " +
+          "q AS (SELECT ty, u, h, l1t, l1v, " +
+          "CASE WHEN l2v IS NOT NULL THEN l2t WHEN ph IS NOT NULL AND hi - ph <= 5 THEN plt END p2t, " +
+          "CASE WHEN l2v IS NOT NULL THEN l2v WHEN ph IS NOT NULL AND hi - ph <= 5 THEN plv END p2v FROM p) " +
+          "SELECT ty AS \"type\", u AS \"user\", h, " +
+          "round((CASE WHEN l1v >= p2v THEN l1v - p2v ELSE l1v END) / " +
+          "((epoch_us(l1t) - epoch_us(p2t)) / 1000000.0), 6) AS \"value\" " +
+          "FROM q WHERE p2t IS NOT NULL ORDER BY 1, 2, 3")),
+
+    ("q_pql_binop_match",
+      q("""rate(events{type="click"}[1h]) / ignoring(type) rate(events{type="view"}[1h])"""),
+      Some(
+        "WITH c AS (SELECT CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) n FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3), " +
+          "v AS (SELECT CAST(user_id AS VARCHAR) u, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) n FROM events WHERE event_type = 'view' GROUP BY 1, 2) " +
+          "SELECT c.u AS \"user\", c.h, " +
+          "round((CAST(c.n AS DOUBLE)/3600.0) / (CAST(v.n AS DOUBLE)/3600.0), 6) AS \"value\" " +
+          "FROM c JOIN v ON v.u = c.u AND v.hi = c.hi ORDER BY 1, 2")))
+}

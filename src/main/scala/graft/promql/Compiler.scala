@@ -1,0 +1,519 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Num
+
+/** Metric-store adapter: a metric name resolves to a sample relation with
+  * columns `ts` (timestamp_ntz), `value` (double), `sid` (long sample
+  * tie-break — engines disagree on equal-timestamp order without it) plus
+  * one string column per label. The store is the ONE thing a user writes
+  * to point the PromQL front door at their tables. */
+final case class MetricDef(
+    samples: (SparkSession, String) => DataFrame,
+    labels: Seq[String])
+final case class MetricStore(metrics: Map[String, MetricDef])
+
+/** The default store over the graft testdata: `events` with labels
+  * type (event_type) and user (user_id as string); `events_bucket` — the
+  * Prometheus-histogram view of the same stream, each observation tagged
+  * with its `le` bucket (the qTsHistogramQuantile bounds). */
+object Stores {
+  import graft.Tables
+  private val bounds = Seq(10.0, 25.0, 50.0, 100.0, 200.0, 400.0)
+
+  val events: MetricStore = MetricStore(Map(
+    "events" -> MetricDef(
+      (s, d) => Tables.events(s, d).select(
+        col("ts"), col("value"), col("event_id").as("sid"),
+        col("event_type").as("type"), col("user_id").cast("string").as("user")),
+      Seq("type", "user")),
+    "events_bucket" -> MetricDef(
+      (s, d) => Tables.events(s, d).select(
+        col("ts"), lit(1.0).as("value"), col("event_id").as("sid"),
+        col("event_type").as("type"),
+        bounds.foldRight(lit("+Inf"): Column) { (b, acc) =>
+          when(col("value") <= lit(b), lit(fmtBound(b))).otherwise(acc)
+        }.as("le")),
+      Seq("type", "le"))))
+
+  private[promql] def fmtBound(b: Double): String =
+    if (b == b.floor) b.toLong.toString else b.toString
+}
+
+/** Lowers a parsed PromQL AST onto hourly-grid DataFrame plans — the
+  * same shapes the hand-built operators in [[graft.operators.TimeSeries]]
+  * and [[graft.operators.Promql]] run (PromqlFrontSpec pins several
+  * equivalences). Evaluation contract (documented deviations from a real
+  * Prometheus, all inherited from the operator tier this compiles onto):
+  *
+  *  - **Step = 1 hour.** Eval points are the hours where the series has
+  *    ≥1 own sample (the qTsSubquery convention), not a fixed start/end
+  *    grid; instant-selector lookback is the hour bucket, not 5m.
+  *  - **Counter model = event increments.** `rate(m[Nh])` is the sample
+  *    count in the trailing window divided by N·3600 s (each event is a
+  *    +1 increment) — the repo's established contract. `delta`/`idelta`/
+  *    `irate`/`resets`/`changes` read the gauge `value` column.
+  *  - **Exactness discipline.** Count-derived series keep an exact long
+  *    count column plus a denominator through sums/ratios, dividing once
+  *    at the end; gauge sums are pre-rounded per hour (Num.roundd 2) so
+  *    window combines are order-free; every output value rounds at 6dp.
+  *
+  * Scale shape: every range function runs ONE map-side-combining hash
+  * aggregate of the raw scan to the (series, hour) grid, then RANGE
+  * windows partitioned BY SERIES over that grid — series count × range
+  * hours, never raw-event volume, and no single-partition stage.
+  * quantile_over_time is the one holistic function: it presence-expands
+  * each raw sample to the ≤N eval hours it covers (the qTsQuantileTime
+  * device) — expansion factor = the range in hours, so keep ranges
+  * bounded (≤24h is plenty at any scale). */
+final class Compiler(s: SparkSession, d: String, store: MetricStore) {
+
+  private val Origin = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+
+  /** Internal vector: label cols + h (timestamp_ntz) + hi (long) and
+    * either an exact (cntCol, denom) pair — value ≡ cnt/denom — or a
+    * materialized double `value` column. */
+  private final case class Vec(df: DataFrame, labels: Seq[String],
+      cnt: Option[(String, Double)]) {
+    def materialized: DataFrame = cnt match {
+      case Some((c, den)) =>
+        df.withColumn("value", col(c).cast("double") / lit(den)).drop(c)
+      case None => df
+    }
+  }
+
+  def compile(e: Expr): DataFrame = evalExpr(e) match {
+    case Right(v) =>
+      val m = v.materialized
+      m.select((v.labels.map(col) :+ col("h") :+
+          Num.roundd(col("value"), 6).as("value")): _*)
+        .orderBy((v.labels :+ "h").map(col): _*)
+    case Left(x) =>
+      import s.implicits._
+      Seq(x).toDF("value")
+  }
+
+  // ---- selectors -----------------------------------------------------------
+
+  private def rawSamples(sel: Selector): (DataFrame, Seq[String]) = {
+    val md = store.metrics.getOrElse(sel.metric,
+      throw new ParseException(s"unknown metric ${sel.metric} (store has ${store.metrics.keys.mkString(", ")})"))
+    val base = md.samples(s, d)
+    val filtered = sel.matchers.foldLeft(base) { (df, m) =>
+      if (!md.labels.contains(m.label))
+        throw new ParseException(s"metric ${sel.metric} has no label ${m.label}")
+      m.op match {
+        case "="  => df.filter(col(m.label) === m.value)
+        case "!=" => df.filter(col(m.label) =!= m.value)
+        case "=~" => df.filter(col(m.label).rlike("^(?:" + m.value + ")$"))
+        case "!~" => df.filter(!col(m.label).rlike("^(?:" + m.value + ")$"))
+      }
+    }
+    (filtered, md.labels)
+  }
+
+  private def withHour(df: DataFrame): DataFrame =
+    df.withColumn("h", date_trunc("hour", col("ts")))
+      .withColumn("hi", expr(s"timestampdiff(HOUR, $Origin, h)"))
+
+  /** The shared per-(series, hour) rollup every composable range function
+    * rides: exact count, pre-rounded sum, min/max, first/last value. */
+  private def hourly(sel: Selector): (DataFrame, Seq[String]) = {
+    val (raw, labels) = rawSamples(sel)
+    val g = withHour(raw)
+      .groupBy((labels :+ "h" :+ "hi").map(col): _*)
+      .agg(
+        count(lit(1)).as("__cnt"),
+        Num.roundd(sum("value"), 2).as("__sv"),
+        min("value").as("__mn"),
+        max("value").as("__mx"),
+        max(struct(col("ts").as("t"), col("sid").as("s"), col("value").as("v")))
+          .getField("v").as("__lv"),
+        min(struct(col("ts").as("t"), col("sid").as("s"), col("value").as("v")))
+          .getField("v").as("__fv"))
+    (g, labels)
+  }
+
+  private def rangeFrame(labels: Seq[String], n: Int) =
+    Window.partitionBy(labels.map(col): _*).orderBy("hi")
+      .rangeBetween(-(n - 1).toLong, 0L)
+
+  // ---- range functions -----------------------------------------------------
+
+  private def rangeFn(name: String, rs: RangeSel, phi: Option[Double]): Vec = {
+    val n = rs.hours
+    val (g, labels) = hourly(rs.sel)
+    val w = rangeFrame(labels, n)
+    def keep(cols: (String, Column)*): DataFrame =
+      cols.foldLeft(g) { case (df, (nm, c)) => df.withColumn(nm, c) }
+        .select((labels :+ "h" :+ "hi").map(col) ++ cols.map(c => col(c._1)): _*)
+    name match {
+      case "rate" =>
+        Vec(keep("__c" -> sum("__cnt").over(w)), labels, Some(("__c", n * 3600.0)))
+      case "increase" | "count_over_time" =>
+        Vec(keep("__c" -> sum("__cnt").over(w)), labels, Some(("__c", 1.0)))
+      case "sum_over_time" =>
+        Vec(keep("value" -> sum("__sv").over(w)), labels, None)
+      case "avg_over_time" =>
+        Vec(keep("value" -> (sum("__sv").over(w) / sum("__cnt").over(w))), labels, None)
+      case "min_over_time" =>
+        Vec(keep("value" -> min("__mn").over(w)), labels, None)
+      case "max_over_time" =>
+        Vec(keep("value" -> max("__mx").over(w)), labels, None)
+      case "last_over_time" =>
+        // current row is an own-sample hour, so the window's last sample
+        // is simply this hour's last sample
+        Vec(keep("value" -> col("__lv")), labels, None)
+      case "delta" =>
+        val out = keep(
+          "value" -> (col("__lv") - first("__fv").over(w)),
+          "__wc" -> sum("__cnt").over(w))
+          .filter(col("__wc") >= 2).drop("__wc") // PromQL: no point from <2 samples
+        Vec(out, labels, None)
+      case "resets" | "changes" => flagFn(name, rs)
+      case "irate" | "idelta" => lastTwoFn(name, rs)
+      case "quantile_over_time" => quantileFn(rs, phi.get)
+      case other => throw new ParseException(s"unsupported range function $other")
+    }
+  }
+
+  /** resets/changes: per-sample flags against the series-global previous
+    * sample, summed per hour; a trailing window then counts pairs whose
+    * SECOND element lies in the window — which over-counts by exactly the
+    * flag of the window's first sample (its partner sits outside), so
+    * that one flag is subtracted via first_value over the same frame. */
+  private def flagFn(name: String, rs: RangeSel): Vec = {
+    val n = rs.hours
+    val (raw, labels) = rawSamples(rs.sel)
+    val ws = Window.partitionBy(labels.map(col): _*).orderBy("ts", "sid")
+    val flagged = withHour(raw)
+      .withColumn("__pv", lag("value", 1).over(ws))
+      .withColumn("__rf",
+        when(col("__pv").isNotNull && col("value") < col("__pv"), 1L).otherwise(0L))
+      .withColumn("__cf",
+        when(col("__pv").isNotNull && col("value") =!= col("__pv"), 1L).otherwise(0L))
+    val fl = if (name == "resets") "__rf" else "__cf"
+    val g = flagged
+      .groupBy((labels :+ "h" :+ "hi").map(col): _*)
+      .agg(sum(fl).as("__fs"),
+        min(struct(col("ts").as("t"), col("sid").as("s"), col(fl).as("f")))
+          .getField("f").as("__ff"))
+    val w = rangeFrame(labels, n)
+    val out = g.withColumn("__c", sum("__fs").over(w) - first("__ff").over(w))
+      .select((labels :+ "h" :+ "hi").map(col) :+ col("__c"): _*)
+    Vec(out, labels, Some(("__c", 1.0)))
+  }
+
+  /** irate/idelta: last two samples of the trailing window. If the eval
+    * hour holds ≥2 samples both come from it; otherwise the partner is
+    * the previous own-sample hour's last sample, provided that hour is
+    * still inside the window. Counter resets adjust per PromQL (drop ⇒
+    * Δ = new value) for irate; idelta is the raw gauge difference. */
+  private def lastTwoFn(name: String, rs: RangeSel): Vec = {
+    val n = rs.hours
+    val (raw, labels) = rawSamples(rs.sel)
+    val hourKey = (labels :+ "h").map(col)
+    val wDesc = Window.partitionBy(hourKey: _*)
+      .orderBy(col("ts").desc, col("sid").desc)
+    val top2 = withHour(raw)
+      .withColumn("__rn", row_number().over(wDesc))
+      .filter(col("__rn") <= 2)
+      .groupBy((labels :+ "h" :+ "hi").map(col): _*)
+      .agg(
+        max(when(col("__rn") === 1, struct(col("ts").as("t"), col("value").as("v"))))
+          .as("__l1"),
+        max(when(col("__rn") === 2, struct(col("ts").as("t"), col("value").as("v"))))
+          .as("__l2"))
+    val wLag = Window.partitionBy(labels.map(col): _*).orderBy("hi")
+    val paired = top2
+      .withColumn("__ph", lag("hi", 1).over(wLag))
+      .withColumn("__pl", lag("__l1", 1).over(wLag))
+      .withColumn("__p2",
+        when(col("__l2").isNotNull, col("__l2"))
+          .when(col("__ph").isNotNull && col("hi") - col("__ph") <= lit((n - 1).toLong),
+            col("__pl")))
+      .filter(col("__p2").isNotNull)
+    val dv = col("__l1").getField("v") - col("__p2").getField("v")
+    val adj = when(col("__l1").getField("v") >= col("__p2").getField("v"), dv)
+      .otherwise(col("__l1").getField("v")) // counter reset: everything since 0
+    val gapS = (expr("unix_micros(cast(__l1.t as timestamp))") -
+      expr("unix_micros(cast(__p2.t as timestamp))")) / lit(1000000.0)
+    val out = paired
+      .withColumn("value", if (name == "irate") adj / gapS else dv)
+      .select((labels :+ "h" :+ "hi").map(col) :+ col("value"): _*)
+    Vec(out, labels, None)
+  }
+
+  /** quantile_over_time: holistic, so presence-expand each sample to the
+    * N eval hours its window membership covers (the qTsQuantileTime
+    * device: expansion ≤ N, grouped exact percentile per eval hour), and
+    * keep only eval hours that hold ≥1 OWN sample (the grid contract) —
+    * detected inside the same aggregate, no join. */
+  private def quantileFn(rs: RangeSel, phi: Double): Vec = {
+    val n = rs.hours
+    val (raw, labels) = rawSamples(rs.sel)
+    val ex = withHour(raw)
+      .withColumn("__hi0", col("hi"))
+      .withColumn("hi", explode(expr(s"sequence(__hi0, __hi0 + ${n - 1})")))
+      .groupBy((labels :+ "hi").map(col): _*)
+      .agg(
+        Num.roundd(expr(s"percentile(value, ${phi}d)"), 4).as("value"),
+        max(when(col("__hi0") === col("hi"), 1L).otherwise(0L)).as("__own"))
+      .filter(col("__own") === 1)
+      .withColumn("h", expr(s"timestampadd(HOUR, hi, $Origin)"))
+      .select((labels :+ "h" :+ "hi").map(col) :+ col("value"): _*)
+    Vec(ex, labels, None)
+  }
+
+  // ---- instant machinery ---------------------------------------------------
+
+  /** Bare instant selector: the hour's last sample (lookback = the 1h
+    * grid bucket). */
+  private def instant(sel: Selector): Vec = {
+    val (g, labels) = hourly(sel)
+    Vec(g.withColumn("value", col("__lv"))
+      .select((labels :+ "h" :+ "hi").map(col) :+ col("value"): _*), labels, None)
+  }
+
+  /** over_time functions applied to a SUBQUERY: the inner expr is already
+    * an hourly vector; the outer function windows over its points. */
+  private def overSub(name: String, sub: Subquery, phi: Option[Double]): Vec = {
+    val inner = evalExpr(sub.inner) match {
+      case Right(v) => v
+      case Left(_) => throw new ParseException("subquery inner must be a vector")
+    }
+    val m = inner.materialized
+    val w = rangeFrame(inner.labels, sub.hours)
+    val out = name match {
+      case "max_over_time" => m.withColumn("value", max("value").over(w))
+      case "min_over_time" => m.withColumn("value", min("value").over(w))
+      case "sum_over_time" => m.withColumn("value", Num.roundd(sum("value").over(w), 6))
+      case "avg_over_time" => m.withColumn("value", Num.roundd(avg("value").over(w), 6))
+      case "count_over_time" => m.withColumn("value", count(lit(1)).over(w).cast("double"))
+      case "last_over_time" => m // current point IS the window's last
+      case "quantile_over_time" =>
+        m.withColumn("value", Num.roundd(expr(s"percentile(value, ${phi.get}d)").over(w), 4))
+      case other => throw new ParseException(s"$other not supported over a subquery")
+    }
+    Vec(out, inner.labels, None)
+  }
+
+  // ---- aggregation / binops / instant functions ----------------------------
+
+  private def aggOp(a: AggOp): Vec = {
+    val v = evalExpr(a.e) match {
+      case Right(x) => x
+      case Left(_) => throw new ParseException("aggregation needs a vector")
+    }
+    val by = a.by
+    by.foreach { l =>
+      if (!v.labels.contains(l))
+        throw new ParseException(s"by-label $l not in vector labels ${v.labels.mkString(", ")}")
+    }
+    val keys = (by :+ "h" :+ "hi").map(col)
+    (a.op, v.cnt) match {
+      case ("sum", Some((c, den))) =>
+        Vec(v.df.groupBy(keys: _*).agg(sum(c).as("__c")), by, Some(("__c", den)))
+      case ("count", _) =>
+        Vec(v.df.groupBy(keys: _*).agg(count(lit(1)).as("__c")), by, Some(("__c", 1.0)))
+      case ("avg", Some((c, den))) =>
+        Vec(v.df.groupBy(keys: _*)
+          .agg((sum(c).cast("double") / lit(den) / count(lit(1))).as("value")), by, None)
+      case (op, _) =>
+        val m = v.materialized
+        val agg = op match {
+          case "sum" => Num.roundd(sum("value"), 6)
+          case "avg" => Num.roundd(avg("value"), 6)
+          case "min" => min("value")
+          case "max" => max("value")
+          case "count" => count(lit(1)).cast("double")
+        }
+        Vec(m.groupBy(keys: _*).agg(agg.as("value")), by, None)
+    }
+  }
+
+  private def binOp(b: BinOp): Either[Double, Vec] = {
+    val l = evalExpr(b.lhs)
+    val r = evalExpr(b.rhs)
+    def sc(x: Double, y: Double): Double = b.op match {
+      case "+" => x + y; case "-" => x - y; case "*" => x * y
+      case "/" => x / y; case "%" => x % y
+    }
+    (l, r) match {
+      case (Left(x), Left(y)) => Left(sc(x, y))
+      case (Right(v), Left(y)) => Right(vecScalar(v, y, b.op, scalarLeft = false))
+      case (Left(x), Right(v)) => Right(vecScalar(v, x, b.op, scalarLeft = true))
+      case (Right(lv), Right(rv)) => Right(vecVec(lv, rv, b.op, b.matching))
+    }
+  }
+
+  private def vecScalar(v: Vec, x: Double, op: String, scalarLeft: Boolean): Vec =
+    (op, v.cnt, scalarLeft) match {
+      // count-path preserving forms: value = cnt/denom, so vec*s and
+      // vec/s fold into the denominator and stay exact
+      case ("*", Some((c, den)), _) => Vec(v.df, v.labels, Some((c, den / x)))
+      case ("/", Some((c, den)), false) => Vec(v.df, v.labels, Some((c, den * x)))
+      case _ =>
+        val m = v.materialized
+        val e = (scalarLeft, op) match {
+          case (false, "+") => col("value") + lit(x)
+          case (false, "-") => col("value") - lit(x)
+          case (false, "*") => col("value") * lit(x)
+          case (false, "/") => col("value") / lit(x)
+          case (false, "%") => col("value") % lit(x)
+          case (true, "+") => lit(x) + col("value")
+          case (true, "-") => lit(x) - col("value")
+          case (true, "*") => lit(x) * col("value")
+          case (true, "/") => lit(x) / col("value")
+          case (true, "%") => lit(x) % col("value")
+        }
+        Vec(m.withColumn("value", e), v.labels, None)
+    }
+
+  /** Vector/vector with one-to-one matching: join on the match labels +
+    * the hour; result carries the match labels (PromQL one-to-one with
+    * on()/ignoring() — series that would match many-to-one are the
+    * caller's responsibility, as in PromQL itself). */
+  private def vecVec(lv: Vec, rv: Vec, op: String, m: Option[VectorMatch]): Vec = {
+    val mlabels: Seq[String] = m match {
+      case Some(VectorMatch(true, ls)) => ls
+      case Some(VectorMatch(false, ls)) =>
+        lv.labels.filter(rv.labels.contains).filterNot(ls.contains)
+      case None =>
+        if (lv.labels.toSet != rv.labels.toSet)
+          throw new ParseException(
+            s"default vector matching needs equal label sets (${lv.labels.mkString(",")} vs ${rv.labels.mkString(",")}); use on() or ignoring()")
+        lv.labels
+    }
+    val lm = lv.materialized
+      .select((mlabels :+ "h" :+ "hi").map(col) :+ col("value").as("__lval"): _*)
+    val rm = rv.materialized
+      .select(mlabels.map(col) :+ col("hi") :+ col("value").as("__rval"): _*)
+    val j = lm.join(rm, mlabels :+ "hi")
+    val e = op match {
+      case "+" => col("__lval") + col("__rval")
+      case "-" => col("__lval") - col("__rval")
+      case "*" => col("__lval") * col("__rval")
+      case "/" => col("__lval") / col("__rval")
+      case "%" => col("__lval") % col("__rval")
+    }
+    Vec(j.withColumn("value", e)
+      .select((mlabels :+ "h" :+ "hi").map(col) :+ col("value"): _*), mlabels, None)
+  }
+
+  private def topBottomK(k: Int, v: Vec, top: Boolean): Vec = {
+    val m = v.materialized
+    val ord = (if (top) col("value").desc else col("value").asc) +:
+      v.labels.map(l => col(l).asc)
+    val w = Window.partitionBy("hi").orderBy(ord: _*)
+    Vec(m.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk"), v.labels, None)
+  }
+
+  /** histogram_quantile over a vector carrying an `le` label: per
+    * (other labels, hour) the buckets cumulate by ascending bound and
+    * the target bucket interpolates linearly (+Inf clamps to the highest
+    * finite bound) — the qTsHistogramQuantile formula verbatim. */
+  private def histogramQuantile(phi: Double, v: Vec): Vec = {
+    if (!v.labels.contains("le"))
+      throw new ParseException("histogram_quantile needs an le label")
+    val others = v.labels.filterNot(_ == "le")
+    // The rate/increase denominator cancels out of the interpolation
+    // (target, cum and c all scale by it), so a count-path vector runs
+    // the whole formula on EXACT counts — cross-engine determinism for
+    // free, the qTsHistogramQuantile discipline.
+    val base = v.cnt match {
+      case Some((c, _)) => v.df.withColumn("value", col(c).cast("double")).drop(c)
+      case None => v.df
+    }
+    val m = base
+      .withColumn("__lev",
+        when(col("le") === "+Inf", lit(Double.MaxValue))
+          .otherwise(col("le").cast("double")))
+    val part = (others :+ "hi").map(col)
+    val gw = Window.partitionBy(part: _*)
+    val cw = gw.orderBy("__lev")
+    val maxFinite = max(when(col("le") =!= "+Inf", col("__lev"))).over(gw)
+    val cum = m
+      .withColumn("__cum", sum("value").over(cw))
+      .withColumn("__tot", sum("value").over(gw))
+      .withColumn("__maxf", maxFinite)
+      .withColumn("__target", lit(phi) * col("__tot"))
+      // __lo BEFORE the target-bucket filter: lag must see every present
+      // bucket, not just the survivor
+      .withColumn("__lo",
+        coalesce(lag("__lev", 1).over(cw), lit(0.0)))
+      .filter(col("__cum") >= col("__target") &&
+        (col("__cum") - col("value")) < col("__target"))
+    // one surviving bucket per (others, hour): the interpolation below is
+    // a pure row expression
+    val interp = when(col("le") === "+Inf", col("__maxf")).otherwise(
+      col("__lo") + (col("__lev") - col("__lo")) *
+        (col("__target") - (col("__cum") - col("value"))) / col("value"))
+    Vec(cum.withColumn("value", interp)
+      .select((others :+ "h" :+ "hi").map(col) :+ col("value"): _*), others, None)
+  }
+
+  // ---- dispatcher ----------------------------------------------------------
+
+  private def evalExpr(e: Expr): Either[Double, Vec] = e match {
+    case NumLit(v) => Left(v)
+    case sel: Selector => Right(instant(sel))
+    case _: RangeSel =>
+      throw new ParseException("range vector outside a range function")
+    case _: Subquery =>
+      throw new ParseException("subquery outside an over_time function")
+    case a: AggOp => Right(aggOp(a))
+    case b: BinOp => binOp(b)
+    case FnCall(name, args) => Right(fnCall(name, args))
+  }
+
+  private def fnCall(name: String, args: Seq[Expr]): Vec = (name, args) match {
+    case ("quantile_over_time", Seq(NumLit(phi), rs: RangeSel)) =>
+      rangeFn(name, rs, Some(phi))
+    case ("quantile_over_time", Seq(NumLit(phi), sub: Subquery)) =>
+      overSub(name, sub, Some(phi))
+    case (_, Seq(rs: RangeSel)) => rangeFn(name, rs, None)
+    case (_, Seq(sub: Subquery)) => overSub(name, sub, None)
+    case ("histogram_quantile", Seq(NumLit(phi), e)) =>
+      evalExpr(e) match {
+        case Right(v) => histogramQuantile(phi, v)
+        case Left(_) => throw new ParseException("histogram_quantile needs a vector")
+      }
+    case ("topk", Seq(NumLit(k), e)) =>
+      evalExpr(e) match {
+        case Right(v) => topBottomK(k.toInt, v, top = true)
+        case Left(_) => throw new ParseException("topk needs a vector")
+      }
+    case ("bottomk", Seq(NumLit(k), e)) =>
+      evalExpr(e) match {
+        case Right(v) => topBottomK(k.toInt, v, top = false)
+        case Left(_) => throw new ParseException("bottomk needs a vector")
+      }
+    case ("abs" | "ceil" | "floor", Seq(e)) =>
+      evalExpr(e) match {
+        case Right(v) =>
+          val m = v.materialized
+          val f = name match {
+            case "abs" => abs(col("value"))
+            case "ceil" => ceil(col("value")).cast("double")
+            case "floor" => floor(col("value")).cast("double")
+          }
+          Vec(m.withColumn("value", f), v.labels, None)
+        case Left(_) => throw new ParseException(s"$name needs a vector")
+      }
+    case _ =>
+      throw new ParseException(s"unsupported function/arity: $name/${args.size}")
+  }
+}
+
+/** Public front door. */
+object PromQL {
+  /** Evaluate PromQL text over the store's tables at `sfDir`; returns
+    * (labels…, h, value) ordered by (labels…, h), value rounded 6dp. */
+  def query(s: SparkSession, sfDir: String, text: String,
+      store: MetricStore = Stores.events): DataFrame =
+    new Compiler(s, sfDir, store).compile(Parser.parse(text))
+}

@@ -1,0 +1,261 @@
+package graft.promql
+
+/** AST + recursive-descent parser for the PromQL front door (SURVEY §2
+  * TSDB tier; VERDICT r9/r10 missing #1). This is the LAST MILE over the
+  * range-vector machinery that already exists in operators/TimeSeries and
+  * operators/Promql: the parser turns Prometheus query text into an AST,
+  * and [[Compiler]] lowers the AST onto the same hourly-grid DataFrame
+  * plans those operators run — so a Prometheus-shaped user can type
+  * `sum by (type) (rate(events{type!="view"}[6h]))` instead of composing
+  * DataFrames by hand.
+  *
+  * Supported subset (the shapes the operator tier implements; anything
+  * else fails loudly at parse time):
+  *   - instant selectors  m / m{l="v", l!="v", l=~"re", l!~"re"}
+  *   - range selectors    m{...}[Nh] / [Nd]  (whole hours only)
+  *   - subqueries         expr[Nh:1h]        (step pinned to the 1h grid)
+  *   - range functions    rate increase irate delta idelta resets changes
+  *                        avg/min/max/sum/count/last/quantile_over_time
+  *   - instant functions  histogram_quantile topk bottomk abs ceil floor
+  *   - aggregations       sum avg min max count [by (l1, …)] (expr)
+  *   - binary arithmetic  + - * / with scalars or vectors,
+  *                        on(l1,…) / ignoring(l1,…) matching modifiers
+  *
+  * The grammar is the PromQL reference grammar cut to this subset;
+  * precedence: unary minus, then * / %, then + -.
+  */
+sealed trait Expr
+final case class NumLit(v: Double) extends Expr
+final case class Matcher(label: String, op: String, value: String)
+final case class Selector(metric: String, matchers: Seq[Matcher]) extends Expr
+final case class RangeSel(sel: Selector, hours: Int) extends Expr
+final case class Subquery(inner: Expr, hours: Int) extends Expr
+final case class FnCall(name: String, args: Seq[Expr]) extends Expr
+final case class AggOp(op: String, by: Seq[String], e: Expr) extends Expr
+final case class VectorMatch(on: Boolean, labels: Seq[String])
+final case class BinOp(op: String, lhs: Expr, rhs: Expr,
+    matching: Option[VectorMatch]) extends Expr
+
+final class ParseException(msg: String) extends IllegalArgumentException(msg)
+
+object Parser {
+
+  private sealed trait Tok
+  private case class TIdent(s: String) extends Tok
+  private case class TNum(v: Double) extends Tok
+  private case class TDur(hours: Int) extends Tok
+  private case class TStr(s: String) extends Tok
+  private case class TOp(s: String) extends Tok // punctuation + operators
+  private case object TEnd extends Tok
+
+  private val rangeFns = Set("rate", "increase", "irate", "delta", "idelta",
+    "resets", "changes", "avg_over_time", "min_over_time", "max_over_time",
+    "sum_over_time", "count_over_time", "last_over_time", "quantile_over_time")
+  private val aggOps = Set("sum", "avg", "min", "max", "count")
+
+  def parse(q: String): Expr = {
+    val p = new P(lex(q))
+    val e = p.expr()
+    p.expect(TEnd)
+    e
+  }
+
+  // ---- lexer ---------------------------------------------------------------
+
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = q.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
+        val end = if (j < 0) n else j
+        out += TIdent(q.substring(i, end)); i = end
+      } else if (c.isDigit || (c == '.' && i + 1 < n && q(i + 1).isDigit)) {
+        val j = q.indexWhere(ch => !(ch.isDigit || ch == '.'), i)
+        val end = if (j < 0) n else j
+        val num = q.substring(i, end)
+        // duration suffix: 6h / 2d / 1w (whole hours only — the eval grid)
+        if (end < n && "hdw".contains(q(end)) &&
+            (end + 1 >= n || !q(end + 1).isLetterOrDigit)) {
+          val mult = q(end) match { case 'h' => 1; case 'd' => 24; case 'w' => 168 }
+          if (num.contains('.')) throw new ParseException(s"fractional duration: $num${q(end)}")
+          out += TDur(num.toInt * mult); i = end + 1
+        } else { out += TNum(num.toDouble); i = end }
+      } else if (c == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && q(i) != '"') {
+          if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+          else { sb += q(i); i += 1 }
+        }
+        if (i >= n) throw new ParseException("unterminated string")
+        out += TStr(sb.toString); i += 1
+      } else {
+        val two = if (i + 1 < n) q.substring(i, i + 2) else ""
+        if (Set("!=", "=~", "!~").contains(two)) { out += TOp(two); i += 2 }
+        else if ("{}[]():,+-*/%=".contains(c)) { out += TOp(c.toString); i += 1 }
+        else throw new ParseException(s"unexpected character '$c' at $i")
+      }
+    }
+    out += TEnd
+    out.result()
+  }
+
+  // ---- parser --------------------------------------------------------------
+
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Tok = toks(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def expect(t: Tok): Unit =
+      if (next() != t) throw new ParseException(s"expected $t, got ${toks(pos - 1)}")
+    private def expectOp(s: String): Unit = expect(TOp(s))
+
+    def expr(): Expr = {
+      var l = term()
+      while (peek == TOp("+") || peek == TOp("-")) {
+        val op = next().asInstanceOf[TOp].s
+        val m = matching()
+        l = BinOp(op, l, term(), m)
+      }
+      maybeSubquery(l)
+    }
+
+    private def term(): Expr = {
+      var l = unary()
+      while (peek == TOp("*") || peek == TOp("/") || peek == TOp("%")) {
+        val op = next().asInstanceOf[TOp].s
+        val m = matching()
+        l = BinOp(op, l, unary(), m)
+      }
+      l
+    }
+
+    private def matching(): Option[VectorMatch] = peek match {
+      case TIdent("on") | TIdent("ignoring") =>
+        val on = next() == TIdent("on")
+        Some(VectorMatch(on, labelList()))
+      case _ => None
+    }
+
+    private def labelList(): Seq[String] = {
+      expectOp("(")
+      val ls = Seq.newBuilder[String]
+      var first = true
+      while (peek != TOp(")")) {
+        if (!first) expectOp(",")
+        first = false
+        next() match {
+          case TIdent(l) => ls += l
+          case t => throw new ParseException(s"expected label, got $t")
+        }
+      }
+      expectOp(")")
+      ls.result()
+    }
+
+    private def unary(): Expr = peek match {
+      case TOp("-") => next(); BinOp("*", NumLit(-1), atom(), None)
+      case _ => atom()
+    }
+
+    private def atom(): Expr = next() match {
+      case TNum(v) => NumLit(v)
+      case TOp("(") =>
+        val e = expr(); expectOp(")"); maybeSubquery(e)
+      case TIdent(id) if aggOps.contains(id) && peek != TOp("{") &&
+          peek != TOp("[") && (peek == TOp("(") || peek == TIdent("by")) =>
+        val by = peek match {
+          case TIdent("by") => next(); labelList()
+          case _ => Nil
+        }
+        expectOp("(")
+        val e = expr()
+        expectOp(")")
+        maybeSubquery(AggOp(id, by, e))
+      case TIdent(id) if peek == TOp("(") =>
+        next() // "("
+        val args = Seq.newBuilder[Expr]
+        var first = true
+        while (peek != TOp(")")) {
+          if (!first) expectOp(",")
+          first = false
+          args += expr()
+        }
+        expectOp(")")
+        val call = FnCall(id, args.result())
+        if (rangeFns.contains(id) && !call.args.exists(a =>
+            a.isInstanceOf[RangeSel] || a.isInstanceOf[Subquery]))
+          throw new ParseException(s"$id needs a range-vector argument (m[Nh])")
+        maybeSubquery(call)
+      case TIdent(metric) =>
+        val ms = if (peek == TOp("{")) {
+          next()
+          val b = Seq.newBuilder[Matcher]
+          var first = true
+          while (peek != TOp("}")) {
+            if (!first) expectOp(",")
+            first = false
+            val l = next() match {
+              case TIdent(x) => x
+              case t => throw new ParseException(s"expected label, got $t")
+            }
+            val op = next() match {
+              case TOp(o) if Set("=", "!=", "=~", "!~").contains(o) => o
+              case t => throw new ParseException(s"expected matcher op, got $t")
+            }
+            val v = next() match {
+              case TStr(x) => x
+              case t => throw new ParseException(s"expected string, got $t")
+            }
+            b += Matcher(l, op, v)
+          }
+          expectOp("}")
+          b.result()
+        } else Nil
+        val sel = Selector(metric, ms)
+        if (peek == TOp("[")) rangeSuffix(sel) else sel
+      case t => throw new ParseException(s"unexpected token $t")
+    }
+
+    /** `sel[Nh]` (plain range) or `sel[Nh:1h]` (selector subquery). */
+    private def rangeSuffix(sel: Selector): Expr = {
+      expectOp("[")
+      val d = next() match {
+        case TDur(h) => h
+        case t => throw new ParseException(s"expected duration, got $t")
+      }
+      next() match {
+        case TOp("]") => RangeSel(sel, d)
+        case TOp(":") =>
+          next() match {
+            case TDur(1) => ()
+            case t => throw new ParseException(s"subquery step must be 1h (the eval grid), got $t")
+          }
+          expectOp("]")
+          Subquery(sel, d)
+        case t => throw new ParseException(s"expected ] or :, got $t")
+      }
+    }
+
+    /** `expr[Nh:1h]` — the subquery form; step MUST be the 1h grid. */
+    private def maybeSubquery(e: Expr): Expr =
+      if (peek == TOp("[") && !e.isInstanceOf[Selector]) {
+        next()
+        val d = next() match {
+          case TDur(h) => h
+          case t => throw new ParseException(s"expected duration, got $t")
+        }
+        expectOp(":")
+        next() match {
+          case TDur(1) => ()
+          case t => throw new ParseException(s"subquery step must be 1h (the eval grid), got $t")
+        }
+        expectOp("]")
+        Subquery(e, d)
+      } else e
+  }
+}

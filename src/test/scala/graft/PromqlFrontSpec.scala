@@ -1,0 +1,308 @@
+package graft
+
+import graft.promql._
+import org.apache.spark.sql.functions._
+
+/** The PromQL front door: parser shape/error tests plus an INDEPENDENT
+  * driver-side brute-force evaluator over the collected sf0.001 sample
+  * set — every compiled range function, aggregation, vector match,
+  * topk and histogram_quantile is checked against a from-scratch Scala
+  * reimplementation of the documented evaluation contract (hourly grid,
+  * own-sample eval points, trailing RANGE windows). */
+class PromqlFrontSpec extends SparkSuite {
+
+  // ---- parser --------------------------------------------------------------
+
+  test("parser: selector, matchers, range, agg, binop, subquery") {
+    assert(Parser.parse("events") == Selector("events", Nil))
+    assert(Parser.parse("""events{type="error", user!~"1.*"}""") ==
+      Selector("events", Seq(Matcher("type", "=", "error"), Matcher("user", "!~", "1.*"))))
+    assert(Parser.parse("""rate(events{type="error"}[1h])""") ==
+      FnCall("rate", Seq(RangeSel(Selector("events", Seq(Matcher("type", "=", "error"))), 1))))
+    assert(Parser.parse("""sum by (type) (rate(events[6h]))""") ==
+      AggOp("sum", Seq("type"), FnCall("rate", Seq(RangeSel(Selector("events", Nil), 6)))))
+    assert(Parser.parse("""a / on(user) b""") ==
+      BinOp("/", Selector("a", Nil), Selector("b", Nil), Some(VectorMatch(true, Seq("user")))))
+    assert(Parser.parse("""max_over_time(rate(events[1h])[6h:1h])""") ==
+      FnCall("max_over_time", Seq(Subquery(
+        FnCall("rate", Seq(RangeSel(Selector("events", Nil), 1))), 6))))
+    assert(Parser.parse("""rate(events[2d])""") ==
+      FnCall("rate", Seq(RangeSel(Selector("events", Nil), 48))))
+  }
+
+  test("parser: loud failures") {
+    for (bad <- Seq(
+      "rate(events)",                       // missing range
+      "events{type=error}",                 // unquoted value
+      "rate(events[90m])",                  // sub-hour duration unit
+      "max_over_time(rate(events[1h])[6h:2h])", // off-grid step
+      "events[",
+      "sum by type (events)"))              // by needs parens
+      assertThrows[Exception](Parser.parse(bad))
+  }
+
+  // ---- brute-force reference evaluator ------------------------------------
+
+  private case class S(ts: Long, sid: Long, v: Double) // ts in micros
+  private val OriginUs = 1704067200L * 1000000L        // 2024-01-01T00:00Z
+  private val HourUs = 3600L * 1000000L
+
+  private def hourOf(tsUs: Long): Long = math.floorDiv(tsUs - OriginUs, HourUs)
+
+  private lazy val samples: Map[(String, String), Vector[S]] = {
+    val rows = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id").cast("string"),
+        expr("unix_micros(cast(ts as timestamp))"), col("event_id"), col("value"))
+      .collect()
+    rows.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => S(r.getLong(2), r.getLong(3), r.getDouble(4)))
+          .sortBy(s => (s.ts, s.sid)).toVector
+      }
+  }
+
+  private def rnd(x: Double, n: Int): Double = {
+    val p = math.pow(10, n)
+    val m = math.floor(math.abs(x) * p + 0.5) / p
+    if (x < 0) -m else m
+  }
+
+  private def win(ss: Vector[S], h: Long, n: Int): Vector[S] =
+    ss.filter(s => { val sh = hourOf(s.ts); sh > h - n && sh <= h })
+
+  private def ownHours(ss: Vector[S]): Vector[Long] =
+    ss.map(s => hourOf(s.ts)).distinct.sorted
+
+  private def pct(vs: Seq[Double], phi: Double): Double = {
+    val s = vs.sorted
+    val idx = phi * (s.size - 1)
+    val lo = math.floor(idx).toInt
+    val hi = math.ceil(idx).toInt
+    if (lo == hi) s(lo) else s(lo) + (idx - lo) * (s(hi) - s(lo))
+  }
+
+  /** collected actual result keyed by (labels…, hi) */
+  private def run(q: String): Map[Seq[String], Double] = {
+    val df = PromQL.query(spark, sf0001, q)
+    val labelCols = df.columns.dropRight(2).toSeq // labels…, h, value
+    df.withColumn("__hi",
+        expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', h)"))
+      .collect()
+      .map { r =>
+        val key = labelCols.map(c => String.valueOf(r.getAs[Any](c))) :+
+          r.getAs[Long]("__hi").toString
+        key -> r.getAs[Double]("value")
+      }.toMap
+  }
+
+  private def assertClose(got: Map[Seq[String], Double],
+      want: Map[Seq[String], Double], tol: Double, what: String): Unit = {
+    assert(got.keySet == want.keySet,
+      s"$what keys differ: missing=${(want.keySet -- got.keySet).take(3)} extra=${(got.keySet -- want.keySet).take(3)}")
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) <= tol, s"$what at $k: got ${got(k)} want $w")
+  }
+
+  // ---- range functions vs brute force --------------------------------------
+
+  test("rate/increase/count_over_time match brute force") {
+    for ((q, n, f) <- Seq(
+      ("""rate(events{type="error"}[1h])""", 1,
+        (w: Vector[S]) => rnd(w.size / 3600.0, 6)),
+      ("""rate(events{type="error"}[6h])""", 6,
+        (w: Vector[S]) => rnd(w.size / 21600.0, 6)),
+      ("""increase(events{type="error"}[24h])""", 24,
+        (w: Vector[S]) => w.size.toDouble),
+      ("""count_over_time(events{type="error"}[6h])""", 6,
+        (w: Vector[S]) => w.size.toDouble))) {
+      val want = (for {
+        ((t, u), ss) <- samples if t == "error"
+        h <- ownHours(ss)
+      } yield Seq(t, u, h.toString) -> f(win(ss, h, n))).toMap
+      assertClose(run(q), want, 1e-9, q)
+    }
+  }
+
+  test("min/max/avg/sum/last_over_time match brute force") {
+    def f(q: String, n: Int)(g: Vector[S] => Double) = {
+      val want = (for {
+        ((t, u), ss) <- samples if t == "click"
+        h <- ownHours(ss)
+      } yield Seq(t, u, h.toString) -> g(win(ss, h, n))).toMap
+      assertClose(run(q), want, 1e-6, q)
+    }
+    f("""min_over_time(events{type="click"}[6h])""", 6)(w => w.map(_.v).min)
+    f("""max_over_time(events{type="click"}[6h])""", 6)(w => w.map(_.v).max)
+    f("""last_over_time(events{type="click"}[6h])""", 6)(w => {
+      val h = hourOf(w.last.ts); w.filter(s => hourOf(s.ts) == h).last.v
+    })
+    // sum/avg ride per-hour 2dp-pre-rounded sums (the order-free contract)
+    def hourSums(w: Vector[S]) =
+      w.groupBy(s => hourOf(s.ts)).toSeq.sortBy(_._1)
+        .map { case (_, hs) => rnd(hs.map(_.v).sum, 2) }
+    f("""sum_over_time(events{type="click"}[6h])""", 6)(w =>
+      rnd(hourSums(w).sum, 6))
+    f("""avg_over_time(events{type="click"}[6h])""", 6)(w =>
+      rnd(hourSums(w).sum / w.size, 6))
+  }
+
+  test("delta/resets/changes/idelta/irate match brute force") {
+    def consecPairs(ss: Vector[S], h: Long, n: Int): Vector[(S, S)] = {
+      val w = win(ss, h, n)
+      w.zip(w.drop(1))
+    }
+    def want(t0: String, n: Int, minSamples: Int)(g: (Vector[S], Long) => Option[Double]) =
+      (for {
+        ((t, u), ss) <- samples if t == t0
+        h <- ownHours(ss)
+        if win(ss, h, n).size >= minSamples
+        v <- g(ss, h)
+      } yield Seq(t, u, h.toString) -> v).toMap
+    assertClose(run("""delta(events{type="view"}[6h])"""),
+      want("view", 6, 2)((ss, h) => Some(rnd(win(ss, h, 6).last.v - win(ss, h, 6).head.v, 6))),
+      1e-6, "delta")
+    assertClose(run("""resets(events{type="view"}[6h])"""),
+      want("view", 6, 1)((ss, h) =>
+        Some(consecPairs(ss, h, 6).count { case (a, b) => b.v < a.v }.toDouble)),
+      1e-9, "resets")
+    assertClose(run("""changes(events{type="view"}[6h])"""),
+      want("view", 6, 1)((ss, h) =>
+        Some(consecPairs(ss, h, 6).count { case (a, b) => b.v != a.v }.toDouble)),
+      1e-9, "changes")
+    assertClose(run("""idelta(events{type="view"}[6h])"""),
+      want("view", 6, 2)((ss, h) => {
+        val w = win(ss, h, 6)
+        Some(rnd(w.last.v - w(w.size - 2).v, 6))
+      }), 1e-6, "idelta")
+    assertClose(run("""irate(events{type="view"}[6h])"""),
+      want("view", 6, 2)((ss, h) => {
+        val w = win(ss, h, 6)
+        val (a, b) = (w(w.size - 2), w.last)
+        val adj = if (b.v >= a.v) b.v - a.v else b.v
+        Some(rnd(adj / ((b.ts - a.ts) / 1000000.0), 6))
+      }), 1e-6, "irate")
+  }
+
+  test("quantile_over_time matches brute force") {
+    val want = (for {
+      ((t, u), ss) <- samples if t == "click"
+      h <- ownHours(ss)
+    } yield Seq(t, u, h.toString) ->
+      rnd(rnd(pct(win(ss, h, 4).map(_.v), 0.9), 4), 6)).toMap
+    assertClose(run("""quantile_over_time(0.9, events{type="click"}[4h])"""),
+      want, 1e-6, "quantile_over_time")
+  }
+
+  // ---- aggregation, matching, topk, histogram ------------------------------
+
+  test("sum by (type) of rate matches brute force") {
+    val want = (for {
+      (t, tss) <- samples.groupBy(_._1._1).toSeq
+      perHour = (for {
+        ((_, u), ss) <- tss.toSeq
+        h <- ownHours(ss)
+      } yield (h, win(ss, h, 1).size)).groupBy(_._1)
+      (h, cs) <- perHour
+    } yield Seq(t, h.toString) -> rnd(cs.map(_._2).sum / 3600.0, 6)).toMap
+    assertClose(run("""sum by (type) (rate(events[1h]))"""), want, 1e-9, "sum by")
+  }
+
+  test("vector division with default matching (click/view CTR per user)") {
+    val got = run("""rate(events{type="click"}[1h]) / ignoring(type) rate(events{type="view"}[1h])""")
+    val clicks = (for {
+      ((t, u), ss) <- samples if t == "click"; h <- ownHours(ss)
+    } yield (u, h) -> win(ss, h, 1).size).toMap
+    val views = (for {
+      ((t, u), ss) <- samples if t == "view"; h <- ownHours(ss)
+    } yield (u, h) -> win(ss, h, 1).size).toMap
+    val want = (for {
+      (k, c) <- clicks; v <- views.get(k)
+    } yield Seq(k._1, k._2.toString) -> rnd(c.toDouble / v, 6)).toMap
+    assertClose(got, want, 1e-9, "vector /")
+  }
+
+  test("scalar arithmetic folds into the count path") {
+    val got = run("""rate(events{type="error"}[1h]) * 3600""")
+    val want = (for {
+      ((t, u), ss) <- samples if t == "error"; h <- ownHours(ss)
+    } yield Seq(t, u, h.toString) -> win(ss, h, 1).size.toDouble).toMap
+    assertClose(got, want, 1e-9, "rate*3600")
+  }
+
+  test("topk(2, sum by (type)(increase(events[24h]))) keeps the 2 biggest per hour") {
+    val got = run("""topk(2, sum by (type) (increase(events[24h])))""")
+    val sums = (for {
+      (t, tss) <- samples.groupBy(_._1._1).toSeq
+      hcs = (for {
+        ((_, u), ss) <- tss.toSeq; h <- ownHours(ss)
+      } yield (h, win(ss, h, 24).size)).groupBy(_._1)
+      (h, cs) <- hcs
+    } yield (h, t, cs.map(_._2).sum.toDouble))
+    val want = sums.groupBy(_._1).flatMap { case (h, ts) =>
+      ts.sortBy(x => (-x._3, x._2)).take(2)
+        .map(x => Seq(x._2, h.toString) -> x._3)
+    }
+    assertClose(got, want.toMap, 1e-9, "topk")
+  }
+
+  test("histogram_quantile over bucketed rate matches brute force") {
+    val got = run("""histogram_quantile(0.9, sum by (le) (rate(events_bucket[1h])))""")
+    val bounds = Seq(10.0, 25.0, 50.0, 100.0, 200.0, 400.0)
+    def bucketOf(v: Double): Double =
+      bounds.find(v <= _).getOrElse(Double.MaxValue)
+    val byHour = (for {
+      ((_, _), ss) <- samples.toSeq; s <- ss
+    } yield (hourOf(s.ts), bucketOf(s.v))).groupBy(_._1)
+    val want = byHour.map { case (h, vs) =>
+      val counts = vs.groupBy(_._2).map { case (b, xs) => b -> xs.size.toDouble }
+      val ordered = counts.toSeq.sortBy(_._1)
+      val total = ordered.map(_._2).sum
+      val target = 0.9 * total
+      var cum = 0.0
+      var res = 0.0
+      var done = false
+      var prev = 0.0
+      val maxFinite = ordered.filter(_._1 != Double.MaxValue).map(_._1).max
+      for ((b, c) <- ordered if !done) {
+        cum += c
+        if (cum >= target) {
+          res = if (b == Double.MaxValue) maxFinite
+            else prev + (b - prev) * (target - (cum - c)) / c
+          done = true
+        }
+        prev = b
+      }
+      Seq(h.toString) -> rnd(res, 6)
+    }
+    assertClose(got, want, 1e-6, "histogram_quantile")
+  }
+
+  test("subquery: max_over_time(rate(events[1h])[6h:1h])") {
+    val got = run("""max_over_time(rate(events{type="error"}[1h])[6h:1h])""")
+    val rates = (for {
+      ((t, u), ss) <- samples if t == "error"; h <- ownHours(ss)
+    } yield (t, u, h) -> rnd(win(ss, h, 1).size / 3600.0, 6)).toMap
+    val want = rates.map { case ((t, u, h), _) =>
+      val inWin = rates.collect {
+        case ((t2, u2, h2), r) if t2 == t && u2 == u && h2 > h - 6 && h2 <= h => r
+      }
+      Seq(t, u, h.toString) -> inWin.max
+    }
+    assertClose(got, want, 1e-9, "subquery")
+  }
+
+  test("compiled ratio agrees with the hand-built vector-ratio operator family") {
+    // sum(rate(click)) / sum(rate(view)) over ALL series ≡ per-hour
+    // click-count / view-count — the qTsVectorRatio shape on counts
+    val got = run("""sum(rate(events{type="click"}[1h])) / sum(rate(events{type="view"}[1h]))""")
+    val twin = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(when(col("event_type") === "click", 1)).as("c"),
+        count(when(col("event_type") === "view", 1)).as("v"))
+      .filter(col("c") > 0 && col("v") > 0)
+      .select(expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', h)").as("hi"),
+        (col("c").cast("double") / col("v")).cast("double").as("r"))
+      .collect().map(r => Seq(r.getLong(0).toString) -> rnd(r.getDouble(1), 6)).toMap
+    assertClose(got, twin, 1e-9, "ratio twin")
+  }
+}
