@@ -128,6 +128,36 @@ object IngestQueries {
     * so a pass proves rollup write + tail merge ≡ direct aggregation. */
   val qIngestCaggServe: Q = (s, d) => Ingest.caggDailyServe(s, d)
 
+  /** Bounds-aware rollup routing (Ingest.caggRoute): the dashboard range
+    * [Jan 10, Jan 29) splits at the Jan-26 cutoff — closed days answer
+    * from the stored rollup's h-filter, the raw scan lists ONLY the 3
+    * tail∩range directories (WritePathSpec asserts the listing and the
+    * zero-raw case for a fully-closed range). */
+  val qIngestCaggRoute: Q = (s, d) =>
+    Ingest.caggRoute(s, d, "2024-01-10", "2024-01-29")
+
+  /** TRANSPARENT rollup routing (plans/RollupRouting, the optimizer-rule
+    * half): the query below is the NAIVE count aggregate written against
+    * the raw by-day layout with ts bounds — exactly what a dashboard
+    * generator emits. The registered rule rewrites it to sum(cnt) over
+    * the stored rollup ∪ pruned tail partials; results are bit-exact
+    * (counts only — the rule never routes value sums, whose rollup form
+    * is 8dp-rounded and belongs to the explicit caggRoute contract).
+    * The oracle aggregates the raw table directly, so a pass proves the
+    * rewrite changed the PLAN and not the ANSWER; WritePathSpec asserts
+    * the plan reads the rollup file + 3 raw directories. */
+  val qIngestRouteRule: Q = (s, d) => {
+    val rollupPath = Ingest.eventsHourlyRollup(s, d)
+    val rawPath = Ingest.eventsByDay(s, d)
+    graft.plans.RollupRouting.register(s, rawPath, rollupPath, "2024-01-26")
+    Ingest.readEventsByDay(s, rawPath)
+      .filter(col("ts") >= lit("2024-01-08").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-29").cast("timestamp_ntz"))
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("dday"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("dday", "event_type")
+  }
+
   /** Time+value box query over the z-ordered layout (Ingest.eventsZordered):
     * the zp IN (...) partition filter prunes on BOTH dimensions — this box
     * reads 1 of 16 directories, where the by-day layout could prune only
@@ -469,6 +499,15 @@ object IngestQueries {
         "FROM events GROUP BY 1, 2) " +
         "SELECT CAST(date_trunc('day', h) AS DATE) dday, event_type, CAST(sum(cnt) AS BIGINT) cnt, " +
         "round(round(sum(sv8), 8), 2) sv FROM hv GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ingest_cagg_route", qIngestCaggRoute, Some(
+      "WITH hv AS (SELECT date_trunc('hour', ts) h, event_type, CAST(count(*) AS BIGINT) cnt, round(sum(value), 8) sv8 " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-29' GROUP BY 1, 2) " +
+        "SELECT CAST(date_trunc('day', h) AS DATE) dday, event_type, CAST(sum(cnt) AS BIGINT) cnt, " +
+        "round(round(sum(sv8), 8), 2) sv FROM hv GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ingest_route_rule", qIngestRouteRule, Some(
+      "SELECT CAST(date_trunc('day', ts) AS DATE) dday, event_type, CAST(count(*) AS BIGINT) cnt " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-29' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_ingest_bloom_index", qIngestBloomIndex, Some(
       "SELECT event_id, CAST(ts AS DATE) AS \"day\", user_id, event_type, value " +
         "FROM events WHERE event_id IN (7, 404, 777) ORDER BY event_id")),

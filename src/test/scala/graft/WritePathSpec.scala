@@ -228,6 +228,95 @@ class WritePathSpec extends SparkSuite {
     assert(a == b, s"cagg serve diverged from direct aggregation (first served=${a.headOption}, direct=${b.headOption})")
   }
 
+  test("cagg route: raw scan pruned to tail∩range; fully-closed range reads zero raw dirs") {
+    // range [Jan 10, Jan 29) with cutoff Jan 26: raw must list exactly
+    // days 26, 27, 28
+    val routed = Ingest.caggRoute(spark, sf0001, "2024-01-10", "2024-01-29", root = root)
+    val rawListing = scanListings(routed).filter(_.toPartitionArray.nonEmpty)
+      .find(_.toPartitionArray.exists(_.filePath.toString.contains("day=")))
+    assert(rawListing.isDefined, "no partitioned raw scan under the route plan")
+    assert(rawListing.get.partitionCount == 3,
+      s"tail∩range should list 3 dirs, got ${rawListing.get.partitionCount}")
+    assert(rawListing.get.toPartitionArray.forall(f =>
+      (26 to 28).exists(dd => f.filePath.toString.contains(s"day=2024-01-$dd"))))
+
+    // fully-closed range [Jan 5, Jan 12): the raw side lists NOTHING
+    val closed = Ingest.caggRoute(spark, sf0001, "2024-01-05", "2024-01-12", root = root)
+    val closedRaw = scanListings(closed)
+      .filter(_.toPartitionArray.exists(_.filePath.toString.contains("day=")))
+    assert(closedRaw.isEmpty || closedRaw.forall(_.partitionCount == 0),
+      "a fully-closed range must read no raw directory at all")
+
+    // routed answer ≡ direct aggregation over the range (two-level rounding)
+    import graft.operators.Num
+    val direct = Tables.events(spark, sf0001)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-29").cast("timestamp_ntz"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Num.roundd(sum("value"), 8).as("sv8"))
+      .groupBy(date_trunc("day", col("h")).cast("date").as("dday"), col("event_type"))
+      .agg(sum("cnt").as("cnt"), Num.roundd(Num.roundd(sum("sv8"), 8), 2).as("sv"))
+      .orderBy("dday", "event_type")
+    assert(routed.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
+  }
+
+  test("RollupRouting rule: naive count aggregate is rewritten to rollup ∪ pruned tail") {
+    val rollupPath = Ingest.eventsHourlyRollup(spark, sf0001, root = root)
+    val rawPath = Ingest.eventsByDay(spark, sf0001, root)
+    graft.plans.RollupRouting.register(spark, rawPath, rollupPath, "2024-01-26")
+    def naive() = Ingest.readEventsByDay(spark, rawPath)
+      .filter(col("ts") >= lit("2024-01-08").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-29").cast("timestamp_ntz"))
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("dday"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("dday", "event_type")
+    val df = naive()
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Union") && plan.contains("sum(cnt"),
+      s"rule did not route to the rollup:\n$plan")
+    val scanPaths = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanPaths.exists(_.contains("events_hourly_rollup")),
+      s"no rollup scan in routed plan: ${scanPaths.mkString(", ")}")
+    // the raw tail scan lists only the 3 open∩range directories
+    val rawListing = scanListings(df)
+      .find(_.toPartitionArray.exists(_.filePath.toString.contains("day=")))
+    assert(rawListing.isDefined, "no raw tail scan in routed plan")
+    assert(rawListing.get.partitionCount == 3,
+      s"routed tail should list 3 dirs, got ${rawListing.get.partitionCount}")
+    // and the answer is bit-identical to the unrouted aggregate
+    val want = Tables.events(spark, sf0001)
+      .filter(col("ts") >= lit("2024-01-08").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-29").cast("timestamp_ntz"))
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("dday"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("dday", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == want)
+  }
+
+  test("RollupRouting rule: value sums and extra predicates are NOT routed") {
+    val rollupPath = Ingest.eventsHourlyRollup(spark, sf0001, root = root)
+    val rawPath = Ingest.eventsByDay(spark, sf0001, root)
+    graft.plans.RollupRouting.register(spark, rawPath, rollupPath, "2024-01-26")
+    // sum(value) is inexact through the 8dp rollup — must stay raw
+    val sums = Ingest.readEventsByDay(spark, rawPath)
+      .filter(col("ts") >= lit("2024-01-08").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-29").cast("timestamp_ntz"))
+      .groupBy(col("event_type")).agg(sum("value").as("sv"))
+    assert(!sums.queryExecution.optimizedPlan.toString.contains("events_hourly_rollup"),
+      "sum(value) must never route through the rounded rollup")
+    // a non-ts predicate cannot be replayed on the rollup — must stay raw
+    val pred = Ingest.readEventsByDay(spark, rawPath)
+      .filter(col("ts") >= lit("2024-01-08").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-29").cast("timestamp_ntz") && col("user_id") > 10)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    assert(!pred.queryExecution.optimizedPlan.toString.contains("events_hourly_rollup"),
+      "extra predicates must disable routing")
+  }
+
   test("z-order layout: a 2-D box prunes where 1-D layouts cannot; values round-trip") {
     val q = Ingest.eventsZboxQuery(spark, sf0001, "2024-01-10", "2024-01-14", 80.0, 100.0, root)
 
