@@ -69,6 +69,7 @@ object Bench {
       // mutation fixtures (GDPR delete, CDC upsert) are ingest-time state:
       // corpus + index build + the one-off rewrite happen here, timed
       // passes measure the post-mutation reads
+      graft.sources.Ingest.annCdcMaintained(spark, sfDir)
       graft.sources.Ingest.gdprDeleted(spark, sfDir)
       graft.sources.Ingest.cdcUpserted(spark, sfDir)
       graft.sources.Ingest.eventsGdprDeleted(spark, sfDir)

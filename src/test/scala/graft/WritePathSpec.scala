@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Llm, Num, Similarity}
-import graft.sources.{Ingest, IngestQueries}
+import graft.sources.{Ingest, IngestQueries, Versioned}
 import org.apache.spark.sql.functions._
 
 /** The write path (graft.sources.Ingest): layouts must (a) round-trip the
@@ -226,6 +226,116 @@ class WritePathSpec extends SparkSuite {
     val a = served.collect().map(_.toSeq).toSeq
     val b = direct.collect().map(_.toSeq).toSeq
     assert(a == b, s"cagg serve diverged from direct aggregation (first served=${a.headOption}, direct=${b.headOption})")
+  }
+
+  test("versioned OCC: two interleaved committers serialize into a linearizable history") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = root + "/occ_versioned"
+    fs.delete(new Path(dir), true)
+    import spark.implicits._
+    Versioned.create(spark, dir,
+      (0L until 40L).map(i => (i, i * 10)).toDF("doc_id", "score").repartition(4))
+
+    // Writer A derives its manifest against v1 — but BEFORE A's CAS,
+    // writer B commits v2 (the deterministic interleaving: B runs inside
+    // A's first build invocation). A must LOSE the CAS on v2, re-derive
+    // against B's snapshot, and land v3 carrying BOTH mutations.
+    val batchA = Seq((1L, 111L), (40L, 400L)).toDF("doc_id", "score") // update + insert
+    val batchB = Seq((2L, 222L)).toDF("doc_id", "score")
+    var builds = 0
+    val vA = Versioned.commit(spark, dir) { v =>
+      builds += 1
+      if (builds == 1) {
+        val vB = Versioned.upsert(spark, dir, "doc_id", batchB)
+        assert(vB == 2L, s"writer B should land v2, got $vB")
+      }
+      Versioned.upsertNames(spark, dir, v, "doc_id", batchA)
+    }
+    assert(builds == 2, s"A must re-derive after losing the CAS (built $builds times)")
+    assert(vA == 3L, s"A should land v3, got $vA")
+
+    // linearizable history: v2 = B only; v3 = B + A, in commit order
+    val v2 = Versioned.read(spark, dir, 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2(2L) == 222L && v2(1L) == 10L && !v2.contains(40L))
+    val v3 = Versioned.read(spark, dir, 3L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v3(1L) == 111L && v3(2L) == 222L && v3(40L) == 400L)
+    assert(v3.size == 41)
+
+    // A's lost attempt orphaned staged bytes; vacuum collects them and
+    // the surviving latest still reads back whole
+    val (deadFiles, _) = Versioned.vacuum(spark, dir, keepLast = 1)
+    assert(deadFiles > 0, "the lost attempt's staged files should be orphans")
+    assert(Versioned.read(spark, dir).count() == 41)
+  }
+
+  test("ANN CDC: delete + upsert maintain the by-bucket layout; untouched buckets byte-identical; probes ≡ rebuild") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def snapshot(path: String): Map[String, (Long, Long)] =
+      fs.listStatus(new Path(path))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .flatMap(d => fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)))
+        .toMap
+    // fresh layout copy (not the shared memoized fixture)
+    val src = Ingest.embeddingsByBucket(spark, sf0001, root = root)
+    val dst = root + "/ann_cdc_spec"
+    fs.delete(new Path(dst), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(src), fs, new Path(dst), false,
+      spark.sparkContext.hadoopConfiguration)
+    Ingest.writeEmbeddingsVecIndex(spark, dst)
+
+    val emb = Tables.embeddings(spark, sf0001)
+    val delIds = Seq(3L, 11L)
+    val upIds = Seq(5L, 17L)
+    val before = snapshot(dst)
+    val dstats = Ingest.annDeleteVectors(spark, dst, delIds)
+    assert(dstats.rowsDeleted == 2, s"expected 2 rows deleted, got $dstats")
+    val mid = snapshot(dst)
+    // untouched buckets: every file not in a rewritten bucket is byte-identical
+    val rewrittenDirs1 = before.keySet.diff(mid.keySet) ++ mid.keySet.diff(before.keySet)
+    before.foreach { case (f, meta) =>
+      if (mid.contains(f) && !rewrittenDirs1.exists(r => new Path(r).getParent == new Path(f).getParent))
+        assert(mid(f) == meta, s"untouched file changed: $f")
+    }
+    assert(dstats.filesRewritten < dstats.filesTotal,
+      "delete must not rewrite every bucket")
+
+    val upd = emb.filter(col("vec_id").isin(upIds: _*))
+      .withColumn("embedding", expr("transform(embedding, x -> -x)"))
+    val ustats = Ingest.annUpsertVectors(spark, dst, upd)
+    assert(ustats.rowsDeleted == 2, s"expected 2 stale rows replaced, got $ustats")
+
+    // the maintained layout ≡ a from-scratch rebuild of the mutated corpus
+    val mutated = emb.filter(!col("vec_id").isin(delIds: _*))
+      .withColumn("embedding",
+        when(col("vec_id").isin(upIds: _*), expr("transform(embedding, x -> -x)"))
+          .otherwise(col("embedding")))
+    val rebuilt = root + "/ann_cdc_rebuilt"
+    Ingest.writeEmbeddingsByBucket(mutated, rebuilt)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "bucket", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).sortBy(_._1).toSeq
+    assert(rows(dst) == rows(rebuilt), "maintained layout diverged from rebuild")
+
+    // upserted vectors provably MOVED: negation flips every SRP sign
+    val moved = spark.read.parquet(dst).filter(col("vec_id").isin(upIds: _*))
+      .select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val orig = spark.read.parquet(src).filter(col("vec_id").isin(upIds: _*))
+      .select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    upIds.foreach(id => assert(moved(id) == (~orig(id) & 63),
+      s"vec $id should land in the complement bucket"))
+
+    // probe parity: maintained-layout probe ≡ rebuilt-layout probe
+    val probeVec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    def probe(p: String) = Ingest.annTopKPruned(spark, p, probeVec, 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(dst) == probe(rebuilt), "post-CDC probe diverged from rebuild")
   }
 
   test("cagg route: raw scan pruned to tail∩range; fully-closed range reads zero raw dirs") {
