@@ -71,10 +71,15 @@ object Fit {
           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6).as("slope"),
         Num.roundd((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6).as("intercept"),
-        Num.roundd(
-          pow((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"), 2) /
-            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6).as("r2"))
+        // ADVICE r11: a CONSTANT series has n·syy − sy² = 0 and the r²
+        // quotient is 0/0 — define it as NULL explicitly on both engines
+        // rather than lean on unspecified divide-by-zero semantics
+        when((col("n") * col("syy") - col("sy") * col("sy")) === 0L, lit(null))
+          .otherwise(Num.roundd(
+            pow((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"), 2) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6))
+          .as("r2"))
       .orderBy("event_type")
 
   /** Theil–Sen robust slope per event_type: the exact median of all
@@ -258,8 +263,9 @@ object Fit {
         "SELECT et event_type, n, " +
         "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) slope, " +
         "round(CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) intercept, " +
+        "CASE WHEN n * syy - sy * sy = 0 THEN NULL ELSE " +
         "round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) / " +
-        "(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) r2 " +
+        "(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END r2 " +
         "FROM m ORDER BY 1")),
     ("q_ts_theil_sen", qTsTheilSen, Some(
       "WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +

@@ -75,11 +75,18 @@ object Mining {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(h)-3), i -> array_min(slice(h, i, 4))))"))
         .as("fp"))
-    val a = fps.select(col("doc_id").as("d1"), col("fp"))
-    val b = fps.select(col("doc_id").as("d2"), col("fp"))
-    a.join(b, Seq("fp"))
-      .filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    // one pass, no self-join: group docs per fingerprint and expand the
+    // in-bucket pairs directly — the join form shuffled BOTH sides and
+    // recomputed the tokenize+hash projection twice (it was the r10
+    // bench's #3 entry); this shuffles the fp rows once and tokenizes
+    // once. Same bucketed guarantee, still never corpus².
+    fps.groupBy("fp").agg(sort_array(collect_list("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x, y))))"))
+        .as("p"))
+      .groupBy(col("p.x").as("d1"), col("p.y").as("d2"))
+      .agg(count(lit(1)).as("shared"))
       .orderBy(desc("shared"), asc("d1"), asc("d2"))
       .limit(50)
   }

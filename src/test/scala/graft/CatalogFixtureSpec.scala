@@ -164,4 +164,22 @@ class CatalogFixtureSpec extends SparkSuite {
       (1L, 1L, "banana", 2L, s1), (1L, 2L, "apple", 1L, 0.0),
       (2L, 1L, "cherry", 1L, s2), (2L, 2L, "apple", 1L, 0.0)))
   }
+
+  test("documents corpus stays ASCII in the Jaro-Winkler window (oracle-parity precondition)") {
+    // ADVICE r11: the native JaroWinkler kernel compares UTF-16 code
+    // units while DuckDB's jaro_winkler_similarity is byte-based; the
+    // q_text_jaro_pairs gate is sound only while the 32-char prefixes it
+    // feeds stay ASCII. Pin that invariant on both fixture SFs so a
+    // generator change cannot silently break parity.
+    for (sf <- Seq(sf0001, sf001)) {
+      // Column#rlike takes the regex verbatim — an expr()-embedded SQL
+      // string literal would eat the \x escapes and match garbage
+      val nonAscii = Tables.documents(spark, sf)
+        .filter(col("text").substr(1, 32).rlike("[^\\x00-\\x7F]"))
+        .count()
+      assert(nonAscii == 0,
+        s"$sf: $nonAscii docs carry non-ASCII in the JW window - " +
+          "q_text_jaro_pairs parity no longer holds; see JaroWinkler.scala kernel note")
+    }
+  }
 }
