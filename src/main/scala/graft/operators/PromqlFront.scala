@@ -116,6 +116,39 @@ object PromqlFront {
           "((epoch_us(l1t) - epoch_us(p2t)) / 1000000.0), 6) AS \"value\" " +
           "FROM q WHERE p2t IS NOT NULL ORDER BY 1, 2, 3")),
 
+    ("q_pql_wow_ratio",
+      q("""sum by (type) (rate(events[1h])) / sum by (type) (rate(events[1h] offset 1w))"""),
+      Some(
+        "WITH c AS (SELECT event_type ty, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) n FROM events GROUP BY 1, 2, 3), " +
+          "p AS (SELECT ty, hi + 168 hi, n FROM c) " +
+          "SELECT c.ty AS \"type\", c.h, " +
+          "round((CAST(c.n AS DOUBLE)/3600.0) / (CAST(p.n AS DOUBLE)/3600.0), 6) AS \"value\" " +
+          "FROM c JOIN p ON p.ty = c.ty AND p.hi = c.hi ORDER BY 1, 2")),
+
+    ("q_pql_alert_filter",
+      q("""sum by (type) (rate(events{type=~"error|click"}[6h])) > 0.0002"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) c FROM events " +
+          "WHERE regexp_matches(event_type, '^(?:error|click)$') GROUP BY 1,2,3,4), " +
+          "w AS (SELECT ty, h, CAST(sum(c) OVER (PARTITION BY ty, u ORDER BY hi " +
+          "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) wc FROM s), " +
+          "g AS (SELECT ty AS \"type\", h, round(CAST(sum(wc) AS DOUBLE)/21600.0, 6) AS \"value\" " +
+          "FROM w GROUP BY 1, 2) " +
+          "SELECT * FROM g WHERE \"value\" > 0.0002 ORDER BY 1, 2")),
+
+    ("q_pql_unless",
+      q("""rate(events{type="error"}[1h]) unless ignoring(type) rate(events{type="purchase"}[1h])"""),
+      Some(
+        "WITH e AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) n FROM events WHERE event_type = 'error' GROUP BY 1, 2, 3, 4), " +
+          "p AS (SELECT DISTINCT CAST(user_id AS VARCHAR) u, " +
+          s"$hi hi FROM events WHERE event_type = 'purchase') " +
+          "SELECT e.ty AS \"type\", e.u AS \"user\", e.h, " +
+          "round(CAST(e.n AS DOUBLE)/3600.0, 6) AS \"value\" " +
+          "FROM e ANTI JOIN p ON p.u = e.u AND p.hi = e.hi ORDER BY 1, 2, 3")),
+
     ("q_pql_binop_match",
       q("""rate(events{type="click"}[1h]) / ignoring(type) rate(events{type="view"}[1h])"""),
       Some(

@@ -111,7 +111,14 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
         case "!~" => df.filter(!col(m.label).rlike("^(?:" + m.value + ")$"))
       }
     }
-    (filtered, md.labels)
+    // offset: shift the samples FORWARD so that past data evaluates on
+    // the current grid point and reports at it — PromQL offset semantics
+    // on the hourly grid
+    val shifted =
+      if (sel.offsetHours == 0) filtered
+      else filtered.withColumn("ts",
+        expr(s"ts + INTERVAL '${sel.offsetHours}' HOUR"))
+    (shifted, md.labels)
   }
 
   private def withHour(df: DataFrame): DataFrame =
@@ -307,13 +314,18 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
       case Right(x) => x
       case Left(_) => throw new ParseException("aggregation needs a vector")
     }
-    val by = a.by
-    by.foreach { l =>
+    a.by.foreach { l =>
       if (!v.labels.contains(l))
         throw new ParseException(s"by-label $l not in vector labels ${v.labels.mkString(", ")}")
     }
+    aggOpKeep(a.op, a.by, v)
+  }
+
+  /** Aggregation keeping exactly `by` labels (the by-form's list, or the
+    * complement of a without() list). */
+  private def aggOpKeep(op0: String, by: Seq[String], v: Vec): Vec = {
     val keys = (by :+ "h" :+ "hi").map(col)
-    (a.op, v.cnt) match {
+    (op0, v.cnt) match {
       case ("sum", Some((c, den))) =>
         Vec(v.df.groupBy(keys: _*).agg(sum(c).as("__c")), by, Some(("__c", den)))
       case ("count", _) =>
@@ -466,8 +478,89 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
     case _: Subquery =>
       throw new ParseException("subquery outside an over_time function")
     case a: AggOp => Right(aggOp(a))
+    case a: AggWithout =>
+      Right(evalExpr(a.e) match {
+        case Right(v) => aggOpKeep(a.op, v.labels.filterNot(a.without.contains), v)
+        case Left(_) => throw new ParseException("aggregation needs a vector")
+      })
     case b: BinOp => binOp(b)
+    case c: Cmp => cmpOp(c)
+    case so: SetOp => Right(setOp(so))
     case FnCall(name, args) => Right(fnCall(name, args))
+  }
+
+  /** Comparison: filter form drops points failing the predicate (keeping
+    * the original sample value, PromQL semantics); `bool` form maps the
+    * predicate to 1/0. Scalar ∘ vector compares every point against the
+    * scalar; vector ∘ vector is not supported (parse-level subset). */
+  private def cmpOp(c: Cmp): Either[Double, Vec] = {
+    def test(l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      c.op match {
+        case ">" => l > r; case "<" => l < r; case ">=" => l >= r
+        case "<=" => l <= r; case "==" => l === r; case "!=" => l =!= r
+      }
+    (evalExpr(c.lhs), evalExpr(c.rhs)) match {
+      case (Left(a), Left(b)) =>
+        val t = c.op match {
+          case ">" => a > b; case "<" => a < b; case ">=" => a >= b
+          case "<=" => a <= b; case "==" => a == b; case "!=" => a != b
+        }
+        Left(if (t) 1.0 else 0.0)
+      case (Right(v), Left(x)) =>
+        val m = v.materialized
+        Right(Vec(
+          if (c.bool) m.withColumn("value",
+            when(test(col("value"), lit(x)), 1.0).otherwise(0.0))
+          else m.filter(test(col("value"), lit(x))),
+          v.labels, None))
+      case (Left(x), Right(v)) =>
+        val m = v.materialized
+        Right(Vec(
+          if (c.bool) m.withColumn("value",
+            when(test(lit(x), col("value")), 1.0).otherwise(0.0))
+          else m.filter(test(lit(x), col("value"))),
+          v.labels, None))
+      case _ =>
+        throw new ParseException("vector-to-vector comparison not supported")
+    }
+  }
+
+  /** and / unless / or — PromQL vector set operations. and keeps lhs
+    * points whose match-label key exists in rhs (semi join), unless is
+    * the anti join, or unions rhs points absent from lhs (equal label
+    * sets required for or — both sides' rows survive). */
+  private def setOp(so: SetOp): Vec = {
+    val lv = evalExpr(so.lhs) match {
+      case Right(v) => v
+      case Left(_) => throw new ParseException(s"${so.op} needs vectors")
+    }
+    val rv = evalExpr(so.rhs) match {
+      case Right(v) => v
+      case Left(_) => throw new ParseException(s"${so.op} needs vectors")
+    }
+    val keys: Seq[String] = so.matching match {
+      case Some(VectorMatch(true, ls)) => ls
+      case Some(VectorMatch(false, ls)) =>
+        lv.labels.filter(rv.labels.contains).filterNot(ls.contains)
+      case None =>
+        if (lv.labels.toSet != rv.labels.toSet)
+          throw new ParseException(
+            s"${so.op} default matching needs equal label sets; use on() or ignoring()")
+        lv.labels
+    }
+    val lm = lv.materialized
+    val rk = rv.materialized.select((keys :+ "hi").map(col): _*)
+    so.op match {
+      case "and" => Vec(lm.join(rk, keys :+ "hi", "left_semi"), lv.labels, None)
+      case "unless" => Vec(lm.join(rk, keys :+ "hi", "left_anti"), lv.labels, None)
+      case "or" =>
+        if (lv.labels.toSet != rv.labels.toSet)
+          throw new ParseException("or needs equal label sets")
+        val cols = (lv.labels :+ "h" :+ "hi" :+ "value").map(col)
+        val lkeys = lm.select((keys :+ "hi").map(col): _*)
+        val rOnly = rv.materialized.join(lkeys, keys :+ "hi", "left_anti")
+        Vec(lm.select(cols: _*).unionByName(rOnly.select(cols: _*)), lv.labels, None)
+    }
   }
 
   private def fnCall(name: String, args: Seq[Expr]): Vec = (name, args) match {
@@ -491,6 +584,29 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
       evalExpr(e) match {
         case Right(v) => topBottomK(k.toInt, v, top = false)
         case Left(_) => throw new ParseException("bottomk needs a vector")
+      }
+    case ("clamp_min", Seq(e, NumLit(x))) =>
+      evalExpr(e) match {
+        case Right(v) =>
+          Vec(v.materialized.withColumn("value", greatest(col("value"), lit(x))),
+            v.labels, None)
+        case Left(_) => throw new ParseException("clamp_min needs a vector")
+      }
+    case ("clamp_max", Seq(e, NumLit(x))) =>
+      evalExpr(e) match {
+        case Right(v) =>
+          Vec(v.materialized.withColumn("value", least(col("value"), lit(x))),
+            v.labels, None)
+        case Left(_) => throw new ParseException("clamp_max needs a vector")
+      }
+    case ("round", Seq(e)) =>
+      evalExpr(e) match {
+        case Right(v) =>
+          // PromQL round: nearest integer, ties away from zero matches
+          // the Num.roundd(.., 0) mimic
+          Vec(v.materialized.withColumn("value", Num.roundd(col("value"), 0)),
+            v.labels, None)
+        case Left(_) => throw new ParseException("round needs a vector")
       }
     case ("abs" | "ceil" | "floor", Seq(e)) =>
       evalExpr(e) match {

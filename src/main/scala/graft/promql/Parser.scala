@@ -17,17 +17,22 @@ package graft.promql
   *   - range functions    rate increase irate delta idelta resets changes
   *                        avg/min/max/sum/count/last/quantile_over_time
   *   - instant functions  histogram_quantile topk bottomk abs ceil floor
-  *   - aggregations       sum avg min max count [by (l1, …)] (expr)
+  *                        clamp_min clamp_max round
+  *   - aggregations       sum avg min max count [by (…)|without (…)] (expr)
   *   - binary arithmetic  + - * / with scalars or vectors,
   *                        on(l1,…) / ignoring(l1,…) matching modifiers
+  *   - comparisons        > < >= <= == != (filter form; `bool` maps 1/0)
+  *   - set operations     and / unless / or with matching modifiers
+  *   - offset             selector-level `offset Nh/Nd/Nw`
   *
   * The grammar is the PromQL reference grammar cut to this subset;
-  * precedence: unary minus, then * / %, then + -.
+  * precedence: unary minus, * / %, + -, comparisons, and/unless, or.
   */
 sealed trait Expr
 final case class NumLit(v: Double) extends Expr
 final case class Matcher(label: String, op: String, value: String)
-final case class Selector(metric: String, matchers: Seq[Matcher]) extends Expr
+final case class Selector(metric: String, matchers: Seq[Matcher],
+    offsetHours: Int = 0) extends Expr
 final case class RangeSel(sel: Selector, hours: Int) extends Expr
 final case class Subquery(inner: Expr, hours: Int) extends Expr
 final case class FnCall(name: String, args: Seq[Expr]) extends Expr
@@ -35,6 +40,10 @@ final case class AggOp(op: String, by: Seq[String], e: Expr) extends Expr
 final case class VectorMatch(on: Boolean, labels: Seq[String])
 final case class BinOp(op: String, lhs: Expr, rhs: Expr,
     matching: Option[VectorMatch]) extends Expr
+final case class Cmp(op: String, bool: Boolean, lhs: Expr, rhs: Expr) extends Expr
+final case class SetOp(op: String, lhs: Expr, rhs: Expr,
+    matching: Option[VectorMatch]) extends Expr
+final case class AggWithout(op: String, without: Seq[String], e: Expr) extends Expr
 
 final class ParseException(msg: String) extends IllegalArgumentException(msg)
 
@@ -95,8 +104,8 @@ object Parser {
         out += TStr(sb.toString); i += 1
       } else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
-        if (Set("!=", "=~", "!~").contains(two)) { out += TOp(two); i += 2 }
-        else if ("{}[]():,+-*/%=".contains(c)) { out += TOp(c.toString); i += 1 }
+        if (Set("!=", "=~", "!~", ">=", "<=", "==").contains(two)) { out += TOp(two); i += 2 }
+        else if ("{}[]():,+-*/%=<>".contains(c)) { out += TOp(c.toString); i += 1 }
         else throw new ParseException(s"unexpected character '$c' at $i")
       }
     }
@@ -114,7 +123,41 @@ object Parser {
       if (next() != t) throw new ParseException(s"expected $t, got ${toks(pos - 1)}")
     private def expectOp(s: String): Unit = expect(TOp(s))
 
+    // PromQL precedence: * / % over + - over comparisons over
+    // and/unless over or
     def expr(): Expr = {
+      var l = andExpr()
+      while (peek == TIdent("or")) {
+        next()
+        val m = matching()
+        l = SetOp("or", l, andExpr(), m)
+      }
+      maybeSubquery(l)
+    }
+
+    private def andExpr(): Expr = {
+      var l = cmpExpr()
+      while (peek == TIdent("and") || peek == TIdent("unless")) {
+        val op = next().asInstanceOf[TIdent].s
+        val m = matching()
+        l = SetOp(op, l, cmpExpr(), m)
+      }
+      l
+    }
+
+    private val cmpOps = Set(">", "<", ">=", "<=", "==", "!=")
+    private def cmpExpr(): Expr = {
+      var l = addExpr()
+      while (peek match { case TOp(o) => cmpOps.contains(o); case _ => false }) {
+        val op = next().asInstanceOf[TOp].s
+        val bool = peek == TIdent("bool")
+        if (bool) next()
+        l = Cmp(op, bool, l, addExpr())
+      }
+      l
+    }
+
+    private def addExpr(): Expr = {
       var l = term()
       while (peek == TOp("+") || peek == TOp("-")) {
         val op = next().asInstanceOf[TOp].s
@@ -167,15 +210,18 @@ object Parser {
       case TOp("(") =>
         val e = expr(); expectOp(")"); maybeSubquery(e)
       case TIdent(id) if aggOps.contains(id) && peek != TOp("{") &&
-          peek != TOp("[") && (peek == TOp("(") || peek == TIdent("by")) =>
-        val by = peek match {
-          case TIdent("by") => next(); labelList()
-          case _ => Nil
+          peek != TOp("[") && (peek == TOp("(") || peek == TIdent("by") ||
+            peek == TIdent("without")) =>
+        val (by, without) = peek match {
+          case TIdent("by") => next(); (labelList(), Seq.empty[String])
+          case TIdent("without") => next(); (Seq.empty[String], labelList())
+          case _ => (Nil, Nil)
         }
         expectOp("(")
         val e = expr()
         expectOp(")")
-        maybeSubquery(AggOp(id, by, e))
+        maybeSubquery(
+          if (without.nonEmpty) AggWithout(id, without, e) else AggOp(id, by, e))
       case TIdent(id) if peek == TOp("(") =>
         next() // "("
         val args = Seq.newBuilder[Expr]
@@ -216,8 +262,21 @@ object Parser {
           expectOp("}")
           b.result()
         } else Nil
-        val sel = Selector(metric, ms)
-        if (peek == TOp("[")) rangeSuffix(sel) else sel
+        val sel0 = Selector(metric, ms)
+        val ranged = if (peek == TOp("[")) rangeSuffix(sel0) else sel0
+        if (peek == TIdent("offset")) {
+          next()
+          val off = next() match {
+            case TDur(h) => h
+            case t => throw new ParseException(s"expected duration after offset, got $t")
+          }
+          ranged match {
+            case s: Selector => s.copy(offsetHours = off)
+            case RangeSel(s, h) => RangeSel(s.copy(offsetHours = off), h)
+            case Subquery(s: Selector, h) => Subquery(s.copy(offsetHours = off), h)
+            case other => other
+          }
+        } else ranged
       case t => throw new ParseException(s"unexpected token $t")
     }
 

@@ -37,6 +37,12 @@ object FloorProbe {
       SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
         // synthetic floor probes: the cost of literally nothing
         "__range1" -> ((sp, _) => sp.range(1).toDF()),
+        "__select1" -> ((sp, _) => sp.sql("select 1 as x")),
+        "__onestage" -> ((sp, _) => sp.range(1000).toDF()
+          .selectExpr("sum(id) over (partition by id) s")), // window, 1 shuffle
+        "__threestage" -> ((sp, dd) => Tables.events(sp, dd)
+          .groupBy("event_type").count()
+          .groupBy().sum("count")), // 2 shuffles + final
         "__events_scan" -> ((sp, dd) => Tables.events(sp, dd)),
         "__events_agg" -> ((sp, dd) => Tables.events(sp, dd)
           .groupBy("event_type").count()))

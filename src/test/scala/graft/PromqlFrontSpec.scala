@@ -291,6 +291,76 @@ class PromqlFrontSpec extends SparkSuite {
     assertClose(got, want, 1e-9, "subquery")
   }
 
+  test("offset: rate(...[1h] offset 24h) reports yesterday's rate at today's hour") {
+    assert(Parser.parse("""rate(events{type="error"}[1h] offset 1d)""") ==
+      FnCall("rate", Seq(RangeSel(
+        Selector("events", Seq(Matcher("type", "=", "error")), 24), 1))))
+    val got = run("""rate(events{type="error"}[1h] offset 24h)""")
+    val want = (for {
+      ((t, u), ss) <- samples if t == "error"
+      h <- ownHours(ss)
+    } yield Seq(t, u, (h + 24).toString) -> rnd(win(ss, h, 1).size / 3600.0, 6)).toMap
+    assertClose(got, want, 1e-9, "offset")
+  }
+
+  test("comparison: filter form drops points, bool form maps to 1/0") {
+    val base = (for {
+      (t, tss) <- samples.groupBy(_._1._1).toSeq
+      perHour = (for {
+        ((_, u), ss) <- tss.toSeq; h <- ownHours(ss)
+      } yield (h, win(ss, h, 1).size)).groupBy(_._1)
+      (h, cs) <- perHour
+    } yield Seq(t, h.toString) -> rnd(cs.map(_._2).sum / 3600.0, 6)).toMap
+    val thr = 0.0015
+    assertClose(run(s"""sum by (type) (rate(events[1h])) > $thr"""),
+      base.filter(_._2 > thr), 1e-9, "cmp filter")
+    assertClose(run(s"""sum by (type) (rate(events[1h])) > bool $thr"""),
+      base.map { case (k, v) => k -> (if (v > thr) 1.0 else 0.0) }, 1e-9, "cmp bool")
+  }
+
+  test("and/unless/or vector set operations") {
+    def rates(t0: String) = (for {
+      ((t, u), ss) <- samples if t == t0; h <- ownHours(ss)
+    } yield (u, h) -> rnd(win(ss, h, 1).size / 3600.0, 6)).toMap
+    val clicks = rates("click")
+    val views = rates("view")
+    assertClose(
+      run("""rate(events{type="click"}[1h]) and ignoring(type) rate(events{type="view"}[1h])"""),
+      clicks.collect { case ((u, h), v) if views.contains((u, h)) =>
+        Seq("click", u, h.toString) -> v },
+      1e-9, "and")
+    assertClose(
+      run("""rate(events{type="click"}[1h]) unless ignoring(type) rate(events{type="view"}[1h])"""),
+      clicks.collect { case ((u, h), v) if !views.contains((u, h)) =>
+        Seq("click", u, h.toString) -> v },
+      1e-9, "unless")
+    // or with equal label SETS: click points plus view points (disjoint
+    // on the type label, so both sides survive whole)
+    val orWant =
+      clicks.map { case ((u, h), v) => Seq("click", u, h.toString) -> v } ++
+        views.map { case ((u, h), v) => Seq("view", u, h.toString) -> v }
+    assertClose(
+      run("""rate(events{type="click"}[1h]) or rate(events{type="view"}[1h])"""),
+      orWant, 1e-9, "or")
+  }
+
+  test("without() aggregation ≡ the complementary by()") {
+    val got = run("""sum without (user) (rate(events[1h]))""")
+    val want = run("""sum by (type) (rate(events[1h]))""")
+    assertClose(got, want, 0.0, "without")
+  }
+
+  test("clamp_min / clamp_max / round map values pointwise") {
+    val base = run("""sum by (type) (increase(events[1h]))""")
+    assertClose(run("""clamp_min(sum by (type) (increase(events[1h])), 3)"""),
+      base.map { case (k, v) => k -> math.max(v, 3.0) }, 1e-9, "clamp_min")
+    assertClose(run("""clamp_max(sum by (type) (increase(events[1h])), 2)"""),
+      base.map { case (k, v) => k -> math.min(v, 2.0) }, 1e-9, "clamp_max")
+    assertClose(run("""round(sum by (type) (rate(events[1h])) * 1000)"""),
+      run("""sum by (type) (rate(events[1h])) * 1000""")
+        .map { case (k, v) => k -> rnd(v, 0) }, 1e-9, "round")
+  }
+
   test("compiled ratio agrees with the hand-built vector-ratio operator family") {
     // sum(rate(click)) / sum(rate(view)) over ALL series ≡ per-hour
     // click-count / view-count — the qTsVectorRatio shape on counts
