@@ -376,7 +376,41 @@ object StreamingQueries {
       .orderBy("event_id")
   }
 
+  /** Streaming PromQL alert rule — the Prometheus alerting pipeline on
+    * Structured Streaming: `sum by (type) (rate(events{type=~re}[1h]))
+    * > thr` evaluated incrementally. The [1h] range is the tumbling
+    * grid, so eval points (windows with ≥1 own sample) and the closed-
+    * window append-mode emissions coincide exactly; state = open hourly
+    * windows × matched types, bounded by the watermark. The count-vs-
+    * threshold compare runs on the exact long (cnt > thr·3600), the same
+    * split the batch compiler's unrounded c/3600 > thr makes. */
+  def promqlAlertStream(s: SparkSession, dir: String,
+                        typeRegex: String = "error|click",
+                        thr: Double = 0.0004): DataFrame =
+    eventsStream(s, dir)
+      .filter(col("event_type").rlike("^(?:" + typeRegex + ")$"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(thr * 3600.0))
+      .select(col("event_type").as("type"),
+        col("window.start").as("h"),
+        graft.operators.Num.roundd(col("cnt").cast("double") / 3600.0, 6).as("value"))
+
+  /** Batch twin of the streaming alert: the LITERAL PromQL text through
+    * the front-door compiler — StreamParitySpec holds the stream's
+    * closed-window emissions equal to this, so the alerting pipeline and
+    * the dashboard query provably agree. */
+  val qStreamPromqlAlert: Q = (s, d) =>
+    graft.promql.PromQL.query(s, d,
+      """sum by (type) (rate(events{type=~"error|click"}[1h])) > 0.0004""")
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stream_promql_alert", qStreamPromqlAlert, Some(
+      "WITH c AS (SELECT event_type ty, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) n " +
+        "FROM events WHERE regexp_matches(event_type, '^(?:error|click)$') GROUP BY 1, 2) " +
+        "SELECT ty AS \"type\", h, round(CAST(n AS DOUBLE)/3600.0, 6) AS \"value\" " +
+        "FROM c WHERE CAST(n AS DOUBLE)/3600.0 > 0.0004 ORDER BY 1, 2")),
     ("q_stream_asof", qStreamAsof, Some(
       "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup'), " +
         "r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') " +

@@ -22,6 +22,17 @@ class StreamParitySpec extends SparkSuite {
     assert(g > b / 2 && g <= b, s"stream=$g batch=$b")
   }
 
+  test("streaming PromQL alert: closed-window firings equal the front-door batch query") {
+    val got = StreamReplay
+      .runToCompletion(spark, StreamingQueries.promqlAlertStream(spark, replayDir), "t_pqlal")
+      .withColumn("h", col("h").cast("timestamp_ntz"))
+    val batch = StreamingQueries.qStreamPromqlAlert(spark, sf0001)
+    assert(got.except(batch).count() == 0,
+      "stream fired an alert the PromQL batch query disagrees with")
+    val (g, b) = (got.count(), batch.count())
+    assert(g > b / 2 && g <= b, s"stream=$g batch=$b")
+  }
+
   test("sliding windows: emitted rows ⊆ batch, and most windows close") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.slidingStream(spark, replayDir), "t_slide")
