@@ -116,9 +116,12 @@ object Corpus {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // top-2 terms via TakeOrdered (orderBy+limit — distributed heads),
+    // rank assigned over the 2-ROW result: the previous global
+    // row_number ranked the whole vocabulary on one task
     val top2 = postings.groupBy("w").agg(sum("tf").as("cnt"))
+      .orderBy(desc("cnt"), asc("w")).limit(2)
       .withColumn("qi", row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
-      .filter(col("qi") <= 2)
       .select(col("w").as("qw"), col("qi"))
     postings.join(broadcast(top2), col("w") === col("qw"))
       .groupBy("doc_id")
@@ -389,10 +392,10 @@ object Corpus {
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+    // TakeOrdered head + 2-row rank — not a vocabulary-wide global window
     val terms = postings.groupBy("w")
       .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
-      .withColumn("qi", row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
-      .filter(col("qi") <= 2)
+      .orderBy(desc("cnt"), asc("w")).limit(2)
       .select(col("w").as("qw"), col("df"))
     postings.join(broadcast(terms), col("w") === col("qw"))
       .join(dl, "doc_id")

@@ -320,13 +320,16 @@ object Ops {
     * stage is O(K) no matter the event volume. */
   val qTsTopkChurn: Q = (s, d) => {
     def top(lo: String, hi: String) = {
+      // TakeOrdered head first (distributed), THEN the rank window over
+      // the ten surviving rows — the previous global row_number ranked
+      // every user on one task
       val w = Window.orderBy(col("sv").desc, col("user_id"))
       Tables.events(s, d)
         .filter(col("ts") >= lit(lo).cast("timestamp_ntz") &&
           col("ts") < lit(hi).cast("timestamp_ntz"))
         .groupBy("user_id").agg(Num.roundd(sum("value"), 6).as("sv"))
+        .orderBy(col("sv").desc, col("user_id")).limit(10)
         .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 10)
     }
     val a = top("2024-01-01", "2024-01-08")
       .select(col("user_id"), col("sv").as("sv1"), col("rnk").as("rnk1"))

@@ -236,11 +236,34 @@ object Signal {
       .select(col("event_id"),
         expr("ts - INTERVAL '30' MINUTE").as("s"),
         expr("ts + INTERVAL '30' MINUTE").as("e"))
-    val wi = Window.orderBy("s", "event_id")
-    val win = iv
-      .withColumn("pmax", max("e").over(wi.rowsBetween(Window.unboundedPreceding, -1)))
+    // DAY-CHUNKED interval merge (the Interpolate two-pass device,
+    // r9 task finally executed): the prefix-max-of-ends carry and the
+    // running new-window count both decompose across day chunks —
+    // per-day windows do the local work in parallel, and only the
+    // ≤days-row chunk table (per-day max end + per-day new-window
+    // count) runs a bounded global window before broadcasting back.
+    // day(s) is monotone in s, so chunk order ≡ global (s, event_id)
+    // order and the decomposition is exact; the previous single global
+    // window serialized the whole alert set on one task.
+    val ck = to_date(col("s"))
+    val wLoc = Window.partitionBy("ck").orderBy("s", "event_id")
+    val loc = iv.withColumn("ck", ck)
+      .withColumn("lpmax",
+        max("e").over(wLoc.rowsBetween(Window.unboundedPreceding, -1)))
+    val wc = Window.orderBy("ck") // ≤ days rows — bounded by time, not data
+    val carry = iv.withColumn("ck", ck).groupBy("ck").agg(max("e").as("cmax"))
+      .withColumn("cin", max("cmax").over(wc.rowsBetween(Window.unboundedPreceding, -1)))
+      .select("ck", "cin")
+    val marked = loc.join(broadcast(carry), "ck")
+      .withColumn("pmax", greatest(col("cin"), col("lpmax"))) // greatest skips nulls
       .withColumn("ns", when(col("pmax").isNull || col("s") >= col("pmax"), 1).otherwise(0))
-      .withColumn("gid", sum("ns").over(wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    val nsOff = marked.groupBy("ck").agg(sum("ns").as("cns"))
+      .withColumn("noff",
+        coalesce(sum("cns").over(wc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("ck", "noff")
+    val win = marked.join(broadcast(nsOff), "ck")
+      .withColumn("gid", (col("noff") +
+        sum("ns").over(wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))).cast("long"))
       .groupBy("gid")
       .agg(min("s").as("w_start"), max("e").as("w_end"))
     sess.join(broadcast(win), col("s_start") < col("w_end") && col("w_start") < col("s_end"))
