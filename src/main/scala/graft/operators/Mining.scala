@@ -332,6 +332,84 @@ object Mining {
       .orderBy("cid", "i")
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    * space, then WITHIN each cluster drop any vector that has a
+    * near-duplicate (cosine ≥ τ) closer to the cluster centroid than
+    * itself — ties break to the smaller vec_id, so the rule is a pure
+    * per-pair predicate (no connected components) and deterministic.
+    * Clustering reuses q_emb_kmeans_step's exact micro-unit assignment
+    * (first-4-ids seeds, integer distances, tie to smallest cid); all
+    * similarities are the codegen'd graft_cosine rounded 6dp (bit-equal
+    * to DuckDB's list_cosine_similarity).
+    *
+    * Scale: the pair fan-out is WITHIN-CLUSTER only — the whole point of
+    * SemDeDup over all-pairs — so cost is Σ|cluster|², bounded by
+    * choosing k ∝ √n at ingest (the fixture pins k = 4 so the oracle can
+    * replay the clustering exactly; the operator shape is k-agnostic). */
+  val qEmbSemdedup: Q = (s, d) => {
+    val τ = 0.4
+    val m = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), expr(
+        "transform(cast(embedding as array<double>), x -> if(x < 0, -floor(abs(x)*1000000 + 0.5d), floor(abs(x)*1000000 + 0.5d)))")
+        .as("m"))
+    val cents = m.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("cid"), col("m").as("cm"), col("embedding").as("ce"))
+    val wv = Window.partitionBy("vec_id").orderBy("dd", "cid")
+    val assigned = m.crossJoin(broadcast(cents))
+      .withColumn("dd", expr(
+        "aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .withColumn("c_sim", Num.roundd(Llm.cosineNative(s, "embedding", "ce"), 6))
+      .select("cid", "vec_id", "embedding", "c_sim")
+    val a = assigned.select(col("cid"), col("vec_id").as("u"),
+      col("embedding").as("eu"), col("c_sim").as("cu"))
+    val b = assigned.select(col("cid"), col("vec_id").as("v"),
+      col("embedding").as("ev"), col("c_sim").as("cv"))
+    val dropped = a.join(b, "cid")
+      .filter(col("u") =!= col("v"))
+      .withColumn("sim", Num.roundd(Llm.cosineNative(s, "eu", "ev"), 6))
+      .filter(col("sim") >= τ &&
+        (col("cu") > col("cv") || (col("cu") === col("cv") && col("u") < col("v"))))
+      .select(col("v").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("c_sim"),
+        coalesce(col("dropped"), lit(0L)).as("dropped"))
+      .orderBy("vec_id")
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, data selection via
+    * importance resampling): per-document log importance
+    * Σ_w count_w(doc)·[ln p_target(w) − ln p_raw(w)] with add-1-smoothed
+    * unigram models — the score that resamples a raw crawl toward a
+    * target domain (here: the en slice as the target). The vocab-sized
+    * log-ratio table joins the doc-word counts on the word key (the
+    * standard fp-bucket shape, linear in tokens); per-word ratios round
+    * at 6dp before the weighted sum (the q_text_lm_score log discipline)
+    * and the weight rounds once at 4dp. */
+  val qDocsDsirWeight: Q = (s, d) => {
+    val toks = withTokens(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), explode(col("tk")).as("w"))
+    val dw = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val raw = toks.groupBy("w").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    val stats = raw.agg(sum("cr").as("nr"), count(lit(1)).as("v"))
+      .crossJoin(toks.filter(col("lang") === "en").agg(count(lit(1)).as("nt")))
+    val lr = raw.join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lr", Num.roundd(
+        log(((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") * (col("nr") + col("v")).cast("double")) /
+          ((col("cr") + lit(1)).cast("double") * (col("nt") + col("v")).cast("double"))), 6))
+      .select("w", "lr")
+    dw.join(lr, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_toks"),
+        Num.roundd(Num.roundd(sum(col("c") * col("lr")), 6), 4).as("dsir_w"))
+      .orderBy("doc_id")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -431,6 +509,36 @@ object Mining {
         "JOIN v8 a ON a.i = mm.i JOIN v8 b ON b.i = mm.j) " +
         "SELECT CAST(v8.i AS BIGINT) i, v8.v loading, lam.l lam FROM v8, lam ORDER BY i"
     }),
+    ("q_emb_semdedup", qEmbSemdedup, Some(
+      "WITH e AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(CASE WHEN x < 0 " +
+        "THEN -floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) " +
+        "ELSE floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) END AS BIGINT)) m FROM embeddings), " +
+        "c AS (SELECT vec_id cid, m cm, embedding ce FROM e ORDER BY vec_id LIMIT 4), " +
+        "dist AS (SELECT e.vec_id, e.embedding, c.cid, c.ce, " +
+        "list_sum([(m[i] - cm[i]) * (m[i] - cm[i]) FOR i IN range(1, len(m) + 1)]) dd " +
+        "FROM e CROSS JOIN c), " +
+        "a AS (SELECT vec_id, embedding, cid, " +
+        "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(ce AS DOUBLE[])), 6) c_sim FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn FROM dist) WHERE rn = 1), " +
+        "drp AS (SELECT DISTINCT b.vec_id FROM a x JOIN a b ON b.cid = x.cid AND b.vec_id != x.vec_id " +
+        "AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4 " +
+        "AND (x.c_sim > b.c_sim OR (x.c_sim = b.c_sim AND x.vec_id < b.vec_id))) " +
+        "SELECT a.vec_id, a.cid, a.c_sim, " +
+        "CAST(CASE WHEN drp.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) dropped " +
+        "FROM a LEFT JOIN drp ON drp.vec_id = a.vec_id ORDER BY a.vec_id")),
+    ("q_docs_dsir_weight", qDocsDsirWeight, Some(
+      "WITH t AS (SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) w FROM documents), " +
+        "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) c FROM t GROUP BY 1, 2), " +
+        "raw AS (SELECT w, CAST(count(*) AS BIGINT) cr FROM t GROUP BY 1), " +
+        "tgt AS (SELECT w, CAST(count(*) AS BIGINT) ct FROM t WHERE lang = 'en' GROUP BY 1), " +
+        "st AS (SELECT CAST(sum(cr) AS BIGINT) nr, CAST(count(*) AS BIGINT) v FROM raw), " +
+        "nt AS (SELECT CAST(count(*) AS BIGINT) nt FROM t WHERE lang = 'en'), " +
+        "lr AS (SELECT raw.w, round(ln((CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) * CAST(st.nr + st.v AS DOUBLE)) / " +
+        "(CAST(raw.cr + 1 AS DOUBLE) * CAST(nt.nt + st.v AS DOUBLE))), 6) lr " +
+        "FROM raw LEFT JOIN tgt ON tgt.w = raw.w CROSS JOIN st CROSS JOIN nt) " +
+        "SELECT dw.doc_id, CAST(sum(dw.c) AS BIGINT) n_toks, " +
+        "round(round(sum(dw.c * lr.lr), 6), 4) dsir_w " +
+        "FROM dw JOIN lr ON lr.w = dw.w GROUP BY 1 ORDER BY 1")),
     ("q_emb_array_hof", qEmbArrayHof, Some(
       "WITH t AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) dim, " +
         "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) n_pos, " +

@@ -271,6 +271,43 @@ class FitMiningSpec extends SparkSuite {
     assert(r((3L, 1L)) == ((1L, -1.0)) && r((4L, 2L)) == ((1L, -1.0)))
   }
 
+  test("semdedup: near-dups of the exemplar drop by centroid order; angularly-orthogonal members survive") {
+    // orthogonal unit-basis seeds (ids 1-4 are the k-means seeds)
+    writeEmb(Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f), 0),
+      // 5, 7: both angularly near seed 1 — the whole chain drops except
+      // the exemplar (5 also outranks 7 by centroid sim)
+      (5L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (7L, Array(0.8f, 0.2f, 0.0f, 0.0f), 0),
+      // 6: euclid-assigned to cluster 2 (tie to smallest cid) but
+      // ORTHOGONAL to its centroid — no near-dup edge, survives
+      (6L, Array(-0.2f, 0.0f, 0.0f, 0.0f), 0)))
+    val r = Mining.qEmbSemdedup(spark, dir)
+      .select("vec_id", "cid", "dropped").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(r(_)._2 == 0L), s"orthogonal seeds survive: $r")
+    assert(r(5L)._2 == 1L && r(7L)._2 == 1L, s"near-dups of the exemplar drop: $r")
+    assert(r(6L) == ((2L, 0L)), s"orthogonal member of cluster 2 survives: $r")
+  }
+
+  test("dsir: target-only words score positive, raw-only words negative, weights rank accordingly") {
+    writeDocs(Seq(
+      (1L, "alpha alpha alpha", "en", "web"),   // pure target vocabulary
+      (2L, "omega omega omega", "zh", "web"),   // raw-only vocabulary
+      (3L, "alpha omega", "zh", "web")))        // mixed
+    val r = Mining.qDocsDsirWeight(spark, dir)
+      .select("doc_id", "n_toks", "dsir_w").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // alpha: ct=3 (doc1 is the en slice) vs omega: ct=0 — alpha's log
+    // ratio must exceed omega's, so w(doc1) > w(doc3) > w(doc2)
+    assert(r(1L)._1 == 3L && r(2L)._1 == 3L && r(3L)._1 == 2L)
+    assert(r(1L)._2 > r(3L)._2 && r(3L)._2 > r(2L)._2, s"ordering violated: $r")
+    assert(r(1L)._2 > 0 && r(2L)._2 < 0, s"signs violated: $r")
+  }
+
   // ---- phash --------------------------------------------------------------
 
   test("phash: PNG and BMP containers decode to the identical aHash; nbits equals popcount") {
