@@ -197,7 +197,80 @@ object Graphs {
       .orderBy("node")
   }
 
+  /** Link prediction over the undirected transition graph: every
+    * distance-2 candidate pair (a,b) — exactly the pairs with ≥1 common
+    * neighbor, i.e. the only pairs any neighborhood score can rank —
+    * with the three classic scores: common-neighbor count (exact long),
+    * Jaccard cn/(deg a + deg b − cn) (one division of exact longs), and
+    * Adamic–Adar Σ 1/ln(deg u) over the common neighbors (every common
+    * neighbor has deg ≥ 2 by construction — it touches both a and b —
+    * so ln never hits 0). Plus whether the pair is ALREADY an edge, so
+    * the consumer can split "rank existing ties" from "predict new
+    * ones". Scale: the wedge join's fan-out is Σ deg(u)² over the
+    * COLLAPSED vocabulary graph, never events; on heavy-tailed general
+    * graphs the same plan takes the degree-orientation bound the
+    * triangle doc notes. AA is the tier's one double sum (≤ vocabulary
+    * terms); the 6 dp round absorbs summation-order drift — the
+    * q_graph_pagerank device, not an engine IEEE guarantee. */
+  val qGraphLinkPredict: Q = (s, d) => {
+    val und = undirectedEdges(s, d).localCheckpoint()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val a1 = adj.select(col("node").as("a"), col("nbr").as("u"))
+    val a2 = adj.select(col("node").as("b"), col("nbr").as("u"))
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val sc = a1.join(a2, "u").filter(col("a") < col("b"))
+      .join(du, "u")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        Num.roundd(sum(lit(1.0) / log(col("du").cast("double"))), 6).as("adamic_adar"))
+    sc.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(und.withColumn("is_edge", lit(true)), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("cn"),
+        Num.roundd(col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double"), 6).as("jaccard"),
+        col("adamic_adar"),
+        coalesce(col("is_edge"), lit(false)).as("is_edge"))
+      .orderBy("a", "b")
+  }
+
+  /** Per-node clustering coefficient on the undirected transition graph:
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the triangles
+    * through v — the local-density summary community detection reads
+    * first. Triangle membership comes from the same canonical a<b<c
+    * enumeration as q_graph_triangles, exploded once to its three
+    * corners; everything is exact longs until the single cc division
+    * (NULL when deg < 2 — the coefficient is undefined, not zero). */
+  val qGraphClusterCoef: Q = (s, d) => {
+    val und = undirectedEdges(s, d).localCheckpoint()
+    val e2 = und.select(col("a").as("b2"), col("b").as("c"))
+    val e3 = und.select(col("a").as("a3"), col("b").as("c3"))
+    val tris = und.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c")
+    val perNode = tris.select(col("a").as("node"))
+      .union(tris.select(col("b").as("node")))
+      .union(tris.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") < 2, lit(null)).otherwise(
+          Num.roundd(lit(2.0) * coalesce(col("tri"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6)).as("cc"))
+      .orderBy("node")
+  }
+
   // ---- catalog ------------------------------------------------------------
+
+  private val UND_SQL =
+    "p0 AS (SELECT event_type src, lead(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) dst FROM events), " +
+      "und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b FROM p0 " +
+      "WHERE dst IS NOT NULL AND src <> dst)"
 
   private val EDGE_SQL =
     "p0 AS (SELECT event_type src, lead(event_type) OVER " +
@@ -278,5 +351,32 @@ object Graphs {
         "SELECT coalesce(o.node, i.node) node, coalesce(out_deg, 0) out_deg, coalesce(out_w, 0) out_w, " +
         "coalesce(in_deg, 0) in_deg, coalesce(in_w, 0) in_w " +
         "FROM o FULL JOIN i ON i.node = o.node ORDER BY 1")),
+    ("q_graph_link_predict", qGraphLinkPredict, Some(
+      s"WITH $UND_SQL, " +
+        "adj AS (SELECT a node, b nbr FROM und UNION ALL SELECT b node, a nbr FROM und), " +
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) deg FROM adj GROUP BY 1), " +
+        "w AS (SELECT a1.node a, a2.node b, a1.nbr u FROM adj a1 JOIN adj a2 ON a2.nbr = a1.nbr " +
+        "AND a1.node < a2.node), " +
+        "sc AS (SELECT w.a, w.b, CAST(count(*) AS BIGINT) cn, " +
+        "round(sum(1.0 / ln(CAST(du.deg AS DOUBLE))), 6) adamic_adar " +
+        "FROM w JOIN deg du ON du.node = w.u GROUP BY 1, 2) " +
+        "SELECT sc.a, sc.b, sc.cn, " +
+        "round(CAST(sc.cn AS DOUBLE) / CAST(da.deg + db.deg - sc.cn AS DOUBLE), 6) jaccard, " +
+        "sc.adamic_adar, (und.a IS NOT NULL) is_edge " +
+        "FROM sc JOIN deg da ON da.node = sc.a JOIN deg db ON db.node = sc.b " +
+        "LEFT JOIN und ON und.a = sc.a AND und.b = sc.b ORDER BY 1, 2")),
+    ("q_graph_cluster_coef", qGraphClusterCoef, Some(
+      s"WITH $UND_SQL, " +
+        "tri AS (SELECT e1.a, e1.b, e2.b c FROM und e1 " +
+        "JOIN und e2 ON e2.a = e1.b " +
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "tn AS (SELECT node, CAST(count(*) AS BIGINT) tri FROM " +
+        "(SELECT a node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY 1), " +
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) deg FROM " +
+        "(SELECT a node FROM und UNION ALL SELECT b FROM und) GROUP BY 1) " +
+        "SELECT deg.node, deg.deg, coalesce(tn.tri, 0) tri, " +
+        "CASE WHEN deg.deg < 2 THEN NULL ELSE " +
+        "round(2.0 * CAST(coalesce(tn.tri, 0) AS DOUBLE) / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6) END cc " +
+        "FROM deg LEFT JOIN tn ON tn.node = deg.node ORDER BY 1")),
   )
 }

@@ -347,4 +347,49 @@ class OpsSpec extends SparkSuite {
     assert(r(("click", "signup")) == 1.0 && r(("purchase", "click")) == 1.0, s"got $r")
     assert(r.size == 3, s"deterministic cycle has exactly 3 two-step arcs: $r")
   }
+
+  test("link_predict: a path A-B-C scores exactly the endpoints; a triangle scores its own edges") {
+    import graft.operators.Graphs
+    // one user walking a -> b -> c: undirected path, candidates = {(a,c)}
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "a", 1.0), (2L, ns(t0 + 60), 1L, "b", 1.0),
+      (3L, ns(t0 + 120), 1L, "c", 1.0)))
+    val path = Graphs.qGraphLinkPredict(spark, dir)
+      .select("a", "b", "cn", "jaccard", "adamic_adar", "is_edge")
+      .as[(String, String, Long, Double, Double, Boolean)].collect().toSeq
+    // cn=1 (via b, deg 2); jaccard = 1/(1+1-1) = 1; AA = 1/ln 2 = 1.442695
+    assert(path == Seq(("a", "c", 1L, 1.0, 1.442695, false)), s"got $path")
+
+    // walk a -> b -> c -> a: a triangle — every pair shares the third node
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "a", 1.0), (2L, ns(t0 + 60), 1L, "b", 1.0),
+      (3L, ns(t0 + 120), 1L, "c", 1.0), (4L, ns(t0 + 180), 1L, "a", 1.0)))
+    val tri = Graphs.qGraphLinkPredict(spark, dir)
+      .select("a", "b", "cn", "jaccard", "is_edge")
+      .as[(String, String, Long, Double, Boolean)].collect().toSeq
+    // deg all 2 ⇒ jaccard = 1/(2+2-1); every candidate is already an edge
+    assert(tri == Seq(("a", "b", 1L, 0.333333, true), ("a", "c", 1L, 0.333333, true),
+      ("b", "c", 1L, 0.333333, true)), s"got $tri")
+  }
+
+  test("cluster_coef: the triangle is cc=1 everywhere; a path has cc=0 at the middle, NULL at deg-1 tips") {
+    import graft.operators.Graphs
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "a", 1.0), (2L, ns(t0 + 60), 1L, "b", 1.0),
+      (3L, ns(t0 + 120), 1L, "c", 1.0), (4L, ns(t0 + 180), 1L, "a", 1.0)))
+    val tri = Graphs.qGraphClusterCoef(spark, dir)
+      .select("node", "deg", "tri", "cc")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(tri == Seq(("a", 2L, 1L, Some(1.0)), ("b", 2L, 1L, Some(1.0)),
+      ("c", 2L, 1L, Some(1.0))), s"got $tri")
+
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "a", 1.0), (2L, ns(t0 + 60), 1L, "b", 1.0),
+      (3L, ns(t0 + 120), 1L, "c", 1.0)))
+    val path = Graphs.qGraphClusterCoef(spark, dir)
+      .select("node", "deg", "tri", "cc")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(path == Seq(("a", 1L, 0L, None), ("b", 2L, 0L, Some(0.0)),
+      ("c", 1L, 0L, None)), s"got $path")
+  }
 }
