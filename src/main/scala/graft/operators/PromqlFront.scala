@@ -158,5 +158,109 @@ object PromqlFront {
           s"$hi hi, CAST(count(*) AS BIGINT) n FROM events WHERE event_type = 'view' GROUP BY 1, 2) " +
           "SELECT c.u AS \"user\", c.h, " +
           "round((CAST(c.n AS DOUBLE)/3600.0) / (CAST(v.n AS DOUBLE)/3600.0), 6) AS \"value\" " +
-          "FROM c JOIN v ON v.u = c.u AND v.hi = c.hi ORDER BY 1, 2")))
+          "FROM c JOIN v ON v.u = c.u AND v.hi = c.hi ORDER BY 1, 2")),
+
+    // ---- round 3: deriv/predict_linear, std moments, absent,
+    // label_replace, count_values, group ------------------------------------
+
+    ("q_pql_deriv",
+      q("""deriv(events{type="click"}[4h])"""),
+      Some(derivCte("click", 3) +
+        "q AS (SELECT ty, u, h, n * stv - st * sv num, n * stt - st * st den " +
+        "FROM w WHERE n >= 2) " +
+        "SELECT ty AS \"type\", u AS \"user\", h, " +
+        "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS \"value\" " +
+        "FROM q WHERE den <> 0 ORDER BY 1, 2, 3")),
+
+    ("q_pql_predict",
+      q("""predict_linear(events{type="error"}[24h], 14400)"""),
+      Some(derivCte("error", 23) +
+        "q AS (SELECT ty, u, h, hi, n, st, sv, " +
+        "n * stv - st * sv num, n * stt - st * st den FROM w WHERE n >= 2) " +
+        "SELECT ty AS \"type\", u AS \"user\", h, " +
+        "round((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) + " +
+        "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * " +
+        "((CAST(hi + 1 AS DOUBLE) * 3600.0 + 14400.0) * 1000000.0 - " +
+        "CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000.0, 6) AS \"value\" " +
+        "FROM q WHERE den <> 0 ORDER BY 1, 2, 3")),
+
+    ("q_pql_stddev_time",
+      q("""stddev_over_time(events{type="view"}[6h])"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS HUGEINT) pn, " +
+          "sum(CAST(round(value * 1000000, 0) AS HUGEINT)) ps1, " +
+          "sum(CAST(round(value * 1000000, 0) AS HUGEINT) * CAST(round(value * 1000000, 0) AS HUGEINT)) ps2 " +
+          "FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3, 4), " +
+          "w AS (SELECT ty, u, h, sum(pn) OVER wr n, sum(ps1) OVER wr s1, sum(ps2) OVER wr s2 " +
+          "FROM s WINDOW wr AS (PARTITION BY ty, u ORDER BY hi RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)) " +
+          "SELECT ty AS \"type\", u AS \"user\", h, " +
+          "round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0), 6) AS \"value\" " +
+          "FROM w ORDER BY 1, 2, 3")),
+
+    ("q_pql_stdvar_by",
+      q("""stdvar by (type) (events)"""),
+      Some(
+        "WITH r AS (SELECT event_type ty, user_id, date_trunc('hour', ts) h, value, " +
+          "row_number() OVER (PARTITION BY event_type, user_id, date_trunc('hour', ts) " +
+          "ORDER BY ts DESC, event_id DESC) rn FROM events), " +
+          "l AS (SELECT ty, h, CAST(round(value * 1000000, 0) AS HUGEINT) v6 FROM r WHERE rn = 1), " +
+          "m AS (SELECT ty, h, CAST(count(*) AS HUGEINT) n, sum(v6) s1, sum(v6 * v6) s2 FROM l GROUP BY 1, 2) " +
+          "SELECT ty AS \"type\", h, " +
+          "round(CAST(n * s2 - s1 * s1 AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0, 6) AS \"value\" " +
+          "FROM m ORDER BY 1, 2")),
+
+    ("q_pql_absent",
+      q("""absent(events{type="purchase", user="7"})"""),
+      Some(
+        "WITH g AS (SELECT unnest(generate_series(0, 719)) hi), " +
+          s"pres AS (SELECT DISTINCT $hi hi FROM events " +
+          "WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) = '7') " +
+          "SELECT TIMESTAMP '2024-01-01' + g.hi * INTERVAL 1 HOUR h, " +
+          "round(1.0, 6) AS \"value\" " +
+          "FROM g ANTI JOIN pres ON pres.hi = g.hi ORDER BY h")),
+
+    ("q_pql_label_replace",
+      q("""label_replace(sum by (type) (rate(events[2h])), "family", "$1", "type", "(c.*|v.*)")"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2, 3, 4), " +
+          "w AS (SELECT ty, h, CAST(sum(c) OVER (PARTITION BY ty, u ORDER BY hi " +
+          "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) wc FROM s), " +
+          "g AS (SELECT ty, h, round(CAST(sum(wc) AS DOUBLE)/7200.0, 6) v FROM w GROUP BY 1, 2) " +
+          "SELECT ty AS \"type\", regexp_extract(ty, '^(?:(c.*|v.*))$', 1) AS family, h, " +
+          "v AS \"value\" FROM g ORDER BY 1, 2, 3")),
+
+    ("q_pql_count_values",
+      q("""count_values("lvl", round(events{type="click"} / 50))"""),
+      Some(
+        "WITH r AS (SELECT user_id, date_trunc('hour', ts) h, value, " +
+          "row_number() OVER (PARTITION BY event_type, user_id, date_trunc('hour', ts) " +
+          "ORDER BY ts DESC, event_id DESC) rn FROM events WHERE event_type = 'click'), " +
+          "l AS (SELECT h, printf('%.6f', round(round(value / 50, 0), 6)) lvl FROM r WHERE rn = 1) " +
+          "SELECT lvl, h, round(CAST(count(*) AS DOUBLE), 6) AS \"value\" " +
+          "FROM l GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    ("q_pql_group",
+      q("""group by (type) (events)"""),
+      Some(
+        "SELECT DISTINCT event_type AS \"type\", date_trunc('hour', ts) h, " +
+          "round(1.0, 6) AS \"value\" FROM events ORDER BY 1, 2")))
+
+  /** Shared oracle CTE for the regression pair: exact HUGEINT moments of
+    * (t µs since origin, µ-value) per (series, hour), window-summed —
+    * the DuckDB twin of the compiler's decimal(38,0) device. */
+  private def derivCte(ty: String, prec: Int): String =
+    "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+      s"$hi hi, CAST(count(*) AS HUGEINT) pn, " +
+      "sum(CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT)) pst, " +
+      "sum(CAST(round(value * 1000000, 0) AS HUGEINT)) psv, " +
+      "sum(CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT) * CAST(round(value * 1000000, 0) AS HUGEINT)) pstv, " +
+      "sum(CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT) * CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT)) pstt " +
+      s"FROM events WHERE event_type = '$ty' GROUP BY 1, 2, 3, 4), " +
+      "w AS (SELECT ty, u, h, hi, sum(pn) OVER wr n, sum(pst) OVER wr st, sum(psv) OVER wr sv, " +
+      "sum(pstv) OVER wr stv, sum(pstt) OVER wr stt " +
+      s"FROM s WINDOW wr AS (PARTITION BY ty, u ORDER BY hi RANGE BETWEEN $prec PRECEDING AND CURRENT ROW)), "
 }

@@ -182,8 +182,102 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
       case "resets" | "changes" => flagFn(name, rs)
       case "irate" | "idelta" => lastTwoFn(name, rs)
       case "quantile_over_time" => quantileFn(rs, phi.get)
+      case "deriv" => derivFn(rs, None)
+      case "stddev_over_time" | "stdvar_over_time" => momentsFn(name, rs)
       case other => throw new ParseException(s"unsupported range function $other")
     }
+  }
+
+  private val Dec = "decimal(38,0)"
+  private val OriginUs = 1704067200000000L // unix µs of the grid origin
+
+  /** µ-value: the sample value rounded ONCE to 1e-6 as an exact integer
+    * — the repo's micro-unit device, here widened to decimal(38,0) so
+    * products and window sums stay exact at any frame size/order. */
+  private def v6 = Num.roundd(col("value") * 1e6, 0).cast(Dec)
+
+  /** deriv / predict_linear: least-squares slope over the window's RAW
+    * samples (per PromQL), from EXACT decimal(38,0) moments — t = µs
+    * since the grid origin (≤2.6e12 over the 30-day range), v = µ-value.
+    * Per-hour partial moments ride the usual (series, hour) rollup and
+    * window-sum exactly (decimal — no FP drift whatever the frame
+    * order), so both engines hand the closed formula bit-identical
+    * integers and divide once. predict_linear evaluates the fit at the
+    * eval bucket's END (hi+1 on the grid) plus T seconds — the
+    * documented grid reading of "now + T". Series drop unless n ≥ 2
+    * with nonzero time variance (the PromQL <2-points rule). */
+  private def derivFn(rs: RangeSel, predictSec: Option[Double]): Vec = {
+    val n = rs.hours
+    val (raw, labels) = rawSamples(rs.sel)
+    val g = withHour(raw)
+      .withColumn("__t",
+        (expr("unix_micros(cast(ts as timestamp))") - lit(OriginUs)).cast(Dec))
+      .withColumn("__v6", v6)
+      .groupBy((labels :+ "h" :+ "hi").map(col): _*)
+      .agg(count(lit(1)).cast(Dec).as("__pn"),
+        sum("__t").as("__pst"), sum("__v6").as("__psv"),
+        sum(col("__t") * col("__v6")).as("__pstv"),
+        sum(col("__t") * col("__t")).as("__pstt"))
+    val w = rangeFrame(labels, n)
+    val m = g
+      .withColumn("__n", sum("__pn").over(w))
+      .withColumn("__st", sum("__pst").over(w))
+      .withColumn("__sv", sum("__psv").over(w))
+      .withColumn("__stv", sum("__pstv").over(w))
+      .withColumn("__stt", sum("__pstt").over(w))
+      .withColumn("__num", col("__n") * col("__stv") - col("__st") * col("__sv"))
+      .withColumn("__den", col("__n") * col("__stt") - col("__st") * col("__st"))
+      .filter(col("__n") >= 2 && col("__den") =!= 0)
+    val nd = col("__n").cast("double")
+    val slope = col("__num").cast("double") / col("__den").cast("double")
+    val out = predictSec match {
+      case None => m.withColumn("value", slope) // µv/µs ≡ v/s
+      case Some(t) =>
+        val tstar = ((col("hi") + 1).cast("double") * lit(3600.0) + lit(t)) * lit(1e6)
+        m.withColumn("value",
+          (col("__sv").cast("double") / nd +
+            slope * (tstar - col("__st").cast("double") / nd)) / lit(1e6))
+    }
+    Vec(out.select((labels :+ "h" :+ "hi").map(col) :+ col("value"): _*), labels, None)
+  }
+
+  /** stddev/stdvar_over_time: POPULATION variance of the window's raw
+    * samples — (n·Σv² − (Σv)²)/n², all moments exact decimal µ-units
+    * (the derivFn device), one double division at the end. */
+  private def momentsFn(name: String, rs: RangeSel): Vec = {
+    val n = rs.hours
+    val (raw, labels) = rawSamples(rs.sel)
+    val g = withHour(raw)
+      .withColumn("__v6", v6)
+      .groupBy((labels :+ "h" :+ "hi").map(col): _*)
+      .agg(count(lit(1)).cast(Dec).as("__pn"), sum("__v6").as("__ps1"),
+        sum(col("__v6") * col("__v6")).as("__ps2"))
+    val w = rangeFrame(labels, n)
+    val m = g
+      .withColumn("__n", sum("__pn").over(w))
+      .withColumn("__s1", sum("__ps1").over(w))
+      .withColumn("__s2", sum("__ps2").over(w))
+    val nd = col("__n").cast("double")
+    val varc = (col("__n") * col("__s2") - col("__s1") * col("__s1")).cast("double") /
+      (nd * nd) / lit(1e12)
+    val value = if (name == "stdvar_over_time") varc else sqrt(varc)
+    Vec(m.withColumn("value", value)
+      .select((labels :+ "h" :+ "hi").map(col) :+ col("value"): _*), labels, None)
+  }
+
+  /** absent(sel): 1.0 at every grid hour where the selector matches no
+    * sample — the alert-on-silence primitive. Label-less output (the
+    * Prometheus matcher-derived label reconstruction is out of subset).
+    * The anti-join rides the distinct present-hours set: ≤720 rows. */
+  private def absentFn(sel: Selector): Vec = {
+    val grid = s.sql("SELECT explode(sequence(0, 719)) AS hi")
+      .withColumn("hi", col("hi").cast("long"))
+      .withColumn("h", expr(s"timestampadd(HOUR, hi, $Origin)"))
+    val (raw, _) = rawSamples(sel)
+    val present = withHour(raw).select("hi").distinct()
+    Vec(grid.join(present, Seq("hi"), "left_anti")
+      .withColumn("value", lit(1.0))
+      .select(col("h"), col("hi"), col("value")), Nil, None)
   }
 
   /** resets/changes: per-sample flags against the series-global previous
@@ -333,6 +427,20 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
       case ("avg", Some((c, den))) =>
         Vec(v.df.groupBy(keys: _*)
           .agg((sum(c).cast("double") / lit(den) / count(lit(1))).as("value")), by, None)
+      case ("group", _) =>
+        // PromQL group(): 1 per surviving group — the existence aggregator
+        Vec(v.df.groupBy(keys: _*).agg(max(lit(1.0)).as("value")), by, None)
+      case ("stddev" | "stdvar", _) =>
+        // population moments in exact decimal µ-units (the derivFn device)
+        val g = v.materialized.withColumn("__v6", v6)
+          .groupBy(keys: _*)
+          .agg(count(lit(1)).cast(Dec).as("__n"), sum("__v6").as("__s1"),
+            sum(col("__v6") * col("__v6")).as("__s2"))
+        val nd = col("__n").cast("double")
+        val varc = (col("__n") * col("__s2") - col("__s1") * col("__s1")).cast("double") /
+          (nd * nd) / lit(1e12)
+        Vec(g.withColumn("value", if (op0 == "stdvar") varc else sqrt(varc))
+          .select((by :+ "h" :+ "hi").map(col) :+ col("value"): _*), by, None)
       case (op, _) =>
         val m = v.materialized
         val agg = op match {
@@ -472,6 +580,8 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
 
   private def evalExpr(e: Expr): Either[Double, Vec] = e match {
     case NumLit(v) => Left(v)
+    case _: StrLit =>
+      throw new ParseException("string literal outside a function argument")
     case sel: Selector => Right(instant(sel))
     case _: RangeSel =>
       throw new ParseException("range vector outside a range function")
@@ -568,6 +678,41 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
       rangeFn(name, rs, Some(phi))
     case ("quantile_over_time", Seq(NumLit(phi), sub: Subquery)) =>
       overSub(name, sub, Some(phi))
+    case ("predict_linear", Seq(rs: RangeSel, NumLit(t))) =>
+      derivFn(rs, Some(t))
+    case ("absent", Seq(sel: Selector)) => absentFn(sel)
+    case ("label_replace", Seq(e, StrLit(dst), StrLit(repl), StrLit(src), StrLit(re))) =>
+      evalExpr(e) match {
+        case Right(v) =>
+          // Subset: the replacement must be one capture reference; dst is
+          // (over)written with the capture when the ANCHORED regex matches
+          // src, '' otherwise ('' ≡ absent label in the Prometheus model —
+          // the unmatched-row passthrough of a pre-existing dst is out of
+          // subset and documented here).
+          if (!repl.matches("\\$\\d"))
+            throw new ParseException(
+              "label_replace subset: replacement must be a single capture reference like \"$1\"")
+          if (!v.labels.contains(src))
+            throw new ParseException(s"label_replace: source label $src not present")
+          val m = v.materialized
+            .withColumn(dst, regexp_extract(col(src), "^(?:" + re + ")$", repl.drop(1).toInt))
+          Vec(m, if (v.labels.contains(dst)) v.labels else v.labels :+ dst, None)
+        case Left(_) => throw new ParseException("label_replace needs a vector")
+      }
+    case ("count_values", Seq(StrLit(lab), e)) =>
+      evalExpr(e) match {
+        case Right(v) =>
+          // the new label carries the 6dp-rounded value via C-style %.6f
+          // (printf on both engines — identical strings by construction)
+          // count_values is an AGGREGATOR: without a by() modifier every
+          // original label aggregates away and only the value label
+          // remains — the count is "how many series carry this value now"
+          val m = v.materialized
+            .withColumn(lab, format_string("%.6f", Num.roundd(col("value"), 6)))
+          Vec(m.groupBy(col(lab), col("h"), col("hi"))
+            .agg(count(lit(1)).cast("double").as("value")), Seq(lab), None)
+        case Left(_) => throw new ParseException("count_values needs a vector")
+      }
     case (_, Seq(rs: RangeSel)) => rangeFn(name, rs, None)
     case (_, Seq(sub: Subquery)) => overSub(name, sub, None)
     case ("histogram_quantile", Seq(NumLit(phi), e)) =>

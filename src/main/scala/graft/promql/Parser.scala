@@ -16,9 +16,12 @@ package graft.promql
   *   - subqueries         expr[Nh:1h]        (step pinned to the 1h grid)
   *   - range functions    rate increase irate delta idelta resets changes
   *                        avg/min/max/sum/count/last/quantile_over_time
+  *                        deriv predict_linear stddev/stdvar_over_time
   *   - instant functions  histogram_quantile topk bottomk abs ceil floor
-  *                        clamp_min clamp_max round
-  *   - aggregations       sum avg min max count [by (…)|without (…)] (expr)
+  *                        clamp_min clamp_max round absent label_replace
+  *                        count_values
+  *   - aggregations       sum avg min max count stddev stdvar group
+  *                        [by (…)|without (…)] (expr)
   *   - binary arithmetic  + - * / with scalars or vectors,
   *                        on(l1,…) / ignoring(l1,…) matching modifiers
   *   - comparisons        > < >= <= == != (filter form; `bool` maps 1/0)
@@ -30,6 +33,7 @@ package graft.promql
   */
 sealed trait Expr
 final case class NumLit(v: Double) extends Expr
+final case class StrLit(s: String) extends Expr
 final case class Matcher(label: String, op: String, value: String)
 final case class Selector(metric: String, matchers: Seq[Matcher],
     offsetHours: Int = 0) extends Expr
@@ -59,8 +63,10 @@ object Parser {
 
   private val rangeFns = Set("rate", "increase", "irate", "delta", "idelta",
     "resets", "changes", "avg_over_time", "min_over_time", "max_over_time",
-    "sum_over_time", "count_over_time", "last_over_time", "quantile_over_time")
-  private val aggOps = Set("sum", "avg", "min", "max", "count")
+    "sum_over_time", "count_over_time", "last_over_time", "quantile_over_time",
+    "deriv", "predict_linear", "stddev_over_time", "stdvar_over_time")
+  private val aggOps = Set("sum", "avg", "min", "max", "count",
+    "stddev", "stdvar", "group")
 
   def parse(q: String): Expr = {
     val p = new P(lex(q))
@@ -207,6 +213,7 @@ object Parser {
 
     private def atom(): Expr = next() match {
       case TNum(v) => NumLit(v)
+      case TStr(v) => StrLit(v)
       case TOp("(") =>
         val e = expr(); expectOp(")"); maybeSubquery(e)
       case TIdent(id) if aggOps.contains(id) && peek != TOp("{") &&

@@ -375,4 +375,118 @@ class PromqlFrontSpec extends SparkSuite {
       .collect().map(r => Seq(r.getLong(0).toString) -> rnd(r.getDouble(1), 6)).toMap
     assertClose(got, twin, 1e-9, "ratio twin")
   }
+
+  // ---- round 3: regression, moments, absent, label machinery ---------------
+
+  /** Exact BigInt moments of a window's samples in the compiler's units:
+    * t = µs since origin, v = µ-value (round half away from zero). */
+  private def moments(w: Vector[S]): (BigInt, BigInt, BigInt, BigInt, BigInt) = {
+    def v6(v: Double): BigInt = BigInt(rnd(v * 1e6, 0).toLong)
+    val ts = w.map(s => BigInt(s.ts - OriginUs))
+    val vs = w.map(s => v6(s.v))
+    (BigInt(w.size), ts.sum, vs.sum,
+      ts.zip(vs).map { case (a, b) => a * b }.sum, ts.map(t => t * t).sum)
+  }
+
+  test("deriv / predict_linear match a BigInt-exact brute force") {
+    val derivWant = (for {
+      ((t, u), ss) <- samples if t == "click"
+      h <- ownHours(ss)
+      (n, st, sv, stv, stt) = moments(win(ss, h, 4))
+      den = n * stt - st * st
+      if n >= 2 && den != 0
+    } yield Seq(t, u, h.toString) ->
+      rnd((n * stv - st * sv).toDouble / den.toDouble, 6)).toMap
+    assertClose(run("""deriv(events{type="click"}[4h])"""), derivWant, 1e-9, "deriv")
+
+    val predWant = (for {
+      ((t, u), ss) <- samples if t == "error"
+      h <- ownHours(ss)
+      (n, st, sv, stv, stt) = moments(win(ss, h, 24))
+      den = n * stt - st * st
+      if n >= 2 && den != 0
+    } yield {
+      val slope = (n * stv - st * sv).toDouble / den.toDouble
+      val tstar = ((h + 1).toDouble * 3600.0 + 14400.0) * 1e6
+      Seq(t, u, h.toString) -> rnd(
+        (sv.toDouble / n.toDouble + slope * (tstar - st.toDouble / n.toDouble)) / 1e6, 6)
+    }).toMap
+    assertClose(run("""predict_linear(events{type="error"}[24h], 14400)"""),
+      predWant, 1e-9, "predict_linear")
+  }
+
+  test("stddev/stdvar_over_time and the stddev/stdvar aggregators match brute force") {
+    def popVar(vs: Vector[Double]): Double = {
+      val v6 = vs.map(v => BigInt(rnd(v * 1e6, 0).toLong))
+      val n = BigInt(v6.size); val s1 = v6.sum; val s2 = v6.map(x => x * x).sum
+      (n * s2 - s1 * s1).toDouble / (n.toDouble * n.toDouble) / 1e12
+    }
+    val sdWant = (for {
+      ((t, u), ss) <- samples if t == "view"
+      h <- ownHours(ss)
+    } yield Seq(t, u, h.toString) ->
+      rnd(math.sqrt(popVar(win(ss, h, 6).map(_.v))), 6)).toMap
+    assertClose(run("""stddev_over_time(events{type="view"}[6h])"""), sdWant, 1e-9, "sd_ot")
+
+    // aggregator: stdvar across the per-(type,user) LAST samples per hour
+    val lastPerHour: Map[(String, Long), Vector[Double]] =
+      samples.toVector.flatMap { case ((t, u), ss) =>
+        ss.groupBy(s => hourOf(s.ts)).map { case (h, w) =>
+          (t, h) -> w.maxBy(s => (s.ts, s.sid)).v
+        }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val svWant = lastPerHour.map { case ((t, h), vs) =>
+      Seq(t, h.toString) -> rnd(popVar(vs), 6)
+    }
+    assertClose(run("""stdvar by (type) (events)"""), svWant, 1e-9, "stdvar_by")
+  }
+
+  test("absent() fires exactly on the grid hours the selector misses") {
+    val present = samples.collect { case ((t, u), ss) if t == "purchase" && u == "7" => ss }
+      .flatten.map(s => hourOf(s.ts)).toSet
+    val got = run("""absent(events{type="purchase", user="7"})""")
+    assert(got.keySet == (0L until 720L).filterNot(present).map(h => Seq(h.toString)).toSet)
+    assert(got.values.forall(_ == 1.0))
+  }
+
+  test("label_replace adds the captured label; count_values pivots values into a label; group emits 1") {
+    val base = run("""sum by (type) (rate(events[2h]))""")
+    val lr = run("""label_replace(sum by (type) (rate(events[2h])), "family", "$1", "type", "(c.*|v.*)")""")
+    val want = base.map { case (k, v) =>
+      val fam = if (k.head.startsWith("c") || k.head.startsWith("v")) k.head else ""
+      Seq(k.head, fam, k(1)) -> v
+    }
+    assertClose(lr, want, 1e-9, "label_replace")
+
+    val cv = run("""count_values("lvl", round(events{type="click"} / 50))""")
+    val cvWant = (for {
+      ((t, u), ss) <- samples.toVector if t == "click"
+      (h, w) <- ss.groupBy(s => hourOf(s.ts))
+    } yield (h, rnd(rnd(w.maxBy(s => (s.ts, s.sid)).v / 50.0, 0), 6)))
+      .groupBy(identity).map { case ((h, lvl), g) =>
+        Seq(f"$lvl%.6f", h.toString) -> g.size.toDouble
+      }
+    assertClose(cv, cvWant, 1e-9, "count_values")
+
+    val gr = run("""group by (type) (events)""")
+    assert(gr.values.forall(_ == 1.0))
+    assert(gr.keySet == (for {
+      ((t, _), ss) <- samples.toSet; h <- ownHours(ss)
+    } yield Seq(t, h.toString)))
+  }
+
+  test("parser: string literals and the new function names; loud label_replace subset failures") {
+    assert(Parser.parse("""label_replace(a, "d", "$1", "s", "re")""") ==
+      FnCall("label_replace", Seq(Selector("a", Nil), StrLit("d"), StrLit("$1"),
+        StrLit("s"), StrLit("re"))))
+    assert(Parser.parse("""deriv(events[4h])""") ==
+      FnCall("deriv", Seq(RangeSel(Selector("events", Nil), 4))))
+    assertThrows[Exception](Parser.parse("deriv(events)")) // needs a range
+    // replacement must be a single capture reference in this subset
+    assertThrows[Exception](
+      PromQL.query(spark, sf0001, """label_replace(events, "d", "x$1", "type", "re")"""))
+    // source label must exist
+    assertThrows[Exception](
+      PromQL.query(spark, sf0001, """label_replace(events, "d", "$1", "nope", "re")"""))
+  }
 }
