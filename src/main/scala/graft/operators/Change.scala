@@ -130,10 +130,11 @@ object Change {
     * the cumulative sum and running min are exact, order-free integer
     * folds — summation order can never flip an alarm. Reports per type:
     * alarm count, first alarm hour, and the peak PH. */
-  val qTsPageHinkley: Q = (s, d) => {
+  /** Per-hour PH trace — (et, x, h, ph µ-long): the shared core of the
+    * batch rollup below and the streaming twin (StatefulPh parity). */
+  private[graft] def phTrace(s: SparkSession, d: String): DataFrame = {
     val wc = Window.partitionBy("et").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lam = 100L * 1000000L
     hourlyPanel(s, d)
       .withColumn("cx", sum("c").over(wc))
       .withColumn("t6", Num.roundd(
@@ -142,6 +143,15 @@ object Change {
       .withColumn("m", sum("t6").over(wc))
       .withColumn("runmin", min("m").over(wc))
       .withColumn("ph", col("m") - col("runmin"))
+      .withColumn("h", gridHour("x"))
+  }
+
+  /** λ in micro-units — 100.0, shared with the streaming face. */
+  private[graft] val LambdaMicro = 100L * 1000000L
+
+  val qTsPageHinkley: Q = (s, d) => {
+    val lam = LambdaMicro
+    phTrace(s, d)
       .groupBy(col("et").as("event_type"))
       .agg(
         sum(when(col("ph") > lam, 1L).otherwise(0L)).as("n_alarms"),

@@ -184,9 +184,84 @@ object Quality {
       .orderBy("label")
   }
 
+  // ---- Gopher quality rules -----------------------------------------------
+
+  /** Gopher-style rule filter (Rae et al. 2021, App. A) reported per
+    * source: word count ∈ [50, 100k], mean word length ∈ [3, 10],
+    * symbol-to-word ratio ('#' chars + '…'-as-'...' occurrences) < 0.1,
+    * alphabetic-word fraction > 0.8, and ≥2 distinct English stop words
+    * present — each rule's failure count plus the docs passing ALL rules
+    * and the pass rate. EVERY predicate is an exact-integer comparison
+    * (mean length via 3·n ≤ Σlen ≤ 10·n, ratios via cross-multiplying —
+    * the q_ts_ma_cross discipline): no float ever decides a rule. One
+    * scan: word explode → per-doc hash aggregate → per-source rollup,
+    * all map-side combinable, linear at any corpus size. */
+  val qDocsGopherRules: Q = (s, d) => {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"),
+        sum(length(col("w")).cast("long")).as("sumlen"),
+        sum(when(col("w").rlike("[a-z]"), 1L).otherwise(0L)).as("alpha"),
+        countDistinct(when(col("w").isInCollection(stops), col("w"))).as("nstop"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long").as("hashes"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3))
+          .cast("long").as("ell"))
+    val r = base.join(words, Seq("doc_id"), "left")
+      .select(col("source"),
+        when(coalesce(col("nw"), lit(0L)).between(50L, 100000L), 0L).otherwise(1L).as("f_wc"),
+        when(lit(3L) * col("nw") <= col("sumlen") &&
+          col("sumlen") <= lit(10L) * col("nw"), 0L).otherwise(1L).as("f_wlen"),
+        when(lit(10L) * (col("hashes") + col("ell")) < coalesce(col("nw"), lit(0L)), 0L)
+          .otherwise(1L).as("f_sym"),
+        when(lit(5L) * col("alpha") >= lit(4L) * col("nw"), 0L).otherwise(1L).as("f_alpha"),
+        when(col("nstop") >= 2L, 0L).otherwise(1L).as("f_stop"))
+    r.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("f_wc").as("fail_wc"), sum("f_wlen").as("fail_wlen"),
+        sum("f_sym").as("fail_sym"), sum("f_alpha").as("fail_alpha"),
+        sum("f_stop").as("fail_stop"),
+        sum(when(col("f_wc") + col("f_wlen") + col("f_sym") +
+          col("f_alpha") + col("f_stop") === 0L, 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        Num.roundd(col("n_pass").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_docs_gopher_rules", qDocsGopherRules, Some(
+      "WITH f AS (SELECT doc_id, w FROM " +
+        "(SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) w FROM documents) WHERE w != ''), " +
+        "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) nw, CAST(sum(len(w)) AS BIGINT) sumlen, " +
+        "CAST(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END) AS BIGINT) alpha, " +
+        "CAST(count(DISTINCT CASE WHEN w IN ('the','be','to','of','and','that','have','with','a','in') " +
+        "THEN w END) AS BIGINT) nstop FROM f GROUP BY 1), " +
+        "tx AS (SELECT doc_id, source, " +
+        "CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) hashes, " +
+        "CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) ell FROM documents), " +
+        "r AS (SELECT tx.source, " +
+        "CASE WHEN coalesce(nw, 0) BETWEEN 50 AND 100000 THEN 0 ELSE 1 END f_wc, " +
+        "CASE WHEN 3 * nw <= sumlen AND sumlen <= 10 * nw THEN 0 ELSE 1 END f_wlen, " +
+        "CASE WHEN 10 * (hashes + ell) < coalesce(nw, 0) THEN 0 ELSE 1 END f_sym, " +
+        "CASE WHEN 5 * alpha >= 4 * nw THEN 0 ELSE 1 END f_alpha, " +
+        "CASE WHEN nstop >= 2 THEN 0 ELSE 1 END f_stop " +
+        "FROM tx LEFT JOIN pd ON pd.doc_id = tx.doc_id), " +
+        "g AS (SELECT source, CAST(count(*) AS BIGINT) n_docs, " +
+        "CAST(sum(f_wc) AS BIGINT) fail_wc, CAST(sum(f_wlen) AS BIGINT) fail_wlen, " +
+        "CAST(sum(f_sym) AS BIGINT) fail_sym, CAST(sum(f_alpha) AS BIGINT) fail_alpha, " +
+        "CAST(sum(f_stop) AS BIGINT) fail_stop, " +
+        "CAST(sum(CASE WHEN f_wc + f_wlen + f_sym + f_alpha + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) n_pass " +
+        "FROM r GROUP BY 1) " +
+        "SELECT source, n_docs, fail_wc, fail_wlen, fail_sym, fail_alpha, fail_stop, n_pass, " +
+        "round(CAST(n_pass AS DOUBLE) / n_docs, 4) pass_rate FROM g ORDER BY source")),
     ("q_text_heldout_ppl", qTextHeldoutPpl, Some(
       "WITH tc AS (SELECT w tw, CAST(count(*) AS BIGINT) c FROM " +
         "(SELECT unnest(string_split(coalesce(text, ''), ' ')) w FROM documents WHERE source != 'src0') " +

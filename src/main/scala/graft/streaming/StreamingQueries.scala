@@ -405,12 +405,41 @@ object StreamingQueries {
     graft.promql.PromQL.query(s, d,
       """sum by (type) (rate(events{type=~"error|click"}[1h])) > 0.0004""")
 
+  /** Batch twin of the streaming Page–Hinkley detector (StatefulPh): the
+    * per-hour PH trace over the gapless hourly panel — the step before
+    * q_ts_page_hinkley's per-type rollup. StreamParitySpec holds the
+    * stream's hour-sealed emissions bit-equal to this on the sealed
+    * prefix; the DuckDB oracle replays the same micro-unit fold. */
+  val qStreamPageHinkley: Q = (s, d) =>
+    graft.operators.Change.phTrace(s, d)
+      .select(col("et").as("event_type"), col("h"),
+        graft.operators.Num.roundd(col("ph").cast("double") / 1e6, 6).as("ph"),
+        when(col("ph") > graft.operators.Change.LambdaMicro, 1L).otherwise(0L).as("alarm"))
+      .orderBy("event_type", "h")
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_stream_promql_alert", qStreamPromqlAlert, Some(
       "WITH c AS (SELECT event_type ty, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) n " +
         "FROM events WHERE regexp_matches(event_type, '^(?:error|click)$') GROUP BY 1, 2) " +
         "SELECT ty AS \"type\", h, round(CAST(n AS DOUBLE)/3600.0, 6) AS \"value\" " +
         "FROM c WHERE CAST(n AS DOUBLE)/3600.0 > 0.0004 ORDER BY 1, 2")),
+    ("q_stream_page_hinkley", qStreamPageHinkley, Some(
+      "WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, CAST(datediff('hour', TIMESTAMP '2024-01-01', g.h) AS BIGINT) x, coalesce(hc.c, 0) c " +
+        "FROM ty CROSS JOIN g LEFT JOIN hc ON hc.et = ty.et AND hc.h = g.h), " +
+        "w AS (SELECT et, x, c, " +
+        "CAST(sum(c) OVER (PARTITION BY et ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cx FROM p), " +
+        "t AS (SELECT et, x, CAST(round((CAST(c AS DOUBLE) - CAST(cx AS DOUBLE) / CAST(x + 1 AS DOUBLE) - 0.5) * 1000000, 0) AS BIGINT) t6 FROM w), " +
+        "m AS (SELECT et, x, CAST(sum(t6) OVER wc AS BIGINT) m FROM t " +
+        "WINDOW wc AS (PARTITION BY et ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "ph AS (SELECT et, x, m - CAST(min(m) OVER wc AS BIGINT) ph FROM m " +
+        "WINDOW wc AS (PARTITION BY et ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT et event_type, TIMESTAMP '2024-01-01' + x * INTERVAL 1 HOUR h, " +
+        "round(CAST(ph AS DOUBLE) / 1000000, 6) ph, " +
+        "CAST(CASE WHEN ph > 100000000 THEN 1 ELSE 0 END AS BIGINT) alarm " +
+        "FROM ph ORDER BY event_type, h")),
     ("q_stream_asof", qStreamAsof, Some(
       "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup'), " +
         "r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') " +

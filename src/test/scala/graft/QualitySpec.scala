@@ -109,4 +109,26 @@ class QualitySpec extends SparkSuite {
     assert(m(0L) == ((4L, 0.5, 0.0, 1L)))
     assert(m(1L) == ((4L, 0.0, 1.0, 0L)))
   }
+
+  // ---- Gopher rules -------------------------------------------------------
+
+  test("gopher_rules: each rule fails on exactly its crafted violator") {
+    val good = (List.fill(30)("the dog and cat sat") :+ "of that have with").mkString(" ")
+    writeDocs(Seq(
+      (1L, good, "en", "s"),                                    // passes all
+      // 8 words (mean wlen 3.125, 2 stops, all alpha) — only wc fails
+      (2L, "the and dog cat sat bird fox hen", "en", "s"),
+      // 62 words, Σlen 65 < 3·62 — only mean-wlen fails
+      (3L, ("the of " + List.fill(60)("a").mkString(" ")), "en", "s"),
+      // one 200-char '#' word: 2000 ≥ 155 words — only the symbol rule
+      (4L, good + " " + "#" * 200, "en", "s"),
+      // 120 numeric words of 122 (alpha 2/122), Σlen 425 ≥ 3·122 — only alpha
+      (5L, (List.fill(60)("4242 777") :+ "the of").mkString(" "), "en", "s"),
+      // 240 words, zero stop words — only the stop rule
+      (6L, List.fill(60)("dog cat sat bird").mkString(" "), "en", "s")))
+    val r = Quality.qDocsGopherRules(spark, dir)
+      .select("n_docs", "fail_wc", "fail_wlen", "fail_sym", "fail_alpha", "fail_stop", "n_pass")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((6L, 1L, 1L, 1L, 1L, 1L, 1L)), s"got $r")
+  }
 }

@@ -190,6 +190,22 @@ class StreamParitySpec extends SparkSuite {
     }
   }
 
+  test("page-hinkley: hour-sealed PH rows equal the batch trace, ordered + jittered") {
+    import graft.streaming.StatefulPh
+    val batch = StreamingQueries.qStreamPageHinkley(spark, sf0001)
+      .select("event_type", "h", "ph", "alarm")
+    for (dir <- Seq(replayDir, StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4))) {
+      val stream = StreamingQueries.eventsStream(spark, dir).withWatermark("ts", "10 minutes")
+      val got = StreamReplay.runToCompletion(
+        spark, StatefulPh.phStream(stream).toDF(), s"t_ph_${dir.hashCode.abs}")
+      assert(got.count() > 0, "ph stream sealed no hours")
+      assert(got.except(batch).count() == 0,
+        "stream emitted a PH row the batch trace disagrees with")
+      assert(got.count() == got.dropDuplicates("event_type", "h").count(),
+        "duplicate seals emitted")
+    }
+  }
+
   test("token-bucket limiter: sealed decisions equal the batch fold, ordered + jittered") {
     import graft.streaming.StatefulRateLimit
     import StatefulRateLimit.{CapacityUs, CostUs}
