@@ -223,6 +223,21 @@ object IngestQueries {
       .orderBy("dday", "event_type")
   }
 
+  /** Serve the incrementally-maintained interval-JOIN view: the per-user
+    * pair report comes entirely off the pair ARTIFACT (initial build +
+    * delta refresh that read only |Δ| + a 30-minute boundary band — see
+    * Ingest.ivmJoinRefresh). The oracle recomputes the join from raw
+    * events, so a pass proves the delta decomposition composed to
+    * exactly the full join — incremental view maintenance for joins,
+    * the piece the aggregate-only cagg path cannot express. */
+  val qIngestIvmJoin: Q = (s, d) => {
+    val p = Ingest.ivmJoinPairs(s, d)
+    s.read.parquet(p)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), min("lag_us").as("min_lag_us"))
+      .orderBy("user_id")
+  }
+
   /** Schema-evolution read over the two-generation layout: `mergeSchema`
     * unions the v1/v2 footers, v1 rows surface the added column as NULL,
     * and the report coalesces them into a 'none' generation bucket. No
@@ -498,6 +513,13 @@ object IngestQueries {
     ("q_ingest_compacted", qIngestCompacted, Some(
       "SELECT CAST(ts AS DATE) AS \"day\", event_type, count(*) cnt, round(sum(value), 2) sv " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+    ("q_ingest_ivm_join", qIngestIvmJoin, Some(
+      "SELECT c.user_id, CAST(count(*) AS BIGINT) n_pairs, " +
+        "min(epoch_us(p.ts) - epoch_us(c.ts)) min_lag_us " +
+        "FROM events c JOIN events p ON p.user_id = c.user_id " +
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
+        "GROUP BY c.user_id ORDER BY c.user_id")),
     ("q_ingest_cagg_refresh", qIngestCaggRefresh, Some(
       "SELECT CAST(ts AS DATE) dday, event_type, CAST(count(*) AS BIGINT) cnt, " +
         "round(round(sum(value), 8), 2) sv FROM events GROUP BY 1, 2 ORDER BY 1, 2")),

@@ -1007,6 +1007,34 @@ class WritePathSpec extends SparkSuite {
     java.nio.file.Files.delete(sentinel)
   }
 
+  test("ivm join view: refresh leaves history untouched and composes to exactly the full join") {
+    val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-ivmjoin"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val ev = graft.Tables.events(spark, sf0001)
+    Ingest.ivmJoinInitial(spark, p, ev, "2024-01-26")
+    // sentinel in the OLDEST cold click-day partition — a refresh that
+    // rewrote history would sweep it away
+    val coldDay = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("cday=")).map(_.getName).sorted.head
+    val sentinel = java.nio.file.Paths.get(p, coldDay, "_sentinel")
+    java.nio.file.Files.write(sentinel, Array[Byte](42))
+    Ingest.ivmJoinRefresh(spark, p, ev, "2024-01-26")
+    assert(java.nio.file.Files.exists(sentinel),
+      "refresh must not rewrite pre-cutoff pair partitions")
+    // the maintained pair set equals a from-scratch join of the full table
+    val cl = ev.filter(col("event_type") === "click").select(
+      col("event_id").as("cid"), col("user_id"), col("ts").as("ct"))
+    val pu = ev.filter(col("event_type") === "purchase").select(
+      col("event_id").as("pid"), col("user_id"), col("ts").as("pt"))
+    val full = cl.join(pu, Seq("user_id"))
+      .filter(col("pt") > col("ct") && col("pt") <= col("ct") + expr("INTERVAL '30' MINUTE"))
+      .select("cid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = spark.read.parquet(p)
+      .select("cid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full,
+      s"maintained view diverges: missing=${(full -- got).take(3)} extra=${(got -- full).take(3)}")
+  }
+
   test("schema evolution: mergeSchema surfaces v1 rows with NULL in the added column, v2 fully typed") {
     val path = Ingest.eventsSchemaEvolved(spark, sf0001)
     val df = spark.read.option("mergeSchema", "true").parquet(path)
