@@ -551,6 +551,58 @@ object Ingest {
       p
     })
 
+  /** CDC delete composed with the maintained join view: removing source
+    * events must remove exactly the pairs referencing them. The affected
+    * pair partitions are derived from the DELETED EVENTS' OWN timestamps
+    * — a pair lives in cday = day(click.ts), and a deleted purchase is
+    * only reachable from clicks within the 30 min before it, so each
+    * deleted event maps to ≤2 candidate cday dirs (its day and the day
+    * 30 min earlier) WITHOUT scanning the artifact: a provable superset,
+    * the no-false-negatives contract the event-side Bloom paths make,
+    * here for free from the join's time bound. Only those dirs rewrite
+    * (copy-on-write anti-join); a day whose pairs all die is dropped
+    * explicitly (dynamic overwrite alone would leave it stale). I/O =
+    * O(|affected days| + |deletes|), independent of view size. */
+  def ivmJoinDelete(spark: SparkSession, path: String, delEvents: DataFrame): Unit = {
+    val days = delEvents
+      .select(explode(array(to_date(col("ts")),
+        to_date(col("ts") - expr("INTERVAL '30' MINUTE")))).as("cday"))
+      .distinct().collect().map(_.getDate(0))
+    if (days.isEmpty) return
+    val ids = delEvents.select(col("event_id")).distinct()
+    val aff = spark.read.parquet(path).filter(col("cday").isin(days: _*))
+    val kept = aff
+      .join(broadcast(ids.select(col("event_id").as("cid"))), Seq("cid"), "left_anti")
+      .join(broadcast(ids.select(col("event_id").as("pid"))), Seq("pid"), "left_anti")
+      .select("user_id", "cid", "pid", "lag_us", "cday")
+    val keptDays = kept.select("cday").distinct().collect().map(_.getDate(0)).toSet
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try kept.write.mode("overwrite").partitionBy("cday").parquet(path)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val (fs, base) = hfs(spark, path)
+    days.filterNot(keptDays).foreach { dd =>
+      val dir = new HPath(base, s"cday=$dd")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+  }
+
+  /** The maintained view after a CDC delete batch (all purchases of user
+    * 3 + all clicks of user 5) — build + refresh + delete, memoized. */
+  def ivmJoinDeleted(spark: SparkSession, sfDir: String,
+                     cutoffDay: String = "2024-01-26",
+                     root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"ivm_join_del:$sfDir:$cutoffDay:$root", {
+      val p = s"$root/${slug(sfDir)}/ivm_join_del_${slug(cutoffDay)}"
+      val ev = Tables.events(spark, sfDir)
+      ivmJoinInitial(spark, p, ev, cutoffDay)
+      ivmJoinRefresh(spark, p, ev, cutoffDay)
+      ivmJoinDelete(spark, p, ev.filter(
+        (col("user_id") === 3 && col("event_type") === "purchase") ||
+          (col("user_id") === 5 && col("event_type") === "click")))
+      p
+    })
+
   /** The serve-side merge, rollup-source-agnostic: any (h, event_type,
     * cnt, sv8) hourly-partial set — the batch-materialized rollup OR the
     * rows a streaming hourlyRollupStream emitted as windows closed

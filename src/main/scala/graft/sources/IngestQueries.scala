@@ -238,6 +238,19 @@ object IngestQueries {
       .orderBy("user_id")
   }
 
+  /** Serve the join view AFTER a CDC delete batch (purchases of user 3,
+    * clicks of user 5): exactly the referencing pairs are gone, proven
+    * against a full-recompute oracle on the mutated predicate. The
+    * delete touched only the ≤2 cday dirs per deleted event derived
+    * from the deletes' own timestamps (Ingest.ivmJoinDelete). */
+  val qIngestIvmDelete: Q = (s, d) => {
+    val p = Ingest.ivmJoinDeleted(s, d)
+    s.read.parquet(p)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), min("lag_us").as("min_lag_us"))
+      .orderBy("user_id")
+  }
+
   /** Schema-evolution read over the two-generation layout: `mergeSchema`
     * unions the v1/v2 footers, v1 rows surface the added column as NULL,
     * and the report coalesces them into a 'none' generation bucket. No
@@ -519,6 +532,14 @@ object IngestQueries {
         "FROM events c JOIN events p ON p.user_id = c.user_id " +
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
+        "GROUP BY c.user_id ORDER BY c.user_id")),
+    ("q_ingest_ivm_delete", qIngestIvmDelete, Some(
+      "SELECT c.user_id, CAST(count(*) AS BIGINT) n_pairs, " +
+        "min(epoch_us(p.ts) - epoch_us(c.ts)) min_lag_us " +
+        "FROM events c JOIN events p ON p.user_id = c.user_id " +
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
+        "WHERE c.user_id NOT IN (3, 5) " +
         "GROUP BY c.user_id ORDER BY c.user_id")),
     ("q_ingest_cagg_refresh", qIngestCaggRefresh, Some(
       "SELECT CAST(ts AS DATE) dday, event_type, CAST(count(*) AS BIGINT) cnt, " +

@@ -1035,6 +1035,34 @@ class WritePathSpec extends SparkSuite {
       s"maintained view diverges: missing=${(full -- got).take(3)} extra=${(got -- full).take(3)}")
   }
 
+  test("ivm join delete: only candidate cday dirs rewrite; exactly the referencing pairs die") {
+    val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-ivmdel"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val ev = graft.Tables.events(spark, sf0001)
+    Ingest.ivmJoinInitial(spark, p, ev, "2024-01-26")
+    Ingest.ivmJoinRefresh(spark, p, ev, "2024-01-26")
+    val before = spark.read.parquet(p)
+      .select("cid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // delete one user's purchases from a single day — candidate dirs are
+    // at most that day and the previous one; sentinel a day far away
+    val dels = ev.filter(col("user_id") === 3 && col("event_type") === "purchase" &&
+      to_date(col("ts")) === lit("2024-01-15").cast("date"))
+    val delIds = dels.select("event_id").collect().map(_.getLong(0)).toSet
+    assume(delIds.nonEmpty, "fixture needs user-3 purchases on 2024-01-15")
+    val cold = new java.io.File(p).listFiles().map(_.getName)
+      .filter(n => n.startsWith("cday=") && !n.contains("2024-01-15") && !n.contains("2024-01-14"))
+      .sorted.head
+    val sentinel = java.nio.file.Paths.get(p, cold, "_sentinel")
+    java.nio.file.Files.write(sentinel, Array[Byte](42))
+    Ingest.ivmJoinDelete(spark, p, dels)
+    assert(java.nio.file.Files.exists(sentinel),
+      "delete must not touch cday dirs outside the deletes' own 2-day candidates")
+    val after = spark.read.parquet(p)
+      .select("cid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before.filterNot { case (c, pp) => delIds(c) || delIds(pp) },
+      "delete must remove exactly the pairs referencing a deleted event")
+  }
+
   test("schema evolution: mergeSchema surfaces v1 rows with NULL in the added column, v2 fully typed") {
     val path = Ingest.eventsSchemaEvolved(spark, sf0001)
     val df = spark.read.option("mergeSchema", "true").parquet(path)
