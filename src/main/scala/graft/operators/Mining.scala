@@ -410,9 +410,83 @@ object Mining {
       .orderBy("doc_id")
   }
 
+  /** Collocation mining by pointwise mutual information: bigrams with
+    * count ≥ 5 scored PMI = ln((c_xy/B)/((c_x/N)(c_y/N))) — the measure
+    * that separates true phrases ("san francisco") from merely-frequent
+    * pairs ("of the"), the tokenizer-merge and phrase-vocabulary
+    * criterion q_docs_bigrams' raw counts cannot express. Every count is
+    * an exact long; the PMI is ONE ln of their ratio (identical double
+    * expression both engines), rounded before the rank so the top-30
+    * head (TakeOrdered — distributed, never a vocab-wide window) is
+    * decided on identical values. Two hash aggregates + two word-keyed
+    * joins of vocab-sized tables — linear in tokens, vocabulary-bounded
+    * thereafter. */
+  val qDocsPmi: Q = (s, d) => {
+    val toks = withTokens(Tables.documents(s, d))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val nTot = uni.agg(sum("cw").as("n"))
+    val bg = toks.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1), (a, b) -> concat(a, ' ', b))"))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cxy"))
+    val bTot = bg.agg(sum("cxy").as("b"))
+    bg.filter(col("cxy") >= 5)
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+      .join(uni.select(col("w").as("w1"), col("cw").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("cy")), "w2")
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(bTot))
+      .withColumn("pmi", Num.roundd(log(
+        col("cxy").cast("double") * col("n").cast("double") * col("n").cast("double") /
+          (col("b").cast("double") * col("cx").cast("double") * col("cy").cast("double"))), 6))
+      .orderBy(desc("pmi"), asc("bg")).limit(30)
+      .select("bg", "cxy", "pmi")
+      .orderBy(desc("pmi"), asc("bg"))
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    * each doc draws a DETERMINISTIC uniform u from the seeded md5 device
+    * (u = (h mod 1e6 + 0.5)/1e6 — never 0 or 1) and ranks by the ES key
+    * ln(u)/w with w = n_chars; the global top-20 keys ARE a without-
+    * replacement sample ∝ weight. The quality-weighted selection step a
+    * curation pipeline runs over billions of docs: one projection + a
+    * TakeOrdered head, no shuffle beyond the top-k, reproducible across
+    * runs/partitionings/engines because nothing is random at all. Key
+    * pre-rounds at 9 dp before the rank (doc_id tie-break). */
+  val qDocsWeightedSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("hmod",
+        expr(s"pmod(${Dedup.h60("'ws'", "cast(doc_id as string)")}, 1000000)"))
+      .withColumn("u", (col("hmod").cast("double") + lit(0.5)) / lit(1e6))
+      .withColumn("es_key", Num.roundd(log(col("u")) / col("n_chars").cast("double"), 9))
+      .orderBy(desc("es_key"), asc("doc_id")).limit(20)
+      .select(col("doc_id"), col("source"), col("n_chars").as("w"), col("es_key"))
+      .orderBy(desc("es_key"), asc("doc_id"))
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_docs_pmi", qDocsPmi, Some(
+      "WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '') tk FROM documents), " +
+        "u AS (SELECT w, CAST(count(*) AS BIGINT) cw FROM (SELECT unnest(tk) w FROM t) GROUP BY 1), " +
+        "n AS (SELECT CAST(sum(cw) AS BIGINT) n FROM u), " +
+        "bgc AS (SELECT bg, CAST(count(*) AS BIGINT) cxy FROM " +
+        "(SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) bg FROM t WHERE len(tk) >= 2) GROUP BY 1), " +
+        "b AS (SELECT CAST(sum(cxy) AS BIGINT) b FROM bgc), " +
+        "s AS (SELECT bg, cxy, split_part(bg, ' ', 1) w1, split_part(bg, ' ', 2) w2 FROM bgc WHERE cxy >= 5), " +
+        "j AS (SELECT s.bg, s.cxy, round(ln(CAST(s.cxy AS DOUBLE) * CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE) / " +
+        "(CAST(b.b AS DOUBLE) * CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))), 6) pmi " +
+        "FROM s JOIN u u1 ON u1.w = s.w1 JOIN u u2 ON u2.w = s.w2, n, b) " +
+        "SELECT bg, cxy, pmi FROM j ORDER BY pmi DESC, bg LIMIT 30")),
+    ("q_docs_weighted_sample", qDocsWeightedSample, Some(
+      "WITH h AS (SELECT doc_id, source, n_chars w, " +
+        "CAST('0x' || substr(md5('ws' || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 hmod " +
+        "FROM documents), " +
+        "k AS (SELECT doc_id, source, w, " +
+        "round(ln((CAST(hmod AS DOUBLE) + 0.5) / 1000000.0) / CAST(w AS DOUBLE), 9) es_key FROM h) " +
+        "SELECT doc_id, source, w, es_key FROM k ORDER BY es_key DESC, doc_id LIMIT 20")),
     ("q_docs_bigrams", qDocsBigrams, Some(
       "WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '') tk FROM documents), " +
         "b AS (SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) bg FROM t WHERE len(tk) >= 2), " +

@@ -184,6 +184,31 @@ object Quality {
       .orderBy("label")
   }
 
+  /** Embedding whitening (per-dimension standardization): w = (v − μ_d)/
+    * √(σ²_d + 1e-6) — the apply step of [[qEmbDimStats]]'s diagnostics,
+    * the preprocessing that fixes anisotropy before cosine retrieval.
+    * The 64-row stats table computes under the exact q_sim_centroid
+    * rounding contract and BROADCASTS back against the exploded vectors
+    * (a dims-sized build side — constant, never corpus-sized), so the
+    * whole pass is two scans + one broadcast join, linear at any corpus.
+    * Served for the first 50 vectors (the gate's bounded window). */
+  val qEmbWhiten: Q = (s, d) => {
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val stats = x.groupBy("dim")
+      .agg(
+        Num.roundd(Num.roundd(sum("v"), 10) / count(lit(1)).cast("double"), 6).as("mean"),
+        Num.roundd(Num.roundd(sum(col("v") * col("v")), 10) / count(lit(1)).cast("double"), 6).as("msq"))
+      .withColumn("variance", Num.roundd(col("msq") - col("mean") * col("mean"), 6))
+    x.filter(col("vec_id") < 50)
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        Num.roundd((col("v") - col("mean")) / sqrt(col("variance") + lit(1e-6)), 6).as("w"))
+      .orderBy("vec_id", "dim")
+  }
+
   // ---- Gopher quality rules -----------------------------------------------
 
   /** Gopher-style rule filter (Rae et al. 2021, App. A) reported per
@@ -237,6 +262,16 @@ object Quality {
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_emb_whiten", qEmbWhiten, Some(
+      "WITH x AS (SELECT vec_id, CAST(p.pos AS BIGINT) dim, CAST(embedding[p.pos + 1] AS DOUBLE) v " +
+        "FROM embeddings, (SELECT unnest(range(64)) pos) p), " +
+        "a AS (SELECT dim, round(round(sum(v), 10) / count(*), 6) mean, " +
+        "round(round(sum(v * v), 10) / count(*), 6) msq FROM x GROUP BY 1), " +
+        "st AS (SELECT dim, mean, round(msq - mean * mean, 6) variance FROM a) " +
+        "SELECT x.vec_id, x.dim, " +
+        "round((x.v - st.mean) / sqrt(st.variance + 0.000001), 6) w " +
+        "FROM x JOIN st ON st.dim = x.dim WHERE x.vec_id < 50 " +
+        "ORDER BY x.vec_id, x.dim")),
     ("q_docs_gopher_rules", qDocsGopherRules, Some(
       "WITH f AS (SELECT doc_id, w FROM " +
         "(SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) w FROM documents) WHERE w != ''), " +

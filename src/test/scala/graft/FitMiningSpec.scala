@@ -348,4 +348,39 @@ class FitMiningSpec extends SparkSuite {
       .as[(Long, Long, Long, Double, Double)].collect().toSeq
     assert(r == Seq((1L, 3L, 2L, 1.145644, 1.5)))
   }
+
+  // ---- PMI collocations ---------------------------------------------------
+
+  test("pmi: 'x y x y …' scores exactly ln(c_xy·N²/(B·c_x·c_y)); sub-threshold bigrams drop") {
+    writeDocs(Seq((1L, "x y x y x y x y x y", "en", "s")))
+    // tokens x:5 y:5 N=10, bigrams B=9; 'x y' 5 times (≥5), 'y x' 4 (<5)
+    val r = Mining.qDocsPmi(spark, dir)
+      .select("bg", "cxy", "pmi").as[(String, Long, Double)].collect().toSeq
+    val want = { // ln(5·100/(9·25)) computed the engines' way
+      val v = math.log(5.0 * 10.0 * 10.0 / (9.0 * 5.0 * 5.0))
+      math.floor(v * 1e6 + 0.5) / 1e6
+    }
+    assert(r == Seq(("x y", 5L, want)), s"got $r")
+  }
+
+  // ---- weighted sampling --------------------------------------------------
+
+  test("weighted_sample: order equals a driver-side Efraimidis–Spirakis recompute") {
+    val docs = (1L to 10L).map(i => (i, "t" * (10 * i).toInt, "en", "s"))
+    writeDocs(docs.map { case (id, t, l, src) => (id, t, l, src) })
+    def esKey(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ws:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hmod = (BigInt(hex.take(15), 16) % 1000000).toLong
+      val u = (hmod.toDouble + 0.5) / 1e6
+      val v = math.log(u) / w.toDouble
+      val m = math.floor(math.abs(v) * 1e9 + 0.5) / 1e9
+      if (v < 0) -m else m
+    }
+    val want = docs.map { case (id, t, _, _) => (id, esKey(id, t.length.toLong)) }
+      .sortBy { case (id, k) => (-k, id) }.map(_._1)
+    val got = Mining.qDocsWeightedSample(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == want, s"got $got want $want")
+  }
 }

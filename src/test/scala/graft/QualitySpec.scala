@@ -110,6 +110,18 @@ class QualitySpec extends SparkSuite {
     assert(m(1L) == ((4L, 0.0, 1.0, 0L)))
   }
 
+  // ---- whitening ----------------------------------------------------------
+
+  test("whiten: values {1,5} per dim standardize to ±1 under the ε-guarded variance") {
+    writeEmb(Seq(
+      (1L, Array(1.0f, 5.0f), 0),
+      (2L, Array(5.0f, 1.0f), 0)))
+    // mean 3, var 4 ⇒ w = ∓2/√4.000001 → ±1.0 at 6 dp
+    val r = Quality.qEmbWhiten(spark, dir)
+      .select("vec_id", "dim", "w").as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 0L, -1.0), (1L, 1L, 1.0), (2L, 0L, 1.0), (2L, 1L, -1.0)), s"got $r")
+  }
+
   // ---- Gopher rules -------------------------------------------------------
 
   test("gopher_rules: each rule fails on exactly its crafted violator") {
