@@ -70,6 +70,8 @@ object Bench {
       // corpus + index build + the one-off rewrite happen here, timed
       // passes measure the post-mutation reads
       graft.sources.Ingest.annCdcMaintained(spark, sfDir)
+      graft.sources.Ingest.ivmJoinPairs(spark, sfDir)
+      graft.sources.Ingest.ivmJoinDeleted(spark, sfDir)
       graft.sources.Ingest.gdprDeleted(spark, sfDir)
       graft.sources.Ingest.cdcUpserted(spark, sfDir)
       graft.sources.Ingest.eventsGdprDeleted(spark, sfDir)
