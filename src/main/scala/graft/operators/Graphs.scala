@@ -144,6 +144,45 @@ object Graphs {
       .orderBy("touch")
   }
 
+  /** Multi-touch conversion attribution — the fairness upgrade over
+    * [[qGraphAttribution]]'s last-touch: each purchase credits its last
+    * ≤3 preceding touches under TWO schemes, linear (1/k each) and
+    * U-shaped (40/20/40 of the oldest/middle/newest for k=3, 50/50 for
+    * k=2, 100 for k=1). Touch lookup is shuffle-shaped, not windowed
+    * per pair: every non-purchase event takes a running touch index ti
+    * per user (one keyed window), each purchase carries the index T of
+    * its latest preceding touch and EXPLODES to the ≤3 candidate
+    * indices — an equality join on (user, ti), 3× purchases rows, never
+    * a pair scan. Credits stay EXACT INTEGERS throughout (linear in
+    * sixths — 6/k ∈ {6,3,2}; U-shape in percent), divided once at the
+    * report. */
+  val qGraphAttributionMulti: Q = (s, d) => {
+    val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq0 = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("ti", sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).over(wo))
+    val touches = seq0.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ti"), col("event_type").as("touch"))
+    val purchases = seq0.filter(col("event_type") === "purchase" && col("ti") >= 1)
+      .withColumn("k", least(col("ti"), lit(3L)))
+      .select(col("user_id"), col("event_id").as("pid"), col("ti").as("tmax"), col("k"),
+        explode(expr("sequence(greatest(ti - 2, 1L), ti)")).as("ti"))
+    purchases.join(touches, Seq("user_id", "ti"))
+      .withColumn("pos", col("tmax") - col("ti")) // 0 = newest touch
+      .withColumn("lin6", expr("6 div k"))        // exact long: k ∈ {1,2,3}
+      .withColumn("upct",
+        when(col("k") === 1L, 100L)
+          .when(col("k") === 2L, 50L)
+          .otherwise(when(col("pos") === 1L, 20L).otherwise(40L)))
+      .groupBy("touch")
+      .agg(countDistinct("pid").as("conversions"),
+        sum("lin6").as("l6"), sum("upct").as("up"))
+      .select(col("touch"), col("conversions"),
+        Num.roundd(col("l6").cast("double") / 6.0, 6).as("linear_credit"),
+        Num.roundd(col("up").cast("double") / 100.0, 6).as("u_credit"))
+      .orderBy("touch")
+  }
+
   /** Distinct undirected edge set of the transition graph (self-loops
     * dropped, endpoints ordered a < b) — the input shape triangle
     * counting wants. Rides the SAME user-keyed window shuffle as
@@ -351,6 +390,23 @@ object Graphs {
         "SELECT coalesce(o.node, i.node) node, coalesce(out_deg, 0) out_deg, coalesce(out_w, 0) out_w, " +
         "coalesce(in_deg, 0) in_deg, coalesce(in_w, 0) in_w " +
         "FROM o FULL JOIN i ON i.node = o.node ORDER BY 1")),
+    ("q_graph_attribution_multi", qGraphAttributionMulti, Some(
+      "WITH s AS (SELECT user_id, ts, event_id, event_type, " +
+        "CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) ti " +
+        "FROM events), " +
+        "t AS (SELECT user_id, ti, event_type touch FROM s WHERE event_type <> 'purchase'), " +
+        "p AS (SELECT user_id, event_id pid, ti tmax, least(ti, 3) k, " +
+        "unnest(generate_series(greatest(ti - 2, 1), ti)) ti2 " +
+        "FROM s WHERE event_type = 'purchase' AND ti >= 1), " +
+        "j AS (SELECT p.pid, t.touch, 6 // p.k lin6, " +
+        "CASE WHEN p.k = 1 THEN 100 WHEN p.k = 2 THEN 50 " +
+        "WHEN p.tmax - p.ti2 = 1 THEN 20 ELSE 40 END upct " +
+        "FROM p JOIN t ON t.user_id = p.user_id AND t.ti = p.ti2) " +
+        "SELECT touch, CAST(count(DISTINCT pid) AS BIGINT) conversions, " +
+        "round(CAST(sum(lin6) AS DOUBLE) / 6.0, 6) linear_credit, " +
+        "round(CAST(sum(upct) AS DOUBLE) / 100.0, 6) u_credit " +
+        "FROM j GROUP BY 1 ORDER BY 1")),
     ("q_graph_link_predict", qGraphLinkPredict, Some(
       s"WITH $UND_SQL, " +
         "adj AS (SELECT a node, b nbr FROM und UNION ALL SELECT b node, a nbr FROM und), " +

@@ -372,6 +372,24 @@ class OpsSpec extends SparkSuite {
       ("b", "c", 1L, 0.333333, true)), s"got $tri")
   }
 
+  test("attribution_multi: U-shape splits 40/20/40 over 3 touches, 100 on a single touch; linear is 1/k") {
+    import graft.operators.Graphs
+    writeEvents(Seq(
+      // user 1: click → view → signup → purchase  (k=3)
+      (1L, ns(t0), 1L, "click", 1.0), (2L, ns(t0 + 60), 1L, "view", 1.0),
+      (3L, ns(t0 + 120), 1L, "signup", 1.0), (4L, ns(t0 + 180), 1L, "purchase", 1.0),
+      // user 2: click → purchase  (k=1)
+      (5L, ns(t0), 2L, "click", 1.0), (6L, ns(t0 + 60), 2L, "purchase", 1.0)))
+    val r = Graphs.qGraphAttributionMulti(spark, dir)
+      .select("touch", "conversions", "linear_credit", "u_credit")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(r == Seq(
+      ("click", 2L, 1.333333, 1.4),   // 1/3 + 1 ; 0.4 + 1.0
+      ("signup", 1L, 0.333333, 0.4),  // newest of the three
+      ("view", 1L, 0.333333, 0.2)),   // middle
+      s"got $r")
+  }
+
   test("cluster_coef: the triangle is cc=1 everywhere; a path has cc=0 at the middle, NULL at deg-1 tips") {
     import graft.operators.Graphs
     writeEvents(Seq(
