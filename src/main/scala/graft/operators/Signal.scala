@@ -483,7 +483,42 @@ object Signal {
       "(sqrt(CAST(np*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(np*syy - sy*sy AS DOUBLE))), 6) r " +
       "FROM m WHERE np*sxx - sx*sx > 0 AND np*syy - sy*sy > 0 ORDER BY lg"
 
+  /** Pairwise distance matrix between the per-type hourly count series
+    * on the gapless grid — the series-clustering precursor ("which
+    * metrics move together?") next to q_ts_corr_pair's single Pearson r:
+    * L1 and L2 between every type pair, EXACT integer sums throughout
+    * (the only double is the final sqrt). One hour-keyed self-join of
+    * the ≤types×720 panel — pairs×grid rows, never the raw scan. */
+  val qTsSeriesDist: Q = (s, d) => {
+    val types = Tables.events(s, d).select(col("event_type").as("et")).distinct()
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val panel = types.crossJoin(broadcast(hourGrid(s)))
+      .join(hourly, Seq("et", "h"), "left")
+      .select(col("et"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val a = panel.select(col("et").as("et_a"), col("h"), col("c").as("ca"))
+    val b = panel.select(col("et").as("et_b"), col("h"), col("c").as("cb"))
+    a.join(b, "h").filter(col("et_a") < col("et_b"))
+      .groupBy("et_a", "et_b")
+      .agg(sum(abs(col("ca") - col("cb"))).as("l1"),
+        sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("l2sq"))
+      .select(col("et_a"), col("et_b"), col("l1"),
+        Num.roundd(sqrt(col("l2sq").cast("double")), 6).as("l2"))
+      .orderBy("et_a", "et_b")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ts_series_dist", qTsSeriesDist, Some(
+      s"WITH grid AS ($GRID), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) ah, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, grid.h, coalesce(hc.c, 0) c FROM ty CROSS JOIN grid " +
+        "LEFT JOIN hc ON hc.et = ty.et AND hc.ah = grid.h), " +
+        "j AS (SELECT a.et et_a, b.et et_b, a.c ca, b.c cb FROM p a JOIN p b ON b.h = a.h AND a.et < b.et) " +
+        "SELECT et_a, et_b, CAST(sum(abs(ca - cb)) AS BIGINT) l1, " +
+        "round(sqrt(CAST(sum((ca - cb) * (ca - cb)) AS DOUBLE)), 6) l2 " +
+        "FROM j GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_ts_xcorr_lag", qTsXcorrLag, Some(
       s"WITH grid AS ($GRID), " +
         "agg AS (SELECT date_trunc('hour', ts) ah, " +

@@ -412,4 +412,17 @@ class SignalSpec extends SparkSuite {
       ("view", t0 + 120, t0 + 180, 0L),
       ("click", t0 + 180, -1L, 1L)), s"got $r")
   }
+
+  test("series_dist: 2-vs-5 per hour for 720 hours gives l1 = 2160, l2 = 3·√720") {
+    import graft.operators.Signal
+    val rows = (0 until 720).flatMap { x =>
+      (1 to 2).map(i => (x * 10L + i, ns(t0 + x * 3600L), 1L, "click", 1.0, "{}")) ++
+        (3 to 7).map(i => (x * 10L + i, ns(t0 + x * 3600L), 1L, "view", 1.0, "{}"))
+    }.zipWithIndex.map { case (r, i) => r.copy(_1 = i.toLong) }
+    writeEvents(rows)
+    val r = Signal.qTsSeriesDist(spark, dir)
+      .select("et_a", "et_b", "l1", "l2").as[(String, String, Long, Double)].collect().toSeq
+    val l2 = { val v = 3.0 * math.sqrt(720.0); math.floor(v * 1e6 + 0.5) / 1e6 }
+    assert(r == Seq(("click", "view", 2160L, l2)), s"got $r")
+  }
 }
