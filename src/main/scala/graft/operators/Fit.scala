@@ -249,6 +249,52 @@ object Fit {
       .orderBy("event_type", "d")
   }
 
+  /** Steady-state local-level Kalman filter per event_type over the
+    * gapless hourly count series (process noise Q=1, observation noise
+    * R=4): the optimal online smoother for a random-walk level observed
+    * with noise — what a monitoring stack uses when EWMA's fixed alpha
+    * is too blunt (the Kalman gain ADAPTS: high while uncertain, then
+    * converges to the Riccati fixed point). Public formulation: Kalman
+    * (1960); the scalar recurrence is
+    *   Pp = P + Q;  K = Pp/(Pp+R);  x += K(z - x);  P = (1-K)Pp.
+    *
+    * Determinism: x, K and P are rounded at 6 dp EVERY step on both
+    * engines, so each engine folds the identical rounded sequence — the
+    * q_ts_capped_cumsum replay discipline (the oracle is an independent
+    * recursive-CTE formulation of the same fold). Scale: the fold runs
+    * per event_type on the POST-aggregate hourly panel (≤ types × hours
+    * rows regardless of event volume) — the same bounded-series-per-key
+    * contract as the sessionizer; the raw scan is one hash aggregate. */
+  val qTsKalman: Q = (s, d) => {
+    import s.implicits._
+    def r6(v: Double): Double = {
+      val m = math.floor(math.abs(v) * 1e6 + 0.5) / 1e6
+      if (v < 0) -m else m
+    }
+    hourlyPanel(s, d)
+      .select(col("et"), col("x"), col("c"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et: String, it: Iterator[(String, Long, Long)]) =>
+        val zs = it.toArray.sortBy(_._2)
+        var x = 0.0; var p = 0.0; var first = true
+        zs.iterator.map { case (_, h, z) =>
+          var k = 0.0
+          if (first) { x = z.toDouble; p = 1.0; first = false }
+          else {
+            val pp = r6(p + 1.0)
+            k = r6(pp / (pp + 4.0))
+            x = r6(x + k * (z.toDouble - x))
+            p = r6((1.0 - k) * pp)
+          }
+          (et, h, r6(x), k)
+        }
+      }
+      .toDF("event_type", "x", "level", "gain")
+      .filter(col("x") >= 690L) // report the settled tail (last 30 hours)
+      .orderBy("event_type", "x")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -337,5 +383,18 @@ object Fit {
         "s AS (SELECT user_id, event_id, rn, least(greatest(100.0 + delta, 0.0), 200.0) bal FROM e WHERE rn = 1 " +
         "UNION ALL SELECT e.user_id, e.event_id, e.rn, least(greatest(s.bal + e.delta, 0.0), 200.0) " +
         "FROM s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1) " +
-        "SELECT user_id, event_id, round(bal, 6) bal FROM s ORDER BY user_id, event_id")))
+        "SELECT user_id, event_id, round(bal, 6) bal FROM s ORDER BY user_id, event_id")),
+    ("q_ts_kalman", qTsKalman, Some(
+      "WITH RECURSIVE g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, CAST(datediff('hour', TIMESTAMP '2024-01-01', g.h) AS BIGINT) x, " +
+        "CAST(coalesce(hc.c, 0) AS DOUBLE) z FROM ty CROSS JOIN g LEFT JOIN hc ON hc.et = ty.et AND hc.h = g.h), " +
+        "s AS (SELECT et, x, z AS lvl, CAST(1.0 AS DOUBLE) AS pv, CAST(0.0 AS DOUBLE) AS k FROM p WHERE x = 0 " +
+        "UNION ALL SELECT p.et, p.x, " +
+        "round(s.lvl + round(round(s.pv + 1.0, 6) / (round(s.pv + 1.0, 6) + 4.0), 6) * (p.z - s.lvl), 6), " +
+        "round((1.0 - round(round(s.pv + 1.0, 6) / (round(s.pv + 1.0, 6) + 4.0), 6)) * round(s.pv + 1.0, 6), 6), " +
+        "round(round(s.pv + 1.0, 6) / (round(s.pv + 1.0, 6) + 4.0), 6) " +
+        "FROM s JOIN p ON p.et = s.et AND p.x = s.x + 1) " +
+        "SELECT et event_type, x, round(lvl, 6) AS \"level\", k gain FROM s WHERE x >= 690 ORDER BY 1, 2")))
 }

@@ -508,7 +508,89 @@ object Signal {
       .orderBy("et_a", "et_b")
   }
 
+  /** Exact matrix profile (Yeh et al., ICDM 2016) of each event_type's
+    * 6-hour-bucket count series: for every length-8 subsequence, the
+    * z-normalized Euclidean distance to its nearest non-overlapping
+    * neighbor (exclusion zone m/2) plus that neighbor's index — THE
+    * motif/discord primitive (minima = repeated shapes, maxima =
+    * anomalies). This is the exact O(n²·m) formulation; the published
+    * scale path for LONG series is STOMP's O(n²) rolling-dot-product
+    * recurrence — unnecessary here because n is the FIXED 120-bucket
+    * calendar window per key: the n² term is a constant and the operator
+    * scales out across series keys, with the raw scan paying only one
+    * hash aggregate.
+    *
+    * Determinism: bucket counts are exact longs; per-window μ and σ round
+    * at 6 dp; each z-score rounds at 6 dp then lifts to a micro-unit LONG,
+    * so every pair distance² is an EXACT integer sum of squared long
+    * diffs (order-free) and the argmin tie-break (d², then j) compares
+    * longs, never floats. σ carries a +1e-6 floor so a constant window
+    * (σ=0) yields all-zero z-scores instead of a divide-by-zero. */
+  val qTsMatrixProfile: Q = (s, d) => {
+    val m = 8
+    val buckets = s.sql("SELECT explode(sequence(0, 119)) AS b")
+      .crossJoin(Tables.events(s, d).select(col("event_type").as("et")).distinct())
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type").as("cet"),
+        (expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', date_trunc('hour', ts))")
+          .cast("long") / lit(6L)).cast("long").as("cb"))
+      .agg(count(lit(1)).as("c"))
+    val series = buckets
+      .join(counts, col("et") === col("cet") && col("b") === col("cb"), "left")
+      .select(col("et"), col("b"), coalesce(col("c"), lit(0L)).as("v"))
+    // windows: (et, i, k, v) for window start i, in-window offset k
+    val offs = s.sql(s"SELECT explode(sequence(0, ${m - 1})) AS k")
+    val w = series.crossJoin(broadcast(offs))
+      .select(col("et"), (col("b") - col("k")).as("i"), col("k"), col("v"))
+      .filter(col("i") >= 0 && col("i") <= lit(120 - m))
+    val st = w.groupBy(col("et").as("set"), col("i").as("si"))
+      .agg(sum("v").as("s1"), sum(col("v") * col("v")).as("s2"))
+      .select(col("set"), col("si"),
+        Num.roundd(col("s1").cast("double") / m, 6).as("mu"),
+        Num.roundd(sqrt(
+          greatest((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / m) / m,
+            lit(0.0)) + 1e-6), 6).as("sd"))
+    val z = w.join(broadcast(st), col("et") === col("set") && col("i") === col("si"))
+      .select(col("et"), col("i"), col("k"),
+        Num.roundd(Num.roundd((col("v").cast("double") - col("mu")) / col("sd"), 6) * 1e6, 0)
+          .cast("long").as("zl"))
+    val za = z.select(col("et"), col("i").as("ia"), col("k"), col("zl").as("zla"))
+    val zb = z.select(col("et").as("etb"), col("i").as("ib"), col("k").as("kb"), col("zl").as("zlb"))
+    val pairs = za.join(zb,
+        col("et") === col("etb") && col("k") === col("kb") && col("ib") >= col("ia") + lit(m / 2))
+      .groupBy(col("et"), col("ia"), col("ib"))
+      .agg(sum((col("zla") - col("zlb")) * (col("zla") - col("zlb"))).as("d2l"))
+    val both = pairs.select(col("et"), col("ia").as("i"), col("ib").as("j"), col("d2l"))
+      .unionAll(pairs.select(col("et"), col("ib").as("i"), col("ia").as("j"), col("d2l")))
+    val rn = Window.partitionBy("et", "i").orderBy(col("d2l"), col("j"))
+    both.withColumn("rn", row_number().over(rn)).filter(col("rn") === 1)
+      .select(col("et").as("event_type"), col("i"), col("j").as("nn"),
+        Num.roundd(sqrt(col("d2l").cast("double")) / 1e6, 6).as("dist"))
+      .orderBy("event_type", "i")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ts_matrix_profile", qTsMatrixProfile, Some(
+      "WITH bg AS (SELECT unnest(range(120)) b), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "cnt AS (SELECT event_type et, CAST(datediff('hour', TIMESTAMP '2024-01-01', date_trunc('hour', ts)) // 6 AS BIGINT) cb, " +
+        "CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "se AS (SELECT ty.et, CAST(bg.b AS BIGINT) b, coalesce(cnt.c, 0) v " +
+        "FROM ty CROSS JOIN bg LEFT JOIN cnt ON cnt.et = ty.et AND cnt.cb = bg.b), " +
+        "ks AS (SELECT CAST(unnest(range(8)) AS BIGINT) k), " +
+        "w AS (SELECT se.et, se.b - ks.k i, ks.k, se.v FROM se CROSS JOIN ks " +
+        "WHERE se.b - ks.k >= 0 AND se.b - ks.k <= 112), " +
+        "st AS (SELECT et, i, round(CAST(sum(v) AS DOUBLE) / 8, 6) mu, " +
+        "round(sqrt(greatest((CAST(sum(v * v) AS DOUBLE) - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / 8) / 8, 0.0) + 0.000001), 6) sd " +
+        "FROM w GROUP BY 1, 2), " +
+        "z AS (SELECT w.et, w.i, w.k, CAST(round(round((CAST(w.v AS DOUBLE) - st.mu) / st.sd, 6) * 1000000, 0) AS BIGINT) zl " +
+        "FROM w JOIN st ON st.et = w.et AND st.i = w.i), " +
+        "p AS (SELECT a.et, a.i ia, b.i ib, sum((a.zl - b.zl) * (a.zl - b.zl)) d2l " +
+        "FROM z a JOIN z b ON b.et = a.et AND b.k = a.k AND b.i >= a.i + 4 GROUP BY 1, 2, 3), " +
+        "bo AS (SELECT et, ia i, ib j, d2l FROM p UNION ALL SELECT et, ib, ia, d2l FROM p), " +
+        "r AS (SELECT et, i, j, d2l, row_number() OVER (PARTITION BY et, i ORDER BY d2l, j) rn FROM bo) " +
+        "SELECT et event_type, i, j AS nn, round(sqrt(CAST(d2l AS DOUBLE)) / 1000000, 6) dist " +
+        "FROM r WHERE rn = 1 ORDER BY 1, 2")),
     ("q_ts_series_dist", qTsSeriesDist, Some(
       s"WITH grid AS ($GRID), " +
         "ty AS (SELECT DISTINCT event_type et FROM events), " +

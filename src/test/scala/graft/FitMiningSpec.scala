@@ -327,6 +327,29 @@ class FitMiningSpec extends SparkSuite {
     }
   }
 
+  // ---- kalman --------------------------------------------------------------
+
+  test("kalman: constant series keeps level exactly at the constant; gain matches the driver-side Riccati fold") {
+    // one event per hour for all 720 hours: z = 1 everywhere, so the
+    // innovation z - x is 0 at every step and the level never moves,
+    // while the gain runs the P-recurrence to its rounded fixed point.
+    writeEvents((0 until 720).map(x => (x.toLong, ns(t0 + x * hour), 1L, "click", 1.0, "{}")))
+    def r6(v: Double): Double = { val m = math.floor(math.abs(v) * 1e6 + 0.5) / 1e6; if (v < 0) -m else m }
+    // driver-side replay of the same rounded fold
+    var p = 1.0; var kExp = 0.0
+    (1 until 720).foreach { _ =>
+      val pp = r6(p + 1.0); kExp = r6(pp / (pp + 4.0)); p = r6((1.0 - kExp) * pp)
+    }
+    val r = Fit.qTsKalman(spark, dir)
+      .select("x", "level", "gain").as[(Long, Double, Double)].collect().toSeq
+    assert(r.map(_._1) == (690L until 720L).toSeq, s"got hours ${r.map(_._1)}")
+    assert(r.forall(_._2 == 1.0), s"level must stay at the constant: $r")
+    // the gain is settled well before hour 690: every reported row shows the fixed point
+    assert(r.forall(_._3 == kExp), s"gain must equal the replayed fixed point $kExp: $r")
+    // sanity: the rounded fixed point is the analytic steady state K = (sqrt(17)-1)/... ~ 0.390388
+    assert(math.abs(kExp - 0.390388) < 2e-6, s"fixed point drifted: $kExp")
+  }
+
   // ---- lang confusion -----------------------------------------------------
 
   test("lang_confusion: mislabeled doc lands off-diagonal with recall share 1") {

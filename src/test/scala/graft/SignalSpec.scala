@@ -413,6 +413,39 @@ class SignalSpec extends SparkSuite {
       ("click", t0 + 180, -1L, 1L)), s"got $r")
   }
 
+  test("matrix_profile: equals a brute-force driver recompute with the same rounding discipline") {
+    // deterministic pseudo-random 6-hour bucket counts; v(b) events at hour 6b
+    val v = (0 until 120).map(b => (b * b * 31 + 7 * b) % 23 + 1).toArray
+    var id = 0L
+    val rows = (0 until 120).flatMap { b =>
+      (0 until v(b)).map { _ => id += 1; (id, ns(t0 + b * 6 * hour), 1L, "click", 1.0, "{}") }
+    }
+    writeEvents(rows)
+    def r6(x: Double): Double = { val m = math.floor(math.abs(x) * 1e6 + 0.5) / 1e6; if (x < 0) -m else m }
+    val m = 8
+    val zl = Array.ofDim[Long](113, m)
+    for (i <- 0 to 112) {
+      val w = (0 until m).map(k => v(i + k).toDouble)
+      val s1 = w.sum; val s2 = w.map(x => x * x).sum
+      val mu = r6(s1 / m)
+      val sd = r6(math.sqrt(math.max((s2 - s1 * s1 / m) / m, 0.0) + 1e-6))
+      for (k <- 0 until m) {
+        val z = r6((v(i + k) - mu) / sd)
+        val mm = math.floor(math.abs(z * 1e6) + 0.5); zl(i)(k) = (if (z < 0) -mm else mm).toLong
+      }
+    }
+    val want = (0 to 112).map { i =>
+      val cands = for {
+        j <- 0 to 112 if math.abs(j - i) >= m / 2
+      } yield (((0 until m).map(k => { val d = zl(i)(k) - zl(j)(k); d * d }).sum), j)
+      val (d2, j) = cands.min
+      (i.toLong, j.toLong, r6(math.sqrt(d2.toDouble) / 1e6))
+    }
+    val got = Signal.qTsMatrixProfile(spark, dir)
+      .select("i", "nn", "dist").as[(Long, Long, Double)].collect().toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
+
   test("series_dist: 2-vs-5 per hour for 720 hours gives l1 = 2160, l2 = 3·√720") {
     import graft.operators.Signal
     val rows = (0 until 720).flatMap { x =>
