@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hypothesis-test tier — the classical statistical tests an analyst
+  * runs AFTER the descriptive operators (ACF, PSI, z-test) have surfaced
+  * a signal: is this series white noise (Ljung–Box), do two samples come
+  * from the same distribution (Kolmogorov–Smirnov, Mann–Whitney), are
+  * two categoricals independent (chi-square / Cramér's V)? All public
+  * textbook formulations (Ljung & Box 1978; Kolmogorov 1933/Smirnov
+  * 1948; Mann & Whitney 1947; Pearson 1900).
+  *
+  * Determinism (SURVEY §2.0): every statistic is assembled from EXACT
+  * integer moments (counts, rank sums, tie terms) with the division
+  * performed ONCE in double at the end, mirrored operation-for-operation
+  * in the DuckDB oracle; per-lag / per-cell terms round at 9–12 dp so
+  * their sums are exact multiples of the quantum (order-free), then the
+  * final statistic rounds at 6 dp through [[Num.roundd]].
+  *
+  * Scale theme: Ljung–Box rides the POST-aggregate ≤types×720 hourly
+  * panel (raw scan = one hash aggregate); chi-square reduces to a
+  * types×7 cell grid with broadcast marginals; KS and Mann–Whitney
+  * collapse the scan to a per-distinct-value rollup and take their
+  * global prefix counts through [[Rank.withGlobalOrder]] — the
+  * range-partitioned TeraSort path — so no single-partition window
+  * appears at any size. Integer-moment bounds: the long products here
+  * (n²·Σxy, n1·cum2, Σc1·2cum) stay exact while n ≲ 1e9 pooled rows
+  * per tested pair; beyond that the moment columns move to DecimalType.
+  */
+object Stats {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Gapless per-type hourly count panel (et, x, c) — the q_ts_gapfill
+    * grid; absent hours are real zeros (see Signal.hourGrid). */
+  private def hourlyPanel(s: SparkSession, d: String): DataFrame = {
+    val grid = s.sql(
+      "SELECT explode(sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00', TIMESTAMP_NTZ '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h")
+    val types = Tables.events(s, d).select(col("event_type").as("et")).distinct()
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    types.crossJoin(broadcast(grid))
+      .join(hourly, Seq("et", "h"), "left")
+      .select(col("et"),
+        expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', h)")
+          .cast("long").as("x"),
+        coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  /** Per-distinct-value two-sample rollup of `events.value` for the
+    * click/view pair: (value, c1, c2) — the scan-collapsing step shared
+    * by KS and Mann–Whitney. Distinct doubles group identically on both
+    * engines because both read the same parquet bits. */
+  private def pooledRollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+
+  /** Ljung–Box portmanteau per event_type over the hourly count panel,
+    * lags 1..24: r_k from exact integer moments (numerator and
+    * denominator both scaled by n² so every term is a long), then the
+    * cumulative Q_k = n(n+2)·Σ_{j≤k} r_j²/(n−j). Each r rounds at 6 dp
+    * and each summand at 12 dp, so the 24-term running sum is an exact
+    * multiple of 1e-12 — order-free — before the final 6 dp round.
+    * A zero-variance (constant) series yields NULL r and Q by explicit
+    * guard, not divide-by-zero. The lag fan-out is a (et, hour)-keyed
+    * self-join of the ≤types×720 panel × 24 lags — post-aggregate. */
+  val qStatLjungBox: Q = (s, d) => {
+    val p = hourlyPanel(s, d)
+    val ks = s.sql("SELECT explode(sequence(1, 24)) AS k").select(col("k").cast("long").as("k"))
+    val lagged = p.crossJoin(broadcast(ks))
+      .withColumn("xl", col("x") - col("k"))
+      .join(p.select(col("et").as("et2"), col("x").as("xl2"), col("c").as("cl")),
+        col("et") === col("et2") && col("xl") === col("xl2"))
+      .groupBy("et", "k")
+      .agg(sum(col("c") * col("cl")).as("sxy"), sum("c").as("ak"), sum("cl").as("bk"))
+    val g = p.groupBy(col("et").as("get"))
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"), sum(col("c") * col("c")).as("ss"))
+    val den = col("n") * col("n") * col("ss") - col("n") * col("sc") * col("sc")
+    val num = col("n") * col("n") * col("sxy") -
+      col("n") * col("sc") * (col("ak") + col("bk")) +
+      (col("n") - col("k")) * col("sc") * col("sc")
+    val r = lagged.join(broadcast(g), col("et") === col("get"))
+      .select(col("et"), col("k"), col("n"),
+        when(den === 0L, lit(null))
+          .otherwise(Num.roundd(num.cast("double") / den.cast("double"), 6)).as("r"))
+    val w = Window.partitionBy("et").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.withColumn("term", Num.roundd(col("r") * col("r") / (col("n") - col("k")).cast("double"), 12))
+      .select(col("et").as("event_type"), col("k"), col("r"),
+        Num.roundd((col("n") * (col("n") + 2L)).cast("double") * sum("term").over(w), 6).as("q_lb"))
+      .orderBy("event_type", "k")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov D between the click and view value
+    * distributions: D = max_v |F1(v) − F2(v)| over the pooled distinct
+    * values, with the max located at the SMALLEST value on ties. The
+    * ECDF numerators are global running counts over the value-sorted
+    * rollup — the Rank.withGlobalOrder path, no single-partition
+    * window — and D's argmax compares the exact long |n2·cum1 − n1·cum2|
+    * (scaled by n1·n2), dividing once at the end. */
+  val qStatKs: Q = (s, d) => {
+    val roll = pooledRollup(s, d)
+    val ranked = Rank.withGlobalOrder(roll, Seq(col("value")), "rk",
+      Seq(("c1", "cum1"), ("c2", "cum2")))
+    val tot = roll.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("value"), col("n1"), col("n2"),
+        abs(col("n2") * col("cum1") - col("n1") * col("cum2")).as("dnum"))
+      .orderBy(col("dnum").desc, col("value").asc)
+      .limit(1)
+      .select(
+        Num.roundd(col("dnum").cast("double") / (col("n1") * col("n2")).cast("double"), 6).as("ks_d"),
+        col("value").as("at_value"), col("n1"), col("n2"))
+  }
+
+  /** Mann–Whitney U (normal approximation, tie-corrected, continuity-
+    * corrected) for click vs view values. Rank sums use midranks over
+    * the pooled distinct-value rollup: 2·R1 = Σ_v c1·(2·(cum_t − t) +
+    * t + 1) is an exact long via the same global running count, the tie
+    * term Σ(t³−t) is exact, and z divides once:
+    *   z = (2U1 − 2μ − sign) / (2·σ),  σ² = n1n2/12·[(n+1) − T/(n(n−1))].
+    * The double expression tree is mirrored token-for-token in the
+    * oracle so IEEE evaluation order matches. */
+  val qStatMannWhitney: Q = (s, d) => {
+    val roll = pooledRollup(s, d).withColumn("t", col("c1") + col("c2"))
+    val ranked = Rank.withGlobalOrder(roll, Seq(col("value")), "rk", Seq(("t", "cumt")))
+    val a = ranked.agg(
+      sum(col("c1") * (lit(2L) * (col("cumt") - col("t")) + col("t") + 1L)).as("r2"),
+      sum("c1").as("n1"), sum("c2").as("n2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+    // 2U1 = 2·n1·n2 + n1(n1+1) − 2R1 ; d2 = 2U1 − 2μ = n1·n2 + n1(n1+1) − 2R1
+    val u2 = lit(2L) * col("n1") * col("n2") + col("n1") * (col("n1") + 1L) - col("r2")
+    val d2 = u2 - col("n1") * col("n2")
+    val n = col("n1") + col("n2")
+    val sigma = sqrt(
+      (col("n1") * col("n2")).cast("double") *
+        ((n + 1L).cast("double") - col("tie").cast("double") / (n * (n - 1L)).cast("double")) /
+        lit(12.0))
+    a.select(
+      Num.roundd(u2.cast("double") / lit(2.0), 1).as("u1"),
+      when(d2 === 0L, lit(0.0))
+        .otherwise(Num.roundd((d2.cast("double") - signum(d2.cast("double"))) / (lit(2.0) * sigma), 6))
+        .as("z"),
+      col("n1"), col("n2"))
+  }
+
+  /** Pearson chi-square test of independence between event_type and
+    * ISO weekday over the full event scan, plus Cramér's V. Each cell
+    * contributes ((O·N − R·C)/1)² / (N·R·C) with the difference exact in
+    * longs before the one squaring in double; cells round at 9 dp so the
+    * ≤types×7 sum is exact, then χ² and V round at 6 dp. Marginals are
+    * two broadcast-sized aggregates; zero-margin cells are excluded (the
+    * textbook convention — their expected count is undefined). */
+  val qStatChi2: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type").as("et"), expr("weekday(ts)").cast("long").as("dw"))
+    val obs = ev.groupBy("et", "dw").agg(count(lit(1)).as("o"))
+    val grid = ev.select("et").distinct()
+      .crossJoin(s.sql("SELECT explode(sequence(0, 6)) AS dw").select(col("dw").cast("long").as("dw")))
+    val full = grid.join(obs, Seq("et", "dw"), "left")
+      .select(col("et"), col("dw"), coalesce(col("o"), lit(0L)).as("o"))
+    val rowt = full.groupBy("et").agg(sum("o").as("rt"))
+    val colt = full.groupBy("dw").agg(sum("o").as("ct"))
+    val tot = full.agg(sum("o").as("nn"))
+    val dd = (col("o") * col("nn") - col("rt") * col("ct")).cast("double")
+    val cells = full.join(broadcast(rowt), Seq("et")).join(broadcast(colt), Seq("dw"))
+      .crossJoin(broadcast(tot))
+      .filter(col("rt") > 0L && col("ct") > 0L)
+      .select(col("et"), col("nn"),
+        Num.roundd(dd * dd / (col("nn") * col("rt") * col("ct")).cast("double"), 9).as("cell"))
+    cells.agg(sum("cell").as("x2raw"), countDistinct("et").as("ntypes"), max("nn").as("n"))
+      .select(
+        Num.roundd(col("x2raw"), 6).as("chi2"),
+        ((col("ntypes") - 1L) * 6L).as("dof"),
+        Num.roundd(sqrt(col("x2raw") / (col("n") * least(col("ntypes") - 1L, lit(6L))).cast("double")), 6).as("cramers_v"),
+        col("n"))
+      .orderBy("chi2")
+  }
+
+  // ---- catalog ------------------------------------------------------------
+
+  private val GRID =
+    "SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h"
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stat_ljung_box", qStatLjungBox, Some(
+      s"WITH g AS ($GRID), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, CAST(datediff('hour', TIMESTAMP '2024-01-01', g.h) AS BIGINT) x, " +
+        "CAST(coalesce(hc.c, 0) AS BIGINT) c FROM ty CROSS JOIN g LEFT JOIN hc ON hc.et = ty.et AND hc.h = g.h), " +
+        "ks AS (SELECT CAST(unnest(range(1, 25)) AS BIGINT) k), " +
+        "l AS (SELECT a.et, ks.k, sum(a.c * b.c) sxy, sum(a.c) ak, sum(b.c) bk " +
+        "FROM p a CROSS JOIN ks JOIN p b ON b.et = a.et AND b.x = a.x - ks.k GROUP BY 1, 2), " +
+        "gl AS (SELECT et, CAST(count(*) AS BIGINT) n, sum(c) sc, sum(c * c) ss FROM p GROUP BY 1), " +
+        "r AS (SELECT l.et, l.k, gl.n, CASE WHEN gl.n * gl.n * gl.ss - gl.n * gl.sc * gl.sc = 0 THEN NULL " +
+        "ELSE round(CAST(gl.n * gl.n * l.sxy - gl.n * gl.sc * (l.ak + l.bk) + (gl.n - l.k) * gl.sc * gl.sc AS DOUBLE) " +
+        "/ CAST(gl.n * gl.n * gl.ss - gl.n * gl.sc * gl.sc AS DOUBLE), 6) END r FROM l JOIN gl ON gl.et = l.et), " +
+        "t AS (SELECT et, k, n, r, round(r * r / CAST(n - k AS DOUBLE), 12) term FROM r) " +
+        "SELECT et event_type, k, r, round(CAST(n * (n + 2) AS DOUBLE) * " +
+        "sum(term) OVER (PARTITION BY et ORDER BY k), 6) q_lb FROM t ORDER BY 1, 2")),
+    ("q_stat_ks", qStatKs, Some(
+      "WITH roll AS (SELECT value, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) c1, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) c2 " +
+        "FROM events WHERE event_type IN ('click', 'view') GROUP BY 1), " +
+        "c AS (SELECT value, CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) cum1, " +
+        "CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) cum2 FROM roll), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) n1, CAST(sum(c2) AS BIGINT) n2 FROM roll) " +
+        "SELECT round(CAST(abs(t.n2 * c.cum1 - t.n1 * c.cum2) AS DOUBLE) / CAST(t.n1 * t.n2 AS DOUBLE), 6) ks_d, " +
+        "c.value at_value, t.n1, t.n2 FROM c, t " +
+        "ORDER BY abs(t.n2 * c.cum1 - t.n1 * c.cum2) DESC, c.value LIMIT 1")),
+    ("q_stat_mannwhitney", qStatMannWhitney, Some(
+      "WITH roll AS (SELECT value, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) c1, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) c2 " +
+        "FROM events WHERE event_type IN ('click', 'view') GROUP BY 1), " +
+        "rr AS (SELECT value, c1, c2, c1 + c2 t, CAST(sum(c1 + c2) OVER (ORDER BY value) AS BIGINT) cumt FROM roll), " +
+        "a AS (SELECT CAST(sum(c1 * (2 * (cumt - t) + t + 1)) AS BIGINT) r2, " +
+        "CAST(sum(c1) AS BIGINT) n1, CAST(sum(c2) AS BIGINT) n2, " +
+        "CAST(sum(t * t * t - t) AS BIGINT) tie FROM rr), " +
+        "b AS (SELECT 2 * n1 * n2 + n1 * (n1 + 1) - r2 u2, " +
+        "2 * n1 * n2 + n1 * (n1 + 1) - r2 - n1 * n2 d2, n1, n2, tie FROM a) " +
+        "SELECT round(CAST(u2 AS DOUBLE) / 2, 1) u1, " +
+        "CASE WHEN d2 = 0 THEN 0.0 ELSE round((CAST(d2 AS DOUBLE) - sign(CAST(d2 AS DOUBLE))) / " +
+        "(2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) * (CAST(n1 + n2 + 1 AS DOUBLE) - " +
+        "CAST(tie AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) / 12.0)), 6) END z, " +
+        "n1, n2 FROM b")),
+    ("q_stat_chi2", qStatChi2, Some(
+      "WITH ev AS (SELECT event_type et, CAST(isodow(ts) - 1 AS BIGINT) dw FROM events), " +
+        "obs AS (SELECT et, dw, CAST(count(*) AS BIGINT) o FROM ev GROUP BY 1, 2), " +
+        "grid AS (SELECT ty.et, CAST(d.dw AS BIGINT) dw FROM (SELECT DISTINCT et FROM ev) ty " +
+        "CROSS JOIN (SELECT unnest(range(7)) dw) d), " +
+        "f AS (SELECT grid.et, grid.dw, coalesce(obs.o, 0) o FROM grid LEFT JOIN obs ON obs.et = grid.et AND obs.dw = grid.dw), " +
+        "rt AS (SELECT et, sum(o) rt FROM f GROUP BY 1), " +
+        "ct AS (SELECT dw, sum(o) ct FROM f GROUP BY 1), " +
+        "nn AS (SELECT CAST(sum(o) AS BIGINT) nn FROM f), " +
+        "cells AS (SELECT f.et, nn.nn, " +
+        "round(CAST(f.o * nn.nn - rt.rt * ct.ct AS DOUBLE) * CAST(f.o * nn.nn - rt.rt * ct.ct AS DOUBLE) " +
+        "/ CAST(nn.nn * rt.rt * ct.ct AS DOUBLE), 9) cell " +
+        "FROM f JOIN rt ON rt.et = f.et JOIN ct ON ct.dw = f.dw CROSS JOIN nn WHERE rt.rt > 0 AND ct.ct > 0) " +
+        "SELECT round(sum(cell), 6) chi2, CAST((count(DISTINCT et) - 1) * 6 AS BIGINT) dof, " +
+        "round(sqrt(sum(cell) / CAST(max(nn) * least(count(DISTINCT et) - 1, 6) AS DOUBLE)), 6) cramers_v, " +
+        "CAST(max(nn) AS BIGINT) n FROM cells ORDER BY 1")))
+}
