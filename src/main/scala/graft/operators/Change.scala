@@ -188,6 +188,44 @@ object Change {
       .orderBy("event_type")
   }
 
+  /** Hysteresis burst episodes per event_type: enter a burst when the
+    * hourly count exceeds 1.5× the series mean, stay in it until the
+    * count drops below the mean — the two-threshold (Schmitt-trigger)
+    * episode detector alerting stacks use to suppress flapping, and the
+    * practical cousin of Kleinberg's two-state burst automaton (2002).
+    * Both threshold compares are exact-integer cross-multiplications
+    * (2·c·N vs 3·S and c·N vs S — no float ever decides a state).
+    *
+    * The state machine is evaluated DECLARATIVELY, not as a fold: mark
+    * rows +1 (above hi) / −1 (below lo) / 0; the state at any hour is
+    * the LAST non-zero mark in its prefix (each prefix-count segment
+    * holds exactly one non-zero mark — its first row — so a per-segment
+    * max recovers it); burst hours then group into episodes by the
+    * gaps-and-islands key x − row_number(). Identical windows on both
+    * engines, all per-type over the ≤720-row panel. */
+  val qTsBurst: Q = (s, d) => {
+    val tot = hourlyPanel(s, d).groupBy(col("et").as("tet")).agg(sum("c").as("sc"))
+    val wseq = Window.partitionBy("et").orderBy("x")
+    val wcum = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = hourlyPanel(s, d).join(broadcast(tot), col("et") === col("tet"))
+      .withColumn("mark",
+        when(col("c") * (2L * N) > lit(3L) * col("sc"), 1L)
+          .when(col("c") * N < col("sc"), -1L)
+          .otherwise(0L))
+      .withColumn("nzgrp",
+        sum(when(col("mark") =!= 0L, 1L).otherwise(0L)).over(wcum))
+      .withColumn("lastnz",
+        max(when(col("mark") =!= 0L, col("mark"))).over(Window.partitionBy("et", "nzgrp")))
+    marked.filter(col("lastnz") === 1L)
+      .withColumn("eid", col("x") - row_number().over(wseq))
+      .groupBy("et", "eid")
+      .agg(min("x").as("sx"), max("x").as("ex"), count(lit(1)).as("n_hours"),
+        max("c").as("peak"), sum("c").as("total"))
+      .select(col("et").as("event_type"), gridHour("sx").as("start_h"),
+        gridHour("ex").as("end_h"), col("n_hours"), col("peak"), col("total"))
+      .orderBy("event_type", "start_h")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   /** Shared oracle prefix: the gapless (et, x, c) panel CTEs. */
@@ -260,5 +298,19 @@ object Change {
         "round(sqrt(CAST(sse168 AS DOUBLE) / n), 6) rmse_weekly, " +
         "round(CAST(sae24 AS DOUBLE) / n, 6) mae_daily, " +
         "CASE WHEN sae24 = 0 THEN NULL ELSE round(1.0 - CAST(sae168 AS DOUBLE) / CAST(sae24 AS DOUBLE), 6) END skill " +
-        "FROM m ORDER BY 1")))
+        "FROM m ORDER BY 1")),
+    ("q_ts_burst", qTsBurst, Some(
+      panelCte +
+        "t AS (SELECT et, CAST(sum(c) AS BIGINT) sc FROM p GROUP BY 1), " +
+        "mk AS (SELECT p.et, p.x, p.c, " +
+        "CAST(CASE WHEN p.c * 1440 > 3 * t.sc THEN 1 WHEN p.c * 720 < t.sc THEN -1 ELSE 0 END AS BIGINT) mark " +
+        "FROM p JOIN t ON t.et = p.et), " +
+        "nz AS (SELECT *, CAST(sum(CASE WHEN mark <> 0 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY et ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) nzgrp FROM mk), " +
+        "st AS (SELECT *, max(CASE WHEN mark <> 0 THEN mark END) OVER (PARTITION BY et, nzgrp) lastnz FROM nz), " +
+        "b AS (SELECT et, x, c, x - row_number() OVER (PARTITION BY et ORDER BY x) eid FROM st WHERE lastnz = 1) " +
+        "SELECT et event_type, TIMESTAMP '2024-01-01' + min(x) * INTERVAL 1 HOUR start_h, " +
+        "TIMESTAMP '2024-01-01' + max(x) * INTERVAL 1 HOUR end_h, CAST(count(*) AS BIGINT) n_hours, " +
+        "CAST(max(c) AS BIGINT) peak, CAST(sum(c) AS BIGINT) total " +
+        "FROM b GROUP BY et, eid ORDER BY 1, 2")))
 }

@@ -465,6 +465,60 @@ object Mining {
       .select(col("doc_id"), col("source"), col("n_chars").as("w"), col("es_key"))
       .orderBy(desc("es_key"), asc("doc_id"))
 
+  /** Interpolated Kneser–Ney bigram language model (Kneser & Ney 1995;
+    * Chen & Goodman 1998 formulation, fixed discount D = 0.75) trained
+    * on the non-src0 sources and scored on the held-out src0 docs — the
+    * bigram upgrade of q_text_heldout_ppl's add-1 unigram, and THE
+    * classic n-gram smoothing: the backoff weight is the CONTINUATION
+    * count (how many distinct contexts a word completes), not raw
+    * frequency, so "francisco" (frequent but one-context) stops leaking
+    * probability mass.
+    *   p(w2|w1) = (max(c12−D,0) + D·N1+(w1·)·pc(w2)) / c(w1·)
+    *   pc(w2)   = (N1+(·w2) + 1) / (B + V)        [add-1 so unseen
+    *              eval words keep mass; unseen contexts back off to pc]
+    * Every count (c12, c1, N1+ left/right, B distinct bigrams, V train
+    * vocab) is an exact long; p is ONE identical double tree per pair,
+    * its ln rounds at 6 dp (the q_text_lm_score libm discipline) so the
+    * per-doc mean is order-free. Scale: counts are map-side-combinable
+    * hash aggregates at distinct-bigram width; the eval side joins on
+    * word/bigram keys — linear in tokens, vocabulary-bounded tables,
+    * no corpus-sized broadcast anywhere. */
+  val qTextKnBigram: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val pairsOf = (df: DataFrame) => withTokens(df)
+      .filter(size(col("tk")) >= 2)
+      .withColumn("pr", explode(expr(
+        "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1), (a, b) -> struct(a AS w1, b AS w2))")))
+      .withColumn("w1", col("pr.w1")).withColumn("w2", col("pr.w2"))
+    val big = pairsOf(doc.filter(col("source") =!= "src0"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy(col("w1").as("cw1"))
+      .agg(sum("c12").as("c1"), count(lit(1)).as("nl"))
+    val cont = big.groupBy(col("w2").as("kw2")).agg(count(lit(1)).as("nr"))
+    val btot = big.agg(count(lit(1)).as("bb"))
+    val vocab = withTokens(doc.filter(col("source") =!= "src0"))
+      .select(explode(col("tk")).as("w")).agg(countDistinct("w").as("vv"))
+    pairsOf(doc.filter(col("source") === "src0"))
+      .select(col("doc_id"), col("w1"), col("w2"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, col("w1") === col("cw1"), "left")
+      .join(cont, col("w2") === col("kw2"), "left")
+      .crossJoin(broadcast(btot)).crossJoin(broadcast(vocab))
+      .withColumn("pc",
+        (coalesce(col("nr"), lit(0L)) + lit(1L)).cast("double") /
+          (col("bb") + col("vv")).cast("double"))
+      .withColumn("p",
+        when(col("c1").isNotNull,
+          (greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(0.75), lit(0.0)) +
+            lit(0.75) * col("nl").cast("double") * col("pc")) / col("c1").cast("double"))
+          .otherwise(col("pc")))
+      .withColumn("lnp", Num.roundd(log(col("p")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        Num.roundd(-sum("lnp") / count(lit(1)).cast("double"), 4).as("kn_nll"))
+      .orderBy("doc_id")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -622,5 +676,27 @@ object Mining {
         "SELECT vec_id, dim, n_pos, " +
         "round(sqrt(CAST(list_sum(list_transform(m, x -> x * x)) AS DOUBLE)) / 1000000, 6) l2, " +
         "round(CAST(list_sum(list_transform(m, x -> greatest(x, CAST(0 AS BIGINT)))) AS DOUBLE) / 1000000, 6) relu_sum " +
-        "FROM t ORDER BY vec_id")))
+        "FROM t ORDER BY vec_id")),
+    ("q_text_kn_bigram", qTextKnBigram, Some(
+      "WITH tr AS (SELECT list_filter(string_split(text, ' '), x -> x != '') tk FROM documents WHERE source != 'src0'), " +
+        "big AS (SELECT split_part(bg, ' ', 1) w1, split_part(bg, ' ', 2) w2, CAST(count(*) AS BIGINT) c12 FROM " +
+        "(SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) bg FROM tr WHERE len(tk) >= 2) GROUP BY 1, 2), " +
+        "ctx AS (SELECT w1 cw1, CAST(sum(c12) AS BIGINT) c1, CAST(count(*) AS BIGINT) nl FROM big GROUP BY 1), " +
+        "cont AS (SELECT w2 kw2, CAST(count(*) AS BIGINT) nr FROM big GROUP BY 1), " +
+        "bt AS (SELECT CAST(count(*) AS BIGINT) bb FROM big), " +
+        "vo AS (SELECT CAST(count(DISTINCT w) AS BIGINT) vv FROM (SELECT unnest(tk) w FROM tr)), " +
+        "ev AS (SELECT doc_id, split_part(bg, ' ', 1) w1, split_part(bg, ' ', 2) w2 FROM " +
+        "(SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) bg FROM " +
+        "(SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') tk FROM documents WHERE source = 'src0') " +
+        "WHERE len(tk) >= 2)), " +
+        "sc AS (SELECT ev.doc_id, " +
+        "CASE WHEN ctx.c1 IS NOT NULL THEN " +
+        "(greatest(CAST(coalesce(big.c12, 0) AS DOUBLE) - 0.75, 0.0) + " +
+        "0.75 * CAST(ctx.nl AS DOUBLE) * (CAST(coalesce(cont.nr, 0) + 1 AS DOUBLE) / CAST(bt.bb + vo.vv AS DOUBLE))) " +
+        "/ CAST(ctx.c1 AS DOUBLE) " +
+        "ELSE CAST(coalesce(cont.nr, 0) + 1 AS DOUBLE) / CAST(bt.bb + vo.vv AS DOUBLE) END p " +
+        "FROM ev LEFT JOIN big ON big.w1 = ev.w1 AND big.w2 = ev.w2 " +
+        "LEFT JOIN ctx ON ctx.cw1 = ev.w1 LEFT JOIN cont ON cont.kw2 = ev.w2 CROSS JOIN bt CROSS JOIN vo) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) n_pairs, " +
+        "round(-sum(round(ln(p), 6)) / count(*), 4) kn_nll FROM sc GROUP BY 1 ORDER BY 1")))
 }

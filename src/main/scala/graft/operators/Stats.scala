@@ -183,6 +183,83 @@ object Stats {
       .orderBy("chi2")
   }
 
+  /** Lagged cross-correlation between the click and view hourly count
+    * series, lags −24..+24: r(ℓ) = corr(a_t, b_{t+ℓ}) over the valid
+    * overlap of the gapless 720-hour grid (n = 720 − |ℓ|) — the
+    * lead/lag dependence scan behind "does traffic predict purchases
+    * N hours later". All five moments per lag are exact longs over the
+    * overlap; r is the textbook expression of those moments with ONE
+    * division (identical tree both engines), zero-variance overlaps
+    * → NULL. The lag fan-out is panel × 49 joined on the hour key —
+    * post-aggregate, never event volume. */
+  val qTsCrossCorr: Q = (s, d) => {
+    val p = hourlyPanel(s, d)
+    val a = p.filter(col("et") === "click").select(col("x"), col("c").as("ca"))
+    val b = p.filter(col("et") === "view").select(col("x").as("xb"), col("c").as("cb"))
+    val lags = s.sql("SELECT explode(sequence(-24, 24)) AS lag")
+      .select(col("lag").cast("long").as("lag"))
+    val m = a.crossJoin(broadcast(lags))
+      .join(b, col("xb") === col("x") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum("ca").as("sa"), sum("cb").as("sb"),
+        sum(col("ca") * col("cb")).as("sab"),
+        sum(col("ca") * col("ca")).as("saa"),
+        sum(col("cb") * col("cb")).as("sbb"))
+    val num = m("n") * col("sab") - col("sa") * col("sb")
+    val da = m("n") * col("saa") - col("sa") * col("sa")
+    val db = m("n") * col("sbb") - col("sb") * col("sb")
+    m.select(col("lag"), col("n"),
+      when(da === 0L || db === 0L, lit(null))
+        .otherwise(Num.roundd(
+          num.cast("double") / sqrt(da.cast("double") * db.cast("double")), 6))
+        .as("r"))
+      .orderBy("lag")
+  }
+
+  /** AR(2) fit per event_type by Yule–Walker over the hourly panel:
+    * the lag-1/lag-2 autocorrelations come from the SAME exact-integer
+    * moment formula as Ljung–Box (each rounded at 6 dp), then
+    *   φ1 = r1(1−r2)/(1−r1²),  φ2 = (r2−r1²)/(1−r1²),
+    * and the innovation-variance ratio 1 − φ1·r1 − φ2·r2 — the
+    * two-coefficient autoregressive model a capacity forecaster fits
+    * before reaching for anything heavier. φ and the ratio are pure
+    * double trees over the ROUNDED r's, mirrored token-for-token;
+    * |r1| = 1 (perfectly linear series) guards to NULL. */
+  val qTsAr2Fit: Q = (s, d) => {
+    val p = hourlyPanel(s, d)
+    val ks = s.sql("SELECT explode(sequence(1, 2)) AS k").select(col("k").cast("long").as("k"))
+    val lagged = p.crossJoin(broadcast(ks))
+      .withColumn("xl", col("x") - col("k"))
+      .join(p.select(col("et").as("et2"), col("x").as("xl2"), col("c").as("cl")),
+        col("et") === col("et2") && col("xl") === col("xl2"))
+      .groupBy("et", "k")
+      .agg(sum(col("c") * col("cl")).as("sxy"), sum("c").as("ak"), sum("cl").as("bk"))
+    val g = p.groupBy(col("et").as("get"))
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"), sum(col("c") * col("c")).as("ss"))
+    val den = col("n") * col("n") * col("ss") - col("n") * col("sc") * col("sc")
+    val num = col("n") * col("n") * col("sxy") -
+      col("n") * col("sc") * (col("ak") + col("bk")) +
+      (col("n") - col("k")) * col("sc") * col("sc")
+    val r = lagged.join(broadcast(g), col("et") === col("get"))
+      .select(col("et"), col("k"),
+        when(den === 0L, lit(null))
+          .otherwise(Num.roundd(num.cast("double") / den.cast("double"), 6)).as("r"))
+    val piv = r.groupBy("et").agg(
+      max(when(col("k") === 1L, col("r"))).as("r1"),
+      max(when(col("k") === 2L, col("r"))).as("r2"))
+    val bad = col("r1").isNull || col("r2").isNull || abs(col("r1")) === 1.0
+    val withPhi = piv.select(col("et"), col("r1"), col("r2"),
+      when(bad, lit(null)).otherwise(Num.roundd(
+        col("r1") * (lit(1.0) - col("r2")) / (lit(1.0) - col("r1") * col("r1")), 6)).as("phi1"),
+      when(bad, lit(null)).otherwise(Num.roundd(
+        (col("r2") - col("r1") * col("r1")) / (lit(1.0) - col("r1") * col("r1")), 6)).as("phi2"))
+    withPhi.select(col("et").as("event_type"), col("r1"), col("r2"),
+      col("phi1"), col("phi2"),
+      when(col("phi1").isNull, lit(null)).otherwise(Num.roundd(
+        lit(1.0) - col("phi1") * col("r1") - col("phi2") * col("r2"), 6)).as("innov_ratio"))
+      .orderBy("event_type")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   private val GRID =
@@ -245,5 +322,43 @@ object Stats {
         "FROM f JOIN rt ON rt.et = f.et JOIN ct ON ct.dw = f.dw CROSS JOIN nn WHERE rt.rt > 0 AND ct.ct > 0) " +
         "SELECT round(sum(cell), 6) chi2, CAST((count(DISTINCT et) - 1) * 6 AS BIGINT) dof, " +
         "round(sqrt(sum(cell) / CAST(max(nn) * least(count(DISTINCT et) - 1, 6) AS DOUBLE)), 6) cramers_v, " +
-        "CAST(max(nn) AS BIGINT) n FROM cells ORDER BY 1")))
+        "CAST(max(nn) AS BIGINT) n FROM cells ORDER BY 1")),
+    ("q_ts_cross_corr", qTsCrossCorr, Some(
+      s"WITH g AS ($GRID), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events " +
+        "WHERE event_type IN ('click', 'view') GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, CAST(datediff('hour', TIMESTAMP '2024-01-01', g.h) AS BIGINT) x, " +
+        "CAST(coalesce(hc.c, 0) AS BIGINT) c FROM (SELECT 'click' et UNION ALL SELECT 'view') ty " +
+        "CROSS JOIN g LEFT JOIN hc ON hc.et = ty.et AND hc.h = g.h), " +
+        "lg AS (SELECT CAST(unnest(range(-24, 25)) AS BIGINT) lag), " +
+        "m AS (SELECT lg.lag, CAST(count(*) AS BIGINT) n, sum(a.c) sa, sum(b.c) sb, " +
+        "sum(a.c * b.c) sab, sum(a.c * a.c) saa, sum(b.c * b.c) sbb " +
+        "FROM (SELECT * FROM p WHERE et = 'click') a CROSS JOIN lg " +
+        "JOIN (SELECT * FROM p WHERE et = 'view') b ON b.x = a.x + lg.lag GROUP BY 1) " +
+        "SELECT lag, n, CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0 THEN NULL ELSE " +
+        "round(CAST(n * sab - sa * sb AS DOUBLE) / " +
+        "sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE)), 6) END r " +
+        "FROM m ORDER BY lag")),
+    ("q_ts_ar2_fit", qTsAr2Fit, Some(
+      s"WITH g AS ($GRID), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, CAST(datediff('hour', TIMESTAMP '2024-01-01', g.h) AS BIGINT) x, " +
+        "CAST(coalesce(hc.c, 0) AS BIGINT) c FROM ty CROSS JOIN g LEFT JOIN hc ON hc.et = ty.et AND hc.h = g.h), " +
+        "ks AS (SELECT CAST(unnest(range(1, 3)) AS BIGINT) k), " +
+        "l AS (SELECT a.et, ks.k, sum(a.c * b.c) sxy, sum(a.c) ak, sum(b.c) bk " +
+        "FROM p a CROSS JOIN ks JOIN p b ON b.et = a.et AND b.x = a.x - ks.k GROUP BY 1, 2), " +
+        "gl AS (SELECT et, CAST(count(*) AS BIGINT) n, sum(c) sc, sum(c * c) ss FROM p GROUP BY 1), " +
+        "r AS (SELECT l.et, l.k, CASE WHEN gl.n * gl.n * gl.ss - gl.n * gl.sc * gl.sc = 0 THEN NULL " +
+        "ELSE round(CAST(gl.n * gl.n * l.sxy - gl.n * gl.sc * (l.ak + l.bk) + (gl.n - l.k) * gl.sc * gl.sc AS DOUBLE) " +
+        "/ CAST(gl.n * gl.n * gl.ss - gl.n * gl.sc * gl.sc AS DOUBLE), 6) END r FROM l JOIN gl ON gl.et = l.et), " +
+        "pv AS (SELECT et, max(CASE WHEN k = 1 THEN r END) r1, max(CASE WHEN k = 2 THEN r END) r2 FROM r GROUP BY 1), " +
+        "ph AS (SELECT et, r1, r2, " +
+        "CASE WHEN r1 IS NULL OR r2 IS NULL OR abs(r1) = 1.0 THEN NULL ELSE " +
+        "round(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) END phi1, " +
+        "CASE WHEN r1 IS NULL OR r2 IS NULL OR abs(r1) = 1.0 THEN NULL ELSE " +
+        "round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) END phi2 FROM pv) " +
+        "SELECT et event_type, r1, r2, phi1, phi2, " +
+        "CASE WHEN phi1 IS NULL THEN NULL ELSE round(1.0 - phi1 * r1 - phi2 * r2, 6) END innov_ratio " +
+        "FROM ph ORDER BY 1")))
 }

@@ -79,4 +79,34 @@ class ChangeSpec extends SparkSuite {
       .as[(Double, Double, Option[Double])].collect().head
     assert(weekly._1 == 0.0 && weekly._2 > 0.0 && weekly._3.contains(1.0))
   }
+
+  test("burst: hysteresis keeps the episode open through between-threshold hours, closes below the mean") {
+    // baseline 5, spike 30 at h100, then 7 (lo < 7 < hi) through h105:
+    // S = 714·5 + 30 + 5·7 = 3635, mean ≈ 5.049, hi = 1.5·mean ≈ 7.57.
+    // 30 enters; 7 marks 0 so the state HOLDS; 5 (< mean) exits ⇒ one
+    // episode h100..h105, peak 30, total 30 + 5·7 = 65.
+    writeEvents(series(x => if (x == 100) 30 else if (x >= 101 && x <= 105) 7 else 5))
+    val r = Change.qTsBurst(spark, dir)
+      .select("event_type", "start_h", "end_h", "n_hours", "peak", "total")
+      .as[(String, java.time.LocalDateTime, java.time.LocalDateTime, Long, Long, Long)]
+      .collect().toSeq
+    assert(r == Seq(("click",
+      java.time.LocalDateTime.of(2024, 1, 5, 4, 0),
+      java.time.LocalDateTime.of(2024, 1, 5, 9, 0), 6L, 30L, 65L)))
+  }
+
+  test("burst: separated spikes split into distinct episodes; a 2-level step never bursts") {
+    // two isolated spikes with below-mean gaps ⇒ exactly two 1-hour episodes
+    writeEvents(series(x => if (x == 100 || x == 200) 30 else 5))
+    val r = Change.qTsBurst(spark, dir)
+      .select("start_h", "n_hours", "peak", "total")
+      .as[(java.time.LocalDateTime, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (java.time.LocalDateTime.of(2024, 1, 5, 4, 0), 1L, 30L, 30L),
+      (java.time.LocalDateTime.of(2024, 1, 9, 8, 0), 1L, 30L, 30L)))
+
+    // the 5→15 step: mean = 10, hi = 15, and 15 is NOT > 15 ⇒ no episode
+    writeEvents(series(step))
+    assert(Change.qTsBurst(spark, dir).count() == 0L)
+  }
 }

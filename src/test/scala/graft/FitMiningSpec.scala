@@ -406,4 +406,28 @@ class FitMiningSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(got == want, s"got $got want $want")
   }
+
+  // ---- Kneser–Ney bigram LM -----------------------------------------------
+
+  test("kn_bigram: hand-computed seen / backoff-smoothed / unseen-context probabilities") {
+    // Train (src1): "a b a b" ⇒ c12 (a,b)=2 (b,a)=1; "b c" ⇒ (b,c)=1.
+    // B = 3 distinct bigrams, V = 3 ⇒ pc(w) = (nr+1)/6: seen words 2/6,
+    // unseen 1/6. ctx a: c1=2 nl=1; ctx b: c1=2 nl=2.
+    // Eval (src0) "a b z a":
+    //   (a,b): (max(2−.75,0) + .75·1·(2/6)) / 2          = 0.75
+    //   (b,z): (0 + .75·2·(1/6)) / 2                      = 0.125
+    //   (z,a): unseen context ⇒ pc(a)                     = 1/3
+    // kn_nll = −(ln .75 + ln .125 + ln 1/3)/3, each ln rounded 6 dp.
+    writeDocs(Seq(
+      (1L, "a b a b", "en", "src1"), (2L, "b c", "en", "src1"),
+      (3L, "a b z a", "en", "src0")))
+    val r = Mining.qTextKnBigram(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    def r6(v: Double): Double = -(math.floor(math.abs(v) * 1e6 + 0.5) / 1e6)
+    val want = {
+      val s = r6(math.log(0.75)) + r6(math.log(0.125)) + r6(math.log(1.0 / 3.0))
+      math.floor(-s / 3.0 * 1e4 + 0.5) / 1e4
+    }
+    assert(r == Seq((3L, 3L, want)), s"got $r want $want")
+  }
 }
