@@ -295,6 +295,38 @@ object Fit {
       .orderBy("event_type", "x")
   }
 
+  /** Classical additive seasonal decomposition, period 24 (the textbook
+    * moving-average method, e.g. Hyndman & Athanasopoulos FPP ch. 3):
+    * trend = centered 2×24-MA, seasonal index per hour-of-day = mean of
+    * the detrended series at that hod, normalized to sum 0 across the
+    * day. EVERYTHING is exact integer arithmetic until one final
+    * division: the 2×24-MA numerator is the sum of two 24-hour window
+    * sums (trend = tnum/48), the detrended numerator is 48·c − tnum,
+    * and the normalized index is (24·Σdnum_j − ΣΣdnum) / (1152·n_j) —
+    * so both engines agree bit-exactly before the 6 dp round. Boundary
+    * hours whose MA window is incomplete are excluded by window-count,
+    * leaving each hod the same n_j complete days. All windows are
+    * panel-keyed over ≤720 rows/type — post-aggregate, never event
+    * volume. */
+  val qTsSeasonalDecomp: Q = (s, d) => {
+    val w = Window.partitionBy("et").orderBy("x")
+    val p = hourlyPanel(s, d)
+      .withColumn("s1", sum("c").over(w.rowsBetween(-12, 11)))
+      .withColumn("s2", sum("c").over(w.rowsBetween(-11, 12)))
+      .withColumn("k1", count(lit(1)).over(w.rowsBetween(-12, 11)))
+      .withColumn("k2", count(lit(1)).over(w.rowsBetween(-11, 12)))
+      .filter(col("k1") === 24L && col("k2") === 24L)
+      .select(col("et"), (col("x") % 24).as("hod"),
+        (lit(48L) * col("c") - col("s1") - col("s2")).as("dnum"))
+    val sj = p.groupBy("et", "hod").agg(sum("dnum").as("snum"), count(lit(1)).as("nj"))
+    val st = sj.groupBy(col("et").as("et2")).agg(sum("snum").as("stot"))
+    sj.join(broadcast(st), col("et") === col("et2"))
+      .select(col("et").as("event_type"), col("hod"), col("nj").as("n_days"),
+        Num.roundd((lit(24L) * col("snum") - col("stot")).cast("double") /
+          (lit(1152L) * col("nj")).cast("double"), 6).as("seasonal"))
+      .orderBy("event_type", "hod")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -396,5 +428,22 @@ object Fit {
         "round((1.0 - round(round(s.pv + 1.0, 6) / (round(s.pv + 1.0, 6) + 4.0), 6)) * round(s.pv + 1.0, 6), 6), " +
         "round(round(s.pv + 1.0, 6) / (round(s.pv + 1.0, 6) + 4.0), 6) " +
         "FROM s JOIN p ON p.et = s.et AND p.x = s.x + 1) " +
-        "SELECT et event_type, x, round(lvl, 6) AS \"level\", k gain FROM s WHERE x >= 690 ORDER BY 1, 2")))
+        "SELECT et event_type, x, round(lvl, 6) AS \"level\", k gain FROM s WHERE x >= 690 ORDER BY 1, 2")),
+    ("q_ts_seasonal_decomp", qTsSeasonalDecomp, Some(
+      "WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, CAST(datediff('hour', TIMESTAMP '2024-01-01', g.h) AS BIGINT) x, " +
+        "CAST(coalesce(hc.c, 0) AS BIGINT) c FROM ty CROSS JOIN g LEFT JOIN hc ON hc.et = ty.et AND hc.h = g.h), " +
+        "w AS (SELECT et, x, c, " +
+        "sum(c) OVER (PARTITION BY et ORDER BY x ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) s1, " +
+        "sum(c) OVER (PARTITION BY et ORDER BY x ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) s2, " +
+        "count(*) OVER (PARTITION BY et ORDER BY x ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) k1, " +
+        "count(*) OVER (PARTITION BY et ORDER BY x ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) k2 FROM p), " +
+        "dn AS (SELECT et, x % 24 hod, 48 * c - s1 - s2 dnum FROM w WHERE k1 = 24 AND k2 = 24), " +
+        "sj AS (SELECT et, hod, CAST(sum(dnum) AS BIGINT) snum, CAST(count(*) AS BIGINT) nj FROM dn GROUP BY 1, 2), " +
+        "st AS (SELECT et, CAST(sum(snum) AS BIGINT) stot FROM sj GROUP BY 1) " +
+        "SELECT sj.et event_type, sj.hod, sj.nj n_days, " +
+        "round(CAST(24 * sj.snum - st.stot AS DOUBLE) / CAST(1152 * sj.nj AS DOUBLE), 6) seasonal " +
+        "FROM sj JOIN st ON st.et = sj.et ORDER BY 1, 2")))
 }

@@ -303,6 +303,83 @@ object Graphs {
       .orderBy("node")
   }
 
+  /** First-order Markov-chain attribution with removal effects (the
+    * data-driven alternative to positional credit, public formulation:
+    * Anderl, Becker, von Wangenheim & Schumann 2014): journeys are each
+    * user's ordered NON-purchase touches before their first purchase
+    * (absorbing at CONV) or to the end of their history (absorbing at
+    * NULL); the chain is the touch-transition count matrix; a channel's
+    * removal effect is how much the START→CONV absorption probability
+    * drops when every transition into that channel is redirected to
+    * NULL (original probabilities kept — no renormalization, per the
+    * standard formulation); shares normalize the removal effects.
+    *
+    * Absorption probabilities are DEFINED as the 25-step iterate of
+    * p ← T·p (CONV = 1, NULL = 0), each entry rounded at 8 dp — the
+    * q_graph_pagerank replay discipline, so SQL sum-order drift
+    * (≤ vocabulary terms) is absorbed before it compounds; the oracle
+    * replays the identical sequence in 25 chained MATERIALIZED CTEs
+    * over the (removal × state) grid. Scale: the journey derivation is
+    * one user-keyed window shuffle collapsed to a ≤ (vocabulary+2)²
+    * count matrix; the [(V+2)² rows].collect() and the driver solve are
+    * bounded by the label vocabulary, never event volume — the same
+    * switch-point as PageRank's rank vector. */
+  val qGraphAttributionMarkov: Q = (s, d) => {
+    import s.implicits._
+    val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq0 = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(wo))
+    val pn = seq0.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rn").as("pn"))
+    val touches = seq0.join(pn, Seq("user_id"), "left")
+      .filter(col("event_type") =!= "purchase" && (col("pn").isNull || col("rn") < col("pn")))
+    val wt = Window.partitionBy("user_id").orderBy("rn")
+    val tt = touches
+      .withColumn("tn", row_number().over(wt))
+      .withColumn("nx", lead("event_type", 1).over(wt))
+    val mid = tt.select(col("event_type").as("src"),
+      coalesce(col("nx"),
+        when(col("pn").isNotNull, lit("CONV")).otherwise(lit("NULL"))).as("dst"))
+    val first = tt.filter(col("tn") === 1L)
+      .select(lit("START").as("src"), col("event_type").as("dst"))
+    val direct = pn.join(tt.select("user_id").distinct(), Seq("user_id"), "left_anti")
+      .select(lit("START").as("src"), lit("CONV").as("dst"))
+    val cnt = mid.union(first).union(direct)
+      .groupBy("src", "dst").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rowSum = cnt.toSeq.groupBy(_._1._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val channels = cnt.keysIterator.flatMap { case (a, b) => Iterator(a, b) }
+      .filter(x => x != "START" && x != "CONV" && x != "NULL").toArray.distinct.sorted
+    def r8(x: Double) = { val m = math.floor(math.abs(x) * 1e8 + 0.5) / 1e8; if (x < 0) -m else m }
+    def r6(x: Double) = { val m = math.floor(math.abs(x) * 1e6 + 0.5) / 1e6; if (x < 0) -m else m }
+    val states = "START" +: channels.toSeq
+    val idx = channels.zipWithIndex.map { case (c0, i) => c0 -> (i + 1) }.toMap
+    def solve(removed: String): Double = {
+      var p = Array.fill(states.size)(0.0)
+      for (_ <- 1 to 25) {
+        p = states.toArray.map { st =>
+          val n = rowSum.getOrElse(st, 0L).toDouble
+          if (n == 0.0) 0.0
+          else r8(cnt.getOrElse((st, "CONV"), 0L).toDouble / n +
+            channels.iterator.filter(_ != removed)
+              .map(ch => cnt.getOrElse((st, ch), 0L).toDouble / n * p(idx(ch))).sum)
+        }
+      }
+      p(0)
+    }
+    val pb = solve("")
+    val rem = channels.toSeq.map { ch =>
+      val pr = solve(ch)
+      (ch, r6(pb), r6(pr), if (pb > 0.0) Some(r6(1.0 - pr / pb)) else None)
+    }
+    val tot = rem.flatMap(_._4).sum
+    rem.map { case (ch, b, pr, re) =>
+      (ch, b, pr, re, re.filter(_ => tot > 0.0).map(v => r6(v / tot)))
+    }.toDF("channel", "p_base", "p_removed", "removal_effect", "share")
+      .orderBy("channel")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   private val UND_SQL =
@@ -434,5 +511,45 @@ object Graphs {
         "CASE WHEN deg.deg < 2 THEN NULL ELSE " +
         "round(2.0 * CAST(coalesce(tn.tri, 0) AS DOUBLE) / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6) END cc " +
         "FROM deg LEFT JOIN tn ON tn.node = deg.node ORDER BY 1")),
+    ("q_graph_attribution_markov", qGraphAttributionMarkov, Some(
+      "WITH seq0 AS (SELECT user_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn FROM events), " +
+        "pn AS (SELECT user_id, CAST(min(rn) AS BIGINT) pn FROM seq0 WHERE event_type = 'purchase' GROUP BY 1), " +
+        "tch AS (SELECT s.user_id, s.event_type, s.rn, p.pn FROM seq0 s " +
+        "LEFT JOIN pn p ON p.user_id = s.user_id " +
+        "WHERE s.event_type <> 'purchase' AND (p.pn IS NULL OR s.rn < p.pn)), " +
+        "tt AS (SELECT user_id, event_type, pn, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY rn) tn, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) nx FROM tch), " +
+        "tr AS (SELECT event_type src, " +
+        "coalesce(nx, CASE WHEN pn IS NOT NULL THEN 'CONV' ELSE 'NULL' END) dst FROM tt " +
+        "UNION ALL SELECT 'START', event_type FROM tt WHERE tn = 1 " +
+        "UNION ALL SELECT 'START', 'CONV' FROM pn WHERE user_id NOT IN (SELECT user_id FROM tt)), " +
+        "tc AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) c FROM tr GROUP BY 1, 2), " +
+        "rs AS MATERIALIZED (SELECT src, CAST(sum(c) AS BIGINT) n FROM tc GROUP BY 1), " +
+        "chs AS MATERIALIZED (SELECT DISTINCT src chn FROM tc WHERE src <> 'START' " +
+        "UNION SELECT DISTINCT dst FROM tc WHERE dst NOT IN ('CONV', 'NULL')), " +
+        "g AS MATERIALIZED (SELECT rmv.rm, stt.st FROM " +
+        "(SELECT '' rm UNION ALL SELECT chn FROM chs) rmv CROSS JOIN " +
+        "(SELECT 'START' st UNION ALL SELECT chn FROM chs) stt), " +
+        "p0 AS (SELECT rm, st, CAST(0 AS DOUBLE) p FROM g)" +
+        (1 to 25).map(k =>
+          s", p$k AS MATERIALIZED (SELECT g.rm, g.st, round(coalesce(sum(" +
+            "(CAST(tc.c AS DOUBLE) / rs.n) * (CASE WHEN tc.dst = 'CONV' THEN 1.0 " +
+            "WHEN tc.dst = 'NULL' OR tc.dst = g.rm THEN 0.0 ELSE pp.p END)), 0.0), 8) p " +
+            "FROM g LEFT JOIN tc ON tc.src = g.st LEFT JOIN rs ON rs.src = g.st " +
+            s"LEFT JOIN p${k - 1} pp ON pp.rm = g.rm AND pp.st = tc.dst GROUP BY 1, 2)").mkString +
+        ", re AS (SELECT chs.chn channel, " +
+        "round((SELECT p FROM p25 WHERE rm = '' AND st = 'START'), 6) p_base, " +
+        "round((SELECT p FROM p25 b WHERE b.rm = chs.chn AND b.st = 'START'), 6) p_removed, " +
+        "CASE WHEN (SELECT p FROM p25 WHERE rm = '' AND st = 'START') > 0 THEN " +
+        "round(1.0 - (SELECT p FROM p25 b WHERE b.rm = chs.chn AND b.st = 'START') / " +
+        "(SELECT p FROM p25 WHERE rm = '' AND st = 'START'), 6) END removal_effect FROM chs) " +
+        ", tot AS (SELECT sum(removal_effect) t FROM re) " +
+        "SELECT channel, p_base, p_removed, removal_effect, " +
+        "CASE WHEN removal_effect IS NOT NULL AND tot.t > 0 " +
+        "THEN round(removal_effect / tot.t, 6) END AS share " + // SHARE is reserved bare in DuckDB
+
+        "FROM re CROSS JOIN tot ORDER BY channel")),
   )
 }

@@ -286,6 +286,56 @@ object Ops {
               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)))
   }
 
+  /** CUPED variance-reduced experiment readout (Controlled-experiment
+    * Using Pre-Experiment Data — Deng, Xu, Kohavi & Walker, WSDM 2013)
+    * over the SAME hash-bucketed assignment as [[qAbZtest]]: the
+    * treatment effect on post-period purchase counts (days 16–30),
+    * adjusted by each user's PRE-period count (days 1–15) —
+    *   Δ_cuped = (ȳ_a − ȳ_b) − θ·(x̄_a − x̄_b),  θ = cov(x,y)/var(x)
+    * pooled across arms — with the variance-reduction factor ρ²(x,y)
+    * the method is named for. Every moment (n, Σx, Σy, Σxy, Σxx, Σyy,
+    * per arm and overall) is an exact long from ONE user-level
+    * aggregate; θ rounds at 9 dp, the report divides rounded-identical
+    * trees at 6 dp; zero pre-period variance guards θ/Δ_cuped/ρ² to
+    * NULL. One hash aggregate at user width → a 2-row arm rollup → a
+    * 1-row report: nothing scales past the user count. */
+  val qAbCuped: Q = (s, d) => {
+    val cut = "TIMESTAMP_NTZ '2024-01-16 00:00:00'"
+    val isP = col("event_type") === "purchase"
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(when(isP && col("ts") < expr(cut), 1L).otherwise(0L)).as("x"),
+        sum(when(isP && col("ts") >= expr(cut), 1L).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        expr(s"pmod(${graft.operators.Dedup.h60("'ab'", "cast(user_id as string)")}, 2)"))
+    val m = users.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val arms = users.groupBy("variant")
+      .agg(count(lit(1)).as("an"), sum("x").as("ax"), sum("y").as("ay"))
+      .agg(max(when(col("variant") === 0, col("an"))).as("n_a"),
+        max(when(col("variant") === 0, col("ax"))).as("x_a"),
+        max(when(col("variant") === 0, col("ay"))).as("y_a"),
+        max(when(col("variant") === 1, col("an"))).as("n_b"),
+        max(when(col("variant") === 1, col("ax"))).as("x_b"),
+        max(when(col("variant") === 1, col("ay"))).as("y_b"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    arms.crossJoin(broadcast(m))
+      .withColumn("theta", when(varX =!= 0L,
+        Num.roundd(covN.cast("double") / varX.cast("double"), 9)))
+      .withColumn("diff_raw", Num.roundd(
+        col("y_a").cast("double") / col("n_a") - col("y_b").cast("double") / col("n_b"), 6))
+      .withColumn("diff_cuped", when(col("theta").isNotNull, Num.roundd(
+        (col("y_a").cast("double") / col("n_a") - col("y_b").cast("double") / col("n_b")) -
+          col("theta") * (col("x_a").cast("double") / col("n_a") - col("x_b").cast("double") / col("n_b")), 6)))
+      .withColumn("var_reduction", when(varX =!= 0L && varY =!= 0L, Num.roundd(
+        covN.cast("double") * covN.cast("double") /
+          (varX.cast("double") * varY.cast("double")), 6)))
+      .select("n_a", "n_b", "diff_raw", "theta", "diff_cuped", "var_reduction")
+  }
+
   /** Time-to-convert distribution: seconds from each user's FIRST view to
     * the first purchase AFTER it, reported per first-view day with exact
     * interpolated p50/p90 (the q_docs_length_dist percentile device) —
@@ -596,6 +646,32 @@ object Ops {
         "sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) * " +
         "(1.0::DOUBLE - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)), 4) END z FROM w")),
+    ("q_ab_cuped", qAbCuped, Some(
+      "WITH u AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) x, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) y " +
+        "FROM events GROUP BY 1), " +
+        "ua AS (SELECT CAST('0x' || substr(md5('ab' || ':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 variant, " +
+        "x, y FROM u), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy, " +
+        "CAST(sum(x * y) AS BIGINT) sxy, CAST(sum(x * x) AS BIGINT) sxx, CAST(sum(y * y) AS BIGINT) syy FROM ua), " +
+        "a AS (SELECT variant, CAST(count(*) AS BIGINT) an, CAST(sum(x) AS BIGINT) ax, CAST(sum(y) AS BIGINT) ay " +
+        "FROM ua GROUP BY 1), " +
+        "w AS (SELECT max(CASE WHEN variant = 0 THEN an END) n_a, max(CASE WHEN variant = 0 THEN ax END) x_a, " +
+        "max(CASE WHEN variant = 0 THEN ay END) y_a, max(CASE WHEN variant = 1 THEN an END) n_b, " +
+        "max(CASE WHEN variant = 1 THEN ax END) x_b, max(CASE WHEN variant = 1 THEN ay END) y_b FROM a), " +
+        "th AS (SELECT w.*, m.*, " +
+        "CASE WHEN m.n * m.sxx - m.sx * m.sx <> 0 THEN " +
+        "round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 9) END theta " +
+        "FROM w CROSS JOIN m) " +
+        "SELECT n_a, n_b, " +
+        "round(CAST(y_a AS DOUBLE) / n_a - CAST(y_b AS DOUBLE) / n_b, 6) diff_raw, theta, " +
+        "CASE WHEN theta IS NOT NULL THEN round((CAST(y_a AS DOUBLE) / n_a - CAST(y_b AS DOUBLE) / n_b) - " +
+        "theta * (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b), 6) END diff_cuped, " +
+        "CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END var_reduction " +
+        "FROM th")),
     ("q_ts_time_to_convert", qTsTimeToConvert, Some(
       "WITH fv AS (SELECT user_id, min(ts) vt FROM events WHERE event_type = 'view' GROUP BY 1), " +
         "pp AS (SELECT e.user_id, fv.vt, min(e.ts) pt FROM events e JOIN fv ON fv.user_id = e.user_id " +

@@ -407,6 +407,34 @@ class FitMiningSpec extends SparkSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  // ---- seasonal decomposition ----------------------------------------------
+
+  /** c(x) events in hour x across the full 720-h grid, one type. */
+  private def seriesEvents(c: Int => Int): Seq[(Long, Long, Long, String, Double, String)] = {
+    var id = 0L
+    (0 until 720).flatMap { x =>
+      (0 until c(x)).map { _ =>
+        id += 1
+        (id, ns(t0 + x * hour), 1L, "click", 1.0, "{}")
+      }
+    }
+  }
+
+  test("seasonal_decomp: pure daily pattern recovers hod − 11.5; pure linear trend decomposes to zero seasonal") {
+    // c = x mod 24: every 2×24-MA window sees each hod once ⇒ trend is
+    // flat 11.5 and the normalized index is exactly hod − 11.5
+    writeEvents(seriesEvents(x => x % 24))
+    val daily = Fit.qTsSeasonalDecomp(spark, dir)
+      .select("hod", "n_days", "seasonal").as[(Long, Long, Double)].collect().toSeq
+    assert(daily == (0 until 24).map(j => (j.toLong, 29L, j - 11.5)))
+
+    // c = x: the centered MA reproduces the line ⇒ detrended ≡ 0
+    writeEvents(seriesEvents(x => x))
+    val flat = Fit.qTsSeasonalDecomp(spark, dir)
+      .select("seasonal").as[Double].collect().toSeq
+    assert(flat.length == 24 && flat.forall(_ == 0.0))
+  }
+
   // ---- Kneser–Ney bigram LM -----------------------------------------------
 
   test("kn_bigram: hand-computed seen / backoff-smoothed / unseen-context probabilities") {

@@ -390,6 +390,50 @@ class OpsSpec extends SparkSuite {
       s"got $r")
   }
 
+  test("cuped: y = 2x gives theta 2, zero adjusted effect, full variance reduction; constant x guards NULL") {
+    import graft.operators.Ops
+    // user u: u purchases pre-cutoff, 2u post-cutoff — whatever the md5
+    // split, cov = 2·var ⇒ θ = 2, Δ_cuped = 0 exactly, ρ² = 1
+    def fixture(y: Long => Long, x: Long => Long) = {
+      var id = 0L
+      (1L to 12L).flatMap { u =>
+        (1L to x(u)).map { _ => id += 1; (id, ns(t0 + u * 3600), u, "purchase", 1.0) } ++
+          (1L to y(u)).map { _ => id += 1; (id, ns(t0 + 16 * day + u * 3600), u, "purchase", 1.0) }
+      }
+    }
+    writeEvents(fixture(y = u => 2 * u, x = u => u))
+    val r = Ops.qAbCuped(spark, dir)
+      .as[(Long, Long, Double, Option[Double], Option[Double], Option[Double])].collect().head
+    assert(r._1 + r._2 == 12L && r._4 == Some(2.0) && r._5 == Some(0.0) && r._6 == Some(1.0), s"got $r")
+
+    writeEvents(fixture(y = u => u % 3 + 1, x = _ => 3L))
+    val flat = Ops.qAbCuped(spark, dir)
+      .as[(Long, Long, Double, Option[Double], Option[Double], Option[Double])].collect().head
+    assert(flat._4.isEmpty && flat._5.isEmpty && flat._6.isEmpty)
+  }
+
+  test("attribution_markov: removal effects match the closed-form absorption drop; post-purchase touches excluded") {
+    import graft.operators.Graphs
+    writeEvents(Seq(
+      // u1: click → view → CONV
+      (1L, ns(t0), 1L, "click", 1.0), (2L, ns(t0 + 60), 1L, "view", 1.0),
+      (3L, ns(t0 + 120), 1L, "purchase", 1.0),
+      // u2: click → CONV (the trailing view is AFTER the purchase: excluded)
+      (4L, ns(t0), 2L, "click", 1.0), (5L, ns(t0 + 60), 2L, "purchase", 1.0),
+      (6L, ns(t0 + 120), 2L, "view", 1.0),
+      // u3: view → NULL; u4: direct START → CONV
+      (7L, ns(t0), 3L, "view", 1.0), (8L, ns(t0), 4L, "purchase", 1.0)))
+    // chain: START→{click 2, view 1, CONV 1}/4; click→{view, CONV}/2;
+    // view→{CONV, NULL}/2 ⇒ p(view)=.5, p(click)=.75, p(START)=.75.
+    // remove click: p=.375 ⇒ re=.5; remove view: p=.5 ⇒ re=1/3;
+    // shares .5/.833333 = .6 and .333333/.833333 = .4.
+    val r = Graphs.qGraphAttributionMarkov(spark, dir)
+      .as[(String, Double, Double, Option[Double], Option[Double])].collect().toSeq
+    assert(r == Seq(
+      ("click", 0.75, 0.375, Some(0.5), Some(0.6)),
+      ("view", 0.75, 0.5, Some(0.333333), Some(0.4))), s"got $r")
+  }
+
   test("cluster_coef: the triangle is cc=1 everywhere; a path has cc=0 at the middle, NULL at deg-1 tips") {
     import graft.operators.Graphs
     writeEvents(Seq(
