@@ -342,6 +342,47 @@ object Analytics {
       .orderBy("ante", "cons")
   }
 
+  /** Item-to-item co-occurrence neighbors (the market-basket cousin of
+    * [[qAssocRules]], at PART granularity instead of the event-type
+    * vocabulary — the "customers who bought X also bought Y" primitive,
+    * public formulation: Linden, Smith & York, IEEE Internet Computing
+    * 2003): for every part, its top-3 co-purchased parts by cosine
+    * c_ij / √(c_i·c_j) over order baskets. The pair fan-out is
+    * ORDER-LOCAL — a self-join on l_orderkey over the distinct
+    * (order, part) presence list, ≤ (basket size choose 2) pairs per
+    * order (≤ 21 for this schema's ≤7-line orders) — so the stage is
+    * linear in lineitems with a small constant and NEVER parts²; the
+    * top-3 cut is a MERGEABLE top-k aggregate ([[graft.functions
+    * .TopNeighbors]]) over the observed-pair table — bounded ≤k state
+    * per part with map-side combine, not a full window sort of the
+    * neighbor fan-out. The part-count side joins are broadcasts of the
+    * items dim (items ≪ order lines at any scale). Counts are exact
+    * longs; cosine is one division rounded at 6 dp and the rank orders
+    * by (rounded cosine, cooc, neighbor) so ties are pinned on both
+    * engines. */
+  val qItemCoocTopk: Q = (s, d) => {
+    val pres = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val ni = pres.groupBy("pk").agg(count(lit(1)).as("n"))
+    val pairs = pres.join(pres.select(col("ok"), col("pk").as("pk2")), "ok")
+      .filter(col("pk") < col("pk2"))
+      .groupBy("pk", "pk2").agg(count(lit(1)).as("cij"))
+    val scored = pairs
+      .join(broadcast(ni.select(col("pk"), col("n").as("ci"))), "pk")
+      .join(broadcast(ni.select(col("pk").as("pk2"), col("n").as("cj"))), "pk2")
+      .withColumn("cosine", Num.roundd(col("cij").cast("double") /
+        sqrt((col("ci") * col("cj")).cast("double")), 6))
+    val sym = scored.select(col("pk").as("i"), col("pk2").as("j"), col("cij"), col("cosine"))
+      .union(scored.select(col("pk2").as("i"), col("pk").as("j"), col("cij"), col("cosine")))
+    val top3 = udaf(new graft.functions.TopNeighbors(3))
+    sym.groupBy("i")
+      .agg(top3(col("cosine"), col("cij"), col("j")).as("nb"))
+      .select(col("i").as("part"), posexplode(col("nb")))
+      .select(col("part"), col("col._3").as("neighbor"), col("col._2").as("cooc"),
+        col("col._1").as("cosine"), (col("pos") + 1).cast("long").as("rk"))
+      .orderBy("part", "rk")
+  }
+
   // ---- Gini concentration --------------------------------------------------
 
   /** Gini coefficient of per-user activity, per event type: how
@@ -466,5 +507,16 @@ object Analytics {
         "FROM customer GROUP BY c_mktsegment) " +
         "SELECT c_mktsegment, CAST(gs - 1 AS BIGINT) pos, bot3[CAST(gs AS INT)] custkey " +
         "FROM a, generate_series(1, 3) t(gs) WHERE gs <= len(bot3) ORDER BY c_mktsegment, pos"),
+    ("q_item_cooc_topk", qItemCoocTopk,
+      "WITH pres AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem), " +
+        "ni AS (SELECT pk, CAST(count(*) AS BIGINT) n FROM pres GROUP BY 1), " +
+        "pr AS (SELECT a.pk, b.pk pk2, CAST(count(*) AS BIGINT) cij FROM pres a " +
+        "JOIN pres b ON b.ok = a.ok AND a.pk < b.pk GROUP BY 1, 2), " +
+        "sym AS (SELECT pk i, pk2 j, cij FROM pr UNION ALL SELECT pk2, pk, cij FROM pr), " +
+        "sc AS (SELECT sym.i, sym.j, sym.cij, " +
+        "round(CAST(sym.cij AS DOUBLE) / sqrt(CAST(ci.n * cj.n AS DOUBLE)), 6) cosine " +
+        "FROM sym JOIN ni ci ON ci.pk = sym.i JOIN ni cj ON cj.pk = sym.j), " +
+        "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY i ORDER BY cosine DESC, cij DESC, j) AS BIGINT) rk FROM sc) " +
+        "SELECT i part, j neighbor, cij cooc, cosine, rk FROM rk WHERE rk <= 3 ORDER BY part, rk"),
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -234,6 +234,56 @@ object Sre {
       .orderBy("user_id")
   }
 
+  /** Multi-dimensional root-cause candidates for a week-over-week
+    * metric change, Adtributor-style (Bhagwan et al., NSDI 2014): for
+    * each dimension (event_type, hour-of-day, weekday) and each value,
+    * the EXPLANATORY POWER ep = ΔA_v/ΔA (what fraction of the total
+    * change this value accounts for) and the SURPRISE — the value's
+    * Jensen–Shannon divergence term between its forecast share
+    * p = F_v/F (week 1) and actual share q = A_v/A (week 2). The
+    * on-call reads it sorted by surprise within a dimension; the gate
+    * orders by (dim, value) so every row is pinned.
+    *
+    * Determinism: all counts exact longs from ONE narrow scan — the
+    * raw pass hash-aggregates straight to the (event_type × hod × dow)
+    * cube (≤ vocab·24·7 rows), and every per-dimension rollup is a
+    * re-aggregation of that tiny cube, so the dimension fan-out never
+    * touches event volume. p and q are single divisions; the JS term
+    * is one identical expression tree whose ln rounds inside the 6 dp
+    * report round (the PMI libm discipline); zero-count sides take the
+    * exact 0·ln(0) := 0 limit by CASE on the LONG count. Empty periods
+    * guard surprise to NULL; ΔA = 0 guards ep. */
+  val qSreRootCause: Q = (s, d) => {
+    val mid = "TIMESTAMP_NTZ '2024-01-08 00:00:00'"
+    val cube = Tables.events(s, d)
+      .filter(col("ts") < expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'"))
+      .groupBy(col("event_type").as("et"), hour(col("ts")).cast("string").as("hod"),
+        expr("weekday(ts)").cast("string").as("dow"))
+      .agg(sum(when(col("ts") < expr(mid), 1L).otherwise(0L)).as("cf"),
+        sum(when(col("ts") < expr(mid), 0L).otherwise(1L)).as("ca"))
+    def roll(dim: String, key: Column): DataFrame = cube
+      .groupBy(key.as("dim_value"))
+      .agg(sum("cf").as("fv"), sum("ca").as("av"))
+      .select(lit(dim).as("dim"), col("dim_value"), col("fv"), col("av"))
+    val counts = roll("event_type", col("et"))
+      .unionByName(roll("hod", col("hod")))
+      .unionByName(roll("dow", col("dow")))
+    val totals = counts.groupBy(col("dim").as("dim2"))
+      .agg(sum("fv").as("ft"), sum("av").as("act"))
+    val p = col("fv").cast("double") / col("ft").cast("double")
+    val q = col("av").cast("double") / col("act").cast("double")
+    counts.join(broadcast(totals), col("dim") === col("dim2"))
+      .select(col("dim"), col("dim_value"), col("fv").as("forecast_n"), col("av").as("actual_n"),
+        when(col("act") =!= col("ft"), Num.roundd(
+          (col("av") - col("fv")).cast("double") / (col("act") - col("ft")).cast("double"), 6)).as("ep"),
+        when(col("ft") > 0L && col("act") > 0L, Num.roundd(lit(0.5) * (
+          when(col("fv") === 0L, lit(0.0))
+            .otherwise(p * log(lit(2.0) * p / (p + q))) +
+          when(col("av") === 0L, lit(0.0))
+            .otherwise(q * log(lit(2.0) * q / (p + q)))), 6)).as("surprise"))
+      .orderBy("dim", "dim_value")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -315,5 +365,24 @@ object Sre {
         "WHEN 5 THEN 0.0792 WHEN 6 THEN 0.0669 WHEN 7 THEN 0.0580 WHEN 8 THEN 0.0512 ELSE 0.0458 END AS DOUBLE) expected " +
         "FROM c, t) " +
         "SELECT digit, n, frac, expected, round(frac - expected, 4) dev FROM x ORDER BY digit")),
+    ("q_sre_root_cause", qSreRootCause, Some(
+      "WITH b AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END isf, " +
+        "event_type, CAST(hour(ts) AS VARCHAR) hod, CAST(isodow(ts) - 1 AS VARCHAR) dow " +
+        "FROM events WHERE ts < TIMESTAMP '2024-01-15'), " +
+        "u AS (SELECT 'event_type' dim, event_type dim_value, isf FROM b " +
+        "UNION ALL SELECT 'hod', hod, isf FROM b " +
+        "UNION ALL SELECT 'dow', dow, isf FROM b), " +
+        "c AS (SELECT dim, dim_value, CAST(sum(isf) AS BIGINT) fv, " +
+        "CAST(count(*) - sum(isf) AS BIGINT) av FROM u GROUP BY 1, 2), " +
+        "t AS (SELECT dim, CAST(sum(fv) AS BIGINT) ft, CAST(sum(av) AS BIGINT) act FROM c GROUP BY 1) " +
+        "SELECT c.dim, c.dim_value, c.fv forecast_n, c.av actual_n, " +
+        "CASE WHEN t.act <> t.ft THEN round(CAST(c.av - c.fv AS DOUBLE) / (t.act - t.ft), 6) END ep, " +
+        "CASE WHEN t.ft > 0 AND t.act > 0 THEN round(0.5 * (" +
+        "CASE WHEN c.fv = 0 THEN 0.0 ELSE (CAST(c.fv AS DOUBLE) / t.ft) * " +
+        "ln(2.0 * (CAST(c.fv AS DOUBLE) / t.ft) / (CAST(c.fv AS DOUBLE) / t.ft + CAST(c.av AS DOUBLE) / t.act)) END + " +
+        "CASE WHEN c.av = 0 THEN 0.0 ELSE (CAST(c.av AS DOUBLE) / t.act) * " +
+        "ln(2.0 * (CAST(c.av AS DOUBLE) / t.act) / (CAST(c.fv AS DOUBLE) / t.ft + CAST(c.av AS DOUBLE) / t.act)) END" +
+        "), 6) END surprise " +
+        "FROM c JOIN t ON t.dim = c.dim ORDER BY 1, 2")),
   )
 }

@@ -99,4 +99,22 @@ class AnalyticsAddSpec extends SparkSuite {
       .select("n", "p25", "p50", "p75").as[(Long, Double, Double, Double)].collect().toSeq
     assert(r == Seq((4L, 10.0, 20.0, 30.0)))
   }
+
+  test("item_cooc: hand-worked cosine table; equal-cosine ties break by cooc then neighbor id") {
+    // baskets {10,20,30}, {10,20}, {10,40} (plus a duplicate line that
+    // the presence-distinct must collapse): c10=3 c20=2 c30=1 c40=1
+    Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 10L),
+      (2L, 10L), (2L, 20L), (3L, 10L), (3L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Analytics.qItemCoocTopk(spark, dir)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val c26 = r6(2.0 / math.sqrt(6.0)); val c3 = r6(1.0 / math.sqrt(3.0)); val c2 = r6(1.0 / math.sqrt(2.0))
+    assert(r == Seq(
+      (10L, 20L, 2L, c26, 1L), (10L, 30L, 1L, c3, 2L), (10L, 40L, 1L, c3, 3L),
+      (20L, 10L, 2L, c26, 1L), (20L, 30L, 1L, c2, 2L),
+      (30L, 20L, 1L, c2, 1L), (30L, 10L, 1L, c3, 2L),
+      (40L, 10L, 1L, c3, 1L)), s"got $r")
+  }
 }

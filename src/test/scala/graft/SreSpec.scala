@@ -179,4 +179,34 @@ class SreSpec extends SparkSuite {
       .select("digit", "n").as[(Long, Long)].collect().toMap
     assert(r == Map(1L -> 2L, 3L -> 1L, 9L -> 1L), s"got $r")
   }
+
+  // ---- root cause ----------------------------------------------------------
+
+  test("root_cause: the grown value explains the whole delta with the JS surprise; an empty week guards surprise") {
+    // week 1: 10 clicks + 10 views; week 2: 30 clicks + 10 views — click
+    // explains ALL of ΔA = 20 (ep 1), view none (ep 0)
+    def burst(n: Int, et: String, daySec: Long, hr: Int, base: Long) =
+      (1 to n).map(i => (base + i, ns(t0 + daySec + hr * hour), 1L, et, 1.0, "{}"))
+    writeEvents(
+      burst(10, "click", 0L, 0, 0L) ++ burst(10, "view", 86400L, 1, 100L) ++
+        burst(30, "click", 7L * 86400L, 0, 200L) ++ burst(10, "view", 8L * 86400L, 1, 300L))
+    val r = Sre.qSreRootCause(spark, dir)
+      .as[(String, String, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(r.length == 6) // 2 values × {event_type, hod, dow}
+    val et = r.filter(_._1 == "event_type").map(x => x._2 -> x).toMap
+    def r6(v: Double): Double = math.signum(v) * math.floor(math.abs(v) * 1e6 + 0.5) / 1e6
+    def js(p: Double, q: Double): Double =
+      r6(0.5 * (p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q))))
+    assert(et("click") == (("event_type", "click", 10L, 30L, Some(1.0), Some(js(0.5, 0.75)))))
+    assert(et("view") == (("event_type", "view", 10L, 10L, Some(0.0), Some(js(0.5, 0.25)))))
+    // hod and dow fan-outs carry the same split (clicks at hod 0/Monday)
+    assert(r.filter(_._1 == "hod").map(_._2).sorted == Seq("0", "1"))
+    assert(r.filter(_._1 == "dow").map(_._2).sorted == Seq("0", "1"))
+
+    // week 2 empty: ep still defined ((0−F_v)/(0−F)), surprise guarded NULL
+    writeEvents(burst(10, "click", 0L, 0, 0L) ++ burst(10, "view", 86400L, 1, 100L))
+    val empty = Sre.qSreRootCause(spark, dir)
+      .as[(String, String, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(empty.forall(x => x._6.isEmpty && x._5.contains(0.5)), s"got $empty")
+  }
 }
