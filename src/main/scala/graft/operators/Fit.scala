@@ -327,6 +327,39 @@ object Fit {
       .orderBy("event_type", "hod")
   }
 
+  /** Theta-method forecast per event_type (Assimakopoulos &
+    * Nikolopoulos 2000; implemented in the Hyndman & Billah 2003
+    * equivalent form: SES on the series plus half the LS slope as
+    * drift — the M3-competition benchmark forecaster):
+    *   ŷ_{n+h} = SES_n + (b/2)·(h − 1 + 1/α − (1−α)^n/α),  α = 0.2.
+    * The slope comes from the same exact-integer OLS moments as
+    * q_ts_regr_fit (rounded at 9 dp); the SES level is a declarative
+    * `aggregate` HOF fold over the per-type hourly array (collect_list
+    * of the ≤720-row panel — the q_ts_holt device, bounded by the
+    * calendar), replayed step-for-step by the oracle's recursive CTE
+    * with the identical 0.2·x + 0.8·acc expression tree, so both
+    * engines run the same IEEE sequence with no per-step rounding
+    * needed. The (1−α)^n tail is ~1e−70 here — kept for fidelity; pow
+    * ulp differences sit 15 orders below the 6 dp round. */
+  val qTsTheta: Q = (s, d) => {
+    val g = hourlyPanel(s, d).groupBy("et").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("c").as("sy"),
+      sum(col("x") * col("c")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sort_array(collect_list(struct(col("x"), col("c")))).as("pts"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    def fc(h: Int) = Num.roundd(col("ses") + col("b") / 2.0 *
+      (lit((h - 1).toDouble) + lit(5.0) - pow(lit(0.8), col("n")) * lit(5.0)), 6)
+    g.withColumn("b", when(den =!= 0L, Num.roundd(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / den.cast("double"), 9)))
+      .withColumn("vs", expr("transform(pts, q -> cast(q.c as double))"))
+      .withColumn("ses", expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), (acc, x) -> 0.2d * x + 0.8d * acc)"))
+      .select(col("et").as("event_type"), col("b").as("slope"),
+        Num.roundd(col("ses"), 6).as("ses_level"),
+        fc(1).as("fc1"), fc(6).as("fc6"), fc(24).as("fc24"))
+      .orderBy("event_type")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -445,5 +478,24 @@ object Fit {
         "st AS (SELECT et, CAST(sum(snum) AS BIGINT) stot FROM sj GROUP BY 1) " +
         "SELECT sj.et event_type, sj.hod, sj.nj n_days, " +
         "round(CAST(24 * sj.snum - st.stot AS DOUBLE) / CAST(1152 * sj.nj AS DOUBLE), 6) seasonal " +
-        "FROM sj JOIN st ON st.et = sj.et ORDER BY 1, 2")))
+        "FROM sj JOIN st ON st.et = sj.et ORDER BY 1, 2")),
+    ("q_ts_theta", qTsTheta, Some(
+      "WITH RECURSIVE g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, CAST(datediff('hour', TIMESTAMP '2024-01-01', g.h) AS BIGINT) x, " +
+        "CAST(coalesce(hc.c, 0) AS BIGINT) c FROM ty CROSS JOIN g LEFT JOIN hc ON hc.et = ty.et AND hc.h = g.h), " +
+        "m AS (SELECT et, CAST(count(*) AS BIGINT) n, sum(x) sx, sum(c) sy, sum(x * c) sxy, sum(x * x) sxx FROM p GROUP BY 1), " +
+        "ses AS (SELECT et, x, CAST(c AS DOUBLE) l FROM p WHERE x = 0 " +
+        "UNION ALL SELECT p.et, p.x, 0.2::DOUBLE * p.c + 0.8::DOUBLE * s.l " +
+        "FROM ses s JOIN p ON p.et = s.et AND p.x = s.x + 1), " +
+        "f AS (SELECT et, l FROM ses WHERE x = (SELECT max(x) FROM p)), " +
+        "th AS (SELECT m.et, m.n, f.l, CASE WHEN m.n * m.sxx - m.sx * m.sx <> 0 THEN " +
+        "round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 9) END b " +
+        "FROM m JOIN f ON f.et = m.et) " +
+        "SELECT et event_type, b slope, round(l, 6) ses_level, " +
+        "round(l + b / 2 * (0.0::DOUBLE + 5.0::DOUBLE - pow(0.8::DOUBLE, n) * 5.0::DOUBLE), 6) fc1, " +
+        "round(l + b / 2 * (5.0::DOUBLE + 5.0::DOUBLE - pow(0.8::DOUBLE, n) * 5.0::DOUBLE), 6) fc6, " +
+        "round(l + b / 2 * (23.0::DOUBLE + 5.0::DOUBLE - pow(0.8::DOUBLE, n) * 5.0::DOUBLE), 6) fc24 " +
+        "FROM th ORDER BY 1")))
 }

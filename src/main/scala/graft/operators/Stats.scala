@@ -183,6 +183,80 @@ object Stats {
       .orderBy("chi2")
   }
 
+  /** Mutual information between event_type and ISO weekday, with the
+    * normalized MI (NMI = MI/√(H_row·H_col)) — the information-theoretic
+    * sibling of [[qStatChi2]] a feature-selection pass ranks dimensions
+    * by. Same rollup shapes: observed cells, row/column marginals, one
+    * total — all exact longs over a ≤ vocab·7 grid. Each cell term is
+    * (o/n)·ln(o·n/(rt·ct)) on identical long operands (o = 0 cells drop
+    * — the 0·ln 0 := 0 limit); term sums round at 6 dp after summation
+    * over the tiny grid (the chi-square discipline — sub-1e-12 drift
+    * cannot reach the 6th decimal). Zero-entropy marginals guard NMI. */
+  val qStatMutualInfo: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type").as("et"), expr("weekday(ts)").cast("long").as("dw"))
+    val obs = ev.groupBy("et", "dw").agg(count(lit(1)).as("o"))
+    val rowt = obs.groupBy("et").agg(sum("o").as("rt"))
+    val colt = obs.groupBy("dw").agg(sum("o").as("ct"))
+    val tot = obs.agg(sum("o").as("nn"))
+    val cells = obs.join(broadcast(rowt), Seq("et")).join(broadcast(colt), Seq("dw"))
+      .crossJoin(broadcast(tot))
+      .select(((col("o").cast("double") / col("nn")) *
+        log((col("o") * col("nn")).cast("double") / (col("rt") * col("ct")).cast("double"))).as("term"))
+    val hr = rowt.crossJoin(broadcast(tot))
+      .agg(sum(-(col("rt").cast("double") / col("nn")) *
+        log(col("rt").cast("double") / col("nn"))).as("hrow"))
+    val hc = colt.crossJoin(broadcast(tot))
+      .agg(sum(-(col("ct").cast("double") / col("nn")) *
+        log(col("ct").cast("double") / col("nn"))).as("hcol"))
+    cells.agg(sum("term").as("miraw")).crossJoin(broadcast(hr)).crossJoin(broadcast(hc))
+      .crossJoin(broadcast(tot))
+      .select(Num.roundd(col("miraw"), 6).as("mi"),
+        Num.roundd(col("hrow"), 6).as("h_row"),
+        Num.roundd(col("hcol"), 6).as("h_col"),
+        when(col("hrow") > 0.0 && col("hcol") > 0.0,
+          Num.roundd(col("miraw") / sqrt(col("hrow") * col("hcol")), 6)).as("nmi"),
+        col("nn").as("n"))
+  }
+
+  /** Order-1 vs order-2 entropy of the per-user event-type sequence:
+    * the unigram entropy H(W), the conditional bigram entropy H(W|V)
+    * from the user-local transition counts (the [[Graphs]] edge device —
+    * pairs never chain across users), the information gain between
+    * them ("does knowing the previous event help predict the next"),
+    * and the perplexities exp(H) a language-modeling reader expects.
+    * All counts exact longs from one keyed window pass collapsed to
+    * vocabulary-bounded tables; each entropy is a sum of (c/N)·ln
+    * terms over ≤ vocab² rows rounded at 6 dp (chi-square discipline);
+    * perplexities exponentiate the ROUNDED entropy so both engines
+    * feed exp the identical double. */
+  val qSeqEntropy: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("v"))
+      .withColumn("nx", lead("v", 1).over(w))
+    val uni = pairs.groupBy("v").agg(count(lit(1)).as("cw"))
+    val un = uni.agg(sum("cw").as("n1"))
+    val big = pairs.filter(col("nx").isNotNull)
+      .groupBy("v", "nx").agg(count(lit(1)).as("cvw"))
+    val ctx = big.groupBy(col("v").as("cv")).agg(sum("cvw").as("cv1"))
+    val bn = big.agg(sum("cvw").as("n2"))
+    val h1 = uni.crossJoin(broadcast(un))
+      .agg(sum(-(col("cw").cast("double") / col("n1")) *
+        log(col("cw").cast("double") / col("n1"))).as("h1raw"))
+    val h2 = big.join(broadcast(ctx), col("v") === col("cv"))
+      .crossJoin(broadcast(bn))
+      .agg(sum(-(col("cvw").cast("double") / col("n2")) *
+        log(col("cvw").cast("double") / col("cv1"))).as("h2raw"))
+    h1.crossJoin(broadcast(h2)).crossJoin(broadcast(un)).crossJoin(broadcast(bn))
+      .select(col("n1").as("n_tokens"), col("n2").as("n_bigrams"),
+        Num.roundd(col("h1raw"), 6).as("h_unigram"),
+        Num.roundd(col("h2raw"), 6).as("h_cond_bigram"),
+        Num.roundd(col("h1raw") - col("h2raw"), 6).as("info_gain"),
+        Num.roundd(exp(Num.roundd(col("h1raw"), 6)), 6).as("ppl_unigram"),
+        Num.roundd(exp(Num.roundd(col("h2raw"), 6)), 6).as("ppl_bigram"))
+  }
+
   /** Lagged cross-correlation between the click and view hourly count
     * series, lags −24..+24: r(ℓ) = corr(a_t, b_{t+ℓ}) over the valid
     * overlap of the gapless 720-hour grid (n = 720 − |ℓ|) — the
@@ -360,5 +434,34 @@ object Stats {
         "round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) END phi2 FROM pv) " +
         "SELECT et event_type, r1, r2, phi1, phi2, " +
         "CASE WHEN phi1 IS NULL THEN NULL ELSE round(1.0 - phi1 * r1 - phi2 * r2, 6) END innov_ratio " +
-        "FROM ph ORDER BY 1")))
+        "FROM ph ORDER BY 1")),
+    ("q_stat_mutual_info", qStatMutualInfo, Some(
+      "WITH ev AS (SELECT event_type et, CAST(isodow(ts) - 1 AS BIGINT) dw FROM events), " +
+        "o AS (SELECT et, dw, CAST(count(*) AS BIGINT) o FROM ev GROUP BY 1, 2), " +
+        "r AS (SELECT et, CAST(sum(o) AS BIGINT) rt FROM o GROUP BY 1), " +
+        "c AS (SELECT dw, CAST(sum(o) AS BIGINT) ct FROM o GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(o) AS BIGINT) nn FROM o), " +
+        "mi AS (SELECT sum((CAST(o.o AS DOUBLE) / t.nn) * " +
+        "ln(CAST(o.o * t.nn AS DOUBLE) / CAST(r.rt * c.ct AS DOUBLE))) miraw " +
+        "FROM o JOIN r ON r.et = o.et JOIN c ON c.dw = o.dw CROSS JOIN t), " +
+        "hr AS (SELECT sum(-(CAST(rt AS DOUBLE) / t.nn) * ln(CAST(rt AS DOUBLE) / t.nn)) hrow FROM r CROSS JOIN t), " +
+        "hc AS (SELECT sum(-(CAST(ct AS DOUBLE) / t.nn) * ln(CAST(ct AS DOUBLE) / t.nn)) hcol FROM c CROSS JOIN t) " +
+        "SELECT round(miraw, 6) mi, round(hrow, 6) h_row, round(hcol, 6) h_col, " +
+        "CASE WHEN hrow > 0 AND hcol > 0 THEN round(miraw / sqrt(hrow * hcol), 6) END nmi, t.nn n " +
+        "FROM mi CROSS JOIN hr CROSS JOIN hc CROSS JOIN t")),
+    ("q_seq_entropy", qSeqEntropy, Some(
+      "WITH p AS (SELECT event_type v, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) nx FROM events), " +
+        "u AS (SELECT v, CAST(count(*) AS BIGINT) cw FROM p GROUP BY 1), " +
+        "un AS (SELECT CAST(sum(cw) AS BIGINT) n1 FROM u), " +
+        "b AS (SELECT v, nx, CAST(count(*) AS BIGINT) cvw FROM p WHERE nx IS NOT NULL GROUP BY 1, 2), " +
+        "cx AS (SELECT v cv, CAST(sum(cvw) AS BIGINT) cv1 FROM b GROUP BY 1), " +
+        "bn AS (SELECT CAST(sum(cvw) AS BIGINT) n2 FROM b), " +
+        "h1 AS (SELECT sum(-(CAST(cw AS DOUBLE) / n1) * ln(CAST(cw AS DOUBLE) / n1)) h1raw FROM u CROSS JOIN un), " +
+        "h2 AS (SELECT sum(-(CAST(cvw AS DOUBLE) / n2) * ln(CAST(cvw AS DOUBLE) / cx.cv1)) h2raw " +
+        "FROM b JOIN cx ON cx.cv = b.v CROSS JOIN bn) " +
+        "SELECT un.n1 n_tokens, bn.n2 n_bigrams, round(h1raw, 6) h_unigram, round(h2raw, 6) h_cond_bigram, " +
+        "round(h1raw - h2raw, 6) info_gain, round(exp(round(h1raw, 6)), 6) ppl_unigram, " +
+        "round(exp(round(h2raw, 6)), 6) ppl_bigram " +
+        "FROM h1 CROSS JOIN h2 CROSS JOIN un CROSS JOIN bn")))
 }

@@ -435,6 +435,25 @@ class FitMiningSpec extends SparkSuite {
     assert(flat.length == 24 && flat.forall(_ == 0.0))
   }
 
+  // ---- theta forecast -------------------------------------------------------
+
+  test("theta: constant series forecasts the constant at every horizon; linear series matches the driver fold") {
+    def r6(v: Double): Double = math.signum(v) * math.floor(math.abs(v) * 1e6 + 0.5) / 1e6
+    writeEvents(seriesEvents(_ => 5))
+    val const = Fit.qTsTheta(spark, dir)
+      .select("slope", "ses_level", "fc1", "fc6", "fc24")
+      .as[(Double, Double, Double, Double, Double)].collect().head
+    assert(const == ((0.0, 5.0, 5.0, 5.0, 5.0)))
+
+    writeEvents(seriesEvents(x => x))
+    val ses = (1 until 720).foldLeft(0.0)((acc, x) => 0.2 * x + 0.8 * acc)
+    def fc(h: Int) = r6(ses + 1.0 / 2 * ((h - 1) + 5.0 - math.pow(0.8, 720.0) * 5.0))
+    val lin = Fit.qTsTheta(spark, dir)
+      .select("slope", "ses_level", "fc1", "fc6", "fc24")
+      .as[(Double, Double, Double, Double, Double)].collect().head
+    assert(lin == ((1.0, r6(ses), fc(1), fc(6), fc(24))), s"got $lin")
+  }
+
   // ---- Kneser–Ney bigram LM -----------------------------------------------
 
   test("kn_bigram: hand-computed seen / backoff-smoothed / unseen-context probabilities") {

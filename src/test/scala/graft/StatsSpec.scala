@@ -114,6 +114,37 @@ class StatsSpec extends SparkSuite {
     assert(r._1 > 10.0 && r._2 == 6L)
   }
 
+  test("mutual_info: independent uniform cells give mi 0; a deterministic mapping gives nmi 1") {
+    val day = 86400L
+    // 2 types × {Mon, Tue}, all four cells equal ⇒ o·n = rt·ct exactly
+    writeEvents((0 until 40).map { i =>
+      (i.toLong + 1, ns(t0 + (i % 2) * day), 1L, if (i < 20) "click" else "view", 1.0, "{}")
+    })
+    val ind = Stats.qStatMutualInfo(spark, dir)
+      .select("mi", "nmi").as[(Double, Option[Double])].collect().head
+    assert(ind == ((0.0, Some(0.0))))
+
+    // click only Monday, view only Tuesday ⇒ MI = H = ln 2, NMI = 1
+    writeEvents((0 until 40).map { i =>
+      val click = i < 20
+      (i.toLong + 1, ns(t0 + (if (click) 0L else day)), 1L, if (click) "click" else "view", 1.0, "{}")
+    })
+    val dep = Stats.qStatMutualInfo(spark, dir)
+      .select("mi", "h_row", "nmi").as[(Double, Double, Option[Double])].collect().head
+    assert(dep == ((0.693147, 0.693147, Some(1.0))))
+  }
+
+  test("seq_entropy: a strictly alternating sequence has zero conditional entropy and unigram gain") {
+    writeEvents((0 until 5).map { i =>
+      (i.toLong + 1, ns(t0 + i * hour), 1L, if (i % 2 == 0) "a" else "b", 1.0, "{}")
+    })
+    def r6(v: Double): Double = math.signum(v) * math.floor(math.abs(v) * 1e6 + 0.5) / 1e6
+    val h1 = r6(-(0.6 * math.log(0.6) + 0.4 * math.log(0.4)))
+    val r = Stats.qSeqEntropy(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect().head
+    assert(r == ((5L, 4L, h1, 0.0, h1, r6(math.exp(h1)), 1.0)), s"got $r")
+  }
+
   /** click spike at hour `ca`, view spike at hour `cb`, zeros elsewhere. */
   private def spikes(ca: Int, cb: Int): Unit = {
     writeEvents(Seq(
