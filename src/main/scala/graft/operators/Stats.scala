@@ -257,6 +257,50 @@ object Stats {
         Num.roundd(exp(Num.roundd(col("h2raw"), 6)), 6).as("ppl_bigram"))
   }
 
+  /** Poisson-bootstrap confidence interval for the mean purchase value
+    * — the resampling method that actually works at cluster scale
+    * (resample weights are PER-ROW independent draws, so the "sample n
+    * rows with replacement" coordination problem disappears; public
+    * formulation: Chamandy, Muralidharan, Najmi & Naidu, "Estimating
+    * uncertainty for massive data streams", Google TR 2012): each of
+    * 32 replicates weights every row by a Poisson(1) draw derived from
+    * a seeded md5 of (replicate, event_id) — the q_docs_weighted_sample
+    * hash device — via SIX fixed 6-dp CDF literals (no live exp() —
+    * the Benford shared-constant discipline), then the replicate means'
+    * spread gives the CI. Weighted sums are exact longs (w ≤ 6, cents
+    * exact); each replicate mean is one division rounded at 6 dp; the
+    * nearest-rank CI indexes the sorted 32-element mean list; se is
+    * the sample stddev of 32 rounded means (round-6 absorbs the
+    * 32-term order drift). Scale: the 32× fan-out feeds a map-side
+    * combining hash aggregate keyed by replicate — linear, no
+    * coordination, the exact shape the method was invented for. */
+  val qStatBootstrapCi: Q = (s, d) => {
+    val x = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), expr("cast(round(value * 100.0) as bigint)").as("cents"))
+    val u = expr(s"(pmod(${Dedup.h60("'boot'",
+      "concat(cast(b as string), ':', cast(event_id as string))")}, 1000000) + 0.5) / 1000000.0")
+    // cumulative Poisson(1) CDF at k = 0..5, 6-dp shared literals
+    val w = when(col("u") < 0.367879, 0L).when(col("u") < 0.735759, 1L)
+      .when(col("u") < 0.919699, 2L).when(col("u") < 0.981012, 3L)
+      .when(col("u") < 0.996340, 4L).when(col("u") < 0.999406, 5L).otherwise(6L)
+    val means = x.withColumn("b", explode(expr("sequence(0L, 31L)")))
+      .withColumn("u", u).withColumn("w", w)
+      .groupBy("b").agg(sum(col("w") * col("cents")).as("swx"), sum("w").as("sw"))
+      .select(when(col("sw") > 0L, Num.roundd(
+        col("swx").cast("double") / (col("sw") * 100L).cast("double"), 6)).as("m"))
+      .filter(col("m").isNotNull)
+    val full = x.agg(count(lit(1)).as("n"),
+      Num.roundd(sum("cents").cast("double") / (count(lit(1)) * 100L).cast("double"), 6).as("mean_full"))
+    means.agg(count(lit(1)).as("n_replicates"),
+        sort_array(collect_list("m")).as("ms"),
+        Num.roundd(avg("m"), 6).as("boot_mean"),
+        Num.roundd(stddev_samp(col("m")), 6).as("se"))
+      .crossJoin(broadcast(full))
+      .select(col("n"), col("mean_full"), col("n_replicates"), col("boot_mean"), col("se"),
+        expr("element_at(ms, cast(ceil(0.05 * n_replicates) as int))").as("ci_lo"),
+        expr("element_at(ms, cast(ceil(0.95 * n_replicates) as int))").as("ci_hi"))
+  }
+
   /** Lagged cross-correlation between the click and view hourly count
     * series, lags −24..+24: r(ℓ) = corr(a_t, b_{t+ℓ}) over the valid
     * overlap of the gapless 720-hour grid (n = 720 − |ℓ|) — the
@@ -463,5 +507,21 @@ object Stats {
         "SELECT un.n1 n_tokens, bn.n2 n_bigrams, round(h1raw, 6) h_unigram, round(h2raw, 6) h_cond_bigram, " +
         "round(h1raw - h2raw, 6) info_gain, round(exp(round(h1raw, 6)), 6) ppl_unigram, " +
         "round(exp(round(h2raw, 6)), 6) ppl_bigram " +
-        "FROM h1 CROSS JOIN h2 CROSS JOIN un CROSS JOIN bn")))
+        "FROM h1 CROSS JOIN h2 CROSS JOIN un CROSS JOIN bn")),
+    ("q_stat_bootstrap_ci", qStatBootstrapCi, Some(
+      "WITH x AS (SELECT event_id, CAST(round(value * 100.0) AS BIGINT) cents FROM events WHERE event_type = 'purchase'), " +
+        "r AS (SELECT x.event_id, x.cents, b.b, " +
+        "(CAST('0x' || substr(md5('boot' || ':' || CAST(b.b AS VARCHAR) || ':' || CAST(x.event_id AS VARCHAR)), 1, 15) AS BIGINT) " +
+        "% 1000000 + 0.5) / 1000000.0 u FROM x CROSS JOIN (SELECT unnest(range(0, 32)) b) b), " +
+        "wts AS (SELECT b, cents, CAST(CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1 " +
+        "WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3 WHEN u < 0.996340 THEN 4 " +
+        "WHEN u < 0.999406 THEN 5 ELSE 6 END AS BIGINT) w FROM r), " +
+        "mn AS (SELECT b, CASE WHEN sum(w) > 0 THEN round(CAST(sum(w * cents) AS DOUBLE) / (sum(w) * 100), 6) END m " +
+        "FROM wts GROUP BY 1), " +
+        "mm AS (SELECT CAST(count(m) AS BIGINT) n_replicates, list(m ORDER BY m) ms, " +
+        "round(avg(m), 6) boot_mean, round(stddev_samp(m), 6) se FROM mn WHERE m IS NOT NULL), " +
+        "f AS (SELECT CAST(count(*) AS BIGINT) n, round(CAST(sum(cents) AS DOUBLE) / (count(*) * 100), 6) mean_full FROM x) " +
+        "SELECT f.n, f.mean_full, mm.n_replicates, mm.boot_mean, mm.se, " +
+        "ms[CAST(ceil(0.05 * n_replicates) AS INT)] ci_lo, ms[CAST(ceil(0.95 * n_replicates) AS INT)] ci_hi " +
+        "FROM mm CROSS JOIN f")))
 }

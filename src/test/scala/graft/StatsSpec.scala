@@ -145,6 +145,14 @@ class StatsSpec extends SparkSuite {
     assert(r == ((5L, 4L, h1, 0.0, h1, r6(math.exp(h1)), 1.0)), s"got $r")
   }
 
+  test("bootstrap_ci: constant-valued purchases give a degenerate CI at the constant with zero se") {
+    writeEvents((1 to 50).map(i => (i.toLong, ns(t0 + i * hour), 1L, "purchase", 12.34, "{}")))
+    val r = Stats.qStatBootstrapCi(spark, dir)
+      .select("n", "mean_full", "n_replicates", "boot_mean", "se", "ci_lo", "ci_hi")
+      .as[(Long, Double, Long, Double, Double, Double, Double)].collect().head
+    assert(r == ((50L, 12.34, 32L, 12.34, 0.0, 12.34, 12.34)), s"got $r")
+  }
+
   /** click spike at hour `ca`, view spike at hour `cb`, zeros elsewhere. */
   private def spikes(ca: Int, cb: Int): Unit = {
     writeEvents(Seq(
