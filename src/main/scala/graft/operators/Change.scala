@@ -226,6 +226,40 @@ object Change {
       .orderBy("event_type", "start_h")
   }
 
+  /** CAUSAL variant of [[qTsBurst]] — the batch twin of the streaming
+    * detector (streaming/StatefulBurst.scala): thresholds come from the
+    * RUNNING prefix mean (all an online detector can know), enter at
+    * c·2n > 3·S_prefix, hold through in-between hours, exit below the
+    * running mean; only CLOSED episodes (a below-mean hour followed) are
+    * emitted — exactly the append-mode stream's emission set, so parity
+    * holds row-for-row on the sealed prefix. All threshold compares are
+    * exact-integer cross-multiplications; same windows discipline as the
+    * full-series variant. */
+  private[graft] def burstCausalEpisodes(s: SparkSession, d: String): DataFrame = {
+    val wseq = Window.partitionBy("et").orderBy("x")
+    val wcum = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = hourlyPanel(s, d)
+      .withColumn("sc", sum("c").over(wcum))
+      .withColumn("n", col("x") + 1L)
+      .withColumn("mark",
+        when(col("c") * 2L * col("n") > lit(3L) * col("sc"), 1L)
+          .when(col("c") * col("n") < col("sc"), -1L)
+          .otherwise(0L))
+      .withColumn("nzgrp",
+        sum(when(col("mark") =!= 0L, 1L).otherwise(0L)).over(wcum))
+      .withColumn("lastnz",
+        max(when(col("mark") =!= 0L, col("mark"))).over(Window.partitionBy("et", "nzgrp")))
+    marked.filter(col("lastnz") === 1L)
+      .withColumn("eid", col("x") - row_number().over(wseq))
+      .groupBy("et", "eid")
+      .agg(min("x").as("sx"), max("x").as("ex"), count(lit(1)).as("n_hours"),
+        max("c").as("peak"), sum("c").as("total"))
+      .filter(col("ex") < (N - 1)) // an episode still open at grid end never closes
+      .select(col("et").as("event_type"), gridHour("sx").as("start_h"),
+        gridHour("ex").as("end_h"), col("n_hours"), col("peak"), col("total"))
+      .orderBy("event_type", "start_h")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   /** Shared oracle prefix: the gapless (et, x, c) panel CTEs. */

@@ -417,7 +417,33 @@ object StreamingQueries {
         when(col("ph") > graft.operators.Change.LambdaMicro, 1L).otherwise(0L).as("alarm"))
       .orderBy("event_type", "h")
 
+  /** Batch twin of the streaming hysteresis burst detector
+    * (StatefulBurst): causal running-mean thresholds, closed episodes
+    * only — StreamParitySpec holds the stream's sealed emissions
+    * bit-equal to this; the DuckDB oracle replays the same windows. */
+  val qStreamBurst: Q = (s, d) =>
+    graft.operators.Change.burstCausalEpisodes(s, d)
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stream_burst", qStreamBurst, Some(
+      "WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, CAST(datediff('hour', TIMESTAMP '2024-01-01', g.h) AS BIGINT) x, " +
+        "CAST(coalesce(hc.c, 0) AS BIGINT) c FROM ty CROSS JOIN g LEFT JOIN hc ON hc.et = ty.et AND hc.h = g.h), " +
+        "mk AS (SELECT et, x, c, CAST(CASE " +
+        "WHEN 2 * c * (x + 1) > 3 * sum(c) OVER wc THEN 1 " +
+        "WHEN c * (x + 1) < sum(c) OVER wc THEN -1 ELSE 0 END AS BIGINT) mark FROM p " +
+        "WINDOW wc AS (PARTITION BY et ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "nz AS (SELECT *, CAST(sum(CASE WHEN mark <> 0 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY et ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) nzgrp FROM mk), " +
+        "st AS (SELECT *, max(CASE WHEN mark <> 0 THEN mark END) OVER (PARTITION BY et, nzgrp) lastnz FROM nz), " +
+        "b AS (SELECT et, x, c, x - row_number() OVER (PARTITION BY et ORDER BY x) eid FROM st WHERE lastnz = 1), " +
+        "ep AS (SELECT et, eid, min(x) sx, max(x) ex, CAST(count(*) AS BIGINT) n_hours, " +
+        "CAST(max(c) AS BIGINT) peak, CAST(sum(c) AS BIGINT) total FROM b GROUP BY 1, 2) " +
+        "SELECT et event_type, TIMESTAMP '2024-01-01' + sx * INTERVAL 1 HOUR start_h, " +
+        "TIMESTAMP '2024-01-01' + ex * INTERVAL 1 HOUR end_h, n_hours, peak, total " +
+        "FROM ep WHERE ex < 719 ORDER BY 1, 2")),
     ("q_stream_promql_alert", qStreamPromqlAlert, Some(
       "WITH c AS (SELECT event_type ty, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) n " +
         "FROM events WHERE regexp_matches(event_type, '^(?:error|click)$') GROUP BY 1, 2) " +

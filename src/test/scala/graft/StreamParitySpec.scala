@@ -206,6 +206,24 @@ class StreamParitySpec extends SparkSuite {
     }
   }
 
+  test("burst detector: closed episodes equal the causal batch twin, ordered + jittered") {
+    import graft.streaming.StatefulBurst
+    val batch = StreamingQueries.qStreamBurst(spark, sf0001)
+      .withColumn("start_h", col("start_h").cast("timestamp"))
+      .withColumn("end_h", col("end_h").cast("timestamp"))
+      .select("event_type", "start_h", "end_h", "n_hours", "peak", "total")
+    for (dir <- Seq(replayDir, StreamReplay.rewriteJittered(spark, sf0001, 6, jitterMinutes = 4))) {
+      val stream = StreamingQueries.eventsStream(spark, dir).withWatermark("ts", "10 minutes")
+      val got = StreamReplay.runToCompletion(
+        spark, StatefulBurst.burstStream(stream).toDF(), s"t_burst_${dir.hashCode.abs}")
+      assert(got.count() > 0, "burst stream closed no episodes")
+      assert(got.except(batch).count() == 0,
+        "stream emitted an episode the causal batch twin disagrees with")
+      assert(got.count() == got.dropDuplicates("event_type", "start_h").count(),
+        "duplicate episodes emitted")
+    }
+  }
+
   test("token-bucket limiter: sealed decisions equal the batch fold, ordered + jittered") {
     import graft.streaming.StatefulRateLimit
     import StatefulRateLimit.{CapacityUs, CostUs}
