@@ -519,6 +519,43 @@ object Mining {
       .orderBy("doc_id")
   }
 
+  /** Pairwise Jensen–Shannon divergence between the unigram
+    * distributions of every source pair — "has src3's vocabulary
+    * drifted from src0's" — the corpus-mixture drift monitor next to
+    * q_ts_drift_psi's numeric PSI (JS is the standard for discrete
+    * text distributions: symmetric, bounded by ln 2, defined at zeros).
+    * Counts are exact longs; the (word × source) grid densifies with
+    * real zeros so one-sided words contribute their exact x·ln(2)
+    * limit term (CASE on the LONG count); per-pair sums round at 6 dp
+    * after the ≤vocab-term summation (chi-square discipline). Scale:
+    * one tokenize pass → a (source, word) hash aggregate; the pair
+    * fan-out multiplies the VOCABULARY by the handful of source pairs,
+    * never the corpus. */
+  val qDocsSourceDivergence: Q = (s, d) => {
+    val cnt = withTokens(Tables.documents(s, d))
+      .select(col("source"), explode(col("tk")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source").as("ts")).agg(sum("c").as("t"))
+    val words = cnt.select("w").distinct()
+    val srcs = cnt.select("source").distinct()
+    val dense = words.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "w"), "left")
+      .join(broadcast(tot), col("source") === col("ts"))
+      .select(col("w"), col("source"), coalesce(col("c"), lit(0L)).as("c"), col("t"))
+    val a = dense.select(col("w"), col("source").as("src_a"), col("c").as("ca"), col("t").as("ta"))
+    val b = dense.select(col("w").as("wb"), col("source").as("src_b"), col("c").as("cb"), col("t").as("tb"))
+    val p = col("ca").cast("double") / col("ta").cast("double")
+    val q = col("cb").cast("double") / col("tb").cast("double")
+    a.join(b, col("w") === col("wb") && col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (when(col("ca") === 0L, lit(0.0)).otherwise(p * log(lit(2.0) * p / (p + q))) +
+          when(col("cb") === 0L, lit(0.0)).otherwise(q * log(lit(2.0) * q / (p + q)))).as("term"),
+        when(col("ca") > 0L || col("cb") > 0L, 1L).otherwise(0L).as("pres"))
+      .groupBy("src_a", "src_b")
+      .agg(sum("pres").as("n_words"), Num.roundd(lit(0.5) * sum("term"), 6).as("js"))
+      .orderBy("src_a", "src_b")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -698,5 +735,23 @@ object Mining {
         "FROM ev LEFT JOIN big ON big.w1 = ev.w1 AND big.w2 = ev.w2 " +
         "LEFT JOIN ctx ON ctx.cw1 = ev.w1 LEFT JOIN cont ON cont.kw2 = ev.w2 CROSS JOIN bt CROSS JOIN vo) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) n_pairs, " +
-        "round(-sum(round(ln(p), 6)) / count(*), 4) kn_nll FROM sc GROUP BY 1 ORDER BY 1")))
+        "round(-sum(round(ln(p), 6)) / count(*), 4) kn_nll FROM sc GROUP BY 1 ORDER BY 1")),
+    ("q_docs_source_divergence", qDocsSourceDivergence, Some(
+      "WITH tk AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) w FROM documents), " +
+        "cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) c FROM tk GROUP BY 1, 2), " +
+        "tot AS (SELECT source ts, CAST(sum(c) AS BIGINT) t FROM cnt GROUP BY 1), " +
+        "dense AS (SELECT ws.w, ss.source, CAST(coalesce(cnt.c, 0) AS BIGINT) c, tot.t FROM " +
+        "(SELECT DISTINCT w FROM cnt) ws CROSS JOIN (SELECT DISTINCT source FROM cnt) ss " +
+        "LEFT JOIN cnt ON cnt.source = ss.source AND cnt.w = ws.w " +
+        "JOIN tot ON tot.ts = ss.source), " +
+        "pr AS (SELECT a.src_a, b.src_b, " +
+        "CASE WHEN a.ca = 0 THEN 0.0 ELSE (CAST(a.ca AS DOUBLE) / a.ta) * " +
+        "ln(2.0 * (CAST(a.ca AS DOUBLE) / a.ta) / (CAST(a.ca AS DOUBLE) / a.ta + CAST(b.cb AS DOUBLE) / b.tb)) END + " +
+        "CASE WHEN b.cb = 0 THEN 0.0 ELSE (CAST(b.cb AS DOUBLE) / b.tb) * " +
+        "ln(2.0 * (CAST(b.cb AS DOUBLE) / b.tb) / (CAST(a.ca AS DOUBLE) / a.ta + CAST(b.cb AS DOUBLE) / b.tb)) END term, " +
+        "CASE WHEN a.ca > 0 OR b.cb > 0 THEN 1 ELSE 0 END pres " +
+        "FROM (SELECT w, source src_a, c ca, t ta FROM dense) a " +
+        "JOIN (SELECT w, source src_b, c cb, t tb FROM dense) b ON b.w = a.w AND a.src_a < b.src_b) " +
+        "SELECT src_a, src_b, CAST(sum(pres) AS BIGINT) n_words, round(0.5 * sum(term), 6) js " +
+        "FROM pr GROUP BY 1, 2 ORDER BY 1, 2")))
 }

@@ -85,6 +85,30 @@ object Relational {
         |FROM graft_nation_region GROUP BY ROLLUP(r_name, n_name) ORDER BY r, n""".stripMargin)
   }
 
+  /** Recursive CTE through the SQL path: min-hop BFS from 'signup' over
+    * the distinct event-type transition graph — Spark 4's native
+    * WITH RECURSIVE (UnionLoopExec) cross-checked against DuckDB's
+    * recursion on the IDENTICAL query text. The depth guard (d < 6)
+    * bounds the loop on a cyclic graph; the post-aggregate min collapses
+    * the path fan-out, which stays ≤ fanout^6 over the vocabulary-sized
+    * edge list — the recursion never touches event volume (the edge
+    * derivation is the one scan). */
+  val qSqlRecursiveBfs: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("graft_events_rec")
+    s.sql(
+      """WITH RECURSIVE
+        |ed AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT event_type src,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) dst
+        |  FROM graft_events_rec) t
+        |  WHERE dst IS NOT NULL AND src <> dst),
+        |r(node, d) AS (
+        |  SELECT 'signup', 0
+        |  UNION ALL
+        |  SELECT ed.dst, r.d + 1 FROM r JOIN ed ON ed.src = r.node WHERE r.d < 6)
+        |SELECT node, CAST(min(d) AS BIGINT) hops FROM r GROUP BY node ORDER BY node""".stripMargin)
+  }
+
   val qAggCube: Q = (s, d) =>
     Tables.lineitem(s, d)
       .cube("l_returnflag", "l_linestatus")
@@ -423,6 +447,13 @@ object Relational {
   /** name → (impl, oracle SQL). Oracle texts: SURVEY.md §8, with explicit
     * casts added where DuckDB's and Spark's natural output types diverge. */
   val all: Seq[(String, Q, String)] = Seq(
+    ("q_sql_recursive_bfs", qSqlRecursiveBfs,
+      "WITH RECURSIVE ed AS (SELECT DISTINCT src, dst FROM (" +
+        "SELECT event_type src, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) dst " +
+        "FROM events) t WHERE dst IS NOT NULL AND src <> dst), " +
+        "r(node, d) AS (SELECT 'signup', 0 UNION ALL " +
+        "SELECT ed.dst, r.d + 1 FROM r JOIN ed ON ed.src = r.node WHERE r.d < 6) " +
+        "SELECT node, CAST(min(d) AS BIGINT) hops FROM r GROUP BY node ORDER BY node"),
     ("q_scan_project", qScanProject,
       "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice"),
     ("q_filter_pred", qFilterPred,

@@ -435,6 +435,20 @@ class FitMiningSpec extends SparkSuite {
     assert(flat.length == 24 && flat.forall(_ == 0.0))
   }
 
+  // ---- source divergence -----------------------------------------------------
+
+  test("source_divergence: identical distributions give js 0; disjoint vocabularies give ln 2") {
+    writeDocs(Seq(
+      (1L, "a a b", "en", "s1"), (2L, "a a b", "en", "s2"), // identical dists
+      (3L, "x y", "en", "s3")))                             // disjoint from both
+    val r = Mining.qDocsSourceDivergence(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val ln2 = r6(math.log(2.0))
+    assert(r == Seq(
+      ("s1", "s2", 2L, 0.0), ("s1", "s3", 4L, ln2), ("s2", "s3", 4L, ln2)), s"got $r")
+  }
+
   // ---- theta forecast -------------------------------------------------------
 
   test("theta: constant series forecasts the constant at every horizon; linear series matches the driver fold") {

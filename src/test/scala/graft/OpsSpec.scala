@@ -390,6 +390,18 @@ class OpsSpec extends SparkSuite {
       s"got $r")
   }
 
+  test("sql_recursive_bfs: a signup→click→view chain walks to min-hop distances via the recursive CTE") {
+    import graft.operators.Relational
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "signup", 1.0), (2L, ns(t0 + 60), 1L, "click", 1.0),
+      (3L, ns(t0 + 120), 1L, "view", 1.0),
+      // a second user provides a shortcut signup→view: min() must pick 1
+      (4L, ns(t0), 2L, "signup", 1.0), (5L, ns(t0 + 60), 2L, "view", 1.0)))
+    val r = Relational.qSqlRecursiveBfs(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("click", 1L), ("signup", 0L), ("view", 1L)), s"got $r")
+  }
+
   test("cuped: y = 2x gives theta 2, zero adjusted effect, full variance reduction; constant x guards NULL") {
     import graft.operators.Ops
     // user u: u purchases pre-cutoff, 2u post-cutoff — whatever the md5
