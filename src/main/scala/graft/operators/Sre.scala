@@ -255,12 +255,17 @@ object Sre {
     * guard surprise to NULL; ΔA = 0 guards ep. */
   val qSreRootCause: Q = (s, d) => {
     val mid = "TIMESTAMP_NTZ '2024-01-08 00:00:00'"
+    // localCheckpoint pins the ≤vocab·24·7-row cube so the three rollups
+    // and the totals read the materialized tiny table instead of
+    // re-planning (and re-scanning) the raw pass per branch — the
+    // qGraphLinkPredict reuse device
     val cube = Tables.events(s, d)
       .filter(col("ts") < expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'"))
       .groupBy(col("event_type").as("et"), hour(col("ts")).cast("string").as("hod"),
         expr("weekday(ts)").cast("string").as("dow"))
       .agg(sum(when(col("ts") < expr(mid), 1L).otherwise(0L)).as("cf"),
         sum(when(col("ts") < expr(mid), 0L).otherwise(1L)).as("ca"))
+      .localCheckpoint()
     def roll(dim: String, key: Column): DataFrame = cube
       .groupBy(key.as("dim_value"))
       .agg(sum("cf").as("fv"), sum("ca").as("av"))

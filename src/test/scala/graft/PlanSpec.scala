@@ -432,4 +432,31 @@ class PlanSpec extends SparkSuite {
     // explosion itself must not add an exchange
     assert(countExchanges(p) <= 4, s"too many exchanges:\n$p")
   }
+
+  test("item cooc: order-local self-join, part dims broadcast, top-k is an aggregate not a window sort") {
+    val p = plan(graft.operators.Analytics.qItemCoocTopk(spark, sf0001))
+    assert(!"(?i)cartesianproduct".r.findFirstIn(p).isDefined, s"no cartesian:\n$p")
+    // both ni sides must broadcast — a shuffle join of the items dim
+    // against the pair table would double-shuffle the fan-out
+    assert("(?i)broadcasthashjoin".r.findAllIn(p).length >= 2, s"ni joins must broadcast:\n$p")
+    // the top-3 cut is the TopNeighbors aggregate: no Window node may
+    // sort the symmetric pair fan-out
+    assert(!p.contains("Window"), s"top-k must be an aggregate, not a window sort:\n$p")
+  }
+
+  test("root cause: the checkpointed cube feeds every rollup — no raw re-scan per dimension") {
+    val p = plan(graft.operators.Sre.qSreRootCause(spark, sf0001))
+    // the raw pass materializes ONCE into the localCheckpoint; a parquet
+    // scan in the final plan means a rollup branch re-planned the raw pass
+    assert(!p.contains("FileScan parquet"), s"rollups must read the pinned cube:\n$p")
+    assert(!"(?i)(sortmergejoin|cartesianproduct)".r.findFirstIn(p).isDefined,
+      s"rollups must rejoin broadcast-side only:\n$p")
+  }
+
+  test("bootstrap: the 32x replicate fan-out is a Generate feeding one hash aggregate, no join") {
+    val p = plan(graft.operators.Stats.qStatBootstrapCi(spark, sf0001))
+    assert(p.contains("Generate"), s"replicate fan-out must be a Generate:\n$p")
+    assert(!"(?i)(sortmergejoin|shuffledhashjoin|cartesianproduct)".r.findFirstIn(p).isDefined,
+      s"no non-broadcast join anywhere:\n$p")
+  }
 }
