@@ -446,6 +446,41 @@ object Signal {
       .orderBy("event_type", "period")
   }
 
+  /** Haar wavelet detail energies, levels 1–9 over the first 512 hours
+    * (the dyadic prefix) — the multiresolution complement of
+    * [[qTsPeriodogram]]'s fixed-frequency probe: level 1 captures
+    * hour-to-hour churn, level 5 the ~daily swing, level 9 the
+    * half-month drift (Haar 1910; Mallat's pyramid, 1989). EVERYTHING
+    * is exact integers until one division per level: the unnormalized
+    * detail coefficient is Σ(first half) − Σ(second half) of each
+    * 2^ℓ-hour block — a SIGNED count sum, so absent hours contribute
+    * their real zero without materializing a grid — and the orthonormal
+    * energy is Σd²/2^ℓ. Scale: the raw scan collapses to the hourly
+    * rollup once; the level fan-out is rollup × 9 into one hash
+    * aggregate keyed by (type, level, block) — map-side combinable,
+    * never event volume. */
+  val qTsHaarEnergy: Q = (s, d) => {
+    val pf = Tables.events(s, d)
+      .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cn"))
+      .withColumn("x",
+        expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', h)").cast("long"))
+      .filter(col("x") >= 0L && col("x") < 512L)
+    val coefs = pf.withColumn("lv", explode(expr("sequence(1L, 9L)")))
+      .withColumn("bs", expr("cast(shiftleft(1, cast(lv as int)) as bigint)"))
+      .withColumn("blk", expr("x div bs"))
+      .withColumn("sc", when((col("x") % col("bs")) * 2L < col("bs"), col("cn"))
+        .otherwise(-col("cn")))
+      .groupBy("et", "lv", "bs", "blk")
+      .agg(sum("sc").as("dc"))
+    coefs.groupBy("et", "lv", "bs")
+      .agg(sum(col("dc") * col("dc")).as("e2"))
+      .select(col("et").as("event_type"), col("lv").as("level"),
+        expr("512 div bs").as("n_coef"),
+        Num.roundd(col("e2").cast("double") / col("bs").cast("double"), 6).as("energy"))
+      .orderBy("event_type", "level")
+  }
+
   // ---- trig literal tables (shared by the Spark plan and the oracle) ------
 
   private val PERIODS = Seq(24, 12, 8, 6)
@@ -758,5 +793,17 @@ object Signal {
         s"${duckTrigCase(math.sin)} s FROM x), " +
         "a AS (SELECT event_type, period, round(sum(n*c), 6) a6, round(sum(n*s), 6) b6 FROM t GROUP BY 1, 2) " +
         "SELECT event_type, period, a6, b6, round(a6*a6 + b6*b6, 2) power FROM a ORDER BY 1, 2")),
+    ("q_ts_haar_energy", qTsHaarEnergy, Some(
+      "WITH hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) cn FROM events GROUP BY 1, 2), " +
+        "pf AS (SELECT et, CAST(datediff('hour', TIMESTAMP '2024-01-01', h) AS BIGINT) x, cn FROM hc " +
+        "WHERE datediff('hour', TIMESTAMP '2024-01-01', h) >= 0 AND datediff('hour', TIMESTAMP '2024-01-01', h) < 512), " +
+        "lv AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) lv), " +
+        "e AS (SELECT pf.et, lv.lv, CAST((1 << lv.lv) AS BIGINT) bs, pf.x // (1 << lv.lv) blk, " +
+        "CASE WHEN (pf.x % (1 << lv.lv)) * 2 < (1 << lv.lv) THEN pf.cn ELSE -pf.cn END sc " +
+        "FROM pf CROSS JOIN lv), " +
+        "co AS (SELECT et, lv, bs, blk, CAST(sum(sc) AS BIGINT) dc FROM e GROUP BY 1, 2, 3, 4) " +
+        "SELECT et event_type, lv AS \"level\", CAST(512 // bs AS BIGINT) n_coef, " +
+        "round(CAST(sum(dc * dc) AS DOUBLE) / bs, 6) energy " +
+        "FROM co GROUP BY et, lv, bs ORDER BY 1, 2")),
   )
 }

@@ -458,4 +458,28 @@ class SignalSpec extends SparkSuite {
     val l2 = { val v = 3.0 * math.sqrt(720.0); math.floor(v * 1e6 + 0.5) / 1e6 }
     assert(r == Seq(("click", "view", 2160L, l2)), s"got $r")
   }
+
+  // ---- Haar energies --------------------------------------------------------
+
+  test("haar: alternating hours put all energy at level 1; a half-split step puts it all at level 9") {
+    def grid(c: Int => Int): Seq[(Long, Long, Long, String, Double, String)] = {
+      var id = 0L
+      (0 until 512).flatMap { x =>
+        (0 until c(x)).map { _ => id += 1; (id, ns(t0 + x * hour), 1L, "click", 1.0, "{}") }
+      }
+    }
+    // 1,0,1,0,…: every pair-block detail is 1 ⇒ E1 = 256·1/2 = 128; deeper
+    // blocks balance their halves exactly ⇒ 0
+    writeEvents(grid(x => 1 - x % 2))
+    val alt = Signal.qTsHaarEnergy(spark, dir)
+      .select("level", "n_coef", "energy").as[(Long, Long, Double)].collect().toSeq
+    assert(alt == (1 to 9).map(l => (l.toLong, (512L >> l), if (l == 1) 128.0 else 0.0)), s"got $alt")
+
+    // 0…0 then 10…10 at x ≥ 256: only the level-9 whole-series block
+    // straddles the step: d = −2560 ⇒ E9 = 2560²/512 = 12800
+    writeEvents(grid(x => if (x < 256) 0 else 10))
+    val step = Signal.qTsHaarEnergy(spark, dir)
+      .select("level", "energy").as[(Long, Double)].collect().toSeq
+    assert(step == (1 to 9).map(l => (l.toLong, if (l == 9) 12800.0 else 0.0)), s"got $step")
+  }
 }
