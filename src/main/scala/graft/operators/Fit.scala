@@ -308,7 +308,7 @@ object Fit {
     * leaving each hod the same n_j complete days. All windows are
     * panel-keyed over ≤720 rows/type — post-aggregate, never event
     * volume. */
-  val qTsSeasonalDecomp: Q = (s, d) => {
+  val qTsClassicalDecomp: Q = (s, d) => {
     val w = Window.partitionBy("et").orderBy("x")
     val p = hourlyPanel(s, d)
       .withColumn("s1", sum("c").over(w.rowsBetween(-12, 11)))
@@ -462,7 +462,7 @@ object Fit {
         "round(round(s.pv + 1.0, 6) / (round(s.pv + 1.0, 6) + 4.0), 6) " +
         "FROM s JOIN p ON p.et = s.et AND p.x = s.x + 1) " +
         "SELECT et event_type, x, round(lvl, 6) AS \"level\", k gain FROM s WHERE x >= 690 ORDER BY 1, 2")),
-    ("q_ts_seasonal_decomp", qTsSeasonalDecomp, Some(
+    ("q_ts_classical_decomp", qTsClassicalDecomp, Some(
       "WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +
         "ty AS (SELECT DISTINCT event_type et FROM events), " +
         "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +

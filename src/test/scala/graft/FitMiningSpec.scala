@@ -424,13 +424,13 @@ class FitMiningSpec extends SparkSuite {
     // c = x mod 24: every 2×24-MA window sees each hod once ⇒ trend is
     // flat 11.5 and the normalized index is exactly hod − 11.5
     writeEvents(seriesEvents(x => x % 24))
-    val daily = Fit.qTsSeasonalDecomp(spark, dir)
+    val daily = Fit.qTsClassicalDecomp(spark, dir)
       .select("hod", "n_days", "seasonal").as[(Long, Long, Double)].collect().toSeq
     assert(daily == (0 until 24).map(j => (j.toLong, 29L, j - 11.5)))
 
     // c = x: the centered MA reproduces the line ⇒ detrended ≡ 0
     writeEvents(seriesEvents(x => x))
-    val flat = Fit.qTsSeasonalDecomp(spark, dir)
+    val flat = Fit.qTsClassicalDecomp(spark, dir)
       .select("seasonal").as[Double].collect().toSeq
     assert(flat.length == 24 && flat.forall(_ == 0.0))
   }
