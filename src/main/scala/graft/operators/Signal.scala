@@ -446,6 +446,35 @@ object Signal {
       .orderBy("event_type", "period")
   }
 
+  /** Trailing-24h rolling median and IQR of the hourly count per
+    * event_type — the robust rolling baseline (median ignores the spike
+    * that drags a rolling mean; IQR is the robust width the MAD tier
+    * reads daily, here continuous). Exact-percentile-as-window over the
+    * gapless panel: counts are exact longs, the interpolated quantile
+    * formula is the q_docs_length_dist device both engines share, and
+    * only COMPLETE 24-hour frames report (window-count guard). All
+    * windows ride one panel-keyed shuffle — post-aggregate, never event
+    * volume. */
+  val qTsRollingMedian: Q = (s, d) => {
+    val types = Tables.events(s, d).select(col("event_type").as("et")).distinct()
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val p = types.crossJoin(broadcast(hourGrid(s)))
+      .join(hourly, Seq("et", "h"), "left")
+      .select(col("et"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val wf = Window.partitionBy("et").orderBy("h").rowsBetween(-23, 0)
+    p.withColumn("wn", count(lit(1)).over(wf))
+      .withColumn("med", expr("percentile(c, 0.5d)").over(wf))
+      .withColumn("q1", expr("percentile(c, 0.25d)").over(wf))
+      .withColumn("q3", expr("percentile(c, 0.75d)").over(wf))
+      .filter(col("wn") === 24L)
+      .select(col("et").as("event_type"), col("h"),
+        Num.roundd(col("med"), 6).as("med"),
+        Num.roundd(col("q3") - col("q1"), 6).as("iqr"))
+      .orderBy("event_type", "h")
+  }
+
   /** Haar wavelet detail energies, levels 1–9 over the first 512 hours
     * (the dyadic prefix) — the multiresolution complement of
     * [[qTsPeriodogram]]'s fixed-frequency probe: level 1 captures
@@ -805,5 +834,19 @@ object Signal {
         "SELECT et event_type, lv AS \"level\", CAST(512 // bs AS BIGINT) n_coef, " +
         "round(CAST(sum(dc * dc) AS DOUBLE) / bs, 6) energy " +
         "FROM co GROUP BY et, lv, bs ORDER BY 1, 2")),
+    ("q_ts_rolling_median", qTsRollingMedian, Some(
+      s"WITH grid AS ($GRID), " +
+        "ty AS (SELECT DISTINCT event_type et FROM events), " +
+        "hc AS (SELECT event_type et, date_trunc('hour', ts) h, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT ty.et, grid.h, CAST(coalesce(hc.c, 0) AS BIGINT) c " +
+        "FROM ty CROSS JOIN grid LEFT JOIN hc ON hc.et = ty.et AND hc.h = grid.h), " +
+        "w AS (SELECT et, h, " +
+        "CAST(count(*) OVER wf AS BIGINT) wn, " +
+        "quantile_cont(c, 0.5) OVER wf med, " +
+        "quantile_cont(c, 0.25) OVER wf q1, " +
+        "quantile_cont(c, 0.75) OVER wf q3 FROM p " +
+        "WINDOW wf AS (PARTITION BY et ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) " +
+        "SELECT et event_type, h, round(med, 6) med, round(q3 - q1, 6) iqr " +
+        "FROM w WHERE wn = 24 ORDER BY 1, 2")),
   )
 }

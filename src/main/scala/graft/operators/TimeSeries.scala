@@ -964,6 +964,39 @@ object TimeSeries {
       .orderBy("event_type", "hod")
   }
 
+  /** Cumulative LTV curve by signup-week cohort: per (cohort week,
+    * week offset) the cohort's purchase revenue that week and the
+    * cumulative lifetime value per user — the revenue companion of
+    * [[qTsCohort]]'s retention triangle ("how much has the week-2
+    * cohort earned us by week 4"). Revenue is exact cents from the
+    * 2-decimal value; cohort sizes and week indices are exact longs;
+    * LTV is the prefix-windowed cumulative divided ONCE at the report.
+    * Weeks with zero revenue simply have no row — the cumulative
+    * carries across the gap identically on both engines. Two user-keyed
+    * hash aggregates + one key join; the triangle is weeks² rows. */
+  val qUserLtvCohort: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(expr("datediff(cast(ts as date), DATE '2024-01-01') div 7")).cast("long").as("cw"))
+    val cs = su.groupBy("cw").agg(count(lit(1)).as("n_users"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"),
+        expr("datediff(cast(ts as date), DATE '2024-01-01') div 7").cast("long").as("pw"),
+        expr("cast(round(value * 100.0) as bigint)").as("cents"))
+    val rv = su.join(pu, col("user_id") === col("pu") && col("pw") >= col("cw"))
+      .groupBy(col("cw"), (col("pw") - col("cw")).as("offset_w"))
+      .agg(sum("cents").as("rev"))
+    val wc = Window.partitionBy("cw").orderBy("offset_w")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rv.join(broadcast(cs), "cw")
+      .withColumn("cum", sum("rev").over(wc))
+      .select(col("cw").as("cohort_week"), col("offset_w"), col("n_users"),
+        Num.roundd(col("rev").cast("double") / 100.0, 2).as("revenue"),
+        Num.roundd(col("cum").cast("double") / (col("n_users") * 100L).cast("double"), 6).as("ltv"))
+      .orderBy("cohort_week", "offset_w")
+  }
+
   /** Local-timezone daily rollup: the UTC event stream aggregated by
     * AMERICA/NEW_YORK calendar day — the "our business day" report every
     * multi-region TSDB must answer, where day boundaries sit at 05:00
@@ -1288,6 +1321,19 @@ object TimeSeries {
         "SELECT cohort_day, offset_d, n_users, " +
         "round(CAST(n_users AS DOUBLE) / sum(CASE WHEN offset_d = 0 THEN n_users ELSE 0 END) OVER (PARTITION BY cohort_day), 4) rate " +
         "FROM g ORDER BY cohort_day, offset_d"),
+    ("q_user_ltv_cohort", qUserLtvCohort,
+      "WITH su AS (SELECT user_id, CAST(min(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7) AS BIGINT) cw " +
+        "FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "cs AS (SELECT cw, CAST(count(*) AS BIGINT) n_users FROM su GROUP BY 1), " +
+        "pu AS (SELECT user_id, CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) pw, " +
+        "CAST(round(value * 100.0) AS BIGINT) cents FROM events WHERE event_type = 'purchase'), " +
+        "rv AS (SELECT su.cw, pu.pw - su.cw offset_w, CAST(sum(pu.cents) AS BIGINT) rev " +
+        "FROM su JOIN pu ON pu.user_id = su.user_id AND pu.pw >= su.cw GROUP BY 1, 2) " +
+        "SELECT rv.cw cohort_week, rv.offset_w, cs.n_users, " +
+        "round(CAST(rv.rev AS DOUBLE) / 100.0, 2) revenue, " +
+        "round(CAST(sum(rv.rev) OVER (PARTITION BY rv.cw ORDER BY rv.offset_w " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / (cs.n_users * 100), 6) ltv " +
+        "FROM rv JOIN cs ON cs.cw = rv.cw ORDER BY 1, 2"),
     ("q_ts_gaps", qTsGaps,
       "WITH g AS (SELECT event_type, lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) prev_ts, ts FROM events) " +
         "SELECT event_type, prev_ts gap_start, ts gap_end, CAST(date_diff('second', prev_ts, ts) AS BIGINT) gap_s " +

@@ -390,6 +390,22 @@ class OpsSpec extends SparkSuite {
       s"got $r")
   }
 
+  test("ltv_cohort: staggered cohorts accumulate revenue by week offset; pre-signup purchases drop") {
+    import graft.operators.TimeSeries
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "signup", 1.0),                         // cohort week 0
+      (2L, ns(t0 + day), 1L, "purchase", 10.0),                // offset 0
+      (3L, ns(t0 + 8 * day), 1L, "purchase", 20.0),            // offset 1
+      (4L, ns(t0 + 7 * day), 2L, "signup", 1.0),               // cohort week 1
+      (5L, ns(t0 + 3 * day), 2L, "purchase", 99.0),            // BEFORE signup week: dropped
+      (6L, ns(t0 + 9 * day), 2L, "purchase", 5.0)))            // offset 0
+    val r = TimeSeries.qUserLtvCohort(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r == Seq(
+      (0L, 0L, 1L, 10.0, 10.0), (0L, 1L, 1L, 20.0, 30.0),
+      (1L, 0L, 1L, 5.0, 5.0)), s"got $r")
+  }
+
   test("sql_recursive_bfs: a signup→click→view chain walks to min-hop distances via the recursive CTE") {
     import graft.operators.Relational
     writeEvents(Seq(

@@ -459,6 +459,21 @@ class SignalSpec extends SparkSuite {
     assert(r == Seq(("click", "view", 2160L, l2)), s"got $r")
   }
 
+  // ---- rolling median --------------------------------------------------------
+
+  test("rolling_median: a single 30-count spike never moves the trailing median or IQR (the anti-mean point)") {
+    var id = 0L
+    val rows = (0 until 720).flatMap { x =>
+      val c = if (x == 100) 30 else 5
+      (0 until c).map { _ => id += 1; (id, ns(t0 + x * hour), 1L, "click", 1.0, "{}") }
+    }
+    writeEvents(rows)
+    val r = Signal.qTsRollingMedian(spark, dir)
+      .select("med", "iqr").as[(Double, Double)].collect().toSeq
+    assert(r.length == 720 - 23)
+    assert(r.forall(_ == ((5.0, 0.0))), s"spike leaked into the rolling median")
+  }
+
   // ---- Haar energies --------------------------------------------------------
 
   test("haar: alternating hours put all energy at level 1; a half-split step puts it all at level 9") {
