@@ -88,24 +88,30 @@ object Relational {
   /** Recursive CTE through the SQL path: min-hop BFS from 'signup' over
     * the distinct event-type transition graph — Spark 4's native
     * WITH RECURSIVE (UnionLoopExec) cross-checked against DuckDB's
-    * recursion on the IDENTICAL query text. The depth guard (d < 6)
-    * bounds the loop on a cyclic graph; the post-aggregate min collapses
-    * the path fan-out, which stays ≤ fanout^6 over the vocabulary-sized
-    * edge list — the recursion never touches event volume (the edge
-    * derivation is the one scan). */
+    * recursion on the same recursion text. The vocabulary-sized edge
+    * list is derived ONCE and pinned with localCheckpoint before the
+    * loop — UnionLoop re-evaluates its step plan per iteration, so an
+    * inlined edge CTE would re-scan the raw table every hop. The DISTINCT
+    * in the step caps per-iteration state at the vocabulary; the depth
+    * guard (d < 6) bounds the loop on the cyclic graph; min() collapses
+    * depths. Residual cost is UnionLoopExec's fixed ~0.3 s/iteration
+    * job overhead — the price of exercising the native recursion
+    * surface rather than the already-covered iterative-DataFrame BFS
+    * (q_graph_bfs), and independent of data volume past the one scan. */
   val qSqlRecursiveBfs: Q = (s, d) => {
-    Tables.events(s, d).createOrReplaceTempView("graft_events_rec")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_type").as("src"), lead("event_type", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_edges_rec")
     s.sql(
       """WITH RECURSIVE
-        |ed AS (SELECT DISTINCT src, dst FROM (
-        |  SELECT event_type src,
-        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) dst
-        |  FROM graft_events_rec) t
-        |  WHERE dst IS NOT NULL AND src <> dst),
         |r(node, d) AS (
         |  SELECT 'signup', 0
         |  UNION ALL
-        |  SELECT ed.dst, r.d + 1 FROM r JOIN ed ON ed.src = r.node WHERE r.d < 6)
+        |  SELECT DISTINCT ed.dst, r.d + 1 FROM r JOIN graft_edges_rec ed ON ed.src = r.node WHERE r.d < 6)
         |SELECT node, CAST(min(d) AS BIGINT) hops FROM r GROUP BY node ORDER BY node""".stripMargin)
   }
 
@@ -452,7 +458,7 @@ object Relational {
         "SELECT event_type src, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) dst " +
         "FROM events) t WHERE dst IS NOT NULL AND src <> dst), " +
         "r(node, d) AS (SELECT 'signup', 0 UNION ALL " +
-        "SELECT ed.dst, r.d + 1 FROM r JOIN ed ON ed.src = r.node WHERE r.d < 6) " +
+        "SELECT DISTINCT ed.dst, r.d + 1 FROM r JOIN ed ON ed.src = r.node WHERE r.d < 6) " +
         "SELECT node, CAST(min(d) AS BIGINT) hops FROM r GROUP BY node ORDER BY node"),
     ("q_scan_project", qScanProject,
       "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice"),
