@@ -361,8 +361,12 @@ object Analytics {
     * by (rounded cosine, cooc, neighbor) so ties are pinned on both
     * engines. */
   val qItemCoocTopk: Q = (s, d) => {
+    // localCheckpoint: the presence list feeds THREE consumers (both
+    // self-join sides + the part-count dim); pinning it pays one distinct
+    // instead of three (the qGraphLinkPredict reuse device)
     val pres = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint()
     val ni = pres.groupBy("pk").agg(count(lit(1)).as("n"))
     val pairs = pres.join(pres.select(col("ok"), col("pk").as("pk2")), "ok")
       .filter(col("pk") < col("pk2"))
