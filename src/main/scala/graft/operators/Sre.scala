@@ -289,6 +289,39 @@ object Sre {
       .orderBy("dim", "dim_value")
   }
 
+  /** Multi-window multi-burn-rate SLO alert (the Google SRE-workbook
+    * alerting policy): per hour on the gapless grid, the error-budget
+    * burn rate over the trailing 1 h and 6 h windows against a 98%
+    * availability SLO (budget 2%), paging when BOTH exceed their
+    * thresholds (14.4× / 6×) — the two-window AND is what kills both
+    * flappy fast-burn pages and slow-burn blindness. The PAGE DECISION
+    * is exact-integer cross-multiplication (500·err₁ > 144·tot₁ ∧
+    * 25·err₆ > 3·tot₆ — no float decides an alert); the reported burn
+    * rates are one division each, rounded at 4 dp. One conditional
+    * hash aggregate to the hourly (err, tot) panel; trailing sums are
+    * panel-keyed windows — nothing scales with event volume. */
+  val qSreBurnAlert: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"),
+        count(lit(1)).as("tot"))
+    val g = hourGrid(s)
+      .join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("err"), lit(0L)).as("err"),
+        coalesce(col("tot"), lit(0L)).as("tot"))
+    val w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    g.withColumn("wn", count(lit(1)).over(w6))
+      .withColumn("err6", sum("err").over(w6))
+      .withColumn("tot6", sum("tot").over(w6))
+      .filter(col("wn") === 6L && col("tot") > 0L && col("tot6") > 0L)
+      .select(col("h"),
+        Num.roundd(lit(50.0) * col("err") / col("tot"), 4).as("burn_1h"),
+        Num.roundd(lit(50.0) * col("err6") / col("tot6"), 4).as("burn_6h"),
+        (col("err") * 500L > col("tot") * 144L &&
+          col("err6") * 25L > col("tot6") * 3L).as("page"))
+      .orderBy("h")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   val all: Seq[(String, Q, Option[String])] = Seq(
@@ -389,5 +422,18 @@ object Sre {
         "ln(2.0 * (CAST(c.av AS DOUBLE) / t.act) / (CAST(c.fv AS DOUBLE) / t.ft + CAST(c.av AS DOUBLE) / t.act)) END" +
         "), 6) END surprise " +
         "FROM c JOIN t ON t.dim = c.dim ORDER BY 1, 2")),
+    ("q_sre_burn_alert", qSreBurnAlert, Some(
+      s"WITH g AS ($GRID), " +
+        "hc AS (SELECT date_trunc('hour', ts) h, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) err, " +
+        "CAST(count(*) AS BIGINT) tot FROM events GROUP BY 1), " +
+        "p AS (SELECT g.h, CAST(coalesce(hc.err, 0) AS BIGINT) err, CAST(coalesce(hc.tot, 0) AS BIGINT) tot " +
+        "FROM g LEFT JOIN hc ON hc.h = g.h), " +
+        "w AS (SELECT h, err, tot, CAST(count(*) OVER w6 AS BIGINT) wn, " +
+        "CAST(sum(err) OVER w6 AS BIGINT) err6, CAST(sum(tot) OVER w6 AS BIGINT) tot6 FROM p " +
+        "WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) " +
+        "SELECT h, round(50.0 * err / tot, 4) burn_1h, round(50.0 * err6 / tot6, 4) burn_6h, " +
+        "(err * 500 > tot * 144 AND err6 * 25 > tot6 * 3) page " +
+        "FROM w WHERE wn = 6 AND tot > 0 AND tot6 > 0 ORDER BY h")),
   )
 }

@@ -180,6 +180,29 @@ class SreSpec extends SparkSuite {
     assert(r == Map(1L -> 2L, 3L -> 1L, 9L -> 1L), s"got $r")
   }
 
+  // ---- burn alert ------------------------------------------------------------
+
+  test("burn_alert: only the hour where BOTH windows burn pages; steady 10% error rate never does") {
+    // 100 events/hour, 10 errors (burn_1h = 5); hour 50 has 40 errors:
+    // burn_1h = 20 > 14.4 and burn_6h = 50·90/600 = 7.5 > 6 ⇒ page
+    var id = 0L
+    val rows = (0 until 720).flatMap { x =>
+      val nerr = if (x == 50) 40 else 10
+      (0 until 100).map { i =>
+        id += 1
+        (id, ns(t0 + x * hour), 1L, if (i < nerr) "error" else "click", 1.0, "{}")
+      }
+    }
+    writeEvents(rows)
+    val r = Sre.qSreBurnAlert(spark, dir)
+      .as[(java.time.LocalDateTime, Double, Double, Boolean)].collect().toSeq
+    assert(r.length == 715) // hours 5..719 have full 6h windows
+    val paged = r.filter(_._4)
+    assert(paged.map(_._1) == Seq(java.time.LocalDateTime.of(2024, 1, 3, 2, 0))) // hour 50
+    assert(paged.head._2 == 20.0 && paged.head._3 == 7.5)
+    assert(r.filterNot(_._4).forall(x => x._2 == 5.0 || x._2 == 20.0 || x._3 <= 6.0))
+  }
+
   // ---- root cause ----------------------------------------------------------
 
   test("root_cause: the grown value explains the whole delta with the JS surprise; an empty week guards surprise") {
