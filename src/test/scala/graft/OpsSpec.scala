@@ -418,6 +418,17 @@ class OpsSpec extends SparkSuite {
     assert(r == Seq(("click", 1L), ("signup", 0L), ("view", 1L)), s"got $r")
   }
 
+  test("attribution_markov: a corpus with no conversions guards every effect to NULL, not NaN") {
+    import graft.operators.Graphs
+    writeEvents(Seq(
+      (1L, ns(t0), 1L, "click", 1.0), (2L, ns(t0 + 60), 1L, "view", 1.0),
+      (3L, ns(t0), 2L, "view", 1.0)))
+    val r = Graphs.qGraphAttributionMarkov(spark, dir)
+      .as[(String, Double, Double, Option[Double], Option[Double])].collect().toSeq
+    // p_base = 0 (no CONV anywhere) ⇒ removal effects and shares NULL
+    assert(r.nonEmpty && r.forall(x => x._2 == 0.0 && x._4.isEmpty && x._5.isEmpty), s"got $r")
+  }
+
   test("cuped: y = 2x gives theta 2, zero adjusted effect, full variance reduction; constant x guards NULL") {
     import graft.operators.Ops
     // user u: u purchases pre-cutoff, 2u post-cutoff — whatever the md5

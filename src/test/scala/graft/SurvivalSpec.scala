@@ -142,4 +142,19 @@ class SurvivalSpec extends SparkSuite {
     assert(got == want.map { case (sg, (o, e, v, z, c)) => (sg, o, e, v, z, c) }, s"got $got")
     assert(got.map(_._2).sum == 4L && r6(got.map(_._3).sum) == 4.0)
   }
+
+  test("logrank: a single-segment cohort has zero variance and guards z/chi2 to NULL") {
+    var id = 0L
+    def ev(u: Long, tpe: String, h: Long): (Long, Long, Long, String, Double, String) = {
+      id += 1; (id, ns(t0 + h * hour), u, tpe, 1.0, "{}")
+    }
+    // everyone is segment A: at every event time n_g = n ⇒ V = 0 exactly
+    writeEvents(Seq(
+      ev(1, "signup", 0), ev(1, "purchase", 10),
+      ev(2, "signup", 0), ev(2, "purchase", 20)))
+    writeCustomers(Seq((1L, "A"), (2L, "A")))
+    val rows = Survival.qUserLogrank(spark, dir)
+      .as[(String, Long, Double, Double, Option[Double], Option[Double])].collect().toList
+    assert(rows == List(("A", 2L, 2.0, 0.0, None, None)), s"got $rows")
+  }
 }
