@@ -27,6 +27,27 @@ class CatalogSpec extends SparkSuite {
     assert(o.subsetOf(q), s"orphan oracles: ${o diff q}")
   }
 
+  test("no duplicate catalog names: the queries Map must not shadow a registration") {
+    // queries is a Map built from the per-module Seqs; a repeated name keeps
+    // only the LAST registration and the first silently vanishes from the
+    // gate (this bit round 11: q_ts_seasonal_decomp registered twice).
+    val perModule =
+      Seq(graft.operators.Relational.all.size, graft.operators.TimeSeries.all.size,
+        graft.operators.Llm.all.size, graft.operators.Analytics.all.size,
+        graft.streaming.StreamingQueries.all.size, graft.operators.LlmScale.all.size,
+        graft.operators.Sketches.all.size, graft.sources.IngestQueries.all.size,
+        graft.operators.Corpus.all.size, graft.operators.Ops.all.size,
+        graft.operators.Signal.all.size, graft.operators.Graphs.all.size,
+        graft.operators.Retrieval.all.size, graft.operators.Features.all.size,
+        graft.operators.Promql.all.size, graft.operators.PromqlFront.all.size,
+        graft.operators.Sre.all.size, graft.operators.Quality.all.size,
+        graft.operators.Fit.all.size, graft.operators.Mining.all.size,
+        graft.operators.Change.all.size, graft.operators.Stats.all.size,
+        graft.operators.Survival.all.size).sum
+    assert(SparkEntry.queries.size == perModule,
+      s"catalog Map has ${SparkEntry.queries.size} entries but modules register $perModule — a name is duplicated")
+  }
+
   test("golden: q_agg_hash matches DuckDB on sf0.001") {
     val rows = SparkEntry.queries("q_agg_hash")(spark, sf0001)
       .select("l_returnflag", "l_linestatus", "sum_qty", "cnt").collect()
