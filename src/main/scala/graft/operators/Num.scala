@@ -16,11 +16,24 @@ import org.apache.spark.sql.functions._
   * IEEE expression on identical inputs.
   *
   * Valid for |x|*10^n < 2^53 — far beyond any value in the inventory.
+  *
+  * Sign-bit preservation: DuckDB's copysign-based round carries the input's
+  * IEEE sign bit onto a zero result, so round(-0.0) = -0.0 and
+  * round(0/-x) = -0.0. A plain `when(c < 0, ...)` drops that bit because
+  * `-0.0 < 0` is false. Detecting the sign bit of a zero in Spark SQL is
+  * subtle: `1.0/c` trips ANSI divide-by-zero, and Spark's `atan2`
+  * deliberately adds 0.0 to its operands (normalizing -0.0 away). The one
+  * built-in that still sees the raw bit is the string cast —
+  * Java `Double.toString(-0.0)` is "-0.0" — so the zero branch probes
+  * `cast(c as string) == '-0.0'`. The Or short-circuits in codegen, so the
+  * string path only runs on rows where c == 0. `-mag` on mag == +0.0 then
+  * emits -0.0, matching DuckDB bit-for-bit.
   */
 object Num {
   def roundd(c: Column, n: Int): Column = {
     val p = math.pow(10, n) // exact double for 0 <= n <= 22
     val mag = floor(abs(c) * p + lit(0.5)) / p
-    when(c < 0, -mag).otherwise(mag)
+    val negBit = c < 0 || (c === lit(0.0) && c.cast("string") === lit("-0.0"))
+    when(negBit, -mag).otherwise(mag)
   }
 }

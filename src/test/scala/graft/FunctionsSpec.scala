@@ -183,4 +183,28 @@ class FunctionsSpec extends SparkSuite {
       .as[(Long, Long)].collect().map(_._2).sum
     assert(tot == 9876543L - 123456L)
   }
+
+  test("Num.roundd preserves the IEEE sign bit on zero, like DuckDB's copysign round") {
+    import graft.operators.Num
+    import spark.implicits._
+    // (raw, expected-bits-of-roundd(raw, 4)): -0.0 and 0/-x must stay -0.0;
+    // +0.0 stays +0.0; tiny negatives round to -0.0 (copysign semantics);
+    // ordinary values keep half-up magnitude rounding.
+    val negZero = 0.0 / -3.0 // = -0.0 the way q_sre_root_cause produced it
+    val rows = Seq(-0.0, negZero, 0.0, -1e-9, 1e-9, 1.23456, -1.23456, 2.5e-4)
+      .toDF("v")
+      .select(Num.roundd(col("v"), 4).as("r"))
+      .as[Double].collect()
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    assert(bits(rows(0)) == bits(-0.0), s"round(-0.0) lost sign: ${rows(0)}")
+    assert(bits(rows(1)) == bits(-0.0), s"round(0/-3) lost sign: ${rows(1)}")
+    assert(bits(rows(2)) == bits(0.0), s"round(+0.0) gained sign: ${rows(2)}")
+    assert(bits(rows(3)) == bits(-0.0), s"round(-1e-9) must be -0.0: ${rows(3)}")
+    assert(bits(rows(4)) == bits(0.0))
+    assert(rows(5) == 1.2346 && rows(6) == -1.2346, s"half-up magnitude broke: ${rows(5)}, ${rows(6)}")
+    assert(rows(7) == 3.0e-4, s"0.00025 must round half-up to 0.0003: ${rows(7)}")
+    // NULL passes through
+    val n = Seq[java.lang.Double](null).toDF("v").select(Num.roundd(col("v"), 2)).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }

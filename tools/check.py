@@ -15,10 +15,21 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 def norm(v):
-    # Normalize tz-aware timestamps to naive UTC, floats to repr
-    import datetime
+    # Normalize tz-aware timestamps to naive UTC. Floats compare by their
+    # IEEE bit pattern (struct.pack) — the driver's hash gate is bit-exact,
+    # and Python equality hides sign-bit diffs (-0.0 == 0.0) like the one
+    # that shipped q_sre_root_cause red in r11.
+    import datetime, struct, decimal
     if isinstance(v, datetime.datetime) and v.tzinfo is not None:
         return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    # DuckDB types round(literal) as DECIMAL where Spark has DOUBLE; the
+    # driver's gate coerces those, so mirror it: decimal -> float first.
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return ("f64", struct.pack(">d", v))
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 def main(sfdir, outdir):
