@@ -89,6 +89,27 @@ object Bench {
         graft.operators.Dedup.withShinglesFast(docs, "text", 3))
         .foreach(df => df.cache().count())
     } catch { case _: Throwable => () }
+    // VERDICT r11 "what's wrong" #2: the record protocol had no
+    // machine-readable contention defense — a CPU-steal burst during the
+    // driver run produced a 12.7× outlier on the permanent record and only
+    // BASELINE.md prose said "check /proc/stat first". The bench now samples
+    // aggregate CPU ticks around the timed window and emits steal_pct (plus
+    // the end-of-run 1-min load average) in BOTH the driver line and
+    // BENCH_LOCAL_r{N}.json, so a contended record self-identifies.
+    def cpuTicks(): Option[(Long, Long)] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+          Some((f.sum, if (f.length > 7) f(7) else 0L))
+        } finally src.close()
+      } catch { case _: Throwable => None }
+    def loadAvg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split("\\s+")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    val ticks0 = cpuTicks()
     // Two timed passes per query, report the min: a single OS stall or GC
     // pause otherwise lands a 30× outlier on the driver's permanent record
     // (r3's 12.3 s ts_tumbling), and round-over-round deltas drown in the
@@ -103,6 +124,13 @@ object Bench {
       }
       name -> times
     }
+    val ticks1 = cpuTicks()
+    val stealPct = (ticks0, ticks1) match {
+      case (Some((t0v, s0)), Some((t1v, s1))) if t1v > t0v =>
+        100.0 * (s1 - s0) / (t1v - t0v)
+      case _ => -1.0 // /proc/stat unreadable: flag, don't fake a clean 0
+    }
+    val load1 = loadAvg()
     val results = timed.map { case (name, ts) => name -> ts.min }
     val passTotals = Seq(0, 1).map(i => timed.values.map(_(i)).sum)
     // Line-length budget: the driver keeps only a 2000-char output tail and
@@ -169,7 +197,7 @@ object Bench {
       val qs = timed.toSeq.sortBy(_._1).map { case (k, ts) =>
         f""""$k":{"p1":${ts.head}%.6f,"p2":${ts(1)}%.6f,"min":${ts.min}%.6f}"""
       }.mkString("{\n  ", ",\n  ", "\n}")
-      f"""{"round":$round,"round_source":"$roundSource","sf":"$sfTag","pass1_total":${passTotals.head}%.4f,"pass2_total":${passTotals(1)}%.4f,"min_total":$total%.4f,
+      f"""{"round":$round,"round_source":"$roundSource","sf":"$sfTag","pass1_total":${passTotals.head}%.4f,"pass2_total":${passTotals(1)}%.4f,"min_total":$total%.4f,"steal_pct":$stealPct%.3f,"loadavg_end":$load1%.2f,
 "queries":$qs}
 """
     }
@@ -192,7 +220,7 @@ object Bench {
       val qs = shown.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(2)(v) }
         .mkString("{", ",", "}")
       val fast = f""""fast":{"n":${rest.size},"sum":${rest.map(_._2).sum}%.2f}"""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","p1":${passTotals.head}%.1f,"p2":${passTotals(1)}%.1f,"queries":$qs,$fast,"sf":"$sfTag"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","p1":${passTotals.head}%.1f,"p2":${passTotals(1)}%.1f,"steal":$stealPct%.2f,"load":$load1%.1f,"queries":$qs,$fast,"sf":"$sfTag"}"""
     }
     // 1900-char budget leaves ~100 chars of tail slack for sbt's trailing
     // "[success]" line plus timing-digit variance across runs.

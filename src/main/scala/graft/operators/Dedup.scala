@@ -117,6 +117,20 @@ object Dedup {
       .groupBy("band", "band_sig")
       .agg(sort_array(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    expandBucketPairs(buckets, maxBucket).distinct()
+  }
+
+  /** The triangle-blocking pair expansion shared by every bucketed-pair
+    * operator (LSH bands above, winnowing fingerprints in Mining): input
+    * has a sorted `ids` array per bucket row; output is one row per
+    * in-bucket unordered pair (id_a < id_b by the array's sort order),
+    * NOT deduplicated across buckets — callers distinct() (LSH candidate
+    * sets) or count per pair (shared-fingerprint scores) as their
+    * semantics require. Buckets over `maxBucket` split into sorted
+    * chunks and each (chunk_i, chunk_j ≥ i) tile becomes its own row,
+    * re-shuffled so a mega-bucket's quadratic work spreads across tasks
+    * instead of landing in the one task that aggregated the bucket. */
+  def expandBucketPairs(buckets: DataFrame, maxBucket: Int = 4096): DataFrame = {
     val triangle =
       "flatten(transform(sequence(1, size(ids) - 1), j -> " +
         "transform(slice(ids, 1, j), a -> struct(a AS id_a, element_at(ids, j + 1) AS id_b))))"
@@ -141,7 +155,6 @@ object Dedup {
         .as("p"))
     small.unionByName(big)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
   }
 
   /** LSH candidates verified with exact n-gram Jaccard ≥ threshold, from

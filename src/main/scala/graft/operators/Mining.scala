@@ -79,13 +79,17 @@ object Mining {
     // in-bucket pairs directly — the join form shuffled BOTH sides and
     // recomputed the tokenize+hash projection twice (it was the r10
     // bench's #3 entry); this shuffles the fp rows once and tokenizes
-    // once. Same bucketed guarantee, still never corpus².
-    fps.groupBy("fp").agg(sort_array(collect_list("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x, y))))"))
-        .as("p"))
-      .groupBy(col("p.x").as("d1"), col("p.y").as("d2"))
+    // once. Same bucketed guarantee, still never corpus². Pair expansion
+    // rides Dedup.expandBucketPairs (r11 VERDICT #3): a stop-word
+    // fingerprint shared by B docs is a B²/2 expansion, and untiled it
+    // all sat in the one task that aggregated the bucket — the shared
+    // triangle-blocking device splits buckets over 4096 ids into tiles
+    // and re-shuffles them, identical pair multiset by construction.
+    val buckets = fps.groupBy("fp")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    Dedup.expandBucketPairs(buckets)
+      .groupBy(col("id_a").as("d1"), col("id_b").as("d2"))
       .agg(count(lit(1)).as("shared"))
       .orderBy(desc("shared"), asc("d1"), asc("d2"))
       .limit(50)

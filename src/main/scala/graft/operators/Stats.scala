@@ -172,13 +172,17 @@ object Stats {
     val cells = full.join(broadcast(rowt), Seq("et")).join(broadcast(colt), Seq("dw"))
       .crossJoin(broadcast(tot))
       .filter(col("rt") > 0L && col("ct") > 0L)
-      .select(col("et"), col("nn"),
+      .select(col("et"), col("dw"), col("nn"),
         Num.roundd(dd * dd / (col("nn") * col("rt") * col("ct")).cast("double"), 9).as("cell"))
-    cells.agg(sum("cell").as("x2raw"), countDistinct("et").as("ntypes"), max("nn").as("n"))
+    // dof counts the NON-ZERO margins on both axes (ADVICE r11: a literal
+    // ×6 assumed data spanning all 7 weekdays; a corpus slice missing a
+    // weekday would report a dof its excluded cells don't support)
+    cells.agg(sum("cell").as("x2raw"), countDistinct("et").as("ntypes"),
+        countDistinct("dw").as("ncols"), max("nn").as("n"))
       .select(
         Num.roundd(col("x2raw"), 6).as("chi2"),
-        ((col("ntypes") - 1L) * 6L).as("dof"),
-        Num.roundd(sqrt(col("x2raw") / (col("n") * least(col("ntypes") - 1L, lit(6L))).cast("double")), 6).as("cramers_v"),
+        ((col("ntypes") - 1L) * (col("ncols") - 1L)).as("dof"),
+        Num.roundd(sqrt(col("x2raw") / (col("n") * least(col("ntypes") - 1L, col("ncols") - 1L)).cast("double")), 6).as("cramers_v"),
         col("n"))
       .orderBy("chi2")
   }
@@ -434,12 +438,12 @@ object Stats {
         "rt AS (SELECT et, sum(o) rt FROM f GROUP BY 1), " +
         "ct AS (SELECT dw, sum(o) ct FROM f GROUP BY 1), " +
         "nn AS (SELECT CAST(sum(o) AS BIGINT) nn FROM f), " +
-        "cells AS (SELECT f.et, nn.nn, " +
+        "cells AS (SELECT f.et, f.dw, nn.nn, " +
         "round(CAST(f.o * nn.nn - rt.rt * ct.ct AS DOUBLE) * CAST(f.o * nn.nn - rt.rt * ct.ct AS DOUBLE) " +
         "/ CAST(nn.nn * rt.rt * ct.ct AS DOUBLE), 9) cell " +
         "FROM f JOIN rt ON rt.et = f.et JOIN ct ON ct.dw = f.dw CROSS JOIN nn WHERE rt.rt > 0 AND ct.ct > 0) " +
-        "SELECT round(sum(cell), 6) chi2, CAST((count(DISTINCT et) - 1) * 6 AS BIGINT) dof, " +
-        "round(sqrt(sum(cell) / CAST(max(nn) * least(count(DISTINCT et) - 1, 6) AS DOUBLE)), 6) cramers_v, " +
+        "SELECT round(sum(cell), 6) chi2, CAST((count(DISTINCT et) - 1) * (count(DISTINCT dw) - 1) AS BIGINT) dof, " +
+        "round(sqrt(sum(cell) / CAST(max(nn) * least(count(DISTINCT et) - 1, count(DISTINCT dw) - 1) AS DOUBLE)), 6) cramers_v, " +
         "CAST(max(nn) AS BIGINT) n FROM cells ORDER BY 1")),
     ("q_ts_cross_corr", qTsCrossCorr, Some(
       s"WITH g AS ($GRID), " +

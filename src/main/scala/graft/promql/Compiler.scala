@@ -125,6 +125,36 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
     df.withColumn("h", date_trunc("hour", col("ts")))
       .withColumn("hi", expr(s"timestampdiff(HOUR, $Origin, h)"))
 
+  /** The 720-hour eval grid (hi, h) — absent() and the @ modifier ride it. */
+  private def gridDf: DataFrame =
+    s.sql("SELECT explode(sequence(0, 719)) AS hi")
+      .withColumn("hi", col("hi").cast("long"))
+      .withColumn("h", expr(s"timestampadd(HOUR, hi, $Origin)"))
+
+  private val OriginSec = 1704067200L // unix seconds of the grid origin
+
+  /** The @ modifier: pin the vector to its value at the grid hour holding
+    * `atSec`, then re-emit that value at EVERY grid hour — upstream's
+    * "constant across the range query's steps" reading on the hourly
+    * grid. The pinned slice is ≤ one row per series; the expansion is a
+    * broadcast cross join against the 720-hour grid, so downstream
+    * one-to-one/one-to-many joins on hi behave exactly as if the pinned
+    * expression were evaluated at each step. */
+  private def applyAt(v: Vec, atSec: Option[Long]): Vec = atSec match {
+    case None => v
+    case Some(sec) =>
+      if ((sec - OriginSec) % 3600 != 0)
+        throw new ParseException(s"@ $sec is not a whole grid hour")
+      val hi0 = (sec - OriginSec) / 3600
+      if (hi0 < 0 || hi0 > 719)
+        throw new ParseException(s"@ $sec lies outside the 30-day eval grid")
+      val pinned = v.materialized.filter(col("hi") === lit(hi0))
+        .drop("h", "hi")
+      Vec(pinned.crossJoin(broadcast(gridDf))
+        .select((v.labels :+ "h" :+ "hi").map(col) :+ col("value"): _*),
+        v.labels, None)
+  }
+
   /** The shared per-(series, hour) rollup every composable range function
     * rides: exact count, pre-rounded sum, min/max, first/last value. */
   private def hourly(sel: Selector): (DataFrame, Seq[String]) = {
@@ -149,7 +179,10 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
 
   // ---- range functions -----------------------------------------------------
 
-  private def rangeFn(name: String, rs: RangeSel, phi: Option[Double]): Vec = {
+  private def rangeFn(name: String, rs: RangeSel, phi: Option[Double]): Vec =
+    applyAt(rangeFnInner(name, rs, phi), rs.sel.atUnixSec)
+
+  private def rangeFnInner(name: String, rs: RangeSel, phi: Option[Double]): Vec = {
     val n = rs.hours
     val (g, labels) = hourly(rs.sel)
     val w = rangeFrame(labels, n)
@@ -270,9 +303,7 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
     * Prometheus matcher-derived label reconstruction is out of subset).
     * The anti-join rides the distinct present-hours set: ≤720 rows. */
   private def absentFn(sel: Selector): Vec = {
-    val grid = s.sql("SELECT explode(sequence(0, 719)) AS hi")
-      .withColumn("hi", col("hi").cast("long"))
-      .withColumn("h", expr(s"timestampadd(HOUR, hi, $Origin)"))
+    val grid = gridDf
     val (raw, _) = rawSamples(sel)
     val present = withHour(raw).select("hi").distinct()
     Vec(grid.join(present, Seq("hi"), "left_anti")
@@ -374,8 +405,10 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
     * grid bucket). */
   private def instant(sel: Selector): Vec = {
     val (g, labels) = hourly(sel)
-    Vec(g.withColumn("value", col("__lv"))
-      .select((labels :+ "h" :+ "hi").map(col) :+ col("value"): _*), labels, None)
+    applyAt(
+      Vec(g.withColumn("value", col("__lv"))
+        .select((labels :+ "h" :+ "hi").map(col) :+ col("value"): _*), labels, None),
+      sel.atUnixSec)
   }
 
   /** over_time functions applied to a SUBQUERY: the inner expr is already
@@ -492,14 +525,26 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
         Vec(m.withColumn("value", e), v.labels, None)
     }
 
-  /** Vector/vector with one-to-one matching: join on the match labels +
-    * the hour; result carries the match labels (PromQL one-to-one with
-    * on()/ignoring() — series that would match many-to-one are the
-    * caller's responsibility, as in PromQL itself). */
+  /** Vector/vector matching: join on the match labels + the hour.
+    *
+    * One-to-one (no grouping modifier): result carries the match labels
+    * (series that would match many-to-one are the caller's
+    * responsibility, as in PromQL itself).
+    *
+    * One-to-many (`group_left`/`group_right`): the named side is the MANY
+    * side and keeps its FULL label set; the one side must be unique per
+    * (match labels, hour) — uniqueness is the caller's contract, same
+    * convention as above (no runtime duplicate-series scan: that would
+    * cost an extra aggregate per binop at scale). Include-list labels are
+    * copied over from the one side, overwriting the many side's column if
+    * it exists (upstream semantics). The join stays a plain equi-join on
+    * (match labels, hi) — Catalyst broadcast-hashes the one side when it
+    * is small, which it is by construction (it aggregated away the many
+    * side's cardinality). */
   private def vecVec(lv: Vec, rv: Vec, op: String, m: Option[VectorMatch]): Vec = {
     val mlabels: Seq[String] = m match {
-      case Some(VectorMatch(true, ls)) => ls
-      case Some(VectorMatch(false, ls)) =>
+      case Some(VectorMatch(true, ls, _, _)) => ls
+      case Some(VectorMatch(false, ls, _, _)) =>
         lv.labels.filter(rv.labels.contains).filterNot(ls.contains)
       case None =>
         if (lv.labels.toSet != rv.labels.toSet)
@@ -507,20 +552,44 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
             s"default vector matching needs equal label sets (${lv.labels.mkString(",")} vs ${rv.labels.mkString(",")}); use on() or ignoring()")
         lv.labels
     }
-    val lm = lv.materialized
-      .select((mlabels :+ "h" :+ "hi").map(col) :+ col("value").as("__lval"): _*)
-    val rm = rv.materialized
-      .select(mlabels.map(col) :+ col("hi") :+ col("value").as("__rval"): _*)
-    val j = lm.join(rm, mlabels :+ "hi")
-    val e = op match {
-      case "+" => col("__lval") + col("__rval")
-      case "-" => col("__lval") - col("__rval")
-      case "*" => col("__lval") * col("__rval")
-      case "/" => col("__lval") / col("__rval")
-      case "%" => col("__lval") % col("__rval")
+    def arith(lval: Column, rval: Column): Column = op match {
+      case "+" => lval + rval
+      case "-" => lval - rval
+      case "*" => lval * rval
+      case "/" => lval / rval
+      case "%" => lval % rval
     }
-    Vec(j.withColumn("value", e)
-      .select((mlabels :+ "h" :+ "hi").map(col) :+ col("value"): _*), mlabels, None)
+    m.flatMap(_.group) match {
+      case Some(side) =>
+        val include = m.get.include.filterNot(mlabels.contains)
+        val (manyV, oneV) = if (side == "left") (lv, rv) else (rv, lv)
+        include.foreach { l =>
+          if (!oneV.labels.contains(l))
+            throw new ParseException(
+              s"group_$side($l): label $l not on the one side (${oneV.labels.mkString(", ")})")
+        }
+        val manyKeep = manyV.labels.filterNot(include.contains)
+        val manyM = manyV.materialized
+          .select((manyKeep :+ "h" :+ "hi").map(col) :+ col("value").as("__mval"): _*)
+        val oneM = oneV.materialized
+          .select((mlabels ++ include).map(col) ++ Seq(col("hi"), col("value").as("__oval")): _*)
+        val j = manyM.join(oneM, mlabels :+ "hi")
+        val value =
+          if (side == "left") arith(col("__mval"), col("__oval"))
+          else arith(col("__oval"), col("__mval"))
+        val outLabels = (manyV.labels ++ include).distinct
+        Vec(j.withColumn("value", value)
+          .select((outLabels :+ "h" :+ "hi").map(col) :+ col("value"): _*),
+          outLabels, None)
+      case None =>
+        val lm = lv.materialized
+          .select((mlabels :+ "h" :+ "hi").map(col) :+ col("value").as("__lval"): _*)
+        val rm = rv.materialized
+          .select(mlabels.map(col) :+ col("hi") :+ col("value").as("__rval"): _*)
+        val j = lm.join(rm, mlabels :+ "hi")
+        Vec(j.withColumn("value", arith(col("__lval"), col("__rval")))
+          .select((mlabels :+ "h" :+ "hi").map(col) :+ col("value"): _*), mlabels, None)
+    }
   }
 
   private def topBottomK(k: Int, v: Vec, top: Boolean): Vec = {
@@ -649,8 +718,8 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
       case Left(_) => throw new ParseException(s"${so.op} needs vectors")
     }
     val keys: Seq[String] = so.matching match {
-      case Some(VectorMatch(true, ls)) => ls
-      case Some(VectorMatch(false, ls)) =>
+      case Some(VectorMatch(true, ls, _, _)) => ls
+      case Some(VectorMatch(false, ls, _, _)) =>
         lv.labels.filter(rv.labels.contains).filterNot(ls.contains)
       case None =>
         if (lv.labels.toSet != rv.labels.toSet)
@@ -679,23 +748,29 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
     case ("quantile_over_time", Seq(NumLit(phi), sub: Subquery)) =>
       overSub(name, sub, Some(phi))
     case ("predict_linear", Seq(rs: RangeSel, NumLit(t))) =>
-      derivFn(rs, Some(t))
-    case ("absent", Seq(sel: Selector)) => absentFn(sel)
+      applyAt(derivFn(rs, Some(t)), rs.sel.atUnixSec)
+    case ("absent", Seq(sel: Selector)) =>
+      if (sel.atUnixSec.nonEmpty)
+        throw new ParseException("@ on absent() is out of subset")
+      absentFn(sel)
     case ("label_replace", Seq(e, StrLit(dst), StrLit(repl), StrLit(src), StrLit(re))) =>
       evalExpr(e) match {
         case Right(v) =>
           // Subset: the replacement must be one capture reference; dst is
-          // (over)written with the capture when the ANCHORED regex matches
-          // src, '' otherwise ('' ≡ absent label in the Prometheus model —
-          // the unmatched-row passthrough of a pre-existing dst is out of
-          // subset and documented here).
+          // overwritten with the capture when the ANCHORED regex matches
+          // src. On NON-match the series passes through unmodified, as
+          // upstream: a pre-existing dst keeps its old value, an absent
+          // dst stays absent ('' ≡ absent label in the Prometheus model).
           if (!repl.matches("\\$\\d"))
             throw new ParseException(
               "label_replace subset: replacement must be a single capture reference like \"$1\"")
           if (!v.labels.contains(src))
             throw new ParseException(s"label_replace: source label $src not present")
+          val anchored = "^(?:" + re + ")$"
+          val prior = if (v.labels.contains(dst)) col(dst) else lit("")
           val m = v.materialized
-            .withColumn(dst, regexp_extract(col(src), "^(?:" + re + ")$", repl.drop(1).toInt))
+            .withColumn(dst, when(col(src).rlike(anchored),
+              regexp_extract(col(src), anchored, repl.drop(1).toInt)).otherwise(prior))
           Vec(m, if (v.labels.contains(dst)) v.labels else v.labels :+ dst, None)
         case Left(_) => throw new ParseException("label_replace needs a vector")
       }

@@ -23,10 +23,16 @@ package graft.promql
   *   - aggregations       sum avg min max count stddev stdvar group
   *                        [by (…)|without (…)] (expr)
   *   - binary arithmetic  + - * / with scalars or vectors,
-  *                        on(l1,…) / ignoring(l1,…) matching modifiers
+  *                        on(l1,…) / ignoring(l1,…) matching modifiers,
+  *                        one-to-many via group_left/group_right with an
+  *                        optional include-label list (arithmetic only —
+  *                        set ops reject grouping, as upstream)
   *   - comparisons        > < >= <= == != (filter form; `bool` maps 1/0)
   *   - set operations     and / unless / or with matching modifiers
   *   - offset             selector-level `offset Nh/Nd/Nw`
+  *   - @ modifier         selector-level `@ <unix-seconds>` pinning the
+  *                        evaluation to one grid hour (whole hours inside
+  *                        the 30-day grid; start()/end() not supported)
   *
   * The grammar is the PromQL reference grammar cut to this subset;
   * precedence: unary minus, * / %, + -, comparisons, and/unless, or.
@@ -36,12 +42,17 @@ final case class NumLit(v: Double) extends Expr
 final case class StrLit(s: String) extends Expr
 final case class Matcher(label: String, op: String, value: String)
 final case class Selector(metric: String, matchers: Seq[Matcher],
-    offsetHours: Int = 0) extends Expr
+    offsetHours: Int = 0, atUnixSec: Option[Long] = None) extends Expr
 final case class RangeSel(sel: Selector, hours: Int) extends Expr
 final case class Subquery(inner: Expr, hours: Int) extends Expr
 final case class FnCall(name: String, args: Seq[Expr]) extends Expr
 final case class AggOp(op: String, by: Seq[String], e: Expr) extends Expr
-final case class VectorMatch(on: Boolean, labels: Seq[String])
+/** on()/ignoring() matching, optionally with a one-to-many grouping
+  * modifier: `group` is Some("left"|"right") naming the MANY side, and
+  * `include` the extra labels copied over from the one side (the
+  * group_left(l1,…) list). */
+final case class VectorMatch(on: Boolean, labels: Seq[String],
+    group: Option[String] = None, include: Seq[String] = Nil)
 final case class BinOp(op: String, lhs: Expr, rhs: Expr,
     matching: Option[VectorMatch]) extends Expr
 final case class Cmp(op: String, bool: Boolean, lhs: Expr, rhs: Expr) extends Expr
@@ -111,7 +122,7 @@ object Parser {
       } else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
         if (Set("!=", "=~", "!~", ">=", "<=", "==").contains(two)) { out += TOp(two); i += 2 }
-        else if ("{}[]():,+-*/%=<>".contains(c)) { out += TOp(c.toString); i += 1 }
+        else if ("{}[]():,+-*/%=<>@".contains(c)) { out += TOp(c.toString); i += 1 }
         else throw new ParseException(s"unexpected character '$c' at $i")
       }
     }
@@ -135,7 +146,7 @@ object Parser {
       var l = andExpr()
       while (peek == TIdent("or")) {
         next()
-        val m = matching()
+        val m = setMatching("or")
         l = SetOp("or", l, andExpr(), m)
       }
       maybeSubquery(l)
@@ -145,10 +156,19 @@ object Parser {
       var l = cmpExpr()
       while (peek == TIdent("and") || peek == TIdent("unless")) {
         val op = next().asInstanceOf[TIdent].s
-        val m = matching()
+        val m = setMatching(op)
         l = SetOp(op, l, cmpExpr(), m)
       }
       l
+    }
+
+    /** Set operations take on()/ignoring() but never a grouping modifier
+      * (upstream rejects group_left/right on and/unless/or too). */
+    private def setMatching(op: String): Option[VectorMatch] = {
+      val m = matching()
+      m.foreach(vm => if (vm.group.nonEmpty)
+        throw new ParseException(s"grouping modifiers cannot be used with $op"))
+      m
     }
 
     private val cmpOps = Set(">", "<", ">=", "<=", "==", "!=")
@@ -186,7 +206,17 @@ object Parser {
     private def matching(): Option[VectorMatch] = peek match {
       case TIdent("on") | TIdent("ignoring") =>
         val on = next() == TIdent("on")
-        Some(VectorMatch(on, labelList()))
+        val ls = labelList()
+        peek match {
+          case TIdent(g @ ("group_left" | "group_right")) =>
+            next()
+            // upstream grammar: a '(' directly after group_left/right IS
+            // the include-label list (the classic PromQL gotcha — a
+            // parenthesized rhs needs `group_left() (expr)`)
+            val inc = if (peek == TOp("(")) labelList() else Nil
+            Some(VectorMatch(on, ls, Some(g.stripPrefix("group_")), inc))
+          case _ => Some(VectorMatch(on, ls))
+        }
       case _ => None
     }
 
@@ -270,20 +300,34 @@ object Parser {
           b.result()
         } else Nil
         val sel0 = Selector(metric, ms)
-        val ranged = if (peek == TOp("[")) rangeSuffix(sel0) else sel0
-        if (peek == TIdent("offset")) {
-          next()
-          val off = next() match {
-            case TDur(h) => h
-            case t => throw new ParseException(s"expected duration after offset, got $t")
-          }
-          ranged match {
-            case s: Selector => s.copy(offsetHours = off)
-            case RangeSel(s, h) => RangeSel(s.copy(offsetHours = off), h)
-            case Subquery(s: Selector, h) => Subquery(s.copy(offsetHours = off), h)
-            case other => other
-          }
-        } else ranged
+        var ranged = if (peek == TOp("[")) rangeSuffix(sel0) else sel0
+        // offset / @ suffixes, either order (upstream allows both)
+        def mapSel(e: Expr)(f: Selector => Selector): Expr = e match {
+          case s: Selector => f(s)
+          case RangeSel(s, h) => RangeSel(f(s), h)
+          case Subquery(s: Selector, h) => Subquery(f(s), h)
+          case other => other
+        }
+        var more = true
+        while (more) peek match {
+          case TIdent("offset") =>
+            next()
+            val off = next() match {
+              case TDur(h) => h
+              case t => throw new ParseException(s"expected duration after offset, got $t")
+            }
+            ranged = mapSel(ranged)(_.copy(offsetHours = off))
+          case TOp("@") =>
+            next()
+            val at = next() match {
+              case TNum(v) if v == v.floor && v >= 0 => v.toLong
+              case t => throw new ParseException(
+                s"expected a whole unix-seconds timestamp after @, got $t")
+            }
+            ranged = mapSel(ranged)(_.copy(atUnixSec = Some(at)))
+          case _ => more = false
+        }
+        ranged
       case t => throw new ParseException(s"unexpected token $t")
     }
 

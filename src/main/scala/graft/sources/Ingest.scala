@@ -562,8 +562,17 @@ object Ingest {
     * here for free from the join's time bound. Only those dirs rewrite
     * (copy-on-write anti-join); a day whose pairs all die is dropped
     * explicitly (dynamic overwrite alone would leave it stale). I/O =
-    * O(|affected days| + |deletes|), independent of view size. */
+    * O(|affected days| + |deletes|), independent of view size.
+    *
+    * Crash safety (ADVICE r11): the rewrite stages to `path`_stage and
+    * publishes through the same manifest-backed [[commitSwap]] the bloom
+    * CDC path uses — the earlier dynamic-overwrite-in-place form read and
+    * rewrote the SAME directory in one plan, so a mid-write failure left
+    * affected cday partitions half-rewritten. Now a crash before the
+    * marker leaves the view untouched (plus dead staging files), and a
+    * crash after it rolls forward via [[reconcile]]. */
   def ivmJoinDelete(spark: SparkSession, path: String, delEvents: DataFrame): Unit = {
+    reconcile(spark, path)
     val days = delEvents
       .select(explode(array(to_date(col("ts")),
         to_date(col("ts") - expr("INTERVAL '30' MINUTE")))).as("cday"))
@@ -575,14 +584,25 @@ object Ingest {
       .join(broadcast(ids.select(col("event_id").as("cid"))), Seq("cid"), "left_anti")
       .join(broadcast(ids.select(col("event_id").as("pid"))), Seq("pid"), "left_anti")
       .select("user_id", "cid", "pid", "lag_us", "cday")
-    val keptDays = kept.select("cday").distinct().collect().map(_.getDate(0)).toSet
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try kept.write.mode("overwrite").partitionBy("cday").parquet(path)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val staging = path.stripSuffix("/") + "_stage"
+    rmTree(spark, staging)
+    kept.write.mode("overwrite").partitionBy("cday").parquet(staging)
     val (fs, base) = hfs(spark, path)
-    days.filterNot(keptDays).foreach { dd =>
-      val dir = new HPath(base, s"cday=$dd")
+    val stagedDirs = fs.listStatus(new HPath(staging))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cday="))
+      .map(_.getPath).toSeq
+    val renames = stagedDirs.flatMap { dd =>
+      listParquet(fs, dd).map(f => (f, new HPath(new HPath(base, dd.getName), f.getName)))
+    }
+    val drops = days.map(dd => new HPath(base, s"cday=$dd"))
+      .filter(fs.exists).flatMap(listParquet(fs, _))
+    commitSwap(fs, base, renames, drops)
+    rmTree(spark, staging)
+    // a day whose pairs all died has no staged dir; its (now file-less)
+    // partition dir drops so readers don't list an empty partition
+    val stagedNames = stagedDirs.map(_.getName).toSet
+    days.map(dd => s"cday=$dd").filterNot(stagedNames.contains).foreach { nm =>
+      val dir = new HPath(base, nm)
       if (fs.exists(dir)) fs.delete(dir, true)
     }
   }

@@ -489,4 +489,99 @@ class PromqlFrontSpec extends SparkSuite {
     assertThrows[Exception](
       PromQL.query(spark, sf0001, """label_replace(events, "d", "$1", "nope", "re")"""))
   }
+
+  // ---- round 12: one-to-many matching + the @ modifier ---------------------
+
+  test("parser: group_left/group_right with and without include lists; @ suffix") {
+    assert(Parser.parse("""a / on(x) group_left b""") ==
+      BinOp("/", Selector("a", Nil), Selector("b", Nil),
+        Some(VectorMatch(true, Seq("x"), Some("left"), Nil))))
+    assert(Parser.parse("""a * ignoring(x) group_right(foo, bar) b""") ==
+      BinOp("*", Selector("a", Nil), Selector("b", Nil),
+        Some(VectorMatch(false, Seq("x"), Some("right"), Seq("foo", "bar")))))
+    assert(Parser.parse("""events @ 1704153600""") ==
+      Selector("events", Nil, 0, Some(1704153600L)))
+    // @ and offset compose in either order, both landing on the selector
+    assert(Parser.parse("""rate(events[2h] @ 1704153600 offset 1h)""") ==
+      FnCall("rate", Seq(RangeSel(Selector("events", Nil, 1, Some(1704153600L)), 2))))
+    assert(Parser.parse("""rate(events[2h] offset 1h @ 1704153600)""") ==
+      FnCall("rate", Seq(RangeSel(Selector("events", Nil, 1, Some(1704153600L)), 2))))
+    // set operations reject grouping modifiers, as upstream
+    assertThrows[Exception](Parser.parse("""a and on(x) group_left b"""))
+    // @ needs a whole unix-seconds timestamp
+    assertThrows[Exception](Parser.parse("""events @ 17041536.5"""))
+    // off-grid @ fails at compile (not a whole grid hour / outside range)
+    assertThrows[Exception](PromQL.query(spark, sf0001, """events @ 1704153601"""))
+    assertThrows[Exception](PromQL.query(spark, sf0001, """events @ 4704153600"""))
+  }
+
+  test("group_left: per-user share of its type's rate matches brute force") {
+    val perTU: Map[(String, String), Map[Long, Int]] =
+      samples.map { case (k, ss) =>
+        k -> ownHours(ss).map(h => h -> win(ss, h, 6).size).toMap
+      }
+    def typeTotal(t: String, h: Long): Int =
+      perTU.collect { case ((tt, _), m) if tt == t && m.contains(h) => m(h) }.sum
+    val want = (for {
+      ((t, u), m) <- perTU
+      (h, c) <- m
+    } yield Seq(t, u, h.toString) ->
+      rnd((c / 21600.0) / (typeTotal(t, h) / 21600.0), 6)).toMap
+    val got = run(
+      """sum by (type, user) (rate(events[6h])) / on(type) group_left sum by (type) (rate(events[6h]))""")
+    assertClose(got, want, 1e-9, "group_left share")
+    // the mirrored modifier inverts the ratio, same keys
+    val gotR = run(
+      """sum by (type) (rate(events[6h])) / on(type) group_right sum by (type, user) (rate(events[6h]))""")
+    val wantR = want.map { case (k, v) => k -> rnd(1.0 / v, 6) }
+    assert(gotR.keySet == wantR.keySet)
+    for ((k, v) <- wantR) assert(math.abs(gotR(k) - v) <= 1e-4,
+      s"group_right at $k: got ${gotR(k)} want ~$v") // 1/round(x) vs round(1/x)
+  }
+
+  test("@ modifier pins the evaluation hour and is constant across the grid") {
+    val hi0 = 24L // unix 1704153600 = 2024-01-02 00:00
+    val rc: Map[String, Int] = samples.toSeq
+      .collect { case ((t, _), ss) if ownHours(ss).contains(hi0) =>
+        t -> win(ss, hi0, 24).size }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val got = run("""sum by (type) (increase(events[24h] @ 1704153600))""")
+    assert(got.keySet.map(_.head) == rc.keySet, "types with samples at the pinned hour")
+    assert(got.size == rc.size * 720, "one point per type per grid hour")
+    for ((k, v) <- got)
+      assert(v == rc(k.head).toDouble, s"pinned value drifted at $k: $v != ${rc(k.head)}")
+  }
+
+  test("group_left include list carries the one side's label; group_right flips sides") {
+    import spark.implicits._
+    def mk(rows: Seq[(String, Double, Long, String, String)], lab: String) =
+      rows.toDF("tss", "value", "sid", "type", lab)
+        .withColumn("ts", expr("cast(tss as timestamp_ntz)")).drop("tss")
+    val rps = mk(Seq(
+      ("2024-01-01 00:10:00", 1.0, 1L, "click", "u1"),
+      ("2024-01-01 00:20:00", 2.0, 2L, "click", "u2"),
+      ("2024-01-01 00:15:00", 3.0, 3L, "view", "u1")), "user")
+    val cap = mk(Seq(
+      ("2024-01-01 00:05:00", 100.0, 10L, "click", "us-east"),
+      ("2024-01-01 00:06:00", 50.0, 11L, "view", "eu-west")), "region")
+    val store = MetricStore(Map(
+      "rps" -> MetricDef((_, _) => rps, Seq("type", "user")),
+      "cap" -> MetricDef((_, _) => cap, Seq("type", "region"))))
+    val out = PromQL.query(spark, sf0001, """rps / on(type) group_left(region) cap""", store)
+    assert(out.columns.toSeq == Seq("type", "user", "region", "h", "value"))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getDouble(4))).toSet
+    assert(rows == Set(
+      ("click", "u1", "us-east", 0.01), ("click", "u2", "us-east", 0.02),
+      ("view", "u1", "eu-west", 0.06)), s"got $rows")
+    val outR = PromQL.query(spark, sf0001, """cap * on(type) group_right(region) rps""", store)
+    val rowsR = outR.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getDouble(4))).toSet
+    assert(rowsR == Set(
+      ("click", "u1", "us-east", 100.0), ("click", "u2", "us-east", 200.0),
+      ("view", "u1", "eu-west", 150.0)), s"got $rowsR")
+    // include label must exist on the one side
+    assertThrows[Exception](
+      PromQL.query(spark, sf0001, """rps / on(type) group_left(nope) cap""", store))
+  }
 }
