@@ -70,6 +70,7 @@ object Bench {
       // corpus + index build + the one-off rewrite happen here, timed
       // passes measure the post-mutation reads
       graft.sources.Ingest.annCdcMaintained(spark, sfDir)
+      graft.sources.Ingest.annStreamMaintained(spark, sfDir)
       graft.sources.Ingest.ivmJoinPairs(spark, sfDir)
       graft.sources.Ingest.ivmJoinDeleted(spark, sfDir)
       graft.sources.Ingest.gdprDeleted(spark, sfDir)

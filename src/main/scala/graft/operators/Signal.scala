@@ -577,12 +577,13 @@ object Signal {
     * z-normalized Euclidean distance to its nearest non-overlapping
     * neighbor (exclusion zone m/2) plus that neighbor's index — THE
     * motif/discord primitive (minima = repeated shapes, maxima =
-    * anomalies). This is the exact O(n²·m) formulation; the published
-    * scale path for LONG series is STOMP's O(n²) rolling-dot-product
-    * recurrence — unnecessary here because n is the FIXED 120-bucket
-    * calendar window per key: the n² term is a constant and the operator
-    * scales out across series keys, with the raw scan paying only one
-    * hash aggregate.
+    * anomalies). This is the exact O(n²·m) formulation — right here
+    * because n is the FIXED 120-bucket calendar window per key: the n²
+    * term is a constant and the operator scales out across series keys,
+    * with the raw scan paying only one hash aggregate. The LONG-series
+    * scale path is [[stompKernel]]/[[matrixProfileStomp]] below — the
+    * real STOMP O(n²) diagonal recurrence behind the same per-key API,
+    * held equal to a from-scratch all-pairs reference in SignalSpec.
     *
     * Determinism: bucket counts are exact longs; per-window μ and σ round
     * at 6 dp; each z-score rounds at 6 dp then lifts to a micro-unit LONG,
@@ -631,6 +632,101 @@ object Signal {
       .select(col("et").as("event_type"), col("i"), col("j").as("nn"),
         Num.roundd(sqrt(col("d2l").cast("double")) / 1e6, 6).as("dist"))
       .orderBy("event_type", "i")
+  }
+
+  /** STOMP (Zhu et al., ICDM 2016) — the long-series scale path behind
+    * the same matrix-profile API as [[qTsMatrixProfile]]. Instead of the
+    * O(n²·m) all-window-pairs expansion, each diagonal's sliding dot
+    * product obeys the O(1) recurrence
+    * `QT(i+1, j+1) = QT(i, j) − v[i]·v[j] + v[i+m]·v[j+m]`, and the
+    * z-normalized distance derives from QT plus precomputed window
+    * moments: d²(i,j) = 2m·(1 − (QT − m·μᵢμⱼ)/(m·σᵢσⱼ)). Total work
+    * O(n²) with O(n) memory per series — the m-factor drops out, and the
+    * inner loop is a cache-local array walk instead of a shuffle.
+    *
+    * A constant window (σ = 0) takes the all-zeros z-vector (the exact
+    * form's σ-floor discipline in the limit): distance 0 to other
+    * constant windows, √m to any non-constant one (a population
+    * z-vector has Σz² = m).
+    *
+    * Returns per window start i: (nearest non-overlapping neighbor index,
+    * z-normalized Euclidean distance), exclusion zone `excl` (no j with
+    * |j − i| < excl is a candidate). */
+  def stompKernel(vals: Array[Double], m: Int, excl: Int): Array[(Int, Double)] = {
+    val n = vals.length - m + 1
+    require(n >= 1, s"series shorter than window: ${vals.length} < $m")
+    // window moments from prefix sums — O(n)
+    val mu = new Array[Double](n)
+    val sig = new Array[Double](n)
+    var s1 = 0.0; var s2 = 0.0
+    var k = 0
+    while (k < vals.length) {
+      s1 += vals(k); s2 += vals(k) * vals(k)
+      if (k >= m) { s1 -= vals(k - m); s2 -= vals(k - m) * vals(k - m) }
+      if (k >= m - 1) {
+        val i = k - m + 1
+        mu(i) = s1 / m
+        sig(i) = math.sqrt(math.max(s2 / m - mu(i) * mu(i), 0.0))
+      }
+      k += 1
+    }
+    val bestD2 = Array.fill(n)(Double.PositiveInfinity)
+    val bestJ = Array.fill(n)(-1)
+    def offer(i: Int, j: Int, d2: Double): Unit =
+      if (d2 < bestD2(i) || (d2 == bestD2(i) && j < bestJ(i))) {
+        bestD2(i) = d2; bestJ(i) = j
+      }
+    var off = math.max(excl, 1)
+    while (off < n) {
+      // head of the diagonal: one direct dot product, then the recurrence
+      var qt = 0.0
+      var t = 0
+      while (t < m) { qt += vals(t) * vals(t + off); t += 1 }
+      var i = 0
+      while (i + off < n) {
+        val j = i + off
+        if (i > 0) qt += vals(i + m - 1) * vals(j + m - 1) - vals(i - 1) * vals(j - 1)
+        val d2 =
+          if (sig(i) == 0.0 && sig(j) == 0.0) 0.0
+          else if (sig(i) == 0.0 || sig(j) == 0.0) m.toDouble
+          else {
+            val corr = (qt - m * mu(i) * mu(j)) / (m * sig(i) * sig(j))
+            math.max(2.0 * m * (1.0 - corr), 0.0)
+          }
+        offer(i, j, d2); offer(j, i, d2)
+        i += 1
+      }
+      off += 1
+    }
+    Array.tabulate(n)(i => (bestJ(i), math.sqrt(bestD2(i))))
+  }
+
+  /** The distributed face of [[stompKernel]]: matrix profile per series
+    * key over a (key, ord, value) relation. One shuffle groups each key's
+    * points; the kernel then runs the diagonal recurrence in-memory per
+    * key — `flatMapGroups` is exactly the true-recurrence boundary the
+    * repo reserves it for. 100 TB shape: parallelism = series keys (the
+    * panel axis that actually grows), per-key memory = O(n) doubles — a
+    * year of minutely points is ~4 MB; series beyond single-task memory
+    * need the tiled AB-join STAMP variant, which this API deliberately
+    * leaves behind a bigger machine. */
+  def matrixProfileStomp(df: DataFrame, keyCol: String, ordCol: String,
+                         valCol: String, m: Int, excl: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol).cast("string"), col(ordCol).cast("long"),
+        col(valCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val pts = it.toArray.sortBy(_._2)
+        val vals = pts.map(_._3)
+        if (vals.length < m) Iterator.empty
+        else stompKernel(vals, m, excl).iterator.zipWithIndex.map {
+          case ((j, dist), i) => (key, i.toLong, j.toLong, dist)
+        }
+      }
+      .toDF(keyCol, "i", "nn", "dist")
   }
 
   val all: Seq[(String, Q, Option[String])] = Seq(

@@ -1147,6 +1147,40 @@ object Ingest {
       dst
     })
 
+  /** Materialize (once per JVM) the STREAM-maintained ANN layout: the
+    * SAME net mutation set as [[annCdcMaintained]], but applied by
+    * [[graft.streaming.StreamVectors]] over a two-file feed (negated
+    * upserts of `annUpsertedVecIds`, then tombstones for
+    * `annDeletedVecIds`) processed one file per micro-batch. The gated
+    * probe against this layout shares q_ann_cdc_probe's oracle — a pass
+    * proves the streaming face reaches the exact batch-CDC truth, and
+    * that the mutations commute across triggers on disjoint ids. */
+  def annStreamMaintained(spark: SparkSession, sfDir: String,
+                          nPlanes: Int = 6, dim: Int = 64,
+                          root: String = defaultRoot): String =
+    materialized.getOrElseUpdate(s"ann_stream:$sfDir:$nPlanes:$root", {
+      val src = embeddingsByBucket(spark, sfDir, nPlanes, dim, root)
+      val dst = s"$root/${slug(sfDir)}/embeddings_stream_$nPlanes"
+      copyTree(spark, src, dst)
+      writeEmbeddingsVecIndex(spark, dst)
+      val feed = s"$root/${slug(sfDir)}/ann_stream_feed_$nPlanes"
+      val ckpt = s"$root/${slug(sfDir)}/ann_stream_ckpt_$nPlanes"
+      rmTree(spark, feed); rmTree(spark, ckpt)
+      val emb = Tables.embeddings(spark, sfDir)
+      emb.filter(col("vec_id").isin(annUpsertedVecIds: _*))
+        .withColumn("embedding", expr("transform(embedding, x -> -x)"))
+        .withColumn("op", lit("u"))
+        .repartition(1).write.mode("append").parquet(feed)
+      Thread.sleep(1100) // file-stream trigger order follows file mtime
+      emb.filter(col("vec_id").isin(annDeletedVecIds: _*))
+        .withColumn("op", lit("d")) // CDC last-image delete record
+        .repartition(1).write.mode("append").parquet(feed)
+      val q = graft.streaming.StreamVectors
+        .maintainAnnIndex(spark, feed, dst, ckpt, nPlanes, dim)
+      q.awaitTermination(300000)
+      dst
+    })
+
   // ---- row-level delete (GDPR / right-to-be-forgotten) ---------------------
 
   /** Outcome of a copy-on-write delete: how much of the layout was touched.

@@ -86,6 +86,22 @@ object IngestQueries {
       .withColumn("sim", Num.roundd(col("sim"), 6))
   }
 
+  /** ANN probe against the STREAM-maintained layout
+    * (Ingest.annStreamMaintained + streaming/StreamVectors): the same
+    * net mutations as the CDC fixture, but delivered as a vector FEED —
+    * an upsert micro-batch then a tombstone micro-batch, each composed
+    * through the batch mutations inside foreachBatch. The oracle is
+    * q_ann_cdc_probe's verbatim: a pass proves continuous ingest
+    * converges to the exact batch-CDC truth with no rebuild. */
+  val qAnnStreamProbe: Q = (s, d) => {
+    val path = Ingest.annStreamMaintained(s, d)
+    val probeVec = Tables.embeddings(s, d)
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    Ingest.annTopKPruned(s, path, probeVec, excludeId = 0L, k = 5, nPlanes = 6)
+      .withColumn("sim", Num.roundd(col("sim"), 6))
+  }
+
   /** Batch multiprobe ANN over the by-bucket layout (see
     * Ingest.annBatchPruned): 3 probes × (own + 6 hamming-1 buckets),
     * pruned scan, one plan. Probe vectors are a driver-side collect of 3
@@ -615,6 +631,15 @@ object IngestQueries {
         "FROM b WHERE bucket = (SELECT bucket FROM b WHERE vec_id = 0) AND vec_id != 0 " +
         "ORDER BY sim DESC, vec_id ASC LIMIT 5")),
     ("q_ann_cdc_probe", qAnnCdcProbe, Some(
+      "WITH e AS (SELECT vec_id, CASE WHEN vec_id IN (5, 17) " +
+        "THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding " +
+        "FROM embeddings WHERE vec_id NOT IN (3, 11)), " +
+        s"b AS (SELECT vec_id, embedding, ${duckBucketExpr(6, 64)} AS bucket FROM e) " +
+        "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM e WHERE vec_id = 0)), 6) sim " +
+        "FROM b WHERE bucket = (SELECT bucket FROM b WHERE vec_id = 0) AND vec_id != 0 " +
+        "ORDER BY sim DESC, vec_id ASC LIMIT 5")),
+    ("q_ann_stream_probe", qAnnStreamProbe, Some(
       "WITH e AS (SELECT vec_id, CASE WHEN vec_id IN (5, 17) " +
         "THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding " +
         "FROM embeddings WHERE vec_id NOT IN (3, 11)), " +

@@ -497,4 +497,84 @@ class SignalSpec extends SparkSuite {
       .select("level", "energy").as[(Long, Double)].collect().toSeq
     assert(step == (1 to 9).map(l => (l.toLong, if (l == 9) 12800.0 else 0.0)), s"got $step")
   }
+
+  // ---- STOMP long-series matrix profile -----------------------------------
+
+  /** From-scratch all-pairs z-normalized reference (the textbook O(n²·m)
+    * definition the gated q_ts_matrix_profile also follows, without the
+    * cross-engine rounding lifts). */
+  private def naiveProfile(vals: Array[Double], m: Int, excl: Int): Array[(Int, Double)] = {
+    val n = vals.length - m + 1
+    val zs = Array.tabulate(n) { i =>
+      val w = vals.slice(i, i + m)
+      val mu = w.sum / m
+      val sd = math.sqrt(math.max(w.map(x => x * x).sum / m - mu * mu, 0.0))
+      if (sd == 0.0) Array.fill(m)(0.0) else w.map(x => (x - mu) / sd)
+    }
+    Array.tabulate(n) { i =>
+      var bj = -1; var bd = Double.PositiveInfinity
+      for (j <- 0 until n if math.abs(j - i) >= math.max(excl, 1)) {
+        var d2 = 0.0; var k = 0
+        while (k < m) { val dd = zs(i)(k) - zs(j)(k); d2 += dd * dd; k += 1 }
+        if (d2 < bd) { bd = d2; bj = j }
+      }
+      (bj, math.sqrt(bd))
+    }
+  }
+
+  test("stompKernel equals the all-pairs z-normalized reference on a planted-motif series") {
+    // deterministic LCG noise + a motif planted twice + a constant shelf
+    var seed = 0x2545F4914F6CDD1DL
+    def rnd(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L; (seed >>> 11).toDouble / (1L << 53).toDouble }
+    val n = 400; val m = 16
+    val vals = Array.tabulate(n + m - 1) { t =>
+      val motif =
+        if (t >= 50 && t < 50 + m) 10.0 * math.sin((t - 50) * 0.7)
+        else if (t >= 300 && t < 300 + m) 10.0 * math.sin((t - 300) * 0.7)
+        else 0.0
+      if (t >= 150 && t < 180) 42.0 // truly constant shelf (σ = 0 windows)
+      else motif + math.sin(t * 0.05) * 3.0 + rnd()
+    }
+    val got = Signal.stompKernel(vals, m, excl = m / 2)
+    val want = naiveProfile(vals, m, excl = m / 2)
+    assert(got.length == want.length)
+    var mismatchedNn = 0
+    for (i <- got.indices) {
+      assert(math.abs(got(i)._2 - want(i)._2) <= 1e-6,
+        s"dist at $i: stomp ${got(i)._2} vs naive ${want(i)._2}")
+      if (got(i)._1 != want(i)._1) {
+        // only acceptable when the two candidates tie within float noise
+        mismatchedNn += 1
+        assert(math.abs(got(i)._2 - want(i)._2) <= 1e-9, s"nn differs at $i beyond a tie")
+      }
+    }
+    assert(mismatchedNn <= 2, s"$mismatchedNn nn mismatches")
+    // the planted motif pair finds itself
+    assert(got(50)._1 == 300 && got(300)._1 == 50,
+      s"motif pair missed: ${got(50)} / ${got(300)}")
+    assert(got(50)._2 < 1.0, s"motif distance not small: ${got(50)._2}")
+    // constant shelf: windows fully inside it are distance 0 to each other
+    assert(got(155)._2 == 0.0 && math.abs(got(155)._1 - 155) >= m / 2)
+  }
+
+  test("matrixProfileStomp distributes the kernel per key and matches it") {
+    val m = 8
+    val mk = (k: String, scale: Double) =>
+      (0 until 120).map(i => (k, i.toLong, math.sin(i * 0.3) * scale + (i % 7)))
+    val df = (mk("a", 5.0) ++ mk("b", 2.0)).toDF("key", "ord", "v")
+      .repartition(7) // kernel must group-and-sort, not trust input order
+    val out = Signal.matrixProfileStomp(df, "key", "ord", "v", m, m / 2)
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.sortBy(_._2) }
+    for (k <- Seq("a", "b")) {
+      val vals = mk(k, if (k == "a") 5.0 else 2.0).map(_._3).toArray
+      val want = Signal.stompKernel(vals, m, m / 2)
+      val rows = out(k)
+      assert(rows.length == want.length, s"$k row count")
+      for (i <- want.indices) {
+        assert(rows(i)._3 == want(i)._1.toLong, s"$k nn at $i")
+        assert(math.abs(rows(i)._4 - want(i)._2) <= 1e-12, s"$k dist at $i")
+      }
+    }
+  }
 }

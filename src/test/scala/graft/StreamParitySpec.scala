@@ -801,4 +801,30 @@ class StreamParitySpec extends SparkSuite {
       .filter(col("keep") === 1L).select("doc_id").as[Long].collect().sorted.toSeq
     assert(oneShot == admitted, s"one-shot $oneShot vs streamed $admitted")
   }
+
+  test("streaming ANN maintenance: stream-maintained layout ≡ the batch CDC path") {
+    import graft.sources.Ingest
+    // same net mutation set, two delivery mechanisms: annCdcMaintained
+    // applies delete-then-upsert as direct batch calls; the stream feed
+    // delivers upserts then tombstones through foreachBatch micro-batches
+    val cdc = Ingest.annCdcMaintained(spark, sf0001)
+    val str = Ingest.annStreamMaintained(spark, sf0001)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("bucket"),
+        expr("cast(embedding as array<double>)").as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toVector))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val (a, b) = (rows(cdc), rows(str))
+    assert(a == b, s"layout rows diverge: cdc=${a.size} stream=${b.size}")
+    // vec-index parity: same buckets, byte-identical blooms (bit-OR
+    // aggregation is order-free, so the incremental index converges)
+    def idx(p: String) = spark.read.parquet(Ingest.vecIdxPath(p))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]]("bloom").toVector)
+      .toMap
+    val (ia, ib) = (idx(cdc), idx(str))
+    assert(ia.keySet == ib.keySet, "index bucket sets diverge")
+    for ((k, v) <- ia) assert(ib(k) == v, s"bloom bytes diverge at bucket $k")
+  }
 }
