@@ -544,10 +544,20 @@ object Ops {
         "sequence(h, h + INTERVAL '23' HOUR, INTERVAL '1' HOUR)")))
       .filter(col("w") <= lit("2024-01-30 23:00:00").cast("timestamp_ntz"))
       .groupBy("w", "user_id").agg(sum("c").as("cnt"))
-    wc.withColumn("rk", row_number().over(
-        Window.partitionBy("w").orderBy(desc("cnt"), asc("user_id"))).cast("long"))
-      .filter(col("rk") <= 3)
-      .select("w", "rk", "user_id", "cnt")
+    // top-3 per window hour via the bounded mergeable aggregator, NOT a
+    // window sort: partitionBy(w) row_number had ≤720 distinct keys each
+    // holding every active user — at 100× users those partitions sort
+    // users-sized runs on ≤720-way parallelism (ScaleBench r12 measured
+    // 18.8× at 10× data). TopNeighbors keeps ≤3 triples per w on the map
+    // side, so the shuffle carries ≤ partitions×720×3 rows whatever the
+    // user count. Order (cnt desc, user asc) matches via (score=cnt,
+    // weight=cnt, id=user) — exact for counts < 2^53.
+    val top3 = udaf(new graft.functions.TopNeighbors(3))
+    wc.groupBy("w")
+      .agg(top3(col("cnt").cast("double"), col("cnt"), col("user_id")).as("nb"))
+      .select(col("w"), posexplode(col("nb")))
+      .select(col("w"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._3").as("user_id"), col("col._2").as("cnt"))
       .orderBy("w", "rk")
   }
 
