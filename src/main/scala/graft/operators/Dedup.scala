@@ -130,7 +130,11 @@ object Dedup {
     * chunks and each (chunk_i, chunk_j ≥ i) tile becomes its own row,
     * re-shuffled so a mega-bucket's quadratic work spreads across tasks
     * instead of landing in the one task that aggregated the bucket. */
-  def expandBucketPairs(buckets: DataFrame, maxBucket: Int = 4096): DataFrame = {
+  def expandBucketPairs(buckets0: DataFrame, maxBucket: Int = 4096): DataFrame = {
+    // singleton buckets contribute no pairs — and would trip the
+    // triangle's sequence(1, 0) (Spark sequences run DESCENDING when
+    // start > stop), so the guard is correctness, not just economy
+    val buckets = buckets0.filter(size(col("ids")) > 1)
     val triangle =
       "flatten(transform(sequence(1, size(ids) - 1), j -> " +
         "transform(slice(ids, 1, j), a -> struct(a AS id_a, element_at(ids, j + 1) AS id_b))))"

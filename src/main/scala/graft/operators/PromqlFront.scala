@@ -299,7 +299,62 @@ object PromqlFront {
           "ref AS (SELECT ty, CAST(sum(wc) AS BIGINT) rc FROM w24 WHERE hi = 24 GROUP BY 1) " +
           "SELECT w2.ty AS \"type\", w2.h, " +
           "round((CAST(w2.c2 AS DOUBLE)/7200.0) / CAST(ref.rc AS DOUBLE), 6) AS \"value\" " +
-          "FROM w2 JOIN ref ON ref.ty = w2.ty ORDER BY 1, 2")))
+          "FROM w2 JOIN ref ON ref.ty = w2.ty ORDER BY 1, 2")),
+
+    // Vector-vector comparison with one-to-many matching — the
+    // threshold-table alert shape: users contributing more than 10% of
+    // their type's rate at that hour. The filtered result carries the
+    // lhs (many) series and its value, per upstream.
+    ("q_pql_threshold_match",
+      // NB: no parens after group_left — '(' there parses as the include
+      // list (upstream grammar); * binds tighter than > so none are needed
+      q("""sum by (type, user) (rate(events[6h])) > on(type) group_left sum by (type) (rate(events[6h])) * 0.1"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2, 3, 4), " +
+          "w AS (SELECT ty, u, h, hi, CAST(sum(c) OVER (PARTITION BY ty, u ORDER BY hi " +
+          "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) wc FROM s), " +
+          "g AS (SELECT ty, hi, CAST(sum(wc) AS BIGINT) tc FROM w GROUP BY 1, 2) " +
+          "SELECT w.ty AS \"type\", w.u AS \"user\", w.h, " +
+          "round(CAST(w.wc AS DOUBLE)/21600.0, 6) AS \"value\" " +
+          "FROM w JOIN g ON g.ty = w.ty AND g.hi = w.hi " +
+          "WHERE CAST(w.wc AS DOUBLE)/21600.0 > CAST(g.tc AS DOUBLE)/(21600.0/0.1) " +
+          "ORDER BY 1, 2, 3")),
+
+    // absent_over_time: the windowed alert-on-silence — grid hours whose
+    // trailing 6 h window saw no purchase from user 7.
+    ("q_pql_absent_window",
+      q("""absent_over_time(events{type="purchase", user="7"}[6h])"""),
+      Some(
+        "WITH g AS (SELECT unnest(generate_series(0, 719)) hi), " +
+          s"p0 AS (SELECT DISTINCT $hi hi0 FROM events " +
+          "WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) = '7'), " +
+          "pres AS (SELECT DISTINCT unnest(generate_series(hi0, least(hi0 + 5, 719))) hi FROM p0) " +
+          "SELECT TIMESTAMP '2024-01-01' + g.hi * INTERVAL 1 HOUR h, " +
+          "round(1.0, 6) AS \"value\" " +
+          "FROM g ANTI JOIN pres ON pres.hi = g.hi ORDER BY h")),
+
+    // label_join: composite series keys from existing labels.
+    ("q_pql_label_join",
+      q("""label_join(sum by (type, user) (increase(events[3h])), "series", "-", "type", "user")"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2, 3, 4), " +
+          "w AS (SELECT ty, u, h, CAST(sum(c) OVER (PARTITION BY ty, u ORDER BY hi " +
+          "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) wc FROM s) " +
+          "SELECT ty AS \"type\", u AS \"user\", ty || '-' || u AS series, h, " +
+          "round(CAST(wc AS DOUBLE), 6) AS \"value\" FROM w ORDER BY 1, 2, 4")),
+
+    // sgn over a centered rate: the -1/0/+1 watermark indicator.
+    ("q_pql_sgn",
+      q("""sgn(sum by (type) (rate(events[1h])) - 0.0003)"""),
+      Some(
+        "WITH c AS (SELECT event_type ty, date_trunc('hour', ts) h, " +
+          "CAST(count(*) AS BIGINT) n FROM events GROUP BY 1, 2) " +
+          "SELECT ty AS \"type\", h, " +
+          "round(CASE WHEN CAST(n AS DOUBLE)/3600.0 - 0.0003 > 0 THEN 1.0 " +
+          "WHEN CAST(n AS DOUBLE)/3600.0 - 0.0003 < 0 THEN -1.0 ELSE 0.0 END, 6) AS \"value\" " +
+          "FROM c ORDER BY 1, 2")))
 
   /** Shared oracle CTE for the regression pair: exact HUGEINT moments of
     * (t µs since origin, µ-value) per (series, hour), window-summed —

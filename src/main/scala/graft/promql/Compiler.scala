@@ -542,6 +542,25 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
     * is small, which it is by construction (it aggregated away the many
     * side's cardinality). */
   private def vecVec(lv: Vec, rv: Vec, op: String, m: Option[VectorMatch]): Vec = {
+    val (j, outLabels, lval, rval) = matchJoin(lv, rv, m)
+    val value = op match {
+      case "+" => lval + rval
+      case "-" => lval - rval
+      case "*" => lval * rval
+      case "/" => lval / rval
+      case "%" => lval % rval
+    }
+    Vec(j.withColumn("value", value)
+      .select((outLabels :+ "h" :+ "hi").map(col) :+ col("value"): _*), outLabels, None)
+  }
+
+  /** The shared vector-matching join behind arithmetic AND comparison
+    * binops: resolves the match-label set, joins per the optional
+    * grouping modifier, and hands back (joined frame, output labels,
+    * lhs value column, rhs value column) so the caller applies its own
+    * semantics (arith projection / comparison filter). */
+  private def matchJoin(lv: Vec, rv: Vec, m: Option[VectorMatch]):
+      (DataFrame, Seq[String], Column, Column) = {
     val mlabels: Seq[String] = m match {
       case Some(VectorMatch(true, ls, _, _)) => ls
       case Some(VectorMatch(false, ls, _, _)) =>
@@ -551,13 +570,6 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
           throw new ParseException(
             s"default vector matching needs equal label sets (${lv.labels.mkString(",")} vs ${rv.labels.mkString(",")}); use on() or ignoring()")
         lv.labels
-    }
-    def arith(lval: Column, rval: Column): Column = op match {
-      case "+" => lval + rval
-      case "-" => lval - rval
-      case "*" => lval * rval
-      case "/" => lval / rval
-      case "%" => lval % rval
     }
     m.flatMap(_.group) match {
       case Some(side) =>
@@ -574,21 +586,15 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
         val oneM = oneV.materialized
           .select((mlabels ++ include).map(col) ++ Seq(col("hi"), col("value").as("__oval")): _*)
         val j = manyM.join(oneM, mlabels :+ "hi")
-        val value =
-          if (side == "left") arith(col("__mval"), col("__oval"))
-          else arith(col("__oval"), col("__mval"))
         val outLabels = (manyV.labels ++ include).distinct
-        Vec(j.withColumn("value", value)
-          .select((outLabels :+ "h" :+ "hi").map(col) :+ col("value"): _*),
-          outLabels, None)
+        if (side == "left") (j, outLabels, col("__mval"), col("__oval"))
+        else (j, outLabels, col("__oval"), col("__mval"))
       case None =>
         val lm = lv.materialized
           .select((mlabels :+ "h" :+ "hi").map(col) :+ col("value").as("__lval"): _*)
         val rm = rv.materialized
           .select(mlabels.map(col) :+ col("hi") :+ col("value").as("__rval"): _*)
-        val j = lm.join(rm, mlabels :+ "hi")
-        Vec(j.withColumn("value", arith(col("__lval"), col("__rval")))
-          .select((mlabels :+ "h" :+ "hi").map(col) :+ col("value"): _*), mlabels, None)
+        (lm.join(rm, mlabels :+ "hi"), mlabels, col("__lval"), col("__rval"))
     }
   }
 
@@ -671,7 +677,10 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
   /** Comparison: filter form drops points failing the predicate (keeping
     * the original sample value, PromQL semantics); `bool` form maps the
     * predicate to 1/0. Scalar ∘ vector compares every point against the
-    * scalar; vector ∘ vector is not supported (parse-level subset). */
+    * scalar. Vector ∘ vector rides [[matchJoin]] — on()/ignoring() plus
+    * group_left (lhs = many side; the filtered result carries lhs series
+    * per upstream, so group_right is rejected at parse): the
+    * threshold-table shape `rate > on(type) group_left limits`. */
   private def cmpOp(c: Cmp): Either[Double, Vec] = {
     def test(l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
       c.op match {
@@ -699,8 +708,14 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
             when(test(lit(x), col("value")), 1.0).otherwise(0.0))
           else m.filter(test(lit(x), col("value"))),
           v.labels, None))
-      case _ =>
-        throw new ParseException("vector-to-vector comparison not supported")
+      case (Right(a), Right(b)) =>
+        val (j, outLabels, lval, rval) = matchJoin(a, b, c.matching)
+        val out =
+          if (c.bool) j.withColumn("value",
+            when(test(lval, rval), 1.0).otherwise(0.0))
+          else j.filter(test(lval, rval)).withColumn("value", lval)
+        Right(Vec(out.select((outLabels :+ "h" :+ "hi").map(col) :+ col("value"): _*),
+          outLabels, None))
     }
   }
 
@@ -788,6 +803,10 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
             .agg(count(lit(1)).cast("double").as("value")), Seq(lab), None)
         case Left(_) => throw new ParseException("count_values needs a vector")
       }
+    case ("absent_over_time", Seq(rs: RangeSel)) =>
+      if (rs.sel.atUnixSec.nonEmpty)
+        throw new ParseException("@ on absent_over_time() is out of subset")
+      absentOverTimeFn(rs)
     case (_, Seq(rs: RangeSel)) => rangeFn(name, rs, None)
     case (_, Seq(sub: Subquery)) => overSub(name, sub, None)
     case ("histogram_quantile", Seq(NumLit(phi), e)) =>
@@ -828,7 +847,7 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
             v.labels, None)
         case Left(_) => throw new ParseException("round needs a vector")
       }
-    case ("abs" | "ceil" | "floor", Seq(e)) =>
+    case ("abs" | "ceil" | "floor" | "sgn", Seq(e)) =>
       evalExpr(e) match {
         case Right(v) =>
           val m = v.materialized
@@ -836,12 +855,58 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
             case "abs" => abs(col("value"))
             case "ceil" => ceil(col("value")).cast("double")
             case "floor" => floor(col("value")).cast("double")
+            // signum(-0.0) is -0.0 in Spark AND DuckDB sign() — exact
+            case "sgn" => signum(col("value"))
           }
           Vec(m.withColumn("value", f), v.labels, None)
         case Left(_) => throw new ParseException(s"$name needs a vector")
       }
+    case ("clamp", Seq(e, NumLit(lo), NumLit(hi2))) =>
+      evalExpr(e) match {
+        case Right(v) =>
+          // upstream: min > max empties the vector
+          if (lo > hi2) Vec(v.materialized.filter(lit(false)), v.labels, None)
+          else Vec(v.materialized.withColumn("value",
+            least(greatest(col("value"), lit(lo)), lit(hi2))), v.labels, None)
+        case Left(_) => throw new ParseException("clamp needs a vector")
+      }
+    case ("label_join", Seq(e, StrLit(dst), StrLit(sep), srcs @ _*)) =>
+      evalExpr(e) match {
+        case Right(v) =>
+          val srcLabels = srcs.map {
+            case StrLit(l) => l
+            case t => throw new ParseException(s"label_join: source labels must be strings, got $t")
+          }
+          srcLabels.foreach { l =>
+            if (!v.labels.contains(l))
+              throw new ParseException(s"label_join: source label $l not present")
+          }
+          val m = v.materialized
+            .withColumn(dst, concat_ws(sep, srcLabels.map(col): _*))
+          Vec(m, if (v.labels.contains(dst)) v.labels else v.labels :+ dst, None)
+        case Left(_) => throw new ParseException("label_join needs a vector")
+      }
     case _ =>
       throw new ParseException(s"unsupported function/arity: $name/${args.size}")
+  }
+
+  /** absent_over_time(m[Nh]): 1.0 at every grid hour whose TRAILING
+    * N-hour window holds no sample — the windowed alert-on-silence
+    * primitive. Presence expands each sample hour to the ≤N grid hours
+    * it covers (the quantileFn device, distinct-capped), then the grid
+    * anti-joins it: ≤720 present rows whatever the scan size. */
+  private def absentOverTimeFn(rs: RangeSel): Vec = {
+    val n = rs.hours
+    val (raw, _) = rawSamples(rs.sel)
+    val present = withHour(raw)
+      .select(col("hi").as("__hi0"))
+      .distinct()
+      .select(explode(expr(
+        s"sequence(__hi0, least(__hi0 + ${n - 1}, CAST(719 AS BIGINT)))")).as("hi"))
+      .distinct()
+    Vec(gridDf.join(present, Seq("hi"), "left_anti")
+      .withColumn("value", lit(1.0))
+      .select(col("h"), col("hi"), col("value")), Nil, None)
   }
 }
 

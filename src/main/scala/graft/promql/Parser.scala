@@ -18,7 +18,8 @@ package graft.promql
   *                        avg/min/max/sum/count/last/quantile_over_time
   *                        deriv predict_linear stddev/stdvar_over_time
   *   - instant functions  histogram_quantile topk bottomk abs ceil floor
-  *                        clamp_min clamp_max round absent label_replace
+  *                        sgn clamp clamp_min clamp_max round absent
+  *                        absent_over_time label_replace label_join
   *                        count_values
   *   - aggregations       sum avg min max count stddev stdvar group
   *                        [by (…)|without (…)] (expr)
@@ -27,12 +28,17 @@ package graft.promql
   *                        one-to-many via group_left/group_right with an
   *                        optional include-label list (arithmetic only —
   *                        set ops reject grouping, as upstream)
-  *   - comparisons        > < >= <= == != (filter form; `bool` maps 1/0)
+  *   - comparisons        > < >= <= == != (filter form; `bool` maps 1/0);
+  *                        vector ∘ vector with on()/ignoring() and
+  *                        group_left (lhs = many; the threshold-table
+  *                        shape) — group_right rejected, results carry
+  *                        the lhs side as upstream
   *   - set operations     and / unless / or with matching modifiers
   *   - offset             selector-level `offset Nh/Nd/Nw`
-  *   - @ modifier         selector-level `@ <unix-seconds>` pinning the
-  *                        evaluation to one grid hour (whole hours inside
-  *                        the 30-day grid; start()/end() not supported)
+  *   - @ modifier         selector-level `@ <unix-seconds>` / `@ start()`
+  *                        / `@ end()` pinning the evaluation to one grid
+  *                        hour (whole hours inside the 30-day grid;
+  *                        start/end resolve to the grid endpoints)
   *
   * The grammar is the PromQL reference grammar cut to this subset;
   * precedence: unary minus, * / %, + -, comparisons, and/unless, or.
@@ -55,7 +61,8 @@ final case class VectorMatch(on: Boolean, labels: Seq[String],
     group: Option[String] = None, include: Seq[String] = Nil)
 final case class BinOp(op: String, lhs: Expr, rhs: Expr,
     matching: Option[VectorMatch]) extends Expr
-final case class Cmp(op: String, bool: Boolean, lhs: Expr, rhs: Expr) extends Expr
+final case class Cmp(op: String, bool: Boolean, lhs: Expr, rhs: Expr,
+    matching: Option[VectorMatch] = None) extends Expr
 final case class SetOp(op: String, lhs: Expr, rhs: Expr,
     matching: Option[VectorMatch]) extends Expr
 final case class AggWithout(op: String, without: Seq[String], e: Expr) extends Expr
@@ -178,7 +185,11 @@ object Parser {
         val op = next().asInstanceOf[TOp].s
         val bool = peek == TIdent("bool")
         if (bool) next()
-        l = Cmp(op, bool, l, addExpr())
+        val m = matching() // vector-vector comparisons take on()/ignoring()
+        m.foreach(vm => if (vm.group.contains("right"))
+          throw new ParseException(
+            "group_right on a comparison is out of subset (filter results carry the lhs/many side)"))
+        l = Cmp(op, bool, l, addExpr(), m)
       }
       l
     }
@@ -319,10 +330,16 @@ object Parser {
             ranged = mapSel(ranged)(_.copy(offsetHours = off))
           case TOp("@") =>
             next()
+            // start()/end() resolve against the fixed 30-day eval grid
+            // (the compiler's 720-hour window) — upstream's query-range
+            // endpoints, which on this grid ARE constants
             val at = next() match {
               case TNum(v) if v == v.floor && v >= 0 => v.toLong
+              case TIdent(e @ ("start" | "end")) =>
+                expectOp("("); expectOp(")")
+                if (e == "start") 1704067200L else 1704067200L + 719L * 3600L
               case t => throw new ParseException(
-                s"expected a whole unix-seconds timestamp after @, got $t")
+                s"expected a whole unix-seconds timestamp or start()/end() after @, got $t")
             }
             ranged = mapSel(ranged)(_.copy(atUnixSec = Some(at)))
           case _ => more = false

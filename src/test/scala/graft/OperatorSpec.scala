@@ -196,6 +196,35 @@ class OperatorSpec extends SparkSuite {
     assert(split.forall { case (a, b) => a < b }, "pair order invariant broken")
   }
 
+  test("expandBucketPairs: tiled expansion preserves the pair MULTISET (winnow's count contract)") {
+    import spark.implicits._
+    // winnow counts shared fingerprints per pair, so — unlike the LSH
+    // candidate-set use — cross-bucket duplicate pairs must survive with
+    // their multiplicity. Buckets: one mega (40 ids, tiled at
+    // maxBucket=7 → 6 chunks), two small overlapping ones, a singleton
+    // (no pairs). Naive reference expands each sorted array's triangle.
+    val buckets = Seq(
+      (0L until 40L).toArray,
+      Array(1L, 5L, 9L),
+      Array(5L, 9L, 33L),
+      Array(7L)).map(_.sorted)
+    val df = buckets.zipWithIndex.map { case (ids, i) => (i, ids) }
+      .toDF("fp", "ids")
+    val got = Dedup.expandBucketPairs(df, maxBucket = 7)
+      .groupBy("id_a", "id_b").count()
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    val want = buckets.flatMap { ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want,
+      s"multiset diverges: got=${got.size} want=${want.size}; " +
+        s"sample=${(want.toSet -- got.toSet).take(3)}")
+    assert(got((5L, 9L)) == 3L,
+      "cross-bucket duplicate pair (mega + both small buckets) must count 3x")
+    assert(got.keys.forall { case (a, b) => a < b })
+  }
+
   test("connected components: identical labels under a reliable checkpoint dir") {
     import spark.implicits._
     // cluster deployments set a reliable checkpoint dir (localCheckpoint

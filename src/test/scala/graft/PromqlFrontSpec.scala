@@ -506,6 +506,10 @@ class PromqlFrontSpec extends SparkSuite {
       FnCall("rate", Seq(RangeSel(Selector("events", Nil, 1, Some(1704153600L)), 2))))
     assert(Parser.parse("""rate(events[2h] offset 1h @ 1704153600)""") ==
       FnCall("rate", Seq(RangeSel(Selector("events", Nil, 1, Some(1704153600L)), 2))))
+    assert(Parser.parse("""events @ start()""") ==
+      Selector("events", Nil, 0, Some(1704067200L)))
+    assert(Parser.parse("""events @ end()""") ==
+      Selector("events", Nil, 0, Some(1704067200L + 719L * 3600L)))
     // set operations reject grouping modifiers, as upstream
     assertThrows[Exception](Parser.parse("""a and on(x) group_left b"""))
     // @ needs a whole unix-seconds timestamp
@@ -583,5 +587,56 @@ class PromqlFrontSpec extends SparkSuite {
     // include label must exist on the one side
     assertThrows[Exception](
       PromQL.query(spark, sf0001, """rps / on(type) group_left(nope) cap""", store))
+  }
+
+  test("vector-vector comparison with matching: filter keeps lhs values, bool maps") {
+    // share > 30% of the type total — brute-forced from the same samples
+    val perTU: Map[(String, String), Map[Long, Int]] =
+      samples.map { case (k, ss) =>
+        k -> ownHours(ss).map(h => h -> win(ss, h, 6).size).toMap
+      }
+    def typeTotal(t: String, h: Long): Int =
+      perTU.collect { case ((tt, _), m) if tt == t && m.contains(h) => m(h) }.sum
+    val want = (for {
+      ((t, u), m) <- perTU
+      (h, c) <- m
+      if c / 21600.0 > (typeTotal(t, h) / 21600.0) * 0.3
+    } yield Seq(t, u, h.toString) -> rnd(c / 21600.0, 6)).toMap
+    val got = run(
+      """sum by (type, user) (rate(events[6h])) > on(type) group_left sum by (type) (rate(events[6h])) * 0.3""")
+    assertClose(got, want, 1e-9, "threshold filter")
+    // bool form emits 1/0 over ALL joined pairs
+    val gotB = run(
+      """sum by (type, user) (rate(events[6h])) > bool on(type) group_left sum by (type) (rate(events[6h])) * 0.3""")
+    assert(gotB.values.forall(v => v == 0.0 || v == 1.0))
+    assert(gotB.count(_._2 == 1.0) == want.size, "bool 1-count equals filter survivors")
+    // group_right on a comparison is rejected at parse
+    assertThrows[Exception](Parser.parse("""a > on(x) group_right b"""))
+  }
+
+  test("sgn, clamp, absent_over_time, label_join") {
+    // sgn: -1/0/+1, preserving the count-path rate arithmetic
+    val g = run("""sgn(sum by (type) (rate(events[1h])) - 0.0003)""")
+    assert(g.values.toSet.subsetOf(Set(-1.0, 0.0, 1.0)), s"got ${g.values.toSet}")
+    val raw = run("""sum by (type) (rate(events[1h]))""")
+    for ((k, v) <- g)
+      assert(v == math.signum(raw(k) - 0.0003), s"sgn at $k")
+    // clamp pins both ends; min > max empties
+    val c = run("""clamp(sum by (type) (increase(events[1h])), 2, 5)""")
+    assert(c.nonEmpty && c.values.forall(v => v >= 2.0 && v <= 5.0))
+    assert(run("""clamp(events, 5, 2)""").isEmpty)
+    // absent_over_time fires exactly where the trailing window is empty
+    val a = run("""absent_over_time(events{type="purchase", user="7"}[6h])""")
+    val ss = samples.getOrElse(("purchase", "7"), Vector.empty)
+    val covered = ss.map(s => hourOf(s.ts)).distinct
+      .flatMap(h0 => h0 to math.min(h0 + 5, 719L)).toSet
+    val wantAbs = (0L to 719L).filterNot(covered).map(h => Seq(h.toString) -> 1.0).toMap
+    assertClose(a, wantAbs, 0.0, "absent_over_time")
+    // label_join concatenates source labels into dst
+    val lj = run("""label_join(sum by (type, user) (increase(events[3h])), "series", "-", "type", "user")""")
+    assert(lj.nonEmpty)
+    for ((k, _) <- lj) assert(k(2) == s"${k(0)}-${k(1)}", s"series label at $k")
+    assertThrows[Exception](
+      PromQL.query(spark, sf0001, """label_join(events, "d", "-", "nope")"""))
   }
 }
