@@ -27,10 +27,19 @@ class TopNeighbors(k: Int)
     if (sorted.size > k) sorted.take(k) else sorted
   }
 
+  /** Strictly-precedes in the (score desc, weight desc, id asc) order. */
+  private def precedes(a: (Double, Long, Long), b: (Double, Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && (a._2 > b._2 || (a._2 == b._2 && a._3 < b._3)))
+
   override def zero: Seq[(Double, Long, Long)] = Seq.empty
 
   override def reduce(buf: Seq[(Double, Long, Long)], in: (Double, Long, Long)): Seq[(Double, Long, Long)] =
-    cap(buf :+ in)
+    // cap() keeps the buffer sorted, so a full buffer's last element is
+    // the current k-th: most rows lose that ONE comparison and skip the
+    // sort+allocation entirely — the hot path for a fan-out where k of
+    // thousands survive per group (sliding top-k, co-occurrence).
+    if (buf.size >= k && !precedes(in, buf.last)) buf
+    else cap(buf :+ in)
 
   override def merge(a: Seq[(Double, Long, Long)], b: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
     cap(a ++ b)

@@ -536,26 +536,44 @@ object Ops {
     * order. Shuffle volume is 24× the COMPRESSED panel, never the raw
     * scan. */
   val qTsSlidingTopk: Q = (s, d) => {
+    // Trailing-24h per-user counts WITHOUT the 24× presence explode
+    // (ScaleBench r12: the exploded groupBy(w, user) shuffled 173M rows
+    // at 100× data): each active (user, hour, c) becomes ±c deltas at
+    // hi and hi+24; a per-user prefix sum over the SPARSE delta points
+    // is the trailing sum as a step function, and each non-zero step
+    // expands to exactly the grid hours it covers — the dense (w, user)
+    // coverage the semantics require, with no 24× multiplier and no
+    // users×720-row hash aggregate in front of it. Counts stay exact
+    // longs (sums of ±counts).
     val uh = Tables.events(s, d)
-      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy(col("user_id"),
+        expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', date_trunc('hour', ts))")
+          .cast("long").as("hi"))
       .agg(count(lit(1)).as("c"))
-    val wc = uh
-      .withColumn("w", explode(expr(
-        "sequence(h, h + INTERVAL '23' HOUR, INTERVAL '1' HOUR)")))
-      .filter(col("w") <= lit("2024-01-30 23:00:00").cast("timestamp_ntz"))
-      .groupBy("w", "user_id").agg(sum("c").as("cnt"))
+    val deltas = uh.select(col("user_id"), col("hi"), col("c").as("dv"))
+      .unionAll(uh.select(col("user_id"), (col("hi") + 24L).as("hi"), (-col("c")).as("dv")))
+      .groupBy("user_id", "hi").agg(sum("dv").as("dv"))
+    val wu = Window.partitionBy("user_id").orderBy("hi")
+    val steps = deltas
+      .withColumn("cnt", sum("dv").over(wu))
+      .withColumn("nhi", lead("hi", 1).over(wu))
+      // the final delta point always nets to 0 (every +c has its -c), so
+      // cnt > 0 implies nhi is present; cap the step at the grid end
+      .filter(col("cnt") > 0 && col("hi") <= 719L)
+      .select(col("user_id"), col("cnt"),
+        explode(expr("sequence(hi, least(nhi - 1, CAST(719 AS BIGINT)))")).as("wi"))
     // top-3 per window hour via the bounded mergeable aggregator, NOT a
     // window sort: partitionBy(w) row_number had ≤720 distinct keys each
     // holding every active user — at 100× users those partitions sort
-    // users-sized runs on ≤720-way parallelism (ScaleBench r12 measured
-    // 18.8× at 10× data). TopNeighbors keeps ≤3 triples per w on the map
-    // side, so the shuffle carries ≤ partitions×720×3 rows whatever the
-    // user count. Order (cnt desc, user asc) matches via (score=cnt,
-    // weight=cnt, id=user) — exact for counts < 2^53.
+    // users-sized runs on ≤720-way parallelism (18.8× at 10× data).
+    // TopNeighbors keeps ≤3 triples per w on the map side. Order
+    // (cnt desc, user asc) matches via (score=cnt, weight=cnt, id=user)
+    // — exact for counts < 2^53.
     val top3 = udaf(new graft.functions.TopNeighbors(3))
-    wc.groupBy("w")
+    steps.groupBy("wi")
       .agg(top3(col("cnt").cast("double"), col("cnt"), col("user_id")).as("nb"))
-      .select(col("w"), posexplode(col("nb")))
+      .select(expr("timestampadd(HOUR, wi, TIMESTAMP_NTZ '2024-01-01 00:00:00')").as("w"),
+        posexplode(col("nb")))
       .select(col("w"), (col("pos") + 1).cast("long").as("rk"),
         col("col._3").as("user_id"), col("col._2").as("cnt"))
       .orderBy("w", "rk")
