@@ -144,6 +144,15 @@ object GraftFunctions {
   private val freqErrInfo = new ExpressionInfo(
     classOf[FreqErr].getName, "graft_freq_err")
 
+  private val topkBuilder: Seq[Expression] => Expression = {
+    case Seq(s, w, i, k) => TopKAgg(s, w, i, k)
+    case other => throw new IllegalArgumentException(
+      s"graft_topk expects 4 arguments, got ${other.size}")
+  }
+
+  private val topkInfo = new ExpressionInfo(
+    classOf[TopKAgg].getName, "graft_topk")
+
   private val kmvBuilder: Seq[Expression] => Expression = {
     case Seq(h, k) => KmvAgg(h, k)
     case other => throw new IllegalArgumentException(
@@ -252,6 +261,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_bloom_merge"), bloomMergeInfo, bloomMergeBuilder),
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
       (FunctionIdentifier("graft_lttb"), lttbInfo, lttbBuilder),
+      (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder),
       (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
       (FunctionIdentifier("graft_kmv_merge"), kmvMergeInfo, kmvMergeBuilder),
       (FunctionIdentifier("graft_kmv_est"), kmvEstInfo, kmvEstBuilder),

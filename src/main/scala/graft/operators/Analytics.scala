@@ -352,10 +352,10 @@ object Analytics {
     * (order, part) presence list, ≤ (basket size choose 2) pairs per
     * order (≤ 21 for this schema's ≤7-line orders) — so the stage is
     * linear in lineitems with a small constant and NEVER parts²; the
-    * top-3 cut is a MERGEABLE top-k aggregate ([[graft.functions
-    * .TopNeighbors]]) over the observed-pair table — bounded ≤k state
-    * per part with map-side combine, not a full window sort of the
-    * neighbor fan-out. The part-count side joins are broadcasts of the
+    * top-3 cut is the MERGEABLE native top-k aggregate (graft_topk,
+    * [[graft.functions.TopKAgg]]) over the observed-pair table — ≤k
+    * state held as one JVM object per part with map-side combine, not a
+    * full window sort of the neighbor fan-out. The part-count side joins are broadcasts of the
     * items dim (items ≪ order lines at any scale). Counts are exact
     * longs; cosine is one division rounded at 6 dp and the rank orders
     * by (rounded cosine, cooc, neighbor) so ties are pinned on both
@@ -378,12 +378,13 @@ object Analytics {
         sqrt((col("ci") * col("cj")).cast("double")), 6))
     val sym = scored.select(col("pk").as("i"), col("pk2").as("j"), col("cij"), col("cosine"))
       .union(scored.select(col("pk2").as("i"), col("pk").as("j"), col("cij"), col("cosine")))
-    val top3 = udaf(new graft.functions.TopNeighbors(3))
+    graft.functions.GraftFunctions.register(s)
     sym.groupBy("i")
-      .agg(top3(col("cosine"), col("cij"), col("j")).as("nb"))
+      .agg(call_function("graft_topk",
+        col("cosine"), col("cij"), col("j"), lit(3)).as("nb"))
       .select(col("i").as("part"), posexplode(col("nb")))
-      .select(col("part"), col("col._3").as("neighbor"), col("col._2").as("cooc"),
-        col("col._1").as("cosine"), (col("pos") + 1).cast("long").as("rk"))
+      .select(col("part"), col("col.id").as("neighbor"), col("col.weight").as("cooc"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("long").as("rk"))
       .orderBy("part", "rk")
   }
 

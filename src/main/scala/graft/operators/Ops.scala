@@ -566,16 +566,18 @@ object Ops {
     // window sort: partitionBy(w) row_number had ≤720 distinct keys each
     // holding every active user — at 100× users those partitions sort
     // users-sized runs on ≤720-way parallelism (18.8× at 10× data).
-    // TopNeighbors keeps ≤3 triples per w on the map side. Order
-    // (cnt desc, user asc) matches via (score=cnt, weight=cnt, id=user)
-    // — exact for counts < 2^53.
-    val top3 = udaf(new graft.functions.TopNeighbors(3))
+    // graft_topk keeps ≤3 entries per w as ONE JVM object per group
+    // (TypedImperativeAggregate under ObjectHashAggregate — no per-row
+    // buffer encode). Order (cnt desc, user asc) matches via (score=cnt,
+    // weight=cnt, id=user) — exact for counts < 2^53.
+    graft.functions.GraftFunctions.register(s)
     steps.groupBy("wi")
-      .agg(top3(col("cnt").cast("double"), col("cnt"), col("user_id")).as("nb"))
+      .agg(call_function("graft_topk",
+        col("cnt").cast("double"), col("cnt"), col("user_id"), lit(3)).as("nb"))
       .select(expr("timestampadd(HOUR, wi, TIMESTAMP_NTZ '2024-01-01 00:00:00')").as("w"),
         posexplode(col("nb")))
       .select(col("w"), (col("pos") + 1).cast("long").as("rk"),
-        col("col._3").as("user_id"), col("col._2").as("cnt"))
+        col("col.id").as("user_id"), col("col.weight").as("cnt"))
       .orderBy("w", "rk")
   }
 

@@ -184,6 +184,30 @@ class FunctionsSpec extends SparkSuite {
     assert(tot == 9876543L - 123456L)
   }
 
+  test("graft_topk: bounded top-k aggregate — order, ties, nulls, partition-merge invariance") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // (group, score, weight, id): group 1 exercises score ties broken by
+    // weight then id; group 2 has fewer than k rows; null rows skip
+    val rows: Seq[(Long, java.lang.Double, java.lang.Long, java.lang.Long)] = Seq(
+      (1L, 0.9, 5L, 10L), (1L, 0.9, 5L, 7L), (1L, 0.9, 9L, 30L),
+      (1L, 0.5, 1L, 1L), (1L, 0.95, 1L, 99L), (1L, 0.1, 50L, 2L),
+      (1L, null, 1L, 3L),
+      (2L, 0.3, 1L, 4L), (2L, 0.2, 2L, 5L))
+    def topk(parts: Int) =
+      rows.toDF("g", "s", "w", "i").repartition(parts)
+        .selectExpr("g", "cast(s as double) s", "cast(w as bigint) w", "cast(i as bigint) i")
+        .groupBy("g")
+        .agg(expr("graft_topk(s, w, i, 3)").as("t"))
+        .select(col("g"), expr("transform(t, x -> struct(x.score, x.weight, x.id))").as("t"))
+        .as[(Long, Seq[(Double, Long, Long)])].collect().toMap
+    val one = topk(1)
+    assert(one(1L) == Seq((0.95, 1L, 99L), (0.9, 9L, 30L), (0.9, 5L, 7L)),
+      s"got ${one(1L)}") // tie at 0.9: weight 9 first, then id 7 < 10
+    assert(one(2L) == Seq((0.3, 1L, 4L), (0.2, 2L, 5L)))
+    assert(topk(7) == one, "merge across partitions must equal single-partition result")
+  }
+
   test("Num.roundd preserves the IEEE sign bit on zero, like DuckDB's copysign round") {
     import graft.operators.Num
     import spark.implicits._

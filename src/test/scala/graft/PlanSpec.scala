@@ -439,7 +439,7 @@ class PlanSpec extends SparkSuite {
     // both ni sides must broadcast — a shuffle join of the items dim
     // against the pair table would double-shuffle the fan-out
     assert("(?i)broadcasthashjoin".r.findAllIn(p).length >= 2, s"ni joins must broadcast:\n$p")
-    // the top-3 cut is the TopNeighbors aggregate: no Window node may
+    // the top-3 cut is the graft_topk aggregate: no Window node may
     // sort the symmetric pair fan-out
     assert(!p.contains("Window"), s"top-k must be an aggregate, not a window sort:\n$p")
   }
