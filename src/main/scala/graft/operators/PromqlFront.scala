@@ -345,6 +345,27 @@ object PromqlFront {
           "SELECT ty AS \"type\", u AS \"user\", ty || '-' || u AS series, h, " +
           "round(CAST(wc AS DOUBLE), 6) AS \"value\" FROM w ORDER BY 1, 2, 4")),
 
+    // quantile AGGREGATOR: the cross-series percentile per (type, hour)
+    // — which user sits at the p90 of each type's instant values.
+    ("q_pql_quantile_agg",
+      q("""quantile by (type) (0.9, events)"""),
+      Some(
+        "WITH r AS (SELECT event_type ty, date_trunc('hour', ts) h, value, " +
+          "row_number() OVER (PARTITION BY event_type, user_id, date_trunc('hour', ts) " +
+          "ORDER BY ts DESC, event_id DESC) rn FROM events), " +
+          "l AS (SELECT ty, h, value FROM r WHERE rn = 1) " +
+          "SELECT ty AS \"type\", h, round(quantile_cont(value, 0.9), 4) AS \"value\" " +
+          "FROM l GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // present_over_time: the windowed presence marker (dual of
+    // absent_over_time) at the eval-grid's own-sample hours.
+    ("q_pql_present",
+      q("""present_over_time(events{type="error"}[12h])"""),
+      Some(
+        "SELECT DISTINCT event_type AS \"type\", CAST(user_id AS VARCHAR) AS \"user\", " +
+          "date_trunc('hour', ts) h, round(1.0, 6) AS \"value\" " +
+          "FROM events WHERE event_type = 'error' ORDER BY 1, 2, 3")),
+
     // sgn over a centered rate: the -1/0/+1 watermark indicator.
     ("q_pql_sgn",
       q("""sgn(sum by (type) (rate(events[1h])) - 0.0003)"""),

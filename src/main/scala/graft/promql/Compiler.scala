@@ -206,6 +206,10 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
         // current row is an own-sample hour, so the window's last sample
         // is simply this hour's last sample
         Vec(keep("value" -> col("__lv")), labels, None)
+      case "present_over_time" =>
+        // eval points are own-sample hours, so the trailing window is
+        // non-empty by construction: the constant-1 presence marker
+        Vec(keep("value" -> lit(1.0)), labels, None)
       case "delta" =>
         val out = keep(
           "value" -> (col("__lv") - first("__fv").over(w)),
@@ -445,14 +449,24 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
       if (!v.labels.contains(l))
         throw new ParseException(s"by-label $l not in vector labels ${v.labels.mkString(", ")}")
     }
-    aggOpKeep(a.op, a.by, v)
+    aggOpKeep(a.op, a.by, v, a.param)
   }
 
   /** Aggregation keeping exactly `by` labels (the by-form's list, or the
     * complement of a without() list). */
-  private def aggOpKeep(op0: String, by: Seq[String], v: Vec): Vec = {
+  private def aggOpKeep(op0: String, by: Seq[String], v: Vec,
+      param: Option[Double] = None): Vec = {
     val keys = (by :+ "h" :+ "hi").map(col)
     (op0, v.cnt) match {
+      case ("quantile", _) =>
+        // quantile(phi, ...) aggregates ACROSS SERIES per (by, hour) —
+        // exact linear-interpolation percentile, 4 dp like
+        // quantile_over_time (DuckDB quantile_cont is the same formula)
+        val phi = param.getOrElse(
+          throw new ParseException("quantile aggregator needs a phi parameter"))
+        Vec(v.materialized.groupBy(keys: _*)
+          .agg(Num.roundd(expr(s"percentile(value, ${phi}d)"), 4).as("value")),
+          by, None)
       case ("sum", Some((c, den))) =>
         Vec(v.df.groupBy(keys: _*).agg(sum(c).as("__c")), by, Some(("__c", den)))
       case ("count", _) =>

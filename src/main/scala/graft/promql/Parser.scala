@@ -16,13 +16,14 @@ package graft.promql
   *   - subqueries         expr[Nh:1h]        (step pinned to the 1h grid)
   *   - range functions    rate increase irate delta idelta resets changes
   *                        avg/min/max/sum/count/last/quantile_over_time
+  *                        present_over_time
   *                        deriv predict_linear stddev/stdvar_over_time
   *   - instant functions  histogram_quantile topk bottomk abs ceil floor
   *                        sgn clamp clamp_min clamp_max round absent
   *                        absent_over_time label_replace label_join
   *                        count_values
   *   - aggregations       sum avg min max count stddev stdvar group
-  *                        [by (…)|without (…)] (expr)
+  *                        quantile(φ, …) [by (…)|without (…)] (expr)
   *   - binary arithmetic  + - * / with scalars or vectors,
   *                        on(l1,…) / ignoring(l1,…) matching modifiers,
   *                        one-to-many via group_left/group_right with an
@@ -52,7 +53,8 @@ final case class Selector(metric: String, matchers: Seq[Matcher],
 final case class RangeSel(sel: Selector, hours: Int) extends Expr
 final case class Subquery(inner: Expr, hours: Int) extends Expr
 final case class FnCall(name: String, args: Seq[Expr]) extends Expr
-final case class AggOp(op: String, by: Seq[String], e: Expr) extends Expr
+final case class AggOp(op: String, by: Seq[String], e: Expr,
+    param: Option[Double] = None) extends Expr
 /** on()/ignoring() matching, optionally with a one-to-many grouping
   * modifier: `group` is Some("left"|"right") naming the MANY side, and
   * `include` the extra labels copied over from the one side (the
@@ -65,7 +67,8 @@ final case class Cmp(op: String, bool: Boolean, lhs: Expr, rhs: Expr,
     matching: Option[VectorMatch] = None) extends Expr
 final case class SetOp(op: String, lhs: Expr, rhs: Expr,
     matching: Option[VectorMatch]) extends Expr
-final case class AggWithout(op: String, without: Seq[String], e: Expr) extends Expr
+final case class AggWithout(op: String, without: Seq[String], e: Expr,
+    param: Option[Double] = None) extends Expr
 
 final class ParseException(msg: String) extends IllegalArgumentException(msg)
 
@@ -82,9 +85,10 @@ object Parser {
   private val rangeFns = Set("rate", "increase", "irate", "delta", "idelta",
     "resets", "changes", "avg_over_time", "min_over_time", "max_over_time",
     "sum_over_time", "count_over_time", "last_over_time", "quantile_over_time",
+    "present_over_time",
     "deriv", "predict_linear", "stddev_over_time", "stdvar_over_time")
   private val aggOps = Set("sum", "avg", "min", "max", "count",
-    "stddev", "stdvar", "group")
+    "stddev", "stdvar", "group", "quantile")
 
   def parse(q: String): Expr = {
     val p = new P(lex(q))
@@ -266,10 +270,21 @@ object Parser {
           case _ => (Nil, Nil)
         }
         expectOp("(")
+        // quantile is the one parameterized aggregator: quantile(phi, expr)
+        val param =
+          if (id == "quantile") {
+            val phi = next() match {
+              case TNum(v) => v
+              case t => throw new ParseException(s"quantile needs a numeric phi, got $t")
+            }
+            expectOp(",")
+            Some(phi)
+          } else None
         val e = expr()
         expectOp(")")
         maybeSubquery(
-          if (without.nonEmpty) AggWithout(id, without, e) else AggOp(id, by, e))
+          if (without.nonEmpty) AggWithout(id, without, e, param)
+          else AggOp(id, by, e, param))
       case TIdent(id) if peek == TOp("(") =>
         next() // "("
         val args = Seq.newBuilder[Expr]

@@ -589,6 +589,31 @@ class PromqlFrontSpec extends SparkSuite {
       PromQL.query(spark, sf0001, """rps / on(type) group_left(nope) cap""", store))
   }
 
+  test("quantile aggregator and present_over_time match brute force") {
+    // per (type, hour): 0.9-quantile across the series' instant values
+    val lastPer: Map[(String, String), Map[Long, Double]] =
+      samples.map { case (k, ss) =>
+        k -> ss.groupBy(s => hourOf(s.ts))
+          .map { case (h, xs) => h -> xs.maxBy(s => (s.ts, s.sid)).v }
+      }
+    val byTypeHour = lastPer.toSeq
+      .flatMap { case ((t, _), m) => m.map { case (h, v) => (t, h) -> v } }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val want = byTypeHour.map { case ((t, h), vs) =>
+      Seq(t, h.toString) -> rnd(pct(vs, 0.9), 4)
+    }
+    assertClose(run("""quantile by (type) (0.9, events)"""), want, 1e-9, "quantile agg")
+    // present_over_time: 1.0 at exactly the own-sample hours
+    val wantP = (for {
+      ((t, u), ss) <- samples if t == "error"
+      h <- ownHours(ss)
+    } yield Seq(t, u, h.toString) -> 1.0).toMap
+    assertClose(run("""present_over_time(events{type="error"}[12h])"""), wantP, 0.0,
+      "present_over_time")
+    // quantile without phi fails loudly
+    assertThrows[Exception](Parser.parse("""quantile by (type) (events)"""))
+  }
+
   test("vector-vector comparison with matching: filter keeps lhs values, bool maps") {
     // share > 30% of the type total — brute-forced from the same samples
     val perTU: Map[(String, String), Map[Long, Int]] =
