@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // -Xms = -Xmx: lazy heap growth made the FIRST heavy sort in a fresh
+  // JVM run under GC storms while the heap expanded (measured r12:
+  // pass-1 of a 12.6M-row sort 27-145 s, converging to 8-20 s once the
+  // heap had grown) — benchmark runs must not time heap expansion.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -25,7 +25,16 @@ import graft.{SparkEntry, Tables}
   * — either way, seconds-per-input-row falls as the factor rises, which
   * is the 100 TB claim in measurable form.
   *
-  * Usage: runMain graft.tools.ScaleBench [sfDir] [outJson] */
+  * Usage: runMain graft.tools.ScaleBench [sfDir] [outJson] [factor...]
+  *
+  * Passing explicit factors limits the run to those slices — the
+  * per-factor artifacts (outJson.f<N>) can then come from SEPARATE JVMs
+  * and be merged with the same tool (`merge` as the first factor arg):
+  * measured r12, a multi-factor JVM accumulates enough shuffle/GC debris
+  * that a later factor's heaviest query lands in a stall storm
+  * (q_ts_sliding_topk at 100×: 7–12 s in a fresh JVM across 6 passes,
+  * 87–149 s as the third factor of one JVM) — fresh-JVM-per-factor is
+  * the honest protocol. */
 object ScaleBench {
 
   /** Events-reading bench head: heavy aggregation/window shapes plus
@@ -39,7 +48,9 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "BENCH_SCALE_r12.json"
-    val factors = Seq(1, 10, 100)
+    if (args.length > 2 && args(2) == "merge") { mergeParts(out); return }
+    val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 10, 100)
+    val partSuffix = if (args.length > 2) s".f${factors.mkString("_")}" else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,13 +103,19 @@ object ScaleBench {
       }
 
     val qs = SparkEntry.queries
-    val t0 = cpuTicks()
-    val results: Seq[(Int, Long, Seq[(String, Double, Double)])] = factors.map { f =>
+    val results: Seq[(Int, Long, Double, Seq[(String, Double, Double)])] = factors.map { f =>
       val dir = slice(f)
       val ev = Tables.events(spark, dir)
       val rows = ev.cache().count()
-      // codegen warm at the smallest SF (plan shapes are identical)
-      head.foreach { n => qs(n)(spark, "/root/testdata/sf0.001").count() }
+      // warm each query once AT THE TARGET SCALE, untimed: a fresh JVM's
+      // first heavy execution pays a 10-20x CPU warm-up penalty (measured
+      // r12 on the 12.6M-row delta sort: 145 -> 17 -> 6.6 -> 6.0 s over
+      // four identical passes, both at 8g and 32g, steal < 0.3%) — the
+      // sf0.001 codegen warm-up does not absorb it. The artifact reports
+      // steady-state scaling, which is the quantity the 100 TB claim is
+      // about; pass-1 JVM warm-up amortizes over a cluster's lifetime.
+      head.foreach { n => qs(n)(spark, dir).count() }
+      val t0 = cpuTicks()
       val timed = head.map { n =>
         val ts = Seq.fill(2) {
           val s0 = System.nanoTime()
@@ -107,28 +124,70 @@ object ScaleBench {
         }
         (n, ts.head, ts(1))
       }
+      val t1 = cpuTicks()
+      val stealPct = (t0, t1) match {
+        case (Some((a, s0)), Some((b, s1))) if b > a => 100.0 * (s1 - s0) / (b - a)
+        case _ => -1.0
+      }
       ev.unpersist()
-      (f, rows, timed)
+      (f, rows, stealPct, timed)
     }
-    val t1 = cpuTicks()
-    val stealPct = (t0, t1) match {
-      case (Some((a, s0)), Some((b, s1))) if b > a => 100.0 * (s1 - s0) / (b - a)
-      case _ => -1.0
-    }
-    val base = results.head._3.map { case (n, p1, p2) => n -> math.min(p1, p2) }.toMap
-    val json = new StringBuilder
-    json.append(f"""{"sf_base":"$sfDir","steal_pct":$stealPct%.3f,"factors":[""")
-    json.append(results.map { case (f, rows, timed) =>
+    val body = results.map { case (f, rows, stealPct, timed) =>
       val qj = timed.map { case (n, p1, p2) =>
         val mn = math.min(p1, p2)
-        f""""$n":{"p1":$p1%.4f,"p2":$p2%.4f,"min":$mn%.4f,"x_vs_base":${mn / base(n)}%.3f}"""
+        f""""$n":{"p1":$p1%.4f,"p2":$p2%.4f,"min":$mn%.4f}"""
       }.mkString(",")
       val tot = timed.map(t => math.min(t._2, t._3)).sum
-      f"""{"factor":$f,"event_rows":$rows,"total_min":$tot%.4f,"queries":{$qj}}"""
-    }.mkString(","))
-    json.append("]}\n")
-    Files.writeString(Paths.get(out), json.toString)
-    println(json.toString)
+      f"""{"factor":$f,"event_rows":$rows,"steal_pct":$stealPct%.3f,"total_min":$tot%.4f,"queries":{$qj}}"""
+    }.mkString(",")
+    val json = s"""{"sf_base":"$sfDir","factors":[$body]}\n"""
+    Files.writeString(Paths.get(out + partSuffix), json)
+    println(json)
     spark.stop()
+    if (partSuffix.isEmpty) mergeSelf(out) // annotate x_vs_base in place
+  }
+
+  /** Merge per-factor part artifacts (out.f1, out.f10, out.f100 — or any
+    * out.f* present) into `out`, recomputing x_vs_base against the
+    * smallest factor. Also used in-place for a single-JVM all-factors
+    * run. */
+  private def mergeParts(out: String): Unit = {
+    val dir = Option(new File(out).getAbsoluteFile.getParent).getOrElse(".")
+    val base = new File(out).getName
+    val parts = new File(dir).listFiles()
+      .filter(f => f.getName.startsWith(base + ".f"))
+      .sortBy(_.getName.stripPrefix(base + ".f").takeWhile(_.isDigit).toInt)
+    require(parts.nonEmpty, s"ScaleBench merge: no $base.f* parts in $dir")
+    val factorBodies = parts.flatMap { f =>
+      val s = Files.readString(f.toPath)
+      val i = s.indexOf("\"factors\":[")
+      s.substring(i + "\"factors\":[".length, s.lastIndexOf("]")).split("(?<=\\}),(?=\\{\"factor\")")
+    }
+    val sf = {
+      val s = Files.readString(parts.head.toPath)
+      s.substring(s.indexOf("\"sf_base\":\"") + 11).takeWhile(_ != '"')
+    }
+    Files.writeString(Paths.get(out),
+      s"""{"sf_base":"$sf","factors":[${factorBodies.mkString(",")}]}\n""")
+    mergeSelf(out)
+  }
+
+  /** Recompute and inject x_vs_base per query against the first factor. */
+  private def mergeSelf(out: String): Unit = {
+    val s = Files.readString(Paths.get(out))
+    val minRe = """"(q_[a-z0-9_]+)":\{"p1":([0-9.]+),"p2":([0-9.]+),"min":([0-9.]+)\}""".r
+    val factorChunks = s.split("""(?=\{"factor":)""").toSeq
+    val baseMins: Map[String, Double] = factorChunks.drop(1).headOption.map { c =>
+      minRe.findAllMatchIn(c).map(m => m.group(1) -> m.group(4).toDouble).toMap
+    }.getOrElse(Map.empty)
+    if (baseMins.isEmpty) return
+    val rewritten = minRe.replaceAllIn(s, m => {
+      val (n, mn) = (m.group(1), m.group(4).toDouble)
+      val x = baseMins.get(n).filter(_ > 0).map(b => mn / b).getOrElse(1.0)
+      java.util.regex.Matcher.quoteReplacement(
+        f""""$n":{"p1":${m.group(2)},"p2":${m.group(3)},"min":${m.group(4)},"x_vs_base":$x%.3f}""")
+    })
+    Files.writeString(Paths.get(out), rewritten)
+    println(rewritten)
   }
 }
