@@ -350,13 +350,30 @@ object Mining {
     * SemDeDup over all-pairs — so cost is Σ|cluster|², bounded by
     * choosing k ∝ √n at ingest (the fixture pins k = 4 so the oracle can
     * replay the clustering exactly; the operator shape is k-agnostic). */
-  val qEmbSemdedup: Q = (s, d) => {
+  val qEmbSemdedup: Q = (s, d) => semdedupK(s, d, 4)
+
+  /** SemDeDup with k ∝ corpus: k = max(4, n/500) keeps the expected
+    * cluster size ~500 at ANY corpus size, so the within-cluster pair
+    * expansion — the algorithm's intrinsic cost — stays LINEAR in the
+    * corpus (pairs ≈ n·500) instead of quadratic at fixed k. This is the
+    * 100 TB path (ScaleBench r13 measured fixed-k=4 semdedup at 10×
+    * data costing ~100× — within-cluster pairs grow (n/k)²; the paper's
+    * own protocol grows k with the corpus). One bounded driver-side
+    * count() picks k; the oracle derives the same k from a scalar
+    * subquery. At true 100 TB the centroid broadcast gives way to an
+    * ANN-assisted assignment, but the pair-volume bound is the same. */
+  val qEmbSemdedupScaled: Q = (s, d) => {
+    val n = Tables.embeddings(s, d).count()
+    semdedupK(s, d, math.max(4L, n / 500).toInt)
+  }
+
+  private def semdedupK(s: SparkSession, d: String, k: Int) = {
     val τ = 0.4
     val m = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), expr(
         "transform(cast(embedding as array<double>), x -> if(x < 0, -floor(abs(x)*1000000 + 0.5d), floor(abs(x)*1000000 + 0.5d)))")
         .as("m"))
-    val cents = m.orderBy("vec_id").limit(4)
+    val cents = m.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("m").as("cm"), col("embedding").as("ce"))
     val wv = Window.partitionBy("vec_id").orderBy("dd", "cid")
     val assigned = m.crossJoin(broadcast(cents))
@@ -678,23 +695,13 @@ object Mining {
         "JOIN v8 a ON a.i = mm.i JOIN v8 b ON b.i = mm.j) " +
         "SELECT CAST(v8.i AS BIGINT) i, v8.v loading, lam.l lam FROM v8, lam ORDER BY i"
     }),
-    ("q_emb_semdedup", qEmbSemdedup, Some(
-      "WITH e AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(CASE WHEN x < 0 " +
-        "THEN -floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) " +
-        "ELSE floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) END AS BIGINT)) m FROM embeddings), " +
-        "c AS (SELECT vec_id cid, m cm, embedding ce FROM e ORDER BY vec_id LIMIT 4), " +
-        "dist AS (SELECT e.vec_id, e.embedding, c.cid, c.ce, " +
-        "list_sum([(m[i] - cm[i]) * (m[i] - cm[i]) FOR i IN range(1, len(m) + 1)]) dd " +
-        "FROM e CROSS JOIN c), " +
-        "a AS (SELECT vec_id, embedding, cid, " +
-        "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(ce AS DOUBLE[])), 6) c_sim FROM " +
-        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn FROM dist) WHERE rn = 1), " +
-        "drp AS (SELECT DISTINCT b.vec_id FROM a x JOIN a b ON b.cid = x.cid AND b.vec_id != x.vec_id " +
-        "AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4 " +
-        "AND (x.c_sim > b.c_sim OR (x.c_sim = b.c_sim AND x.vec_id < b.vec_id))) " +
-        "SELECT a.vec_id, a.cid, a.c_sim, " +
-        "CAST(CASE WHEN drp.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) dropped " +
-        "FROM a LEFT JOIN drp ON drp.vec_id = a.vec_id ORDER BY a.vec_id")),
+    ("q_emb_semdedup", qEmbSemdedup, Some(semdedupSql(
+      "SELECT vec_id cid, m cm, embedding ce FROM e ORDER BY vec_id LIMIT 4"))),
+    // same formula, k from the corpus size — the scale-safe variant
+    ("q_emb_semdedup_scaled", qEmbSemdedupScaled, Some(semdedupSql(
+      "SELECT cid, cm, ce FROM (SELECT vec_id cid, m cm, embedding ce, " +
+        "row_number() OVER (ORDER BY vec_id) rn FROM e) " +
+        "WHERE rn <= (SELECT greatest(4, count(*) // 500) FROM embeddings)"))),
     ("q_docs_dsir_weight", qDocsDsirWeight, Some(
       "WITH t AS (SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) w FROM documents), " +
         "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) c FROM t GROUP BY 1, 2), " +
@@ -758,4 +765,25 @@ object Mining {
         "JOIN (SELECT w, source src_b, c cb, t tb FROM dense) b ON b.w = a.w AND a.src_a < b.src_b) " +
         "SELECT src_a, src_b, CAST(sum(pres) AS BIGINT) n_words, round(0.5 * sum(term), 6) js " +
         "FROM pr GROUP BY 1, 2 ORDER BY 1, 2")))
+
+  /** Shared SemDeDup oracle: identical formula for the fixed-k and the
+    * k ∝ corpus variants — only the centroid CTE (`centsSelect`)
+    * differs. */
+  private def semdedupSql(centsSelect: String): String =
+    "WITH e AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(CASE WHEN x < 0 " +
+      "THEN -floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) " +
+      "ELSE floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) END AS BIGINT)) m FROM embeddings), " +
+      s"c AS ($centsSelect), " +
+      "dist AS (SELECT e.vec_id, e.embedding, c.cid, c.ce, " +
+      "list_sum([(m[i] - cm[i]) * (m[i] - cm[i]) FOR i IN range(1, len(m) + 1)]) dd " +
+      "FROM e CROSS JOIN c), " +
+      "a AS (SELECT vec_id, embedding, cid, " +
+      "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(ce AS DOUBLE[])), 6) c_sim FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn FROM dist) WHERE rn = 1), " +
+      "drp AS (SELECT DISTINCT b.vec_id FROM a x JOIN a b ON b.cid = x.cid AND b.vec_id != x.vec_id " +
+      "AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4 " +
+      "AND (x.c_sim > b.c_sim OR (x.c_sim = b.c_sim AND x.vec_id < b.vec_id))) " +
+      "SELECT a.vec_id, a.cid, a.c_sim, " +
+      "CAST(CASE WHEN drp.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) dropped " +
+      "FROM a LEFT JOIN drp ON drp.vec_id = a.vec_id ORDER BY a.vec_id"
 }

@@ -357,14 +357,19 @@ object PromqlFront {
           "SELECT ty AS \"type\", h, round(quantile_cont(value, 0.9), 4) AS \"value\" " +
           "FROM l GROUP BY 1, 2 ORDER BY 1, 2")),
 
-    // present_over_time: the windowed presence marker (dual of
-    // absent_over_time) at the eval-grid's own-sample hours.
+    // present_over_time: the windowed presence marker — 1.0 at every grid
+    // hour whose trailing 12 h window holds a sample of the series, labels
+    // kept (the exact dual of absent_over_time; ADVICE r12 made the [Nh]
+    // argument real via the same presence expansion).
     ("q_pql_present",
       q("""present_over_time(events{type="error"}[12h])"""),
       Some(
-        "SELECT DISTINCT event_type AS \"type\", CAST(user_id AS VARCHAR) AS \"user\", " +
-          "date_trunc('hour', ts) h, round(1.0, 6) AS \"value\" " +
-          "FROM events WHERE event_type = 'error' ORDER BY 1, 2, 3")),
+        "WITH p0 AS (SELECT DISTINCT event_type ty, CAST(user_id AS VARCHAR) u, " +
+          s"$hi hi0 FROM events WHERE event_type = 'error'), " +
+          "pres AS (SELECT DISTINCT ty, u, unnest(generate_series(hi0, least(hi0 + 11, 719))) hi FROM p0) " +
+          "SELECT ty AS \"type\", u AS \"user\", " +
+          "TIMESTAMP '2024-01-01' + hi * INTERVAL 1 HOUR h, round(1.0, 6) AS \"value\" " +
+          "FROM pres ORDER BY 1, 2, 3")),
 
     // sgn over a centered rate: the -1/0/+1 watermark indicator.
     ("q_pql_sgn",
@@ -375,7 +380,121 @@ object PromqlFront {
           "SELECT ty AS \"type\", h, " +
           "round(CASE WHEN CAST(n AS DOUBLE)/3600.0 - 0.0003 > 0 THEN 1.0 " +
           "WHEN CAST(n AS DOUBLE)/3600.0 - 0.0003 < 0 THEN -1.0 ELSE 0.0 END, 6) AS \"value\" " +
-          "FROM c ORDER BY 1, 2")))
+          "FROM c ORDER BY 1, 2")),
+
+    // ---- round 13: sort, time()/vector()/scalar()/timestamp(), calendar
+    // extractors, holt_winters, quantile without, or-vector(0) fill --------
+
+    // sort_desc: presentation order by value — top offenders first, the
+    // dashboard default for instant tables.
+    ("q_pql_sort",
+      q("""sort_desc(sum by (type) (increase(events[24h])))"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2, 3, 4), " +
+          "w AS (SELECT ty, h, hi, CAST(sum(c) OVER (PARTITION BY ty, u ORDER BY hi " +
+          "RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) wc FROM s), " +
+          "g AS (SELECT ty, h, CAST(sum(wc) AS BIGINT) v FROM w GROUP BY 1, 2) " +
+          "SELECT ty AS \"type\", h, round(CAST(v AS DOUBLE), 6) AS \"value\" " +
+          "FROM g ORDER BY \"value\" DESC, ty, h")),
+
+    // time() arithmetic: seconds-of-day / 3600 = the hour-of-day ramp on
+    // the eval grid (origin is midnight, so the value is exactly hi % 24).
+    ("q_pql_time_arith",
+      q("""time() % 86400 / 3600"""),
+      Some(
+        "SELECT TIMESTAMP '2024-01-01' + hi * INTERVAL 1 HOUR h, " +
+          "round(CAST(hi % 24 AS DOUBLE), 6) AS \"value\" " +
+          "FROM (SELECT unnest(generate_series(0, 719)) hi) ORDER BY h")),
+
+    // timestamp() composed with hour(): the hour-of-day of each series'
+    // last sample — both value-as-timestamp functions in one expression.
+    ("q_pql_timestamp_hour",
+      q("""hour(timestamp(events{type="purchase"}))"""),
+      Some(
+        "WITH r AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, ts, " +
+          "row_number() OVER (PARTITION BY event_type, user_id, date_trunc('hour', ts) " +
+          "ORDER BY ts DESC, event_id DESC) rn FROM events WHERE event_type = 'purchase') " +
+          "SELECT ty AS \"type\", u AS \"user\", h, " +
+          "round(CAST(hour(ts) AS DOUBLE), 6) AS \"value\" FROM r WHERE rn = 1 ORDER BY 1, 2, 3")),
+
+    // calendar extractors (zero-arg forms default to time()): one packed
+    // integer per grid hour — year·1e8 + month·1e6 + dom·1e4 + hour·1e2 +
+    // day_of_week (0-based Sunday, PromQL convention = DuckDB dayofweek).
+    ("q_pql_calendar",
+      q("""year() * 100000000 + month() * 1000000 + day_of_month() * 10000 + hour() * 100 + day_of_week()"""),
+      Some(
+        "SELECT h, round(CAST(year(h) * 100000000 + month(h) * 1000000 + " +
+          "day(h) * 10000 + hour(h) * 100 + dayofweek(h) AS DOUBLE), 6) AS \"value\" " +
+          "FROM (SELECT TIMESTAMP '2024-01-01' + hi * INTERVAL 1 HOUR h " +
+          "FROM (SELECT unnest(generate_series(0, 719)) hi)) ORDER BY h")),
+
+    // scalar(): the grand-total denominator — each type's share of the
+    // all-series rate at that hour (scalar output joins back via on()).
+    ("q_pql_scalar_share",
+      q("""sum by (type) (rate(events[1h])) / on() group_left scalar(sum(rate(events[1h])))"""),
+      Some(
+        "WITH c AS (SELECT event_type ty, date_trunc('hour', ts) h, " +
+          "CAST(count(*) AS BIGINT) n FROM events GROUP BY 1, 2), " +
+          "t AS (SELECT h, CAST(sum(n) AS BIGINT) tot FROM c GROUP BY 1) " +
+          "SELECT c.ty AS \"type\", c.h, " +
+          "round((CAST(c.n AS DOUBLE)/3600.0) / (CAST(t.tot AS DOUBLE)/3600.0), 6) AS \"value\" " +
+          "FROM c JOIN t ON t.h = c.h ORDER BY 1, 2")),
+
+    // holt_winters: double-exponential smoothing of the trailing window's
+    // raw samples, upstream recurrence — the oracle's recursive CTE
+    // replays the identical IEEE sequence (the q_ts_holt device; NOT
+    // list_reduce, whose struct accumulator aliases in DuckDB 1.0.0).
+    ("q_pql_holt",
+      q("""holt_winters(events{type="click"}[6h], 0.5, 0.3)"""),
+      Some(
+        "WITH RECURSIVE s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, ts, event_id sid, value, " +
+          s"$hi hi0 FROM events WHERE event_type = 'click'), " +
+          "e AS (SELECT ty, u, ts, sid, value, hi0, unnest(range(hi0, hi0 + 6)) tick FROM s), " +
+          "w AS (SELECT ty, u, tick, value, " +
+          "row_number() OVER (PARTITION BY ty, u, tick ORDER BY ts, sid) i, " +
+          "count(*) OVER (PARTITION BY ty, u, tick) n, " +
+          "max(CASE WHEN tick = hi0 THEN 1 ELSE 0 END) OVER (PARTITION BY ty, u, tick) own FROM e), " +
+          "rec AS (" +
+          "SELECT w2.ty, w2.u, w2.tick, w2.i, w2.n, " +
+          "0.5 * w2.value + (1.0 - 0.5) * (w1.value + (w2.value - w1.value)) AS l, " +
+          "0.3 * ((0.5 * w2.value + (1.0 - 0.5) * (w1.value + (w2.value - w1.value))) - w1.value) + " +
+          "(1.0 - 0.3) * (w2.value - w1.value) AS b " +
+          "FROM w w2 JOIN w w1 ON w1.ty = w2.ty AND w1.u = w2.u AND w1.tick = w2.tick AND w1.i = 1 " +
+          "WHERE w2.i = 2 AND w2.n >= 2 AND w2.own = 1 " +
+          "UNION ALL " +
+          "SELECT q.ty, q.u, q.tick, q.i, q.n, " +
+          "0.5 * q.value + (1.0 - 0.5) * (r.l + r.b) AS l, " +
+          "0.3 * ((0.5 * q.value + (1.0 - 0.5) * (r.l + r.b)) - r.l) + (1.0 - 0.3) * r.b AS b " +
+          "FROM rec r JOIN w q ON q.ty = r.ty AND q.u = r.u AND q.tick = r.tick AND q.i = r.i + 1) " +
+          "SELECT ty AS \"type\", u AS \"user\", " +
+          "TIMESTAMP '2024-01-01' + tick * INTERVAL 1 HOUR h, round(l, 6) AS \"value\" " +
+          "FROM rec WHERE i = n ORDER BY 1, 2, 3")),
+
+    // quantile WITHOUT (the ADVICE r12 fix): the cross-series median per
+    // (type, hour) spelled via label complement instead of by().
+    ("q_pql_quantile_without",
+      q("""quantile without (user) (0.5, events)"""),
+      Some(
+        "WITH r AS (SELECT event_type ty, date_trunc('hour', ts) h, value, " +
+          "row_number() OVER (PARTITION BY event_type, user_id, date_trunc('hour', ts) " +
+          "ORDER BY ts DESC, event_id DESC) rn FROM events), " +
+          "l AS (SELECT ty, h, value FROM r WHERE rn = 1) " +
+          "SELECT ty AS \"type\", h, round(quantile_cont(value, 0.5), 4) AS \"value\" " +
+          "FROM l GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // `or on() vector(0)`: the canonical gap-fill idiom — the purchase
+    // rate where it exists, an explicit 0 at every silent grid hour.
+    ("q_pql_vector_fill",
+      q("""sum(rate(events{type="purchase"}[1h])) or on() vector(0)"""),
+      Some(
+        "WITH c AS (SELECT date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) n FROM events " +
+          "WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+          "g AS (SELECT unnest(generate_series(0, 719)) hi) " +
+          "SELECT TIMESTAMP '2024-01-01' + g.hi * INTERVAL 1 HOUR h, " +
+          "round(coalesce(CAST(c.n AS DOUBLE)/3600.0, 0.0), 6) AS \"value\" " +
+          "FROM g LEFT JOIN c ON c.hi = g.hi ORDER BY h")))
 
   /** Shared oracle CTE for the regression pair: exact HUGEINT moments of
     * (t µs since origin, µ-value) per (series, hour), window-summed —

@@ -16,12 +16,13 @@ package graft.promql
   *   - subqueries         expr[Nh:1h]        (step pinned to the 1h grid)
   *   - range functions    rate increase irate delta idelta resets changes
   *                        avg/min/max/sum/count/last/quantile_over_time
-  *                        present_over_time
+  *                        present_over_time holt_winters
   *                        deriv predict_linear stddev/stdvar_over_time
   *   - instant functions  histogram_quantile topk bottomk abs ceil floor
   *                        sgn clamp clamp_min clamp_max round absent
   *                        absent_over_time label_replace label_join
-  *                        count_values
+  *                        count_values sort sort_desc scalar vector time
+  *                        timestamp day_of_week day_of_month hour month year
   *   - aggregations       sum avg min max count stddev stdvar group
   *                        quantile(φ, …) [by (…)|without (…)] (expr)
   *   - binary arithmetic  + - * / with scalars or vectors,
@@ -85,7 +86,7 @@ object Parser {
   private val rangeFns = Set("rate", "increase", "irate", "delta", "idelta",
     "resets", "changes", "avg_over_time", "min_over_time", "max_over_time",
     "sum_over_time", "count_over_time", "last_over_time", "quantile_over_time",
-    "present_over_time",
+    "present_over_time", "holt_winters",
     "deriv", "predict_linear", "stddev_over_time", "stdvar_over_time")
   private val aggOps = Set("sum", "avg", "min", "max", "count",
     "stddev", "stdvar", "group", "quantile")
@@ -277,6 +278,11 @@ object Parser {
               case TNum(v) => v
               case t => throw new ParseException(s"quantile needs a numeric phi, got $t")
             }
+            // ADVICE r12: out-of-range phi otherwise surfaces as a deep
+            // Spark analysis error; upstream's ±Inf-with-warning behavior
+            // is out of subset — fail loudly at parse time instead
+            if (phi < 0 || phi > 1)
+              throw new ParseException(s"quantile phi must be in [0, 1], got $phi")
             expectOp(",")
             Some(phi)
           } else None

@@ -603,15 +603,123 @@ class PromqlFrontSpec extends SparkSuite {
       Seq(t, h.toString) -> rnd(pct(vs, 0.9), 4)
     }
     assertClose(run("""quantile by (type) (0.9, events)"""), want, 1e-9, "quantile agg")
-    // present_over_time: 1.0 at exactly the own-sample hours
+    // present_over_time: 1.0 at every grid hour whose trailing 12h window
+    // holds a sample of the series (ADVICE r12: [Nh] is real, the exact
+    // dual of absent_over_time)
     val wantP = (for {
       ((t, u), ss) <- samples if t == "error"
-      h <- ownHours(ss)
+      h <- ss.map(s => hourOf(s.ts)).distinct
+        .flatMap(h0 => h0 to math.min(h0 + 11, 719L)).distinct
     } yield Seq(t, u, h.toString) -> 1.0).toMap
     assertClose(run("""present_over_time(events{type="error"}[12h])"""), wantP, 0.0,
       "present_over_time")
     // quantile without phi fails loudly
     assertThrows[Exception](Parser.parse("""quantile by (type) (events)"""))
+    // ADVICE r12: the without-form forwards phi — equals the by-complement
+    assertClose(run("""quantile without (user) (0.9, events)"""), want, 1e-9,
+      "quantile without")
+    // out-of-range phi rejected at parse
+    assertThrows[Exception](Parser.parse("""quantile by (type) (1.5, events)"""))
+  }
+
+  // ---- round 13: fusion, calendar/time functions, holt_winters, sort -------
+
+  test("one-to-many fusion matches the brute-forced join form") {
+    // the fused share-of-total plan must equal the join semantics exactly
+    val perTU: Map[(String, String), Map[Long, Int]] =
+      samples.map { case (k, ss) =>
+        k -> ownHours(ss).map(h => h -> win(ss, h, 6).size).toMap
+      }
+    def typeTotal(t: String, h: Long): Int =
+      perTU.collect { case ((tt, _), m) if tt == t && m.contains(h) => m(h) }.sum
+    val want = (for {
+      ((t, u), m) <- perTU
+      (h, c) <- m
+    } yield Seq(t, u, h.toString) ->
+      rnd((c / 21600.0) / (typeTotal(t, h) / 21600.0), 6)).toMap
+    assertClose(
+      run("""sum by (type, user) (rate(events[6h])) / on(type) group_left sum by (type) (rate(events[6h]))"""),
+      want, 1e-9, "fused group_left share")
+    // group_right mirrors (one side on the left) — recomputed from exact
+    // counts, not by inverting the already-rounded share
+    val wantR = (for {
+      ((t, u), m) <- perTU
+      (h, c) <- m
+    } yield Seq(t, u, h.toString) ->
+      rnd((typeTotal(t, h) / 21600.0) / (c / 21600.0), 6)).toMap
+    assertClose(run(
+      """sum by (type) (rate(events[6h])) / on(type) group_right sum by (type, user) (rate(events[6h]))"""),
+      wantR, 1e-9, "fused group_right")
+  }
+
+  test("time()/vector()/scalar() and calendar extractors") {
+    // time() % 86400 / 3600 is the hour-of-day ramp over the 720-h grid
+    val ta = run("""time() % 86400 / 3600""")
+    assert(ta.size == 720)
+    for (h <- 0L to 719L) assert(ta(Seq(h.toString)) == (h % 24).toDouble)
+    // vector(k): the constant at every grid hour
+    val vf = run("""vector(2.5)""")
+    assert(vf.size == 720 && vf.values.forall(_ == 2.5))
+    // scalar(single-series expr) == the expr itself
+    assert(run("""scalar(sum(rate(events[1h])))""") == run("""sum(rate(events[1h]))"""))
+    // day_of_week(): 2024-01-01 is a Monday (PromQL 0 = Sunday)
+    val dw = run("""day_of_week()""")
+    for (h <- 0L to 719L)
+      assert(dw(Seq(h.toString)) == ((1 + h / 24) % 7).toDouble, s"dow at $h")
+    // hour()/day_of_month()/month()/year() over the January grid
+    val hr = run("""hour()""")
+    for (h <- 0L to 719L) assert(hr(Seq(h.toString)) == (h % 24).toDouble)
+    val dm = run("""day_of_month()""")
+    for (h <- 0L to 719L) assert(dm(Seq(h.toString)) == (1 + h / 24).toDouble)
+    assert(run("""month()""").values.forall(_ == 1.0))
+    assert(run("""year()""").values.forall(_ == 2024.0))
+    // timestamp(): unix seconds of each series' last sample in the hour
+    val ts = run("""timestamp(events{type="error"})""")
+    val wantTs = (for {
+      ((t, u), ss) <- samples if t == "error"
+      (h, xs) <- ss.groupBy(s => hourOf(s.ts))
+    } yield Seq(t, u, h.toString) ->
+      rnd(xs.maxBy(s => (s.ts, s.sid)).ts / 1e6, 6)).toMap
+    assertClose(ts, wantTs, 1e-6, "timestamp")
+  }
+
+  test("holt_winters matches the upstream recurrence brute force") {
+    def holt(xs: Vector[Double], sf: Double, tf: Double): Double = {
+      var l = xs(0); var b = xs(1) - xs(0)
+      for (i <- 1 until xs.size) {
+        val l2 = sf * xs(i) + (1.0 - sf) * (l + b)
+        b = tf * (l2 - l) + (1.0 - tf) * b
+        l = l2
+      }
+      l
+    }
+    val want = (for {
+      ((t, u), ss) <- samples if t == "click"
+      h <- ownHours(ss)
+      w = win(ss, h, 6)
+      if w.size >= 2
+    } yield Seq(t, u, h.toString) -> rnd(holt(w.map(_.v), 0.5, 0.3), 6)).toMap
+    assertClose(run("""holt_winters(events{type="click"}[6h], 0.5, 0.3)"""),
+      want, 1e-9, "holt_winters")
+    // smoothing factors outside (0,1) fail loudly
+    assertThrows[Exception](
+      PromQL.query(spark, sf0001, """holt_winters(events[6h], 1.5, 0.3)"""))
+  }
+
+  test("sort/sort_desc order the output by value; loud failures") {
+    val df = PromQL.query(spark, sf0001,
+      """sort_desc(sum by (type) (increase(events[24h])))""").collect()
+    val vs = df.map(_.getAs[Double]("value")).toSeq
+    assert(vs == vs.sorted.reverse, "sort_desc not descending")
+    val asc = PromQL.query(spark, sf0001,
+      """sort(sum by (type) (increase(events[24h])))""").collect()
+      .map(_.getAs[Double]("value")).toSeq
+    assert(asc == asc.sorted, "sort not ascending")
+    // sort below the top level is out of subset
+    assertThrows[Exception](PromQL.query(spark, sf0001, """sum(sort(events))"""))
+    // ADVICE r12: matching modifiers on scalar operands are rejected
+    assertThrows[Exception](PromQL.query(spark, sf0001, """events > on(type) 5"""))
+    assertThrows[Exception](PromQL.query(spark, sf0001, """events + on(type) 5"""))
   }
 
   test("vector-vector comparison with matching: filter keeps lhs values, bool maps") {

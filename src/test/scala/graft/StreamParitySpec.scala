@@ -827,4 +827,36 @@ class StreamParitySpec extends SparkSuite {
     assert(ia.keySet == ib.keySet, "index bucket sets diverge")
     for ((k, v) <- ia) assert(ib(k) == v, s"bloom bytes diverge at bucket $k")
   }
+
+  test("streaming ANN maintenance: bulk-tombstone batch beyond the bound fails loudly, within it lands") {
+    import graft.sources.Ingest
+    import graft.streaming.StreamVectors
+    // isolated layout under a temp root — the shared fixtures stay untouched
+    val root = java.nio.file.Files.createTempDirectory("graft_bulk_tomb").toString
+    val layout = Ingest.embeddingsByBucket(spark, sf0001, 6, 64, root)
+    val before = spark.read.parquet(layout).count()
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val ids = emb.select("vec_id").orderBy("vec_id").limit(12).collect().map(_.getLong(0))
+    val feed = s"$root/feed"
+    emb.filter(col("vec_id").isin(ids: _*)).withColumn("op", lit("d"))
+      .repartition(1).write.mode("append").parquet(feed)
+    // 12 tombstones against a bound of 8: the batch must FAIL loudly
+    // (VERDICT r12 #4 — no unbounded driver materialization), and fail
+    // BEFORE mutating the layout
+    val q1 = StreamVectors.maintainAnnIndex(spark, feed, layout, s"$root/ckpt1",
+      maxTombstonesPerBatch = 8L)
+    val ex = intercept[Exception] { q1.awaitTermination(300000) }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(e => Option(e.getMessage)).toSeq
+    assert(chain(ex).exists(_.contains("maxTombstonesPerBatch")),
+      s"expected the bound in the failure chain, got: ${chain(ex).take(2)}")
+    assert(spark.read.parquet(layout).count() == before, "failed batch mutated the layout")
+    // same feed under the default bound: applies cleanly, ids are gone
+    val q2 = StreamVectors.maintainAnnIndex(spark, feed, layout, s"$root/ckpt2")
+    q2.awaitTermination(300000)
+    val after = spark.read.parquet(layout)
+    assert(after.count() == before - ids.length, "bulk delete row count")
+    assert(after.filter(col("vec_id").isin(ids: _*)).count() == 0, "tombstoned ids still present")
+  }
 }
