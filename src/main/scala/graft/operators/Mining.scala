@@ -368,19 +368,32 @@ object Mining {
   }
 
   private def semdedupK(s: SparkSession, d: String, k: Int) = {
+    graft.functions.GraftFunctions.register(s)
     val τ = 0.4
+    // µ-int embeddings as LONG arrays: the exact squared distance then
+    // rides graft_dot_long (codegen) via ‖m−c‖² = m·m + c·c − 2 m·c —
+    // bit-identical integers to the Σ(m−c)² HOF form (every intermediate
+    // < 2⁵³), but a tight JIT'd loop instead of interpreted zip_with.
     val m = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), expr(
-        "transform(cast(embedding as array<double>), x -> if(x < 0, -floor(abs(x)*1000000 + 0.5d), floor(abs(x)*1000000 + 0.5d)))")
+        "transform(cast(embedding as array<double>), x -> cast(if(x < 0, -floor(abs(x)*1000000 + 0.5d), floor(abs(x)*1000000 + 0.5d)) as bigint))")
         .as("m"))
     val cents = m.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("m").as("cm"), col("embedding").as("ce"))
-    val wv = Window.partitionBy("vec_id").orderBy("dd", "cid")
+    // assignment = min(struct(dd, cid, …)) with map-side combine: each
+    // partition collapses its own vecs×k rows in place, so nothing the
+    // size of vecs×k is ever shuffled or sorted (the previous
+    // row_number() window shuffled the full cross product — 42 s at
+    // ScaleBench's 100× before this rewrite). Tie-break (dd, cid) is the
+    // same lexicographic order the window form used; embedding/ce ride
+    // the struct but are never compared (cid is unique per row).
     val assigned = m.crossJoin(broadcast(cents))
       .withColumn("dd", expr(
-        "aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
-      .withColumn("rn", row_number().over(wv))
-      .filter(col("rn") === 1)
+        "graft_dot_long(m, m) + graft_dot_long(cm, cm) - 2L * graft_dot_long(m, cm)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dd"), col("cid"), col("embedding"), col("ce"))).as("__b"))
+      .select(col("vec_id"), col("__b.cid").as("cid"),
+        col("__b.embedding").as("embedding"), col("__b.ce").as("ce"))
       .withColumn("c_sim", Num.roundd(Llm.cosineNative(s, "embedding", "ce"), 6))
       .select("cid", "vec_id", "embedding", "c_sim")
     val a = assigned.select(col("cid"), col("vec_id").as("u"),
