@@ -133,6 +133,36 @@ object Bench {
     //      eviction re-warms OUTSIDE the timed window (rewarm count and
     //      end-of-run occupancy go in both records);
     //  (c) keep-best protocol below protects a better committed record.
+    // Host-speed calibration (r13): the r12/r13 records differed 95.5 vs
+    // 112.4 s on the SAME day with steal < 0.2% and clean GC in both —
+    // the box itself had slowed ~15% (proved by benching the unchanged
+    // r12 code at 116 s). steal_pct can't see sustained host slowdown,
+    // so the record now carries a fixed deterministic CPU workload timed
+    // single-threaded (cal1) and on `cpus` threads (calN), before and
+    // after the timed window. Cross-round comparisons divide by the
+    // calibration instead of trusting absolute seconds.
+    def calib1Ms(): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      val t0 = System.nanoTime()
+      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1000000
+      if (x == 42) System.err.println("") // defeat dead-code elimination
+      dt
+    }
+    def calibNMs(): Long = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val ts = (1 to n).map { k =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L ^ k; var i = 0
+          while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          if (x == 42) System.err.println("")
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1000000
+    }
+    val (cal1a, calNa) = (calib1Ms(), calibNMs())
     import scala.jdk.CollectionConverters._
     def gcMs(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
@@ -167,6 +197,7 @@ object Bench {
     }
     val ticks1 = cpuTicks()
     val storageEndMb = storageUsed() / (1024 * 1024)
+    val (cal1b, calNb) = (calib1Ms(), calibNMs())
     val stealPct = (ticks0, ticks1) match {
       case (Some((t0v, s0)), Some((t1v, s1))) if t1v > t0v =>
         100.0 * (s1 - s0) / (t1v - t0v)
@@ -240,7 +271,7 @@ object Bench {
       val qs = timed.toSeq.sortBy(_._1).map { case (k, ts) =>
         f""""$k":{"p1":${ts.head._1}%.6f,"p2":${ts(1)._1}%.6f,"min":${ts.map(_._1).min}%.6f,"gc1":${ts.head._2},"gc2":${ts(1)._2}}"""
       }.mkString("{\n  ", ",\n  ", "\n}")
-      f"""{"round":$round,"round_source":"$roundSource","sf":"$sfTag","pass1_total":${passTotals.head}%.4f,"pass2_total":${passTotals(1)}%.4f,"min_total":$total%.4f,"steal_pct":$stealPct%.3f,"loadavg_end":$load1%.2f,"gc1_total_ms":${gcTotals.head},"gc2_total_ms":${gcTotals(1)},"rewarms":$rewarms,"storage_end_mb":$storageEndMb,
+      f"""{"round":$round,"round_source":"$roundSource","sf":"$sfTag","pass1_total":${passTotals.head}%.4f,"pass2_total":${passTotals(1)}%.4f,"min_total":$total%.4f,"steal_pct":$stealPct%.3f,"loadavg_end":$load1%.2f,"gc1_total_ms":${gcTotals.head},"gc2_total_ms":${gcTotals(1)},"rewarms":$rewarms,"storage_end_mb":$storageEndMb,"cal1_ms":[$cal1a,$cal1b],"calN_ms":[$calNa,$calNb],
 "queries":$qs}
 """
     }
@@ -280,7 +311,7 @@ object Bench {
       val qs = shown.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(2)(v) }
         .mkString("{", ",", "}")
       val fast = f""""fast":{"n":${rest.size},"sum":${rest.map(_._2).sum}%.2f}"""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","p1":${passTotals.head}%.1f,"p2":${passTotals(1)}%.1f,"steal":$stealPct%.2f,"load":$load1%.1f,"gc1":${gcTotals.head},"gc2":${gcTotals(1)},"rw":$rewarms,"stmb":$storageEndMb$bestField,"queries":$qs,$fast,"sf":"$sfTag"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","p1":${passTotals.head}%.1f,"p2":${passTotals(1)}%.1f,"steal":$stealPct%.2f,"load":$load1%.1f,"gc1":${gcTotals.head},"gc2":${gcTotals(1)},"rw":$rewarms,"stmb":$storageEndMb,"cal1":$cal1b,"calN":$calNb$bestField,"queries":$qs,$fast,"sf":"$sfTag"}"""
     }
     // 1900-char budget leaves ~100 chars of tail slack for sbt's trailing
     // "[success]" line plus timing-digit variance across runs.

@@ -483,6 +483,19 @@ object PromqlFront {
           "SELECT ty AS \"type\", h, round(quantile_cont(value, 0.5), 4) AS \"value\" " +
           "FROM l GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // libm family over one shared (memoized) panel: ln + sqrt + log2 of
+    // the same 24h increase — three instant functions, one panel subtree.
+    ("q_pql_math",
+      q("""ln(sum by (type) (increase(events[24h]))) + sqrt(sum by (type) (increase(events[24h]))) + log2(sum by (type) (increase(events[24h])))"""),
+      Some(
+        "WITH s AS (SELECT event_type ty, CAST(user_id AS VARCHAR) u, date_trunc('hour', ts) h, " +
+          s"$hi hi, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2, 3, 4), " +
+          "w AS (SELECT ty, h, hi, CAST(sum(c) OVER (PARTITION BY ty, u ORDER BY hi " +
+          "RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) wc FROM s), " +
+          "g AS (SELECT ty, h, hi, CAST(sum(wc) AS DOUBLE) v FROM w GROUP BY 1, 2, 3) " +
+          "SELECT ty AS \"type\", h, round(ln(v) + sqrt(v) + log2(v), 6) AS \"value\" " +
+          "FROM g ORDER BY 1, 2")),
+
     // `or on() vector(0)`: the canonical gap-fill idiom — the purchase
     // rate where it exists, an explicit 0 at every silent grid hour.
     ("q_pql_vector_fill",

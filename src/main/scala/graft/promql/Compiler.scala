@@ -1095,7 +1095,7 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
             v.labels, None)
         case Left(_) => throw new ParseException("round needs a vector")
       }
-    case ("abs" | "ceil" | "floor" | "sgn", Seq(e)) =>
+    case ("abs" | "ceil" | "floor" | "sgn" | "exp" | "ln" | "log2" | "log10" | "sqrt", Seq(e)) =>
       evalExpr(e) match {
         case Right(v) =>
           val m = v.materialized
@@ -1105,6 +1105,15 @@ final class Compiler(s: SparkSession, d: String, store: MetricStore) {
             case "floor" => floor(col("value")).cast("double")
             // signum(-0.0) is -0.0 in Spark AND DuckDB sign() — exact
             case "sgn" => signum(col("value"))
+            // libm family: JVM Math.log/exp vs DuckDB libm agree to ≤1 ulp
+            // (~1e-16 relative) — invisible under the 6 dp output round on
+            // irrational results (the q_scalar_math precedent); sqrt is
+            // IEEE-exact everywhere
+            case "exp" => exp(col("value"))
+            case "ln" => log(col("value"))
+            case "log2" => log2(col("value"))
+            case "log10" => log10(col("value"))
+            case "sqrt" => sqrt(col("value"))
           }
           Vec(m.withColumn("value", f), v.labels, None)
         case Left(_) => throw new ParseException(s"$name needs a vector")

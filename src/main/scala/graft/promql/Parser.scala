@@ -19,10 +19,11 @@ package graft.promql
   *                        present_over_time holt_winters
   *                        deriv predict_linear stddev/stdvar_over_time
   *   - instant functions  histogram_quantile topk bottomk abs ceil floor
-  *                        sgn clamp clamp_min clamp_max round absent
-  *                        absent_over_time label_replace label_join
-  *                        count_values sort sort_desc scalar vector time
-  *                        timestamp day_of_week day_of_month hour month year
+  *                        sgn exp ln log2 log10 sqrt clamp clamp_min
+  *                        clamp_max round absent absent_over_time
+  *                        label_replace label_join count_values sort
+  *                        sort_desc scalar vector time timestamp
+  *                        day_of_week day_of_month hour month year
   *   - aggregations       sum avg min max count stddev stdvar group
   *                        quantile(φ, …) [by (…)|without (…)] (expr)
   *   - binary arithmetic  + - * / with scalars or vectors,

@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   * artifact is re-runnable and the floor assertions in OperatorSpec pin
   * the same numbers at fixture scale.
   *
-  * Usage: `sbt "runMain graft.tools.RecallSweep [sfDir] [outFile]"`.
+  * Usage: `sbt "runMain graft.tools.RecallSweep [sfDir] [outFile] [probeStride]"`.
+  * probeStride (default 1) spaces the probe ids: on a ScaleBench ×F slice
+  * (vec_id remapped to id·F+k) pass F so the 20 probes are the DISTINCT
+  * original vectors, not F near-identical copies of vector 0.
   */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outFile = args.lift(1).getOrElse("ANN_RECALL.md")
+    val stride = args.lift(2).map(_.toLong).getOrElse(1L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +37,7 @@ object RecallSweep {
     val corpus = emb.count()
     val topk = 10
     val nProbes = 20
-    val probeIds = 0L until nProbes.toLong
+    val probeIds = (0 until nProbes).map(_.toLong * stride)
 
     def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
       df.collect().map(_.getLong(0)).toSeq
@@ -45,7 +49,7 @@ object RecallSweep {
 
     val sb = new StringBuilder
     sb ++= "# ANN recall sweep — recall@10 vs index parameters\n\n"
-    sb ++= s"Corpus: `$sfDir` embeddings ($corpus vectors, dim 64); $nProbes probes (vec_id 0..${nProbes - 1});\n"
+    sb ++= s"Corpus: `$sfDir` embeddings ($corpus vectors, dim 64); $nProbes probes (vec_id stride $stride);\n"
     sb ++= "ground truth = exact cosine top-10 (`Similarity.bruteTopK`); recall@10 averaged over probes.\n"
     sb ++= "Deterministic (seeded planes/centroids/codebooks) — regenerate with\n"
     sb ++= "`sbt \"runMain graft.tools.RecallSweep\"`. Floors at fixture scale are pinned in OperatorSpec.\n\n"
@@ -60,7 +64,7 @@ object RecallSweep {
 
     sb ++= "\n## SRP-LSH, multiprobe hamming-1 over the by-bucket layout (`Ingest.annBatchPruned`)\n\n"
     sb ++= "| nPlanes | probed buckets | scan fraction | recall@10 |\n|---|---|---|---|\n"
-    val probes = emb.filter(col("vec_id") < nProbes).select("vec_id", "embedding").collect()
+    val probes = emb.filter(col("vec_id").isin(probeIds: _*)).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).sortBy(_._1).toSeq
     for (planes <- Seq(4, 6, 8)) {
       val path = Ingest.embeddingsByBucket(spark, sfDir, nPlanes = planes)
