@@ -72,8 +72,12 @@ object StreamBench {
       } else {
         val replay = StreamReplay.rewriteOrdered(spark, dir, files)
         val inputRows = spark.read.parquet(replay).count()
-        // one untimed warm run per factor (codegen + state-store classes)
-        run(spark, heads.head._2(spark, replay), "warm")
+        // one untimed warm run PER HEAD (codegen + state-store classes
+        // per plan shape — warming only one head left the others paying
+        // first-execution cost inside their timed number)
+        heads.zipWithIndex.foreach { case ((_, mk), i) =>
+          run(spark, mk(spark, replay), s"warm$i")
+        }
         val t0 = cpuTicks()
         val timed = heads.map { case (name, mk) =>
           val w0 = System.nanoTime()
