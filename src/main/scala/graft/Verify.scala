@@ -5,13 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // args: sfDir outDir [--sql-only] [nameSubstring ...] — optional
-    // filters select a subset of queries (build-side iteration aid;
-    // driver passes none). --sql-only dumps oracle_sql.json without
-    // executing anything (feeds tools/duck_baseline.py).
-    val sfDir = args(0); val outDir = args(1)
-    val sqlOnly = args.contains("--sql-only")
-    val only = args.drop(2).filterNot(_ == "--sql-only")
+    // args: sfDir outDir [nameSubstring ...] — optional filters select a
+    // subset of queries (build-side iteration aid; driver passes none).
+    // To dump oracle_sql.json WITHOUT executing queries use
+    // graft.tools.DumpOracles (no Spark session needed).
+    val sfDir = args(0); val outDir = args(1); val only = args.drop(2)
     def selected(name: String) = only.isEmpty || only.exists(name.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -22,7 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    if (!sqlOnly) SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.foreach { case (name, fn) =>
       if (!selected(name)) ()
       else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
