@@ -652,6 +652,31 @@ class PromqlFrontSpec extends SparkSuite {
       wantR, 1e-9, "fused group_right")
   }
 
+  test("one-to-many fusion plan shape: one scan, no join; non-fusable shapes keep the join") {
+    def plan(q: String): String =
+      PromQL.query(spark, sf0001, q).queryExecution.optimizedPlan.toString
+    // fused: the threshold-table shape — a single events scan, no Join,
+    // and the share-of-total window (unbounded frame over (B2, hi))
+    val fused = plan(
+      """sum by (type, user) (rate(events[6h])) > on(type) group_left sum by (type) (rate(events[6h])) * 0.1""")
+    assert(!fused.contains("Join"), s"fused plan must not join:\n$fused")
+    assert("Relation \\[".r.findAllIn(fused).length == 1, "fused plan must scan events once")
+    assert(fused.contains("unboundedpreceding") && fused.contains("unboundedfollowing"),
+      "fused plan must carry the share-of-total window")
+    // NOT fusable: different selectors (ratio of two metrics' slices)
+    val ratio = plan(
+      """sum(rate(events{type="click"}[1h])) / sum(rate(events{type="view"}[1h]))""")
+    assert(ratio.contains("Join"), "different selectors must keep the join")
+    // NOT fusable: ignoring-form matching (fusion is on()-only)
+    val ig = plan(
+      """sum by (type, user) (rate(events[6h])) / ignoring(user) group_left sum by (type) (rate(events[6h]))""")
+    assert(ig.contains("Join"), "ignoring-form must keep the join")
+    // NOT fusable: gauge path (avg aggregates don't reassociate exactly)
+    val gauge = plan(
+      """avg by (type, user) (events) / on(type) group_left avg by (type) (events)""")
+    assert(gauge.contains("Join"), "non-cnt-path aggregates must keep the join")
+  }
+
   test("time()/vector()/scalar() and calendar extractors") {
     // time() % 86400 / 3600 is the hour-of-day ramp over the 720-h grid
     val ta = run("""time() % 86400 / 3600""")
