@@ -67,8 +67,9 @@ object Geo {
       (((col("n_nationkey") * lit(7321L)) % 1500L).cast("double") / 10.0 - 75.0).as("hlat"),
       (((col("n_nationkey") * lit(9973L)) % 3400L).cast("double") / 10.0 - 170.0).as("hlon"))
 
-  /** Supplier boxes: integer-degree half-extents 1–7 (lat) × 2–12 (lon). */
-  private def boxes(s: SparkSession, d: String): DataFrame =
+  /** Supplier boxes: integer-degree half-extents 1–7 (lat) × 2–12 (lon).
+    * Shared with the streaming geofence face (graft-visible). */
+  private[graft] def boxes(s: SparkSession, d: String): DataFrame =
     Tables.supplier(s, d).select(
       col("s_suppkey").as("bid"),
       (((col("s_suppkey") * lit(4817L)) % 1500L).cast("double") / 10.0 - 75.0).as("blat"),
@@ -159,21 +160,31 @@ object Geo {
     * and the exact containment predicate filters the candidates. At
     * 100 TB the cell id is the partition key and the box side stays
     * broadcastable. */
-  def qGeoBboxJoin(s: SparkSession, d: String): DataFrame = {
-    val bx = boxes(s, d)
-      .withColumn("cy", explode(sequence(
+  /** A box exploded to its covering 10° cells (the grid-file page list)
+    * and the point→cell map — shared by the batch bbox join and the
+    * streaming geofence (the static side of its stream-static join). */
+  private[graft] def boxCells(bx: DataFrame): DataFrame =
+    bx.withColumn("cy", explode(sequence(
         floor((col("blat") - col("hh") + 90.0) / 10.0).cast("long"),
         floor((col("blat") + col("hh") + 90.0) / 10.0).cast("long"))))
       .withColumn("cx", explode(sequence(
         floor((col("blon") - col("hw") + 180.0) / 10.0).cast("long"),
         floor((col("blon") + col("hw") + 180.0) / 10.0).cast("long"))))
       .withColumn("cell", col("cy") * 36L + col("cx"))
-    val pt = custPoints(s, d).withColumn("cell",
-      floor((col("lat") + 90.0) / 10.0).cast("long") * 36L +
-        floor((col("lon") + 180.0) / 10.0).cast("long"))
+
+  private[graft] def cellOf(lat: Column, lon: Column): Column =
+    floor((lat + 90.0) / 10.0).cast("long") * 36L +
+      floor((lon + 180.0) / 10.0).cast("long")
+
+  private[graft] def inBox(lat: Column, lon: Column): Column =
+    lat >= col("blat") - col("hh") && lat <= col("blat") + col("hh") &&
+      lon >= col("blon") - col("hw") && lon <= col("blon") + col("hw")
+
+  def qGeoBboxJoin(s: SparkSession, d: String): DataFrame = {
+    val bx = boxCells(boxes(s, d))
+    val pt = custPoints(s, d).withColumn("cell", cellOf(col("lat"), col("lon")))
     bx.join(pt, Seq("cell"))
-      .filter(col("lat") >= col("blat") - col("hh") && col("lat") <= col("blat") + col("hh") &&
-        col("lon") >= col("blon") - col("hw") && col("lon") <= col("blon") + col("hw"))
+      .filter(inBox(col("lat"), col("lon")))
       .groupBy("bid")
       .agg(count(lit(1)).as("n_inside"), min("id").as("min_id"), max("id").as("max_id"))
       .orderBy("bid")
@@ -251,10 +262,15 @@ object Geo {
     * polyline (deterministic per-event points), segment lengths are
     * exact planar sqrt, the total rides the µ-unit exact sum. One
     * shuffle on user_id + per-key sort — the sessionization shape. */
+  /** Per-event point derivation, appended to whatever columns `ev`
+    * carries — shared with the streaming geofence face. */
+  private[graft] def withEventPoint(ev: DataFrame): DataFrame =
+    ev.withColumn("elat", ((col("event_id") * lit(4621L)) % 1600L).cast("double") / 10.0 - 80.0)
+      .withColumn("elon", ((col("event_id") * lit(9043L)) % 3500L).cast("double") / 10.0 - 175.0)
+
   def qGeoTrajectory(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
-      (((col("event_id") * lit(4621L)) % 1600L).cast("double") / 10.0 - 80.0).as("elat"),
-      (((col("event_id") * lit(9043L)) % 3500L).cast("double") / 10.0 - 175.0).as("elon"))
+    val ev = withEventPoint(
+      Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id")))
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val seg = ev
       .withColumn("plat", lag("elat", 1).over(w))

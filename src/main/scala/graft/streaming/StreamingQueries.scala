@@ -424,7 +424,44 @@ object StreamingQueries {
   val qStreamBurst: Q = (s, d) =>
     graft.operators.Change.burstCausalEpisodes(s, d)
 
+  /** Geofence hit counter — the streaming face of the geo tier's
+    * grid-bucketed spatial join: each event's derived point maps to its
+    * 10° cell, the STATIC supplier-box side is pre-exploded to covering
+    * cells (Geo.boxCells — ≤16 rows per box, broadcastable at any
+    * corpus size), the stream-static join is a BroadcastHashJoin on
+    * cell id with the exact containment as residual (never a
+    * per-micro-batch nested loop), and hits roll up per (hour, fence)
+    * under the watermark. State = open windows × fences, bounded. */
+  private def geofenceHits(events: DataFrame, bx: DataFrame): DataFrame =
+    graft.operators.Geo.withEventPoint(events.select(col("ts"), col("event_id")))
+      .withColumn("cell", graft.operators.Geo.cellOf(col("elat"), col("elon")))
+      .join(broadcast(bx), "cell")
+      .filter(graft.operators.Geo.inBox(col("elat"), col("elon")))
+      .groupBy(window(col("ts"), "1 hour"), col("bid"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("window.start").as("h"), col("bid"), col("hits"))
+
+  val qStreamGeofence: Q = (s, d) =>
+    geofenceHits(Tables.events(s, d),
+      graft.operators.Geo.boxCells(graft.operators.Geo.boxes(s, d)))
+      .orderBy("h", "bid")
+
+  def geofenceStream(s: SparkSession, dir: String, sfDir: String): DataFrame =
+    geofenceHits(eventsStream(s, dir).withWatermark("ts", "2 hours"),
+      graft.operators.Geo.boxCells(graft.operators.Geo.boxes(s, sfDir)))
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stream_geofence", qStreamGeofence, Some(
+      "WITH boxes AS (SELECT s_suppkey bid, " +
+        "CAST((s_suppkey * 4817) % 1500 AS DOUBLE) / 10.0 - 75.0 blat, " +
+        "CAST((s_suppkey * 12391) % 3300 AS DOUBLE) / 10.0 - 165.0 blon, " +
+        "CAST(s_suppkey % 7 + 1 AS DOUBLE) hh, CAST(s_suppkey % 11 + 2 AS DOUBLE) hw FROM supplier), " +
+        "ev AS (SELECT date_trunc('hour', ts) h, " +
+        "CAST((event_id * 4621) % 1600 AS DOUBLE) / 10.0 - 80.0 elat, " +
+        "CAST((event_id * 9043) % 3500 AS DOUBLE) / 10.0 - 175.0 elon FROM events) " +
+        "SELECT h, bid, count(*) hits FROM ev JOIN boxes ON " +
+        "elat BETWEEN blat - hh AND blat + hh AND elon BETWEEN blon - hw AND blon + hw " +
+        "GROUP BY h, bid ORDER BY h, bid")),
     ("q_stream_burst", qStreamBurst, Some(
       "WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) h), " +
         "ty AS (SELECT DISTINCT event_type et FROM events), " +

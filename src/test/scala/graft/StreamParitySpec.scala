@@ -22,6 +22,18 @@ class StreamParitySpec extends SparkSuite {
     assert(g > b / 2 && g <= b, s"stream=$g batch=$b")
   }
 
+  test("geofence hits: emitted (hour, fence) counts ⊆ batch, and most windows close") {
+    val got = StreamReplay
+      .runToCompletion(spark,
+        StreamingQueries.geofenceStream(spark, replayDir, sf0001), "t_geofence")
+      .withColumn("h", col("h").cast("timestamp_ntz"))
+    val batch = StreamingQueries.qStreamGeofence(spark, sf0001)
+    assert(got.except(batch).count() == 0,
+      "stream emitted a geofence count batch disagrees with")
+    val (g, b) = (got.count(), batch.count())
+    assert(g > b / 2 && g <= b, s"stream=$g batch=$b")
+  }
+
   test("streaming PromQL alert: closed-window firings equal the front-door batch query") {
     val got = StreamReplay
       .runToCompletion(spark, StreamingQueries.promqlAlertStream(spark, replayDir), "t_pqlal")
