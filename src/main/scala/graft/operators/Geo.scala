@@ -200,41 +200,41 @@ object Geo {
       .orderBy(col("d2raw"), col("id")).limit(12) // raw-bit order like the oracle: a 6 dp tie must not reorder
       .select(col("id"), col("seg"), Num.roundd(col("d2raw"), 6).as("d2"))
 
-  /** Grid-density clustering (cell-quantized DBSCAN): aggregate points
-    * to 10° cells, keep cells with ≥ 4 points (core cells), connect
-    * 8-neighbor adjacency, label components by minimum cell id (the
-    * Dedup.connectedComponents device — the graph is |cells|, bounded by
-    * the grid, never by the corpus). */
-  def qGeoGridCluster(s: SparkSession, d: String): DataFrame = {
-    val cells = custPoints(s, d)
+  /** The core-cell rollup every grid-cluster face shares: points
+    * aggregate to 10° cells (one map-side-combining hash aggregate,
+    * linear in the corpus), cells with ≥ 4 points are core. Output is
+    * bounded by the GRID — ≤ 18×36 = 648 rows — never by the corpus. */
+  private[graft] def coreCells(s: SparkSession, d: String): DataFrame =
+    custPoints(s, d)
       .select(floor((col("lat") + 90.0) / 10.0).cast("long").as("cy"),
         floor((col("lon") + 180.0) / 10.0).cast("long").as("cx"))
       .groupBy("cy", "cx").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 4L)
-      .withColumn("cell", col("cy") * 36L + col("cx"))
-      .cache()
-    val a = cells.select(col("cell").as("id_a"), col("cy").as("ya"), col("cx").as("xa"))
-    val b = cells.select(col("cell").as("id_b"), col("cy").as("yb"), col("cx").as("xb"))
-    val edges = a.join(b,
-      col("id_a") < col("id_b") &&
-        abs(col("ya") - col("yb")) <= 1L && abs(col("xa") - col("xb")) <= 1L)
-      .select("id_a", "id_b")
-    // all-singleton grids have no edges; the CC loop expects ≥1. Star
-    // variant, not min-propagation: a dense grid's core cells form ONE
-    // component whose diameter (≈ grid width, 54 at 10°) exceeds any
-    // sensible propagation round count, while star halving converges in
-    // O(log n) rounds regardless of diameter.
-    val lbl =
-      if (edges.isEmpty) cells.select(col("cell").as("id"), col("cell").as("lbl")).limit(0)
-      else Dedup.connectedComponentsStar(edges)
-    // singleton core cells (no neighbor) are their own cluster
-    val labeled = cells.join(lbl, cells("cell") === lbl("id"), "left")
-      .select(col("cell"), coalesce(col("lbl"), col("cell")).as("cluster_id"), col("n"))
-    val out = labeled.groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"))
-      .orderBy("cluster_id")
-    cells.unpersist(blocking = false)
-    out
+
+  /** Grid-density clustering (cell-quantized DBSCAN): core cells connect
+    * by 8-neighbor adjacency; components label by minimum cell id.
+    * Component-finding runs DRIVER-SIDE over the collected cell rollup —
+    * a bounded manifest op (≤ 648 rows at this 10° resolution, a GRID
+    * constant independent of corpus size; ScaleBench measures the query
+    * floor-bound at 100×). A fine grid that outgrows the driver would
+    * swap in Dedup.connectedComponentsStar on the same edge list — the
+    * distributed device q_dedup_cluster runs at scale, and GeoSpec holds
+    * this fold equal to it on the same cells. */
+  def qGeoGridCluster(s: SparkSession, d: String): DataFrame = {
+    val cells = coreCells(s, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val parent = scala.collection.mutable.Map(cells.map(_._1).map(c => c -> c): _*)
+    def find(c: (Long, Long)): (Long, Long) =
+      if (parent(c) == c) c else { val r = find(parent(c)); parent(c) = r; r }
+    for (((y1, x1), _) <- cells; ((y2, x2), _) <- cells
+         if (y1, x1) != (y2, x2) && math.abs(y1 - y2) <= 1 && math.abs(x1 - x2) <= 1)
+      parent(find((y1, x1))) = find((y2, x2))
+    val rows = cells.groupBy { case (c, _) => find(c) }.map { case (_, members) =>
+      (members.map { case ((y, x), _) => y * 36L + x }.min,
+        members.size.toLong, members.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    import s.implicits._
+    rows.toDF("cluster_id", "n_cells", "n_points").orderBy("cluster_id")
   }
 
   /** Nearest-hub assignment: broadcast the 25 hubs against every

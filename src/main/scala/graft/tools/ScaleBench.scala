@@ -59,6 +59,19 @@ object ScaleBench {
     "q_dedup_incremental", "q_emb_semdedup_scaled", "q_ann_batch_multiprobe",
     "q_text_quality", "q_sim_topk")
 
+  /** Geo head: customers scale with the factor (distinct key-derived
+    * points per copy — see slice()), suppliers stay fixed (the fence/
+    * hub dimension does not grow with the corpus). Expected shapes:
+    * bbox join and nearest-hub linear in points (broadcast dim side);
+    * grid_cluster FLOOR-BOUND once every cell of the fixed 18×36 grid
+    * is core (the cell graph is bounded by the grid, not the corpus);
+    * trajectory linear with constant per-user window size (events and
+    * users both scale); geofence linear in events against the fixed
+    * fence set. */
+  val geoHead: Seq[String] = Seq(
+    "q_geo_bbox_join", "q_geo_nearest_hub", "q_geo_grid_cluster",
+    "q_geo_hub_distance", "q_geo_trajectory", "q_stream_geofence")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "BENCH_SCALE_r13.json"
@@ -87,7 +100,7 @@ object ScaleBench {
       if (factor == 1) sfDir
       else {
         val dir = s"/tmp/graft_scale_${factor}x"
-        if (!new File(s"$dir/_DONE2").exists) {
+        if (!new File(s"$dir/_DONE3").exists) {
           val d = new File(dir)
           if (d.exists) {
             def rm(f: File): Unit = {
@@ -138,24 +151,36 @@ object ScaleBench {
               col("label"))
             .repartition(cpus.toInt)
             .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-          for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          // customers: copy k remaps the key (→ distinct derived geo
+          // points per copy, the events device); nation/segment pass
+          // through so dim joins keep their cardinality
+          Tables.customer(spark, sfDir)
+            .crossJoin(broadcast(k))
+            .select(
+              (col("c_custkey") * factor + col("__k")).as("c_custkey"),
+              col("c_name"), col("c_nationkey"), col("c_acctbal"),
+              col("c_mktsegment"))
+            .repartition(cpus.toInt)
+            .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+          for (t <- Seq("region", "nation", "supplier", "part",
               "orders", "lineitem"))
             Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
               StandardCopyOption.REPLACE_EXISTING)
-          Files.writeString(Paths.get(s"$dir/_DONE2"), "ok")
+          Files.writeString(Paths.get(s"$dir/_DONE3"), "ok")
           ()
         }
         dir
       }
 
     val qs = SparkEntry.queries
-    val allHead = head ++ llmHead
+    val allHead = head ++ llmHead ++ geoHead
     val results: Seq[(Int, Long, Double, Seq[(String, Double, Double)])] = factors.map { f =>
       val dir = slice(f)
       val ev = Tables.events(spark, dir)
       val rows = ev.cache().count()
       Tables.documents(spark, dir).cache().count()
       Tables.embeddings(spark, dir).cache().count()
+      Tables.customer(spark, dir).cache().count()
       // warm each query once AT THE TARGET SCALE, untimed: a fresh JVM's
       // first heavy execution pays a 10-20x CPU warm-up penalty (measured
       // r12 on the 12.6M-row delta sort: 145 -> 17 -> 6.6 -> 6.0 s over
@@ -184,6 +209,7 @@ object ScaleBench {
       ev.unpersist()
       Tables.documents(spark, dir).unpersist()
       Tables.embeddings(spark, dir).unpersist()
+      Tables.customer(spark, dir).unpersist()
       (f, rows, stealPct, timed)
     }
     val body = results.map { case (f, rows, stealPct, timed) =>

@@ -58,15 +58,17 @@ object StreamBench {
         } finally src.close()
       } catch { case _: Throwable => None }
 
-    val heads: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
-      ("tumbling_wm", StreamingQueries.tumblingStream(_, _)),
-      ("sliding_wm", StreamingQueries.slidingStream(_, _)),
-      ("session_window", StreamingQueries.sessionStream(_, _)),
-      ("dedup_within_wm", StreamingQueries.dedupStream(_, _)))
-
     val rows = factors.flatMap { f =>
       val dir = if (f == 1) sfDir else s"/tmp/graft_scale_${f}x"
-      if (f != 1 && !new java.io.File(s"$dir/_DONE2").exists) {
+      // geofence joins the slice dir's (fixed) supplier fences per
+      // micro-batch — the stream-static spatial head
+      val heads: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+        ("tumbling_wm", StreamingQueries.tumblingStream(_, _)),
+        ("sliding_wm", StreamingQueries.slidingStream(_, _)),
+        ("session_window", StreamingQueries.sessionStream(_, _)),
+        ("dedup_within_wm", StreamingQueries.dedupStream(_, _)),
+        ("geofence", (s, replay) => StreamingQueries.geofenceStream(s, replay, dir)))
+      if (f != 1 && !new java.io.File(s"$dir/_DONE3").exists) {
         System.err.println(s"[stream-bench] no ScaleBench slice for factor $f at $dir — skipped (run ScaleBench $f first)")
         Nil
       } else {
@@ -99,7 +101,11 @@ object StreamBench {
       }.mkString(",")
       f"""{"factor":$f,"input_rows":$n,"microbatches":$files,"steal_pct":$steal%.3f,"queries":{$qj}}"""
     }.mkString(",")
-    val json = s"""{"sf_base":"$sfDir","factors":[$body]}\n"""
+    // self-describing record (the r12 lesson): state-store-heavy heads are
+    // HEAP-SENSITIVE — at 8g the 100× session_window ran 6× slower under
+    // GC pressure than at 16g — so the artifact carries the heap it ran with
+    val heapMb = Runtime.getRuntime.maxMemory / 1048576
+    val json = s"""{"sf_base":"$sfDir","heap_mb":$heapMb,"factors":[$body]}\n"""
     Files.writeString(Paths.get(out), json)
     println(json)
     spark.stop()

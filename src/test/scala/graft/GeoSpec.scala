@@ -34,29 +34,29 @@ class GeoSpec extends SparkSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
-  test("grid cluster: component labels match a driver-side union-find over the same core cells") {
+  test("grid cluster: driver union-find equals the distributed star CC on the same core cells") {
     val got = Geo.qGeoGridCluster(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // independent reference: collect core cells (bounded by the 18x36
-    // grid), union-find 8-adjacency in driver code
-    val cells = spark.read.parquet(s"$sf001/customer.parquet")
-      .select((((col("c_custkey") * lit(7919L)) % 1700L).cast("double") / 10.0 - 85.0).as("lat"),
-        (((col("c_custkey") * lit(104729L)) % 3600L).cast("double") / 10.0 - 180.0).as("lon"))
-      .select(floor((col("lat") + 90.0) / 10.0).cast("long").as("cy"),
-        floor((col("lon") + 180.0) / 10.0).cast("long").as("cx"))
-      .groupBy("cy", "cx").count().filter(col("count") >= 4L)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
-    val parent = scala.collection.mutable.Map(cells.map(_._1).map(c => c -> c): _*)
-    def find(c: (Long, Long)): (Long, Long) =
-      if (parent(c) == c) c else { val r = find(parent(c)); parent(c) = r; r }
-    for (((y1, x1), _) <- cells; ((y2, x2), _) <- cells
-         if (y1, x1) != (y2, x2) && math.abs(y1 - y2) <= 1 && math.abs(x1 - x2) <= 1)
-      parent(find((y1, x1))) = find((y2, x2))
-    val want = cells.groupBy { case (c, _) => find(c) }.map { case (_, members) =>
-      val ids = members.map { case ((y, x), _) => y * 36L + x }
-      (ids.min, members.size.toLong, members.map(_._2).sum)
-    }.toSeq.sortBy(_._1)
-    assert(got.nonEmpty && got.toSeq == want)
+    // independent reference: the DISTRIBUTED component algorithm
+    // (Dedup.connectedComponentsStar) over the same 8-adjacency edges —
+    // the device a fine-grid variant would swap in
+    val cells = graft.operators.Geo.coreCells(spark, sf001)
+      .withColumn("cell", col("cy") * 36L + col("cx")).cache()
+    val a = cells.select(col("cell").as("id_a"), col("cy").as("ya"), col("cx").as("xa"))
+    val b = cells.select(col("cell").as("id_b"), col("cy").as("yb"), col("cx").as("xb"))
+    val edges = a.join(b,
+      col("id_a") < col("id_b") &&
+        abs(col("ya") - col("yb")) <= 1L && abs(col("xa") - col("xb")) <= 1L)
+      .select("id_a", "id_b")
+    val lbl = graft.operators.Dedup.connectedComponentsStar(edges)
+    val want = cells.join(lbl, cells("cell") === lbl("id"), "left")
+      .select(coalesce(col("lbl"), col("cell")).as("cluster_id"), col("n"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"))
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    cells.unpersist(blocking = false)
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
   test("knn probe: 12 rows, ascending distance, head matches collected brute force") {
