@@ -282,13 +282,19 @@ object Bench {
     // truth), the new run lands in a .contended sidecar instead, and the
     // driver line carries best_total so the divergence self-documents.
     val localPath = f"BENCH_LOCAL_r$round%02d.json"
-    val existingBest: Option[Double] =
-      try {
-        val s = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(localPath)), "UTF-8")
-        """"min_total":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
-      } catch { case _: Throwable => None }
-    val keepExisting = existingBest.exists(_ < total)
+    val existingRecord: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(localPath)), "UTF-8"))
+      catch { case _: Throwable => None }
+    val existingBest: Option[Double] = existingRecord.flatMap(s =>
+      """"min_total":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble))
+    // totals are only comparable over the SAME catalog: when the query set
+    // grew mid-round, a larger total is new coverage, not disturbance —
+    // overwrite rather than sidecar (key count proxies the catalog)
+    val existingN: Option[Int] = existingRecord.map(s =>
+      """"q_[a-z0-9_]+":\{"p1"""".r.findAllMatchIn(s).size)
+    val keepExisting =
+      existingBest.exists(_ < total) && existingN.contains(results.size)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         if (keepExisting) localPath + ".contended" else localPath),
