@@ -720,7 +720,7 @@ object LlmScale {
     Multimodal.syntheticImages(s, d)
       .repartition(32)
       .mapPartitions(_.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val img = Multimodal.ImageIoDecoder.readImage(r.payload)
         val (ph, nb) = Multimodal.aHash64(img)
         (r.id, img.getWidth.toLong, img.getHeight.toLong, ph, nb)
       })

@@ -27,6 +27,10 @@ object ProfileQ {
       Tables.part _, Tables.nation _, Tables.region _, Tables.events _,
       Tables.documents _, Tables.embeddings _)
       .foreach { t => t(spark, sfDir).cache().count() }
+    // mirror Bench's ingest-time media pinning so multimodal profiles
+    // measure the decode stage, not corpus (re-)encoding
+    graft.operators.Multimodal.syntheticImages(spark, sfDir).toDF().cache().count()
+    graft.operators.Multimodal.syntheticWavs(spark, sfDir).toDF().cache().count()
     val qs = SparkEntry.queries
     names.foreach { raw =>
       val (explain, name) =
