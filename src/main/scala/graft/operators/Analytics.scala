@@ -361,21 +361,35 @@ object Analytics {
     * by (rounded cosine, cooc, neighbor) so ties are pinned on both
     * engines. */
   val qItemCoocTopk: Q = (s, d) => {
-    // localCheckpoint: the presence list feeds THREE consumers (both
-    // self-join sides + the part-count dim); pinning it pays one distinct
-    // instead of three (the qGraphLinkPredict reuse device)
-    val pres = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // One shuffle builds the per-order basket (sorted distinct parts);
+    // the i<j pairs generate IN-ROW from the array (≤ C(7,2)=21 per
+    // order — interpreted HOF, but over basket-sized arrays, not inside
+    // a join), replacing the former distinct + self-join which moved
+    // the presence list through three more scan-sized exchanges. The
+    // basket localCheckpoints because it feeds both the pair fan-out
+    // and the per-part count dim (the qGraphLinkPredict reuse device).
+    val baskets = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
       .localCheckpoint()
-    val ni = pres.groupBy("pk").agg(count(lit(1)).as("n"))
-    val pairs = pres.join(pres.select(col("ok"), col("pk").as("pk2")), "ok")
-      .filter(col("pk") < col("pk2"))
+    val ni = baskets
+      .select(explode(col("items")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)), y -> struct(x AS pk, y AS pk2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.pk").as("pk"), col("p.pk2").as("pk2"))
       .groupBy("pk", "pk2").agg(count(lit(1)).as("cij"))
     val scored = pairs
       .join(broadcast(ni.select(col("pk"), col("n").as("ci"))), "pk")
       .join(broadcast(ni.select(col("pk").as("pk2"), col("n").as("cj"))), "pk2")
       .withColumn("cosine", Num.roundd(col("cij").cast("double") /
         sqrt((col("ci") * col("cj")).cast("double")), 6))
+      // the union below reads scored TWICE; without pinning, the pair
+      // aggregate + both broadcast joins execute once per branch
+      .localCheckpoint()
     val sym = scored.select(col("pk").as("i"), col("pk2").as("j"), col("cij"), col("cosine"))
       .union(scored.select(col("pk2").as("i"), col("pk").as("j"), col("cij"), col("cosine")))
     graft.functions.GraftFunctions.register(s)
