@@ -433,12 +433,14 @@ class PlanSpec extends SparkSuite {
     assert(countExchanges(p) <= 4, s"too many exchanges:\n$p")
   }
 
-  test("item cooc: order-local self-join, part dims broadcast, top-k is an aggregate not a window sort") {
+  test("item cooc: basket pairs generate in-row, no presence self-join, top-k stays an aggregate") {
     val p = plan(graft.operators.Analytics.qItemCoocTopk(spark, sf0001))
-    assert(!"(?i)cartesianproduct".r.findFirstIn(p).isDefined, s"no cartesian:\n$p")
-    // both ni sides must broadcast — a shuffle join of the items dim
-    // against the pair table would double-shuffle the fan-out
-    assert("(?i)broadcasthashjoin".r.findAllIn(p).length >= 2, s"ni joins must broadcast:\n$p")
+    // the i<j pairs come from the per-order basket array — any join of
+    // scan-sized tables means the self-join formulation leaked back
+    // (the ni broadcast joins live behind the scored localCheckpoint,
+    // so the final plan must contain NO join at all)
+    assert(!"(?i)(sortmergejoin|shuffledhashjoin|cartesianproduct|nestedloop)".r
+      .findFirstIn(p).isDefined, s"pairs must come from the basket array:\n$p")
     // the top-3 cut is the graft_topk aggregate: no Window node may
     // sort the symmetric pair fan-out
     assert(!p.contains("Window"), s"top-k must be an aggregate, not a window sort:\n$p")
@@ -459,4 +461,19 @@ class PlanSpec extends SparkSuite {
     assert(!"(?i)(sortmergejoin|shuffledhashjoin|cartesianproduct)".r.findFirstIn(p).isDefined,
       s"no non-broadcast join anywhere:\n$p")
   }
+
+  test("geo bbox join: grid cells make it a BroadcastHashJoin, never a nested loop") {
+    val p = plan(graft.operators.Geo.qGeoBboxJoin(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"expected cell-id BroadcastHashJoin:\n$p")
+    assert(!"(?i)(nestedloop|cartesianproduct|sortmergejoin)".r.findFirstIn(p).isDefined,
+      s"the quadratic BETWEEN formulation leaked through:\n$p")
+  }
+
+  test("geo nearest hub: argmin is a hash aggregate (map-side combine), not a window over the fan-out") {
+    val p = plan(graft.operators.Geo.qGeoNearestHub(spark, sf0001))
+    assert(!p.contains("Window"), s"argmin must not window-sort the 25x fan-out:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 25-row hub dim must broadcast under the cross join:\n$p")
+  }
+
 }
