@@ -173,7 +173,12 @@ object ScaleBench {
       }
 
     val qs = SparkEntry.queries
-    val allHead = head ++ llmHead ++ geoHead
+    // SPARK_GRAFT_SCALE_HEAD=q_a,q_b narrows the timed head — the
+    // 1000× factor runs a representative subset (slice build + warm +
+    // ingest-state cost per query is minutes at that volume)
+    val headFilter = sys.env.get("SPARK_GRAFT_SCALE_HEAD").map(_.split(",").toSet)
+    val allHead = (head ++ llmHead ++ geoHead)
+      .filter(n => headFilter.forall(_.contains(n)))
     val results: Seq[(Int, Long, Double, Seq[(String, Double, Double)])] = factors.map { f =>
       val dir = slice(f)
       val ev = Tables.events(spark, dir)
