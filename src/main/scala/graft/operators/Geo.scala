@@ -288,6 +288,38 @@ object Geo {
       .orderBy("user_id")
   }
 
+  /** Spatiotemporal heatmap: events per (day, 10° cell), top 10 cells
+    * per day — the geo twin of q_ts_topk_per_day. One hash aggregate
+    * over the scan (linear), then a window over the day×cell rollup
+    * (bounded by days × grid, never by events). */
+  def qGeoStHeatmap(s: SparkSession, d: String): DataFrame = {
+    val cells = withEventPoint(Tables.events(s, d).select(col("ts"), col("event_id")))
+      .select(date_trunc("day", col("ts")).cast("date").as("dday"),
+        cellOf(col("elat"), col("elon")).as("cell"))
+      .groupBy("dday", "cell").agg(count(lit(1)).as("n"))
+    cells.withColumn("rn", row_number().over(
+        Window.partitionBy("dday").orderBy(col("n").desc, col("cell"))))
+      .filter(col("rn") <= 10)
+      .select(col("dday"), col("cell"), col("n"), col("rn").cast("long").as("rn"))
+      .orderBy("dday", "rn")
+  }
+
+  /** Origin→destination matrix: each user's FIRST and LAST event cell
+    * (by event time, event_id breaking ties) become an OD pair; output
+    * = user counts per pair. The endpoints come from min/max over a
+    * lexicographic struct — one map-side-combining hash aggregate over
+    * the scan, no per-user window sort. */
+  def qGeoOdMatrix(s: SparkSession, d: String): DataFrame =
+    withEventPoint(Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id")))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        cellOf(col("elat"), col("elon")).as("cell"))
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"), col("cell"))).as("f"),
+        max(struct(col("ts"), col("event_id"), col("cell"))).as("l"))
+      .groupBy(col("f.cell").as("o_cell"), col("l.cell").as("d_cell"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("o_cell", "d_cell")
+
   /** Haversine radius search around a probe (48.85, 2.35): per-segment
     * membership counts inside 3000 km plus rounded min/max — counts
     * against a generic threshold and same-row picks, the trig-safe
@@ -358,6 +390,22 @@ object Geo {
         "SELECT user_id, count(*) n_moves, " +
         s"round(CAST(sum(${unitsSql("len", 6)}) AS DOUBLE) / 1e6, 6) path_deg, " +
         "round(max(len), 6) max_leg FROM seg GROUP BY user_id ORDER BY user_id")),
+    ("q_geo_st_heatmap", qGeoStHeatmap, Some(
+      "WITH ev AS (SELECT date_trunc('day', ts) dday, " +
+        "CAST(floor((CAST((event_id * 4621) % 1600 AS DOUBLE) / 10.0 - 80.0 + 90.0) / 10.0) AS BIGINT) * 36 + " +
+        "CAST(floor((CAST((event_id * 9043) % 3500 AS DOUBLE) / 10.0 - 175.0 + 180.0) / 10.0) AS BIGINT) cell FROM events), " +
+        "agg AS (SELECT dday, cell, count(*) n FROM ev GROUP BY 1, 2), " +
+        "r AS (SELECT dday, cell, n, CAST(row_number() OVER (PARTITION BY dday ORDER BY n DESC, cell) AS BIGINT) rn FROM agg) " +
+        "SELECT dday, cell, n, rn FROM r WHERE rn <= 10 ORDER BY dday, rn")),
+    ("q_geo_od_matrix", qGeoOdMatrix, Some(
+      "WITH ev AS (SELECT user_id, ts, event_id, " +
+        "CAST(floor((CAST((event_id * 4621) % 1600 AS DOUBLE) / 10.0 - 80.0 + 90.0) / 10.0) AS BIGINT) * 36 + " +
+        "CAST(floor((CAST((event_id * 9043) % 3500 AS DOUBLE) / 10.0 - 175.0 + 180.0) / 10.0) AS BIGINT) cell FROM events), " +
+        "r AS (SELECT user_id, cell, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn_a, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn_d FROM ev), " +
+        "od AS (SELECT f.user_id, f.cell o_cell, l.cell d_cell FROM r f JOIN r l ON f.user_id = l.user_id " +
+        "AND f.rn_a = 1 AND l.rn_d = 1) " +
+        "SELECT o_cell, d_cell, count(*) n_users FROM od GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_geo_radius_search", qGeoRadiusSearch, Some(
       s"WITH $PtsCte " +
         s"SELECT seg, count(*) n, round(min(km), 3) min_km, round(max(km), 3) max_km FROM (" +
