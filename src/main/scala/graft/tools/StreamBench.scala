@@ -62,12 +62,18 @@ object StreamBench {
       val dir = if (f == 1) sfDir else s"/tmp/graft_scale_${f}x"
       // geofence joins the slice dir's (fixed) supplier fences per
       // micro-batch — the stream-static spatial head
-      val heads: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      // SPARK_GRAFT_STREAM_HEAD=name,name narrows the timed heads — at
+      // the 1000x factor the keyed-state heads (session/dedup: 15M user
+      // keys, 100M dedup keys) are a different experiment than the
+      // bounded-state windows, so runs can split them
+      val headFilter = sys.env.get("SPARK_GRAFT_STREAM_HEAD").map(_.split(",").toSet)
+      val allHeads: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
         ("tumbling_wm", StreamingQueries.tumblingStream(_, _)),
         ("sliding_wm", StreamingQueries.slidingStream(_, _)),
         ("session_window", StreamingQueries.sessionStream(_, _)),
         ("dedup_within_wm", StreamingQueries.dedupStream(_, _)),
         ("geofence", (s, replay) => StreamingQueries.geofenceStream(s, replay, dir)))
+      val heads = allHeads.filter { case (n, _) => headFilter.forall(_.contains(n)) }
       if (f != 1 && !new java.io.File(s"$dir/_DONE3").exists) {
         System.err.println(s"[stream-bench] no ScaleBench slice for factor $f at $dir — skipped (run ScaleBench $f first)")
         Nil
