@@ -41,12 +41,20 @@ object StreamBench {
     val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val files = 24 // micro-batches per run: one file per trigger
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STATE_STORE=rocksdb swaps the default in-heap
+    // HDFSBackedStateStore (state capped by driver heap — 100M dedup
+    // keys OOM a 64g box) for Spark's bundled RocksDB provider (state
+    // on disk, bounded memtables) — the same switch a cluster makes at
+    // high key cardinality
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def cpuTicks(): Option[(Long, Long)] =
@@ -111,7 +119,8 @@ object StreamBench {
     // HEAP-SENSITIVE — at 8g the 100× session_window ran 6× slower under
     // GC pressure than at 16g — so the artifact carries the heap it ran with
     val heapMb = Runtime.getRuntime.maxMemory / 1048576
-    val json = s"""{"sf_base":"$sfDir","heap_mb":$heapMb,"factors":[$body]}\n"""
+    val store = if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) "rocksdb" else "hdfs"
+    val json = s"""{"sf_base":"$sfDir","heap_mb":$heapMb,"state_store":"$store","factors":[$body]}\n"""
     Files.writeString(Paths.get(out), json)
     println(json)
     spark.stop()
