@@ -98,6 +98,45 @@ class GeoSpec extends SparkSuite {
     assert(row.getDouble(3) == r6(legs.max))
   }
 
+  test("od matrix: endpoints follow event TIME (id breaks ties), not id order") {
+    val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-geo-od"
+    val t0 = 1704067200L
+    def ns(sec: Long): Long = sec * 1000000000L
+    def cell(e: Long): Long = {
+      val lat = ((e * 4621L) % 1600L).toDouble / 10.0 - 80.0
+      val lon = ((e * 9043L) % 3500L).toDouble / 10.0 - 175.0
+      (math.floor((lat + 90.0) / 10.0) * 36 + math.floor((lon + 180.0) / 10.0)).toLong
+    }
+    // user 1: ids out of time order — origin is the EARLIEST ts (id 50),
+    // destination the latest (id 10); user 2: tied ts at the end — the
+    // LARGER id (31) wins the max(struct) destination
+    Seq((50L, ns(t0 + 10), 1L, "view", 1.0, "{}"),
+      (40L, ns(t0 + 20), 1L, "view", 1.0, "{}"),
+      (10L, ns(t0 + 30), 1L, "view", 1.0, "{}"),
+      (20L, ns(t0 + 5), 2L, "view", 1.0, "{}"),
+      (30L, ns(t0 + 40), 2L, "view", 1.0, "{}"),
+      (31L, ns(t0 + 40), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Geo.qGeoOdMatrix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set((cell(50L), cell(10L), 1L), (cell(20L), cell(31L), 1L))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("st heatmap: at most 10 cells per day, counts non-increasing within a day") {
+    val rows = Geo.qGeoStHeatmap(spark, sf001).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (day, rs) =>
+      assert(rs.length <= 10, s"$day has ${rs.length} ranked cells")
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to rs.length).toSeq, s"$day ranks not dense")
+      val counts = byRank.map(_._3)
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, s"$day counts not sorted")
+    }
+  }
+
   test("hub distance: every nation present, min ≤ avg ≤ max, all distances on-sphere") {
     val rows = Geo.qGeoHubDistance(spark, sf001).collect()
     assert(rows.length == 25)
