@@ -677,6 +677,45 @@ class PromqlFrontSpec extends SparkSuite {
     assert(gauge.contains("Join"), "non-cnt-path aggregates must keep the join")
   }
 
+  test("same-panel pointwise fusion: one aggregate, no join; values match the panel") {
+    def plan(q: String): String =
+      PromQL.query(spark, sf0001, q).queryExecution.optimizedPlan.toString
+    // fused: the q_pql_math shape — every vector leaf is the same panel,
+    // so the whole arithmetic tree is ONE projection over one aggregate
+    val fused = plan(
+      """ln(sum by (type) (increase(events[24h]))) + sqrt(sum by (type) (increase(events[24h]))) + log2(sum by (type) (increase(events[24h])))""")
+    assert(!fused.contains("Join"), s"same-panel arithmetic must not join:\n$fused")
+    assert("Relation \\[".r.findAllIn(fused).length == 1,
+      "same-panel arithmetic must scan events once")
+    assert("(?i)aggregate".r.findAllIn(fused).length <= 2,
+      s"one hourly rollup + one by-(type) aggregate, no re-aggregation:\n$fused")
+    // value check: fused tree row-for-row equals f(panel value)
+    val panel = run("""sum by (type) (increase(events[24h]))""")
+    val got = run(
+      """ln(sum by (type) (increase(events[24h]))) + sqrt(sum by (type) (increase(events[24h]))) + log2(sum by (type) (increase(events[24h])))""")
+    assert(got.keySet == panel.keySet)
+    for ((k, v) <- panel) {
+      val want = math.log(v) + math.sqrt(v) + math.log(v) / math.log(2.0)
+      val g = got(k)
+      assert((g.isNaN && want.isNaN) || math.abs(g - want) <= 5e-7,
+        s"$k: got $g want $want")
+    }
+    // unary minus and clamp ride the same fusion
+    val neg = plan("""-sum by (type) (increase(events[24h])) * 2 + clamp(sum by (type) (increase(events[24h])), 0, 10)""")
+    assert(!neg.contains("Join"), "unary-minus/clamp same-panel tree must not join")
+    // comparisons fuse too: ln(P) > sqrt(P) is a filter, not a self-join
+    val cmp = plan("""ln(sum by (type) (increase(events[24h]))) > sqrt(sum by (type) (increase(events[24h])))""")
+    assert(!cmp.contains("Join"), "same-panel comparison must not join")
+    // NOT fusable: different bases keep the join
+    val diff = plan(
+      """ln(sum by (type) (increase(events[24h]))) + sqrt(sum by (type) (increase(events[12h])))""")
+    assert(diff.contains("Join"), "different ranges must keep the join")
+    // NOT fusable: explicit matching keeps the join (fusion is default-match only)
+    val matched = plan(
+      """sum by (type) (increase(events[24h])) + on(type) sum by (type) (increase(events[24h]))""")
+    assert(matched.contains("Join"), "explicit on() keeps the join")
+  }
+
   test("time()/vector()/scalar() and calendar extractors") {
     // time() % 86400 / 3600 is the hour-of-day ramp over the 720-h grid
     val ta = run("""time() % 86400 / 3600""")
