@@ -69,6 +69,23 @@ class RankSpec extends SparkSuite {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("withGlobalOrderStats returns the profile's n and grand totals") {
+    val sort = Seq(col("dem").asc, col("user_id").asc)
+    val (ranked, n, tots) = Rank.withGlobalOrderStats(
+      demands, sort, "rk", Seq(("dem", "cum")), 7)
+    val want = demands.agg(count(lit(1)), sum("dem")).collect()(0)
+    assert(n == want.getLong(0), "n must equal the rollup row count")
+    assert(tots == Seq(want.getLong(1)), "totals must equal the column sums")
+    // the ranked frame itself is unchanged vs withGlobalOrder
+    val got = ranked.select("user_id", "rk", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val plain = Rank.withGlobalOrder(demands, sort, "rk", Seq(("dem", "cum")), 7)
+      .select("user_id", "rk", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == plain.toSeq)
+    assert(ranked.storageLevel.useMemory, "stats variant must persist the ranked frame")
+  }
+
   test("withGlobalOrder on an empty input yields an empty frame (no NPE)") {
     val empty = demands.filter(col("dem") < 0)
     assert(Rank.withGlobalOrder(empty, Seq(col("user_id").asc), "rk",
