@@ -762,6 +762,33 @@ class WritePathSpec extends SparkSuite {
     assert(e.getMessage.contains("duplicate ids"), e.getMessage)
   }
 
+  test("CDC batch over MaxCdcBatchIds fails loudly before any filesystem work") {
+    val path = s"$root/cdc_cap_unit"
+    Ingest.writeCorpusWithIndex(Tables.documents(spark, sf0001), "doc_id", path, nFiles = 4)
+    val over = Ingest.MaxCdcBatchIds.toInt + 1
+    // Seq-based batch API: the cap trips on size alone, no jobs run
+    val eDel = intercept[IllegalArgumentException] {
+      Ingest.deleteRows(spark, path, "doc_id", (1 to over).map(_.toLong))
+    }
+    assert(eDel.getMessage.contains("MaxCdcBatchIds"), eDel.getMessage)
+    val eAnnDel = intercept[IllegalArgumentException] {
+      Ingest.annDeleteVectors(spark, s"$root/nonexistent_layout",
+        (1 to over).map(_.toLong))
+    }
+    assert(eAnnDel.getMessage.contains("MaxCdcBatchIds"), eAnnDel.getMessage)
+    // DataFrame-based batch API: CollectLimit reads cap+1 rows, then trips
+    val big = spark.range(over.toLong).select(
+      col("id").as("doc_id"), lit("t").as("text"), lit("en").as("lang"),
+      lit("cdc").as("source"), lit(1L).as("n_chars"))
+    val eUps = intercept[IllegalArgumentException] {
+      Ingest.upsertRows(spark, path, "doc_id", big)
+    }
+    assert(eUps.getMessage.contains("MaxCdcBatchIds"), eUps.getMessage)
+    // the corpus is untouched: all original rows still read back
+    assert(spark.read.parquet(path).count() ==
+      Tables.documents(spark, sf0001).count())
+  }
+
   test("commit marker: a swap crashed at the worst window rolls forward with no lost row") {
     val path = s"$root/crash_docs_unit"
     Ingest.writeCorpusWithIndex(Tables.documents(spark, sf0001), "doc_id", path, nFiles = 4)
