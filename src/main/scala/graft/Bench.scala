@@ -278,7 +278,7 @@ object Bench {
       val qs = timed.toSeq.sortBy(_._1).map { case (k, ts) =>
         f""""$k":{"p1":${ts.head._1}%.6f,"p2":${ts(1)._1}%.6f,"min":${ts.map(_._1).min}%.6f,"gc1":${ts.head._2},"gc2":${ts(1)._2}}"""
       }.mkString("{\n  ", ",\n  ", "\n}")
-      f"""{"round":$round,"round_source":"$roundSource","sf":"$sfTag","pass1_total":${passTotals.head}%.4f,"pass2_total":${passTotals(1)}%.4f,"min_total":$total%.4f,"steal_pct":$stealPct%.3f,"loadavg_end":$load1%.2f,"gc1_total_ms":${gcTotals.head},"gc2_total_ms":${gcTotals(1)},"rewarms":$rewarms,"storage_end_mb":$storageEndMb,"cal1_ms":[$cal1a,$cal1b],"calN_ms":[$calNa,$calNb],
+      f"""{"round":$round,"round_source":"$roundSource","sf":"$sfTag","n_queries":${results.size},"pass1_total":${passTotals.head}%.4f,"pass2_total":${passTotals(1)}%.4f,"min_total":$total%.4f,"steal_pct":$stealPct%.3f,"loadavg_end":$load1%.2f,"gc1_total_ms":${gcTotals.head},"gc2_total_ms":${gcTotals(1)},"rewarms":$rewarms,"storage_end_mb":$storageEndMb,"cal1_ms":[$cal1a,$cal1b],"calN_ms":[$calNa,$calNb],
 "queries":$qs}
 """
     }
@@ -297,9 +297,13 @@ object Bench {
       """"min_total":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble))
     // totals are only comparable over the SAME catalog: when the query set
     // grew mid-round, a larger total is new coverage, not disturbance —
-    // overwrite rather than sidecar (key count proxies the catalog)
+    // overwrite rather than sidecar. ADVICE r13: the record carries an
+    // explicit n_queries field (key-shape regexes undercounted on any
+    // rename/reorder, silently disabling keep-best); the regex fallback
+    // only serves records written before the field existed.
     val existingN: Option[Int] = existingRecord.map(s =>
-      """"q_[a-z0-9_]+":\{"p1"""".r.findAllMatchIn(s).size)
+      """"n_queries":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        .getOrElse(""""q_[a-z0-9_]+":\{"p1"""".r.findAllMatchIn(s).size))
     val keepExisting =
       existingBest.exists(_ < total) && existingN.contains(results.size)
     try java.nio.file.Files.write(

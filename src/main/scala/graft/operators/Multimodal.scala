@@ -235,7 +235,14 @@ object Multimodal {
         // move-to-front: a homogeneous feed (one container format) pays
         // the reject-exception tax of the earlier providers ONCE per
         // thread, not per clip — rejection is an exception throw, and
-        // fillInStackTrace costs more than the actual header parse
+        // fillInStackTrace costs more than the actual header parse.
+        // ASSUMPTION (ADVICE r13): providers accept DISJOINT container
+        // formats — true of every stock JDK reader (wav/aiff/au/snd), so
+        // reordering cannot change WHICH provider parses a payload. A
+        // deployment adding third-party audio SPI jars whose accept sets
+        // overlap a stock reader's must drop this reorder (keep registry
+        // order, cache the array only) or decode order becomes
+        // history-dependent, unlike AudioSystem.getAudioInputStream.
         if (i > 0) { val r = rs(i); rs(i) = rs(0); rs(0) = r }
         return ais
       } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }

@@ -153,7 +153,13 @@ object ScaleBench {
             .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
           // customers: copy k remaps the key (→ distinct derived geo
           // points per copy, the events device); nation/segment pass
-          // through so dim joins keep their cardinality
+          // through so dim joins keep their cardinality.
+          // CONSTRAINT (ADVICE r13): orders.parquet below is copied
+          // VERBATIM, so o_custkey dangles for every remapped copy k > 0 —
+          // customer is a GEO-ONLY table at factor > 1. A future head
+          // query joining orders→customer on a scaled slice would match
+          // ~1/factor of rows and silently benchmark a near-empty join;
+          // remap o_custkey the same way first if one is ever added.
           Tables.customer(spark, sfDir)
             .crossJoin(broadcast(k))
             .select(

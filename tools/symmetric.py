@@ -42,7 +42,18 @@ def main(bench_path, duck_path):
     missing = [n for n in EXCLUDE if n not in duck]
     if missing:
         print(f"note: {len(missing)} excluded names not in oracle set: {missing}")
-    sym = sorted(set(duck) - set(EXCLUDE))
+    # ADVICE r13: records from different rounds/catalogs may disagree on
+    # the query set — compare only names present in BOTH and say what
+    # dropped, instead of crashing with a KeyError
+    only_duck = sorted(set(duck) - set(spark) - set(EXCLUDE))
+    only_spark = sorted(set(spark) - set(duck) - set(EXCLUDE))
+    if only_duck:
+        print(f"note: {len(only_duck)} oracle names absent from bench record "
+              f"(dropped): {only_duck}")
+    if only_spark:
+        print(f"note: {len(only_spark)} bench names absent from oracle set "
+              f"(dropped): {only_spark}")
+    sym = sorted((set(duck) & set(spark)) - set(EXCLUDE))
     s = {n: spark[n] for n in sym}
     d = {n: duck[n] for n in sym}
     print(f"oracles: {len(duck)} total, {len(EXCLUDE)} excluded, {len(sym)} symmetric")
