@@ -543,4 +543,41 @@ class OperatorSpec extends SparkSuite {
       .groupBy("repetitive").count().collect()
     assert(flags.length == 2, "threshold must split the fixture non-trivially")
   }
+
+  test("LSH cascade quality floors at fixture scale (DEDUP_QUALITY.md pin)") {
+    // the gated cascade's parameters (q_dedup_lsh_verified/_survivors)
+    val (threshold, numHashes, bands) = (0.2, 8, 4)
+    val docs = Tables.documents(spark, sf001)
+    val truth = graft.tools.DedupQuality.bruteTruth(docs, threshold)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain planted near-dup pairs")
+    val verified = Dedup.nearDupPairs(docs, "doc_id", "text",
+        threshold, numHashes, bands)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at fixture scale the deterministic sketch catches EVERY true pair
+    // and the exact-Jaccard verify admits nothing else: the cascade's
+    // pair set ≡ brute-force truth (sweep-measured 25/25 at sf0.01;
+    // sub-1.0 recall first appears on the 10× slice — see the artifact)
+    assert(verified == truth,
+      s"cascade pairs diverge from brute truth: missed ${truth -- verified}, " +
+        s"extra ${verified -- truth}")
+    // candidate precision floor: the verify stage's useful-work fraction
+    // (0.43 measured at sf0.01; a collapse means band buckets are filling
+    // with unrelated docs)
+    val sigs = Dedup.minHashFromText(
+      docs.select(col("doc_id"), col("text")), "text", numHashes)
+    val nCand = Dedup.lshCandidates(sigs, "doc_id", bands).count()
+    assert(truth.size.toDouble / nCand >= 0.3,
+      s"candidate precision ${truth.size.toDouble / nCand} below the 0.3 floor ($nCand candidates)")
+    // survivors ≡ truth-derived survivors (cluster representatives kept)
+    val survivors = Dedup.dedupCorpus(docs, "doc_id", "text",
+      threshold, numHashes, bands).count()
+    val truthDrops = Dedup.connectedComponents(
+        graft.tools.DedupQuality.bruteTruth(docs, threshold).select("id_a", "id_b"))
+      .filter(col("id") =!= col("lbl")).count()
+    assert(survivors == docs.count() - truthDrops,
+      s"survivor count $survivors != truth-derived ${docs.count() - truthDrops}")
+  }
 }
