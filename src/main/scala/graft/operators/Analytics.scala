@@ -135,11 +135,12 @@ object Analytics {
   /** RFM (recency / frequency / monetary) customer segmentation — the
     * classic lifecycle-marketing report: per-user metrics from ONE hash
     * aggregate of the raw scan, each scored into quintiles, users
-    * counted per "rfm" segment code. The three quintile scores each run
-    * the distributed ntile (Rank.withNtile — range repartition +
-    * per-partition rank + P-row offset broadcast; RankSpec pins the
-    * equality to the exact window ntile) over the USERS rollup with
-    * (metric, user_id) total orders, so quintile edges are
+    * counted per "rfm" segment code. The three quintile scores run the
+    * distributed ntile machineries CONCURRENTLY over the one persisted
+    * USERS rollup (Rank.withNtiles — range repartition + per-partition
+    * rank + P-row offset broadcast per dimension, independent jobs in
+    * parallel; RankSpec pins the equality to the exact window ntile)
+    * with (metric, user_id) total orders, so quintile edges are
     * engine-identical and no stage is single-partition. Monetary means
     * derive from pre-rounded sums per the repo contract. */
   val qRfmSegments: Q = (s, d) => {
@@ -148,11 +149,10 @@ object Analytics {
         count(lit(1)).as("freq"),
         Num.roundd(sum("value"), 6).as("mon"))
       .withColumn("rec", datediff(lit("2024-01-31").cast("date"), col("last_day")).cast("long"))
-    val scored = Rank.withNtile(
-      Rank.withNtile(
-        Rank.withNtile(u, Seq(col("rec").asc, col("user_id").asc), 5, "r"),
-        Seq(col("freq").desc, col("user_id").asc), 5, "f"),
-      Seq(col("mon").desc, col("user_id").asc), 5, "m")
+    val scored = Rank.withNtiles(u, Seq("user_id"), Seq(
+      (Seq(col("rec").asc, col("user_id").asc), 5, "r"),
+      (Seq(col("freq").desc, col("user_id").asc), 5, "f"),
+      (Seq(col("mon").desc, col("user_id").asc), 5, "m")))
     scored.withColumn("segment", concat(col("r"), col("f"), col("m")))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_users"),

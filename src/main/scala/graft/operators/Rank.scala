@@ -75,6 +75,35 @@ object Rank {
       .drop(rk)
   }
 
+  /** Several INDEPENDENT exact ntiles over the same input in one call —
+    * the RFM shape (quintiles on recency/frequency/monetary over one
+    * user rollup). Chaining [[withNtile]] serializes three rank
+    * machineries (sampling job + profile job each); here the input
+    * persists once and the per-dimension machineries run CONCURRENTLY
+    * on the scheduler (independent jobs — Spark schedules submissions
+    * from separate threads in parallel), then each dimension's bucket
+    * column joins back on `keyCols` (must be a unique key of `df`).
+    * Wall-clock ≈ one machinery; the join-back frames carry only
+    * (keyCols, bucket) and hash-partition by the key — rollup-bounded,
+    * no single-partition stage anywhere. Buckets are bit-identical to
+    * the chained form (RankSpec pins the equality). */
+  def withNtiles(df: DataFrame, keyCols: Seq[String],
+      dims: Seq[(Seq[Column], Int, String)], partitions: Int = 32): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val in = df.persist()
+    in.count() // materialize before the concurrent lineages fork
+    val futs = dims.map { case (sort, k, name) => Future {
+      val rk = s"__nt_rank_$name"
+      val (ranked, n, _) = core(in, sort, rk, Nil, partitions)
+      ranked.select(keyCols.map(col) :+
+        ntileFromRank(col(rk), n, k).cast("long").as(name): _*)
+    } }
+    val parts = Await.result(Future.sequence(futs), Duration.Inf)
+    parts.foldLeft(in)((acc, p) => acc.join(p, keyCols))
+  }
+
   /** Closed-form ntile: with n rows and k buckets, bucket b ∈ [1, n%k]
     * holds ceil(n/k) rows and the rest hold floor(n/k), so bucket b's
     * cumulative upper bound is B_b = b·⌊n/k⌋ + min(b, n%k). The bucket

@@ -86,6 +86,23 @@ class RankSpec extends SparkSuite {
     assert(ranked.storageLevel.useMemory, "stats variant must persist the ranked frame")
   }
 
+  test("withNtiles (concurrent dims) ≡ chained withNtile, bit-for-bit") {
+    val base = events.groupBy("user_id").agg(
+      count(lit(1)).as("freq"), sum("value").as("mon"))
+    val dims = Seq(
+      (Seq(col("freq").asc, col("user_id").asc), 5, "a"),
+      (Seq(col("mon").desc, col("user_id").asc), 4, "b"),
+      (Seq(col("user_id").desc), 3, "c"))
+    val got = Rank.withNtiles(base, Seq("user_id"), dims, 7)
+      .select("user_id", "a", "b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val want = dims.foldLeft(base) { case (acc, (sort, k, name)) =>
+      Rank.withNtile(acc, sort, k, name, 7)
+    }.select("user_id", "a", "b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("withGlobalOrder on an empty input yields an empty frame (no NPE)") {
     val empty = demands.filter(col("dem") < 0)
     assert(Rank.withGlobalOrder(empty, Seq(col("user_id").asc), "rk",
