@@ -72,6 +72,18 @@ object ScaleBench {
     "q_geo_bbox_join", "q_geo_nearest_hub", "q_geo_grid_cluster",
     "q_geo_hub_distance", "q_geo_trajectory", "q_stream_geofence")
 
+  /** Stats/rank head (round 14): the single-pass sufficient-statistic
+    * rewrites and the global-rank family, all events-driven so they
+    * scale with the factor. Expected shapes: bootstrap/seq_entropy/
+    * mutual_info LINEAR (one aggregate over the scan; the driver folds
+    * are vocab-bounded regardless of rows); fair_share/rfm linear in
+    * the user rollup through the range-partitioned rank machinery;
+    * KS linear to its distinct-value rollup. (q_abc_pareto is NOT here:
+    * it rides orders, which slices copy verbatim — see slice().) */
+  val statsHead: Seq[String] = Seq(
+    "q_stat_bootstrap_ci", "q_seq_entropy", "q_stat_mutual_info",
+    "q_ops_fair_share", "q_rfm_segments", "q_stat_ks")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "BENCH_SCALE_r13.json"
@@ -183,7 +195,7 @@ object ScaleBench {
     // 1000× factor runs a representative subset (slice build + warm +
     // ingest-state cost per query is minutes at that volume)
     val headFilter = sys.env.get("SPARK_GRAFT_SCALE_HEAD").map(_.split(",").toSet)
-    val allHead = (head ++ llmHead ++ geoHead)
+    val allHead = (head ++ llmHead ++ geoHead ++ statsHead)
       .filter(n => headFilter.forall(_.contains(n)))
     val results: Seq[(Int, Long, Double, Seq[(String, Double, Double)])] = factors.map { f =>
       val dir = slice(f)
