@@ -360,21 +360,32 @@ class PlanSpec extends SparkSuite {
       s"the cursor inequality must reach the scan:\n$p")
   }
 
-  test("rfm: quintiles ride the collapsed users table; only offset broadcasts join") {
-    // Since the Rank.withNtile rewrite the users rollup is persisted and
-    // each quintile stage reads the previous stage's cache: the OUTER
-    // plan must touch no parquet at all (the one raw-events scan lives
-    // inside the innermost cached rollup), and the only joins allowed
-    // are the P-row partition-offset broadcasts — a shuffled join would
-    // mean the offset table stopped being broadcast-sized.
+  test("rfm: quintiles ride the collapsed users table; joins are key-bounded") {
+    // Since the Rank.withNtiles rewrite the users rollup is persisted,
+    // the three quintile machineries run concurrently over it, and each
+    // dimension's (user_id, bucket) frame joins back on the rollup's
+    // unique key: the OUTER plan must touch no parquet at all (the one
+    // raw-events scan lives inside the cached rollup), the offset
+    // tables stay broadcast joins, and the ONLY shuffled joins allowed
+    // are the user_id-keyed bucket join-backs — rollup-sized by
+    // construction. A cartesian or a non-user_id shuffled join would
+    // mean a scan-sized or unkeyed exchange crept in.
     val df = graft.operators.Analytics.qRfmSegments(spark, sf0001)
     val outerScans = df.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(outerScans.isEmpty, s"outer plan must read the cached rollup, not parquet")
     val p = plan(df)
-    assert(!"(?i)(sortmergejoin|shuffledhashjoin|cartesianproduct)".r.findFirstIn(p).isDefined,
-      s"only broadcast offset joins allowed:\n$p")
+    assert(!"(?i)cartesianproduct".r.findFirstIn(p).isDefined, s"no cartesian:\n$p")
+    val shuffledJoins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(shuffledJoins.size <= 2, s"at most the two bucket join-backs:\n$p")
+    shuffledJoins.foreach { keys =>
+      assert(keys.exists(_.toString.contains("user_id")),
+        s"shuffled joins must key on the rollup's unique user_id:\n$p")
+    }
   }
 
   test("rrf fusion: the query block broadcasts; rank windows partition by query") {
