@@ -259,7 +259,122 @@ object Quality {
       .orderBy("source")
   }
 
+  // ---- model-eval tier (round-14 batch 50) ---------------------------------
+
+  /** Shared confusion cells for the eval tier: the cheap n-gram
+    * language-ID's predictions against the labeled lang column, ONE
+    * map-side-combining hash aggregate collapsed to the ≤ langs² grid and
+    * collected for a bounded driver fold (the qStatMutualInfo device —
+    * the grid is label-vocabulary-sized regardless of corpus rows). */
+  private def confusionCells(s: SparkSession, d: String): Array[(String, String, Long)] = {
+    val cells = TextAnalysis.langId(Tables.documents(s, d), "text")
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(c => (c._1, c._2))
+    require(cells.length <= 10000,
+      s"confusionCells: label grid ${cells.length} exceeds the driver-fold bound")
+    cells
+  }
+
+  /** Cohen's kappa between the cheap language-ID and the labeled lang
+    * column — the chance-corrected agreement statistic (Cohen 1960) that
+    * tells a labeling pipeline whether a heuristic labeler beats the
+    * class-prior coin flip. Everything is exact longs off the confusion
+    * grid — agree, N, Σ row_i·col_i — with po/pe/kappa each ONE divide
+    * rounded at 6 dp; pe = 1 (single-class degenerate) guards kappa NULL.
+    * Long boundary: N² stays exact while N ≲ 3e9 docs; beyond that the
+    * chance products move to DecimalType. */
+  val qEvalKappa: Q = (s, d) => {
+    val cells = confusionCells(s, d)
+    val n = cells.map(_._3).sum
+    val agree = cells.collect { case (a, b, c) if a == b => c }.sum
+    val rows = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val colsT = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val chance = rows.keys.toSeq.sorted
+      .map(k => rows(k) * colsT.getOrElse(k, 0L)).sum
+    val den = n * n - chance
+    s.range(1).select(
+      lit(n).as("n"), lit(agree).as("agree"),
+      Num.roundd(lit(agree).cast("double") / lit(n).cast("double"), 6).as("po"),
+      Num.roundd(lit(chance).cast("double") / lit(n * n).cast("double"), 6).as("pe"),
+      when(lit(den) =!= 0L,
+        Num.roundd(lit(n * agree - chance).cast("double") /
+          lit(den).cast("double"), 6)).as("kappa"))
+  }
+
+  /** Per-class precision / recall / F1 for the language-ID against the
+    * labeled lang — the classifier report card (one row per class seen
+    * as truth OR prediction; zh never gets predicted, so its row shows
+    * precision NULL / recall 0). All three metrics are ONE exact-long
+    * divide each: F1 = 2·tp/(support+predicted) algebraically, so no
+    * intermediate float ever feeds another divide. Same bounded driver
+    * fold as [[qEvalKappa]]. */
+  val qEvalPrf: Q = (s, d) => {
+    import s.implicits._
+    val cells = confusionCells(s, d)
+    val rows = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val colsT = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val classes = (rows.keySet ++ colsT.keySet).toSeq.sorted
+    val base = classes.map { k =>
+      (k, rows.getOrElse(k, 0L), colsT.getOrElse(k, 0L),
+        cells.collect { case (a, b, c) if a == k && b == k => c }.sum)
+    }
+    base.toDF("label", "support", "predicted", "tp")
+      .select(col("label"), col("support"), col("predicted"), col("tp"),
+        when(col("predicted") > 0L,
+          Num.roundd(col("tp").cast("double") / col("predicted").cast("double"), 6))
+          .as("precision"),
+        when(col("support") > 0L,
+          Num.roundd(col("tp").cast("double") / col("support").cast("double"), 6))
+          .as("recall"),
+        when(col("support") + col("predicted") > 0L,
+          Num.roundd((lit(2L) * col("tp")).cast("double") /
+            (col("support") + col("predicted")).cast("double"), 6)).as("f1"))
+      .orderBy("label")
+  }
+
+  /** AUC of document length as an is-English classifier score — the
+    * ROC-area primitive every filter-threshold decision runs, computed
+    * by the tie-corrected rank-sum identity AUC = U⁺/(n⁺·n⁻) (the
+    * Mann–Whitney relationship, midranks over the distinct-score
+    * rollup). Rank and running totals ride Rank.withGlobalOrderStats —
+    * the range-partitioned TeraSort path, no single-partition window —
+    * with n⁺/n⁻ folded in as literals from the partition profile. The
+    * whole statistic is exact longs (2·R⁺ = Σ c⁺·(2(cum−t)+t+1), the
+    * qStatMannWhitney device) with ONE final divide at 6 dp. */
+  val qEvalAuc: Q = (s, d) => {
+    val roll = Tables.documents(s, d)
+      .groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cpos"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cneg"))
+      .withColumn("t", col("cpos") + col("cneg"))
+    val (ranked, _, tots) = Rank.withGlobalOrderStats(roll, Seq(col("v")), "rk",
+      Seq(("t", "cumt"), ("cpos", "__cp"), ("cneg", "__cn")))
+    val (npos, nneg) = (tots(1), tots(2))
+    ranked
+      .agg(sum(col("cpos") *
+        (lit(2L) * (col("cumt") - col("t")) + col("t") + 1L)).as("r2"))
+      .select(lit(npos).as("n_pos"), lit(nneg).as("n_neg"),
+        when(lit(npos) > 0L && lit(nneg) > 0L,
+          Num.roundd((col("r2") - lit(npos) * (lit(npos) + 1L)).cast("double") /
+            (lit(2L) * lit(npos) * lit(nneg)).cast("double"), 6)).as("auc"))
+  }
+
   // ---- catalog ------------------------------------------------------------
+
+  /** Shared oracle CTE prefix: the language-ID device verbatim from
+    * q_text_lang_confusion's oracle, ending at the confusion grid `mx`.
+    * (Defined before `all` — object-init order matters for vals.) */
+  private val evalConfusionSql =
+    "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) tok FROM documents), " +
+      "sc AS (SELECT doc_id, CAST(len(list_intersect(tok, ['der','die','das','und','ist','ein','nicht'])) AS BIGINT) s_de, " +
+      "CAST(len(list_intersect(tok, ['the','a','of','and','to','in','is'])) AS BIGINT) s_en, " +
+      "CAST(len(list_intersect(tok, ['el','la','de','y','que','un','es'])) AS BIGINT) s_es, " +
+      "CAST(len(list_intersect(tok, ['le','la','de','et','un','est','que'])) AS BIGINT) s_fr FROM t), " +
+      "pr AS (SELECT doc_id, CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' ELSE 'fr' END pred_lang " +
+      "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr) m FROM sc)), " +
+      "mx AS (SELECT d.lang, pr.pred_lang, CAST(count(*) AS BIGINT) n " +
+      "FROM pr JOIN documents d USING (doc_id) GROUP BY 1, 2), "
 
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_emb_whiten", qEmbWhiten, Some(
@@ -355,5 +470,43 @@ object Quality {
         "SELECT dim, n, mean, variance, mn, mx, " +
         "CAST(CASE WHEN variance < 0.0001 THEN 1 ELSE 0 END AS BIGINT) dead " +
         "FROM b ORDER BY dim")),
+    ("q_eval_kappa", qEvalKappa, Some(
+      evalConfusionSql +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) n, " +
+        "CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) agree FROM mx), " +
+        "rc AS (SELECT CAST(coalesce(sum(r.rt * c.ct), 0) AS BIGINT) chance FROM " +
+        "(SELECT lang k, CAST(sum(n) AS BIGINT) rt FROM mx GROUP BY 1) r " +
+        "JOIN (SELECT pred_lang k, CAST(sum(n) AS BIGINT) ct FROM mx GROUP BY 1) c ON r.k = c.k) " +
+        "SELECT tot.n, tot.agree, " +
+        "round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) po, " +
+        "round(CAST(chance AS DOUBLE) / CAST(n * n AS DOUBLE), 6) pe, " +
+        "CASE WHEN n * n - chance != 0 THEN " +
+        "round(CAST(n * agree - chance AS DOUBLE) / CAST(n * n - chance AS DOUBLE), 6) END kappa " +
+        "FROM tot CROSS JOIN rc")),
+    ("q_eval_prf", qEvalPrf, Some(
+      evalConfusionSql +
+        "r AS (SELECT lang k, CAST(sum(n) AS BIGINT) support FROM mx GROUP BY 1), " +
+        "c AS (SELECT pred_lang k, CAST(sum(n) AS BIGINT) predicted FROM mx GROUP BY 1), " +
+        "dg AS (SELECT lang k, CAST(sum(n) AS BIGINT) tp FROM mx WHERE lang = pred_lang GROUP BY 1), " +
+        "u AS (SELECT coalesce(r.k, c.k) AS \"label\", coalesce(r.support, 0) support, " +
+        "coalesce(c.predicted, 0) predicted FROM r FULL OUTER JOIN c ON r.k = c.k) " +
+        "SELECT u.\"label\", u.support, u.predicted, coalesce(dg.tp, 0) tp, " +
+        "CASE WHEN u.predicted > 0 THEN round(CAST(coalesce(dg.tp, 0) AS DOUBLE) / u.predicted, 6) END \"precision\", " +
+        "CASE WHEN u.support > 0 THEN round(CAST(coalesce(dg.tp, 0) AS DOUBLE) / u.support, 6) END recall, " +
+        "CASE WHEN u.support + u.predicted > 0 THEN " +
+        "round(CAST(2 * coalesce(dg.tp, 0) AS DOUBLE) / (u.support + u.predicted), 6) END f1 " +
+        "FROM u LEFT JOIN dg ON dg.k = u.\"label\" ORDER BY u.\"label\"")),
+    ("q_eval_auc", qEvalAuc, Some(
+      "WITH roll AS (SELECT n_chars v, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) cpos, " +
+        "CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) cneg " +
+        "FROM documents GROUP BY 1), " +
+        "rr AS (SELECT v, cpos, cneg, cpos + cneg t, " +
+        "CAST(sum(cpos + cneg) OVER (ORDER BY v) AS BIGINT) cumt FROM roll), " +
+        "a AS (SELECT CAST(sum(cpos * (2 * (cumt - t) + t + 1)) AS BIGINT) r2, " +
+        "CAST(sum(cpos) AS BIGINT) n_pos, CAST(sum(cneg) AS BIGINT) n_neg FROM rr) " +
+        "SELECT n_pos, n_neg, CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+        "round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6) END auc " +
+        "FROM a")),
   )
 }

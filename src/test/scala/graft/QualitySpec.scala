@@ -143,4 +143,54 @@ class QualitySpec extends SparkSuite {
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
     assert(r == ((6L, 1L, 1L, 1L, 1L, 1L, 1L)), s"got $r")
   }
+
+  // ---- model-eval tier ------------------------------------------------------
+
+  test("kappa: hand-worked 2x2 confusion; perfect agreement gives kappa 1") {
+    // 'the a' votes en; 'der und' votes de — a fully controllable labeler
+    writeDocs(Seq(
+      (1L, "the a", "en", "s"), (2L, "the a", "en", "s"),   // en->en x2
+      (3L, "der und", "de", "s"),                           // de->de
+      (4L, "the a", "de", "s")))                            // de->en (miss)
+    // n=4, agree=3, rows: de 2, en 2; cols: de 1, en 3; chance=2*1+2*3=8
+    // po=0.75, pe=0.5, kappa=(4*3-8)/(16-8)=0.5
+    val k = Quality.qEvalKappa(spark, dir)
+      .select("n", "agree", "po", "pe", "kappa")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(k == ((4L, 3L, 0.75, 0.5, 0.5)), s"got $k")
+    writeDocs(Seq((1L, "the a", "en", "s"), (2L, "der und", "de", "s")))
+    val p = Quality.qEvalKappa(spark, dir)
+      .select("kappa").as[Double].collect().head
+    assert(p == 1.0, s"perfect agreement must give kappa 1, got $p")
+  }
+
+  test("prf: per-class precision/recall/F1 from the same hand confusion") {
+    writeDocs(Seq(
+      (1L, "the a", "en", "s"), (2L, "the a", "en", "s"),
+      (3L, "der und", "de", "s"), (4L, "the a", "de", "s")))
+    val rows = Quality.qEvalPrf(spark, dir)
+      .select("label", "support", "predicted", "tp", "precision", "recall", "f1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))).sortBy(_._1)
+    // de: support 2, predicted 1, tp 1 -> p 1.0, r 0.5, f1 2/3
+    assert(rows(0) == (("de", 2L, 1L, 1L, Some(1.0), Some(0.5), Some(0.666667))))
+    // en: support 2, predicted 3, tp 2 -> p 2/3, r 1.0, f1 0.8
+    assert(rows(1) == (("en", 2L, 3L, 2L, Some(0.666667), Some(1.0), Some(0.8))))
+  }
+
+  test("auc: rank-sum AUC equals the brute-force pair probability with ties") {
+    // scores are n_chars = text lengths; pos = lang 'en'
+    writeDocs(Seq(
+      (1L, "aaaa", "en", "s"),      // pos score 4
+      (2L, "aa", "en", "s"),        // pos score 2
+      (3L, "aa", "de", "s"),        // neg score 2 (tie with pos)
+      (4L, "a", "de", "s"),         // neg score 1
+      (5L, "aaaaa", "de", "s")))    // neg score 5
+    // pairs (pos, neg): (4,2)+ (4,1)+ (4,5)- (2,2)= (2,1)+ (2,5)-
+    // AUC = (3 + 0.5*1) / 6 = 0.583333
+    val a = Quality.qEvalAuc(spark, dir)
+      .select("n_pos", "n_neg", "auc")
+      .as[(Long, Long, Double)].collect().head
+    assert(a == ((2L, 3L, 0.583333)), s"got $a")
+  }
 }
