@@ -360,6 +360,42 @@ object Quality {
             (lit(2L) * lit(npos) * lit(nneg)).cast("double"), 6)).as("auc"))
   }
 
+  /** Calibration reliability table for the language-ID's is-English
+    * pseudo-probability, Laplace-smoothed over the 4 marker languages:
+    * p = (s_en + 1) / (Σ s_lang + 4) — the add-one posterior, so
+    * no-vote docs sit at the 0.25 prior and confidence grows with vote
+    * count instead of collapsing to {0, 1}. Ten equal-width probability
+    * bins, each reporting how often the label actually IS English vs
+    * the mean claimed probability — the reliability-diagram primitive
+    * behind every "is this filter's score a probability?" audit, plus
+    * each bin's calibration gap.
+    *
+    * Determinism: p pre-rounds at 6 dp (exact integer vote ratio, ONE
+    * divide), so the per-bin sum of p is a sum of ~1e-6 multiples —
+    * order-free at the 10-dp pre-round (q_sim_centroid contract) before
+    * the mean's divide; bin = least(floor(p·10), 9) is the identical
+    * IEEE expression both engines; counts are exact longs and pos_rate
+    * / gap are single divides at 6 dp. One hash aggregate over the
+    * scan; the bin table is ≤10 rows at any corpus size. */
+  val qEvalCalibration: Q = (s, d) => {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scored = TextAnalysis.langId(Tables.documents(s, d), "text")
+    val total = langs.map(l => col(s"s_$l")).reduce(_ + _)
+    val p = Num.roundd((col("s_en") + 1L).cast("double") /
+      (total + lit(langs.size.toLong)).cast("double"), 6)
+    scored
+      .withColumn("p", p)
+      .withColumn("bin", least(floor(col("p") * 10.0).cast("long"), lit(9L)))
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        Num.roundd(Num.roundd(sum("p"), 10) / count(lit(1)), 6).as("mean_p"),
+        Num.roundd(sum("y").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("pos_rate"))
+      .withColumn("gap", Num.roundd(col("pos_rate") - col("mean_p"), 6))
+      .orderBy("bin")
+  }
+
   // ---- catalog ------------------------------------------------------------
 
   /** Shared oracle CTE prefix: the language-ID device verbatim from
@@ -508,5 +544,20 @@ object Quality {
         "SELECT n_pos, n_neg, CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
         "round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6) END auc " +
         "FROM a")),
+    ("q_eval_calibration", qEvalCalibration, Some(
+      "WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) tok FROM documents), " +
+        "sc AS (SELECT doc_id, lang, CAST(len(list_intersect(tok, ['der','die','das','und','ist','ein','nicht'])) AS BIGINT) s_de, " +
+        "CAST(len(list_intersect(tok, ['the','a','of','and','to','in','is'])) AS BIGINT) s_en, " +
+        "CAST(len(list_intersect(tok, ['el','la','de','y','que','un','es'])) AS BIGINT) s_es, " +
+        "CAST(len(list_intersect(tok, ['le','la','de','et','un','est','que'])) AS BIGINT) s_fr FROM t), " +
+        "pp AS (SELECT lang, " +
+        "round(CAST(s_en + 1 AS DOUBLE) / (s_de + s_en + s_es + s_fr + 4), 6) p FROM sc), " +
+        "b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) bin, p, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END y FROM pp) " +
+        "SELECT bin, CAST(count(*) AS BIGINT) n, CAST(sum(y) AS BIGINT) n_pos, " +
+        "round(round(sum(p), 10) / count(*), 6) mean_p, " +
+        "round(CAST(sum(y) AS DOUBLE) / count(*), 6) pos_rate, " +
+        "round(round(CAST(sum(y) AS DOUBLE) / count(*), 6) - round(round(sum(p), 10) / count(*), 6), 6) gap " +
+        "FROM b GROUP BY 1 ORDER BY 1")),
   )
 }

@@ -178,6 +178,24 @@ class QualitySpec extends SparkSuite {
     assert(rows(1) == (("en", 2L, 3L, 2L, Some(0.666667), Some(1.0), Some(0.8))))
   }
 
+  test("calibration: smoothed posterior bins and gaps match hand arithmetic") {
+    writeDocs(Seq(
+      // 'the a of' -> s_en=3, total=3: p=(3+1)/(3+4)=4/7=0.571429, bin 5
+      (1L, "the a of", "en", "s"),
+      (2L, "the a of", "de", "s"),
+      // 'der und' -> s_de=2: p=1/6=0.166667, bin 1
+      (3L, "der und", "de", "s"),
+      // no votes -> p=0.25 prior, bin 2
+      (4L, "xyzzy qwerty", "zh", "s")))
+    val rows = Quality.qEvalCalibration(spark, dir)
+      .select("bin", "n", "n_pos", "mean_p", "pos_rate", "gap")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 0L, 0.166667, 0.0, -0.166667),
+      (2L, 1L, 0L, 0.25, 0.0, -0.25),
+      (5L, 2L, 1L, 0.571429, 0.5, -0.071429)), s"got ${rows.toSeq}")
+  }
+
   test("auc: rank-sum AUC equals the brute-force pair probability with ties") {
     // scores are n_chars = text lengths; pos = lang 'en'
     writeDocs(Seq(
