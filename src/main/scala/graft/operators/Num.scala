@@ -36,4 +36,19 @@ object Num {
     val negBit = c < 0 || (c === lit(0.0) && c.cast("string") === lit("-0.0"))
     when(negBit, -mag).otherwise(mag)
   }
+
+  /** Scalar twin of [[roundd]] — bit-identical by construction: the column
+    * form codegens to exactly `Math.floor(Math.abs(x) * p + 0.5) / p` with
+    * the sign bit copied from the input (Spark's floor/abs on DoubleType
+    * are Math.floor/Math.abs; `*`, `+`, `/` are the same IEEE ops on both
+    * paths, and `p = math.pow(10, n)` is the same plan-time constant). Used
+    * by the in-memory per-key kernels (matrix profile) whose intermediate
+    * roundings cannot be emitted back through Spark literal expressions;
+    * NumSpec sweeps the two forms for equality over boundary values. */
+  def rounddD(x: Double, n: Int): Double = {
+    val p = math.pow(10, n)
+    val mag = math.floor(math.abs(x) * p + 0.5) / p
+    // negative sign bit (covers -0.0, which `x < 0` misses)
+    if (x < 0 || (x == 0.0 && java.lang.Double.doubleToRawLongBits(x) != 0L)) -mag else mag
+  }
 }

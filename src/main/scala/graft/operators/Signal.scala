@@ -590,8 +590,15 @@ object Signal {
     * so every pair distance² is an EXACT integer sum of squared long
     * diffs (order-free) and the argmin tie-break (d², then j) compares
     * longs, never floats. σ carries a +1e-6 floor so a constant window
-    * (σ=0) yields all-zero z-scores instead of a divide-by-zero. */
-  val qTsMatrixProfile: Q = (s, d) => {
+    * (σ=0) yields all-zero z-scores instead of a divide-by-zero.
+    *
+    * Since round 15 the GATED entry is [[qTsMatrixProfile]] below — one
+    * hash aggregate + one groupByKey, with the whole n²·m pair expansion
+    * collapsed into [[matrixProfileExactKernel]] per key (SignalSpec pins
+    * the two frame-equal on the fixture; the oracle hash is unchanged).
+    * This join form stays as the spec's distributed reference — it IS the
+    * oracle's shape, evaluated through Spark operators. */
+  private[graft] val matrixProfilePairJoinForm: Q = (s, d) => {
     val m = 8
     val buckets = s.sql("SELECT explode(sequence(0, 119)) AS b")
       .crossJoin(Tables.events(s, d).select(col("event_type").as("et")).distinct())
@@ -630,6 +637,89 @@ object Signal {
     val rn = Window.partitionBy("et", "i").orderBy(col("d2l"), col("j"))
     both.withColumn("rn", row_number().over(rn)).filter(col("rn") === 1)
       .select(col("et").as("event_type"), col("i"), col("j").as("nn"),
+        Num.roundd(sqrt(col("d2l").cast("double")) / 1e6, 6).as("dist"))
+      .orderBy("event_type", "i")
+  }
+
+  /** Oracle-disciplined matrix-profile kernel: the EXACT micro-unit-long
+    * arithmetic of [[matrixProfilePairJoinForm]] (μ/σ rounded at 6 dp via
+    * [[Num.rounddD]], z-scores rounded then lifted to 1e-6-unit longs,
+    * d² an exact long sum of squared diffs, argmin tie-break (d², j) on
+    * longs) — but run per key as an in-memory array walk instead of an
+    * n²-pair shuffle join. Unlike [[stompKernel]], the QT diagonal
+    * recurrence canNOT carry this discipline: the per-window rounding of
+    * μ/σ/z makes each window's z-vector an independent integer object
+    * with no shared cross-term, so the kernel evaluates the (i, j) sums
+    * directly — still O(n²·m), but as ~10⁵ register ops per key instead
+    * of n²·m shuffled rows, which is precisely why the gated entry's
+    * Spark plan collapses to one aggregate + one groupByKey. Raw-double
+    * long-series work stays on [[stompKernel]].
+    *
+    * Returns per window start i: (nearest neighbor j with j ≥ i+excl or
+    * i ≥ j+excl, exact micro²-unit d²) for all n = |vals| − m + 1 starts. */
+  def matrixProfileExactKernel(vals: Array[Long], m: Int, excl: Int): Array[(Int, Long)] = {
+    val n = vals.length - m + 1
+    require(n >= 1, s"series shorter than window: ${vals.length} < $m")
+    val zl = Array.ofDim[Long](n, m)
+    var i = 0
+    while (i < n) {
+      var s1 = 0L; var s2 = 0L; var k = 0
+      while (k < m) { val x = vals(i + k); s1 += x; s2 += x * x; k += 1 }
+      val mu = Num.rounddD(s1.toDouble / m, 6)
+      val sd = Num.rounddD(math.sqrt(
+        math.max((s2.toDouble - s1.toDouble * s1.toDouble / m) / m, 0.0) + 1e-6), 6)
+      k = 0
+      while (k < m) {
+        zl(i)(k) = Num.rounddD(
+          Num.rounddD((vals(i + k).toDouble - mu) / sd, 6) * 1e6, 0).toLong
+        k += 1
+      }
+      i += 1
+    }
+    val bestD = Array.fill(n)(Long.MaxValue)
+    val bestJ = Array.fill(n)(-1)
+    val ez = math.max(excl, 1)
+    i = 0
+    while (i < n) {
+      var j = i + ez
+      while (j < n) {
+        var d2 = 0L; var k = 0
+        while (k < m) { val dz = zl(i)(k) - zl(j)(k); d2 += dz * dz; k += 1 }
+        if (d2 < bestD(i) || (d2 == bestD(i) && j < bestJ(i))) { bestD(i) = d2; bestJ(i) = j }
+        if (d2 < bestD(j) || (d2 == bestD(j) && i < bestJ(j))) { bestD(j) = d2; bestJ(j) = i }
+        j += 1
+      }
+      i += 1
+    }
+    Array.tabulate(n)(i => (bestJ(i), bestD(i)))
+  }
+
+  /** The gated matrix-profile entry (round 15): same output bits as
+    * [[matrixProfilePairJoinForm]] — SignalSpec pins frame equality and
+    * the DuckDB oracle is untouched — but the plan is ONE hash aggregate
+    * over the raw scan (event_type × 120 6-hour buckets) followed by one
+    * groupByKey whose per-key work is [[matrixProfileExactKernel]]. The
+    * 100 TB shape: parallelism = series keys, per-key state = 120 longs;
+    * nothing n² ever crosses a shuffle. */
+  val qTsMatrixProfile: Q = (s, d) => {
+    import s.implicits._
+    val m = 8
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', date_trunc('hour', ts))")
+          .cast("long") / lit(6L)).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("b"), col("c")).as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et, it) =>
+        val v = new Array[Long](120)
+        it.foreach { case (_, b, c) => if (b >= 0 && b < 120) v(b.toInt) = c }
+        matrixProfileExactKernel(v, m, m / 2).iterator.zipWithIndex.map {
+          case ((j, d2l), i) => (et, i.toLong, j.toLong, d2l)
+        }
+      }
+      .toDF("event_type", "i", "nn", "d2l")
+      .select(col("event_type"), col("i"), col("nn"),
         Num.roundd(sqrt(col("d2l").cast("double")) / 1e6, 6).as("dist"))
       .orderBy("event_type", "i")
   }

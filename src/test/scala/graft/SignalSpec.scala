@@ -522,6 +522,30 @@ class SignalSpec extends SparkSuite {
     }
   }
 
+  test("gated matrix profile (exact kernel) is frame-equal to the pair-join form") {
+    // several types with distinct shapes: a periodic one, a bursty one, a
+    // sparse one (mostly empty buckets), plus rows outside the 120-bucket
+    // window that both forms must ignore
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Double, String)]()
+    var id = 0L
+    def add(et: String, bucket: Int, n: Int): Unit =
+      (0 until n).foreach { _ =>
+        rows += ((id, ns(t0 + bucket.toLong * 6 * hour + (id % 5) * hour), 1L, et, 1.0, "{}")); id += 1
+      }
+    for (b <- 0 until 120) {
+      add("periodic", b, 3 + (b % 7))
+      if (b % 11 == 0) add("bursty", b, 40 + b % 13)
+      if (b % 37 == 0) add("sparse", b, 1)
+    }
+    add("periodic", 150, 9) // beyond the window: dropped by both forms
+    writeEvents(rows.toSeq)
+    val got = Signal.qTsMatrixProfile(spark, dir).collect().map(_.toSeq)
+    val want = Signal.matrixProfilePairJoinForm(spark, dir).collect().map(_.toSeq)
+    assert(got.length == want.length, s"row counts: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"row mismatch: $g vs $w") }
+    assert(got.length == 3 * 113, "113 window starts per type")
+  }
+
   test("stompKernel equals the all-pairs z-normalized reference on a planted-motif series") {
     // deterministic LCG noise + a motif planted twice + a constant shelf
     var seed = 0x2545F4914F6CDD1DL
