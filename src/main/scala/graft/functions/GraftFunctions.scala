@@ -63,6 +63,15 @@ object GraftFunctions {
   private val shinglesInfo = new ExpressionInfo(
     classOf[ShinglesExpr].getName, "graft_shingles")
 
+  private val sigAgreeBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SigAgree(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_sig_agree expects 2 arguments, got ${other.size}")
+  }
+
+  private val sigAgreeInfo = new ExpressionInfo(
+    classOf[SigAgree].getName, "graft_sig_agree")
+
   private val histBuilder: Seq[Expression] => Expression = {
     case Seq(c, l, h, b) => HistogramAgg(c, l, h, b)
     case other => throw new IllegalArgumentException(
@@ -279,7 +288,8 @@ object GraftFunctions {
       (FunctionIdentifier("graft_dot_long"), dotLongInfo, dotLongBuilder),
       (FunctionIdentifier("graft_nearest_centroid"), nearestCentroidInfo, nearestCentroidBuilder),
       (FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder),
-      (FunctionIdentifier("graft_shingles"), shinglesInfo, shinglesBuilder))
+      (FunctionIdentifier("graft_shingles"), shinglesInfo, shinglesBuilder),
+      (FunctionIdentifier("graft_sig_agree"), sigAgreeInfo, sigAgreeBuilder))
 
   /** Inject into a live session's registry (idempotent). */
   /** Idempotent per session: operators call this on every invocation

@@ -71,7 +71,10 @@ object MinhashKernel extends Serializable {
     new GenericArrayData(out)
   }
 
-  def sig(text: UTF8String, n: Int, k: Int): ArrayData = {
+  /** MessageDigest reference implementation of [[sig]] — kept as the
+    * readable spec twin (MinhashSpec pins the two equal; the declarative
+    * md5() pipeline is the cross-engine contract). */
+  private[graft] def sigReference(text: UTF8String, n: Int, k: Int): ArrayData = {
     val words = text.toString.split(" ", -1)
     if (words.length < n) return null
     val mins = new Array[Long](k)
@@ -90,6 +93,73 @@ object MinhashKernel extends Serializable {
       }
       md.reset()
       val h31 = h60(md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))) % P
+      var t = 0
+      while (t < k) {
+        val hv = ((2 * t + 1) * h31 + 12582917L * t) % P
+        if (hv < mins(t)) mins(t) = hv
+        t += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Per-thread scratch for the allocation-free sketch path: a FastMd5
+    * instance, a prefix buffer for "m:" + shingle bytes, and growable
+    * word-boundary index arrays. */
+  private final class Scratch {
+    val md5 = new FastMd5
+    var buf = new Array[Byte](512)
+    var starts = new Array[Int](128)
+    var ends = new Array[Int](128)
+  }
+  @transient private lazy val tlScratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
+  /** Allocation-free sketch (round 15): the shingle "w_i … w_{i+n-1}"
+    * joined with single spaces is EXACTLY the original text's byte range
+    * from the start of word i to the end of word i+n−1 (split(" ", -1)
+    * consumes exactly one space per boundary, and 0x20 never occurs
+    * inside a UTF-8 multi-byte sequence, so byte-splitting ≡
+    * char-splitting). So the kernel walks word boundaries on the raw
+    * UTF-8 bytes and hashes "m:" + range through [[FastMd5]] into a
+    * reusable buffer — the only per-document allocations are the
+    * signature array itself and (at most) one byte copy of the text.
+    * Duplicate shingles need no dedup: duplicates cannot change a min.
+    * Byte-identical to [[sigReference]] (MinhashSpec). */
+  def sig(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val s = tlScratch.get()
+    val tb = text.getBytes
+    // word boundaries: segments between 0x20 bytes, empties included
+    var m = 0
+    var pos = 0
+    var start = 0
+    while (pos <= tb.length) {
+      if (pos == tb.length || tb(pos) == 0x20) {
+        if (m == s.starts.length) {
+          s.starts = java.util.Arrays.copyOf(s.starts, m * 2)
+          s.ends = java.util.Arrays.copyOf(s.ends, m * 2)
+        }
+        s.starts(m) = start
+        s.ends(m) = pos
+        m += 1
+        start = pos + 1
+      }
+      pos += 1
+    }
+    if (m < n) return null
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i <= m - n) {
+      val from = s.starts(i)
+      val to = s.ends(i + n - 1)
+      val len = to - from + 2
+      if (s.buf.length < len + 1) s.buf = new Array[Byte](math.max(len + 1, s.buf.length * 2))
+      s.buf(0) = 'm'
+      s.buf(1) = ':'
+      System.arraycopy(tb, from, s.buf, 2, to - from)
+      val h31 = s.md5.h60(s.buf, len) % P
       var t = 0
       while (t < k) {
         val hv = ((2 * t + 1) * h31 + 12582917L * t) % P

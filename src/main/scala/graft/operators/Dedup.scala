@@ -161,19 +161,85 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
   }
 
+  /** Smallest agreeing-position count the signature prefilter keeps:
+    * the minhash agreement fraction over `estHashes` positions is an
+    * unbiased Jaccard estimator with std √(J(1−J)/estHashes), so pairs
+    * whose estimate falls ≥ 2σ below `threshold` (evaluated at J =
+    * threshold, the worst case the filter must protect) are dropped —
+    * a one-sided miss probability ≤ ~2.5% for a pair EXACTLY at the
+    * threshold and vanishing for anything materially above it
+    * (OperatorSpec pins the arithmetic and the recall safety on the
+    * fixture corpora; DEDUP_QUALITY.md re-measures recall vs planted
+    * truth at 1×→1000×). Clamped at 0: a threshold low enough that the
+    * 2σ band crosses zero keeps every candidate. */
+  def prefilterMinAgree(threshold: Double, estHashes: Int): Int = {
+    val cutoff = threshold - 2.0 * math.sqrt(threshold * (1.0 - threshold) / estHashes)
+    math.max(math.ceil(estHashes * cutoff - 1e-9).toInt, 0)
+  }
+
   /** LSH candidates verified with exact n-gram Jaccard ≥ threshold, from
     * the raw text column. Both the sketch and the verify-side shingles
     * run the compiled kernels (graft_minhash / graft_shingles) — a single
     * codegen'd pass per side; the Jaccard set-intersection itself is only
-    * evaluated on candidate pairs, never corpus². */
+    * evaluated on candidate pairs, never corpus².
+    *
+    * Verify-stage prefilter (round 15): band-bucket collisions are
+    * dominated by unrelated pairs (candidate precision measured FLAT at
+    * ~0.074 on the planted-truth slices — 13.5 full-shingle Jaccard
+    * evaluations per true pair at every scale), so candidates are first
+    * screened by SIGNATURE agreement over an `estHashes`-position
+    * extended sketch before any shingle array is joined. The extension
+    * is free where it matters: the affine family h_i(x) shares the one
+    * md5 per shingle, so positions 0..estHashes-1 cost extra pmods, not
+    * extra md5s — and positions 0..numHashes-1 of the extended signature
+    * ARE the banding signature (same family), so the candidate set is
+    * untouched. The screen keeps pairs with ≥ [[prefilterMinAgree]]
+    * agreeing positions (est-J ≥ threshold − 2σ); the exact-Jaccard
+    * verify then runs on the survivors only. Signatures are estHashes
+    * longs/doc vs shingle arrays at hundreds of strings/doc, so the
+    * prefilter join is an order of magnitude lighter per row than the
+    * verify join it starves. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double,
-                   numHashes: Int = 32, bands: Int = 8, n: Int = 3): DataFrame = {
-    val sigs = minHashFromText(docs.select(col(idCol), col(textCol)), textCol, numHashes, n)
+                   numHashes: Int = 32, bands: Int = 8, n: Int = 3,
+                   estHashes: Int = 64): DataFrame = {
+    val eh = math.max(estHashes, numHashes)
+    // localCheckpoint = the in-query form of "a corpus build PERSISTS its
+    // signature index" (bandSigIndex): the sketch subtree feeds banding
+    // AND both screen sides, and without materialization each consumer
+    // re-sketches the corpus — the measured wall of the 100M-doc slice
+    // (ProbeDedup r15). Checkpointed state is (id, sig): ~8·estHashes
+    // bytes/doc, executor-local, corpus-linear.
+    val sigsE = minHashFromText(docs.select(col(idCol), col(textCol)), textCol, eh, n)
+      .localCheckpoint()
+    val sigs =
+      if (eh == numHashes) sigsE
+      else sigsE.withColumn("sig", expr(s"slice(sig, 1, $numHashes)"))
     val cands = lshCandidates(sigs, idCol, bands)
-    val sh = withShinglesFast(docs, textCol, n)
+    val minAgree = prefilterMinAgree(threshold, eh)
+    val pre =
+      (if (minAgree <= 0) cands
+      else {
+        val ea = sigsE.select(col(idCol).as("id_a"), col("sig").as("__ea"))
+        val eb = sigsE.select(col(idCol).as("id_b"), col("sig").as("__eb"))
+        // compiled agreement count (graft_sig_agree): the HOF form costs
+        // ~µs/lambda × positions × candidates — more than the verify work
+        // it saves at corpus scale (measured at the 1000× slice)
+        cands.join(ea, "id_a").join(eb, "id_b")
+          .filter(expr(s"graft_sig_agree(__ea, __eb) >= $minAgree"))
+          .select("id_a", "id_b")
+      }).localCheckpoint() // consumed 3× below (needed + both verify sides)
+    // verify-side pruning: only docs that still appear in a screened pair
+    // need shingling — the corpus-wide shingle explode + shuffle was the
+    // verify stage's real cost, not the per-pair intersections. The
+    // semi-join side is pair-bounded (AQE broadcasts it while it fits).
+    val needed = pre.select(col("id_a").as(idCol))
+      .unionAll(pre.select(col("id_b").as(idCol))).distinct()
+    val sh = withShinglesFast(
+      docs.select(col(idCol), col(textCol)).join(needed, Seq(idCol), "left_semi"),
+      textCol, n)
     val a = sh.select(col(idCol).as("id_a"), col("shingles").as("__ga"))
     val b = sh.select(col(idCol).as("id_b"), col("shingles").as("__gb"))
-    cands.join(a, "id_a").join(b, "id_b")
+    pre.join(a, "id_a").join(b, "id_b")
       .withColumn("__inter", size(array_intersect(col("__ga"), col("__gb"))))
       .withColumn("jaccard",
         col("__inter").cast("double") /
@@ -332,8 +398,9 @@ object Dedup {
     * final filter is one left-anti join on the id. */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8,
-                  numHashes: Int = 32, bands: Int = 8, n: Int = 3): DataFrame = {
-    val pairs = nearDupPairs(docs, idCol, textCol, threshold, numHashes, bands, n)
+                  numHashes: Int = 32, bands: Int = 8, n: Int = 3,
+                  estHashes: Int = 64): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, threshold, numHashes, bands, n, estHashes)
     val drops = connectedComponents(pairs.select("id_a", "id_b"))
       .filter(col("id") =!= col("lbl"))   // non-representatives
       .select(col("id").as("__drop"))

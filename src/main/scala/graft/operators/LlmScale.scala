@@ -797,6 +797,22 @@ object LlmScale {
     s"h31 AS (SELECT doc_id, list_transform(g, x -> ${dh("'m'", "x")} % 2147483647) hs FROM ng), " +
       "sg AS (SELECT doc_id, list_transform(range(8), i -> list_aggregate(list_transform(hs, h -> ((2*i + 1) * h + 12582917 * i) % 2147483647), 'min')) sig FROM h31)"
 
+  /** 64-hash EXTENDED signature CTE for the prefiltered cascade queries —
+    * same affine family as sigCte, so positions 1..8 are byte-identical
+    * to `sg` and the banding below reproduces the same candidate set —
+    * plus the signature-agreement prefilter the Spark cascade applies
+    * before exact-Jaccard verify (Dedup.nearDupPairs estHashes = 64,
+    * minAgree = Dedup.prefilterMinAgree(0.2, 64) = est-J ≥ threshold−2σ). */
+  private val sigCteE =
+    s"h31 AS (SELECT doc_id, list_transform(g, x -> ${dh("'m'", "x")} % 2147483647) hs FROM ng), " +
+      "sge AS (SELECT doc_id, list_transform(range(64), i -> list_aggregate(list_transform(hs, h -> ((2*i + 1) * h + 12582917 * i) % 2147483647), 'min')) sig FROM h31)"
+
+  private val bandedPreCte =
+    "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sge CROSS JOIN (SELECT unnest(range(4)) b)), " +
+      "cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id), " +
+      "pre AS (SELECT id_a, id_b FROM cand JOIN sge x ON x.doc_id = cand.id_a JOIN sge y ON y.doc_id = cand.id_b " +
+      s"WHERE len(list_filter(range(64), i -> x.sig[i+1] = y.sig[i+1])) >= ${Dedup.prefilterMinAgree(0.2, 64)})"
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_docs_mix_report", qDocsMixReport, Some(
       "WITH m AS (SELECT source, CAST(count(*) AS BIGINT) docs, " +
@@ -855,19 +871,15 @@ object LlmScale {
         "WHERE x.source <> y.source) " +
         "SELECT src_a, src_b, CAST(count(*) AS BIGINT) n_pairs FROM j GROUP BY 1, 2 ORDER BY 1, 2")),
     ("q_dedup_lsh_verified", qDedupLshVerified, Some(
-      s"$ngramCte, $sigCte, " +
-        "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)), " +
-        "cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id) " +
+      s"$ngramCte, $sigCteE, $bandedPreCte " +
         "SELECT id_a, id_b, round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))), 6) jac " +
-        "FROM cand JOIN ng x ON x.doc_id = cand.id_a JOIN ng y ON y.doc_id = cand.id_b WHERE " +
+        "FROM pre JOIN ng x ON x.doc_id = pre.id_a JOIN ng y ON y.doc_id = pre.id_b WHERE " +
         "CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.2 ORDER BY id_a, id_b")),
     ("q_dedup_cluster", qDedupCluster, Some(
       // WITH RECURSIVE accepts non-recursive CTEs in the same list, so the
       // shared ngram/signature/banding CTEs are reused verbatim
-      s"${ngramCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $sigCte, " +
-        "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)), " +
-        "cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id), " +
-        "ve AS (SELECT id_a, id_b FROM cand JOIN ng x ON x.doc_id = cand.id_a JOIN ng y ON y.doc_id = cand.id_b " +
+      s"${ngramCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $sigCteE, $bandedPreCte, " +
+        "ve AS (SELECT id_a, id_b FROM pre JOIN ng x ON x.doc_id = pre.id_a JOIN ng y ON y.doc_id = pre.id_b " +
         "WHERE CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.2), " +
         "sym AS (SELECT id_a s, id_b t FROM ve UNION ALL SELECT id_b, id_a FROM ve), " +
         "r(s, t) AS (SELECT s, t FROM sym UNION SELECT r.s, e.t FROM r JOIN sym e ON e.s = r.t), " +
@@ -877,10 +889,8 @@ object LlmScale {
     ("q_dedup_survivors", qDedupSurvivors, Some(
       // same shared CTEs + recursive closure as q_dedup_cluster; survivors =
       // docs minus every clustered id that is not its cluster's minimum
-      s"${ngramCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $sigCte, " +
-        "banded AS (SELECT doc_id, b, sig[b*2+1:b*2+2] sl FROM sg CROSS JOIN (SELECT unnest(range(4)) b)), " +
-        "cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id), " +
-        "ve AS (SELECT id_a, id_b FROM cand JOIN ng x ON x.doc_id = cand.id_a JOIN ng y ON y.doc_id = cand.id_b " +
+      s"${ngramCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $sigCteE, $bandedPreCte, " +
+        "ve AS (SELECT id_a, id_b FROM pre JOIN ng x ON x.doc_id = pre.id_a JOIN ng y ON y.doc_id = pre.id_b " +
         "WHERE CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.2), " +
         "sym AS (SELECT id_a s, id_b t FROM ve UNION ALL SELECT id_b, id_a FROM ve), " +
         "r(s, t) AS (SELECT s, t FROM sym UNION SELECT r.s, e.t FROM r JOIN sym e ON e.s = r.t), " +

@@ -54,21 +54,34 @@ object DedupQuality {
   }
 
   final case class SliceStats(factor: Long, nDocs: Long, nCand: Long,
-      nVerified: Long, crossCopyVerified: Long, nClusters: Long,
-      nSurvivors: Long, secs: Double)
+      nScreened: Long, nVerified: Long, crossCopyVerified: Long,
+      nClusters: Long, nSurvivors: Long, secs: Double)
 
   def measure(spark: SparkSession, dir: String, factor: Long,
               threshold: Double = 0.2, numHashes: Int = 8, bands: Int = 4,
-              n: Int = 3): SliceStats = {
+              n: Int = 3, estHashes: Int = 64): SliceStats = {
     val t0 = System.nanoTime()
     val docs = Tables.documents(spark, dir).persist()
     val nDocs = docs.count()
-    val sigs = Dedup.minHashFromText(
-      docs.select(col("doc_id"), col("text")), "text", numHashes, n)
-    val cands = Dedup.lshCandidates(sigs, "doc_id", bands).persist()
+    // staged mirror of Dedup.nearDupPairs (gated shape incl. the round-15
+    // signature-agreement screen; OperatorSpec holds the pair set equal) —
+    // expanded here so each stage's cardinality lands in the report
+    val sigsE = Dedup.minHashFromText(
+      docs.select(col("doc_id"), col("text")), "text", estHashes, n).persist()
+    val cands = Dedup.lshCandidates(
+      sigsE.withColumn("sig", expr(s"slice(sig, 1, $numHashes)")),
+      "doc_id", bands).persist()
     val nCand = cands.count()
+    val minAgree = Dedup.prefilterMinAgree(threshold, estHashes)
+    val screened = cands
+      .join(sigsE.select(col("doc_id").as("id_a"), col("sig").as("__ea")), "id_a")
+      .join(sigsE.select(col("doc_id").as("id_b"), col("sig").as("__eb")), "id_b")
+      .filter(expr(s"graft_sig_agree(__ea, __eb) >= $minAgree"))
+      .select("id_a", "id_b")
+      .persist()
+    val nScreened = screened.count()
     val sh = Dedup.withShinglesFast(docs, "text", n)
-    val verified = cands
+    val verified = screened
       .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("__ga")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("__gb")), "id_b")
       .withColumn("__i", size(array_intersect(col("__ga"), col("__gb"))))
@@ -89,9 +102,10 @@ object DedupQuality {
     val nClusters = comp.select("lbl").distinct().count()
     val nDropped = comp.filter(col("id") =!= col("lbl")).count()
     val nSurvivors = nDocs - nDropped
-    docs.unpersist(); cands.unpersist(); verified.unpersist()
-    SliceStats(factor, nDocs, nCand, nVer, cross, nClusters, nSurvivors,
-      (System.nanoTime() - t0) / 1e9)
+    docs.unpersist(); sigsE.unpersist(); cands.unpersist()
+    screened.unpersist(); verified.unpersist()
+    SliceStats(factor, nDocs, nCand, nScreened, nVer, cross, nClusters,
+      nSurvivors, (System.nanoTime() - t0) / 1e9)
   }
 
   def main(args: Array[String]): Unit = {
@@ -132,7 +146,7 @@ object DedupQuality {
       } else {
         val st = measure(spark, dir, f, threshold, numHashes, bands)
         println(f"[dedupquality] ${f}x: docs=${st.nDocs} cand=${st.nCand} " +
-          f"ver=${st.nVerified} cross=${st.crossCopyVerified} " +
+          f"screened=${st.nScreened} ver=${st.nVerified} cross=${st.crossCopyVerified} " +
           f"clusters=${st.nClusters} survivors=${st.nSurvivors} (${st.secs}%.1f s)")
         Some(st)
       }
@@ -147,26 +161,33 @@ object DedupQuality {
     sb ++= "ScaleBench copies suffix every token per copy k, so truth at xF is exactly F\n"
     sb ++= "disjoint replicas of 1x truth: expected pairs/clusters/survivors scale LINEARLY,\n"
     sb ++= "and any verified pair crossing copies would be a correctness bug (column must be 0).\n"
+    sb ++= "Round 15: candidates pass a 64-hash signature-agreement screen (est-J >=\n"
+    sb ++= s"threshold - 2 sigma, minAgree = ${Dedup.prefilterMinAgree(0.2, 64)}/64) before any full-shingle Jaccard runs —\n"
+    sb ++= "`screened` is the exact-verify stage's actual input; `verify precision` is its\n"
+    sb ++= "useful-work fraction (was the flat ~0.074 `cand precision` before the screen).\n"
     sb ++= "Regenerate: `sbt \"runMain graft.tools.DedupQuality\"` (ScaleBench slices first).\n\n"
-    sb ++= "| factor | docs | candidates | verified pairs | expected | pair recall | cand precision | cross-copy | clusters | expected | survivors | expected | secs |\n"
-    sb ++= "|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
+    sb ++= "| factor | docs | candidates | screened | verified pairs | expected | pair recall | cand precision | verify precision | cross-copy | clusters | expected | survivors | expected | secs |\n"
+    sb ++= "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
     rows.foreach { st =>
       val expVer = st.factor * t1
       val expClu = st.factor * c1
       val expSur = st.factor * (n1 - d1)
-      sb ++= f"| ${st.factor}x | ${st.nDocs} | ${st.nCand} | ${st.nVerified} | $expVer | ${
+      sb ++= f"| ${st.factor}x | ${st.nDocs} | ${st.nCand} | ${st.nScreened} | ${
+        st.nVerified} | $expVer | ${
         st.nVerified.toDouble / expVer}%.4f | ${
-        st.nVerified.toDouble / st.nCand}%.4f | ${st.crossCopyVerified} | ${
+        st.nVerified.toDouble / st.nCand}%.4f | ${
+        st.nVerified.toDouble / st.nScreened}%.4f | ${st.crossCopyVerified} | ${
         st.nClusters} | $expClu | ${st.nSurvivors} | $expSur | ${st.secs}%.1f |\n"
     }
     sb ++= "\nReading guide: `pair recall` is verified-pairs / (F x 1x-truth) — sub-1.0\n"
     sb ++= "means banding missed true near-threshold pairs (P[catch | J] = 1-(1-J^2)^4 for\n"
     sb ++= "this band shape, so pairs just above 0.2 are caught probabilistically while\n"
-    sb ++= "high-J dup families are near-certain). `cand precision` is the verify stage's\n"
-    sb ++= "useful-work fraction; a collapse here at scale means buckets are filling with\n"
-    sb ++= "unrelated docs. Verified-pair PRECISION vs truth is 1.0 by construction (the\n"
-    sb ++= "verify recomputes exact Jaccard on full shingle sets), independently witnessed\n"
-    sb ++= "by the cross-copy column staying 0 at every factor.\n"
+    sb ++= "high-J dup families are near-certain). `cand precision` is the band buckets'\n"
+    sb ++= "pair quality (collapse at scale = buckets filling with unrelated docs);\n"
+    sb ++= "`verify precision` is the useful-work fraction of the exact-Jaccard stage AFTER\n"
+    sb ++= "the signature screen. Verified-pair PRECISION vs truth is 1.0 by construction\n"
+    sb ++= "(the verify recomputes exact Jaccard on full shingle sets), independently\n"
+    sb ++= "witnessed by the cross-copy column staying 0 at every factor.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       sb.toString.getBytes("UTF-8"))
     println(s"[dedupquality] wrote $outFile")

@@ -156,6 +156,32 @@ class OperatorSpec extends SparkSuite {
     val f2 = Dedup.minHashFromText(weird, "text", 8).select("doc_id", "sig")
     assert(f2.count() == 1 && h2.count() == 1) // "x y" has < 3 words → dropped
     assert(f2.except(h2).count() == 0 && h2.except(f2).count() == 0)
+    // round 15 FastMd5 torture: shingle+prefix lengths that straddle the
+    // MD5 padding boundaries (55/56/64/119/120 bytes), multi-byte UTF-8,
+    // and trailing spaces — the kernel ≡ the HOF pipeline (Spark's own
+    // md5) on every one, and ≡ the MessageDigest reference form
+    val torture = Seq(
+      (1L, "aaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbb ccccccccccccccccc d"), // 53-byte first shingle + "m:" = 55
+      (2L, ("a" * 17) + " " + ("b" * 18) + " " + ("c" * 17) + " x"),   // 54 + 2 = 56 exactly
+      (3L, ("a" * 20) + " " + ("b" * 20) + " " + ("c" * 20) + " y"),   // 62 + 2 = 64 exactly
+      (4L, ("é" * 30) + " " + ("デ" * 15) + " " + ("c" * 11) + " z"),  // multibyte, 118+2
+      (5L, ("a" * 40) + " " + ("b" * 40) + " " + ("c" * 36) + " w"),   // 118 + 2 = 120
+      (6L, "  a b  "), // leading/trailing/double spaces → empty tokens
+      (7L, ("q" * 200) + " r s")).toDF("doc_id", "text")
+    val h3 = Dedup.minHash(Dedup.withShingles(torture, "text"), 8).select("doc_id", "sig")
+    val f3 = Dedup.minHashFromText(torture, "text", 8).select("doc_id", "sig")
+    assert(f3.count() == h3.count())
+    assert(f3.except(h3).count() == 0 && h3.except(f3).count() == 0)
+    import org.apache.spark.unsafe.types.UTF8String
+    torture.collect().foreach { r =>
+      val t = UTF8String.fromString(r.getString(1))
+      val fast = graft.functions.MinhashKernel.sig(t, 3, 8)
+      val ref = graft.functions.MinhashKernel.sigReference(t, 3, 8)
+      assert((fast == null) == (ref == null), s"nullability for doc ${r.getLong(0)}")
+      if (fast != null)
+        assert(fast.toLongArray().toSeq == ref.toLongArray().toSeq,
+          s"fast sig diverges from reference on doc ${r.getLong(0)}")
+    }
   }
 
   test("connected components: chain, triangle, isolated pair each get min-id label") {
@@ -542,6 +568,52 @@ class OperatorSpec extends SparkSuite {
     val flags = operators.LlmScale.qTextRepetition(spark, sf0001)
       .groupBy("repetitive").count().collect()
     assert(flags.length == 2, "threshold must split the fixture non-trivially")
+  }
+
+  test("signature-agreement prefilter: 2σ arithmetic and recall safety (round 15)") {
+    // the 2σ cut: minAgree = ⌈H·(t − 2·√(t(1−t)/H))⌉, clamped at 0 — a pair
+    // EXACTLY at the verify threshold is missed with one-sided probability
+    // ≤ ~2.5% (binomial tail beyond 2σ), anything materially above is safe
+    assert(Dedup.prefilterMinAgree(0.2, 64) == 7, "gated config: 64·(0.2−0.1) = 6.4 → 7")
+    assert(Dedup.prefilterMinAgree(0.2, 32) == 2)
+    assert(Dedup.prefilterMinAgree(0.8, 64) == 45, "64·(0.8−0.1) = 44.8 → 45")
+    assert(Dedup.prefilterMinAgree(0.8, 32) == 22)
+    assert(Dedup.prefilterMinAgree(0.05, 64) == 0, "2σ band crosses zero → screen disabled")
+    assert(Dedup.prefilterMinAgree(0.2, 8) == 0, "8-hash estimator too coarse at t=0.2 → disabled")
+    // recall safety on the fixture corpus: the prefiltered cascade (the
+    // gated shape, estHashes = 64) returns the SAME verified pair set as
+    // the unprefiltered one (estHashes = 8 → minAgree 0 → screen off)
+    val docs = Tables.documents(spark, sf001)
+    def pairSet(eh: Int) = Dedup.nearDupPairs(docs, "doc_id", "text",
+        threshold = 0.2, numHashes = 8, bands = 4, estHashes = eh)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val screened = pairSet(64)
+    val unscreened = pairSet(8)
+    assert(screened == unscreened,
+      s"prefilter changed the verified pair set: missing ${unscreened -- screened}, " +
+        s"extra ${screened -- unscreened}")
+    // ... and the screen actually screens: the exact-Jaccard verify sees
+    // materially fewer pairs than the raw band-collision candidate set
+    val sigsE = Dedup.minHashFromText(
+      docs.select(col("doc_id"), col("text")), "text", numHashes = 64)
+    val cands = Dedup.lshCandidates(
+      sigsE.withColumn("sig", expr("slice(sig, 1, 8)")), "doc_id", bands = 4)
+    val ea = sigsE.select(col("doc_id").as("id_a"), col("sig").as("__ea"))
+    val eb = sigsE.select(col("doc_id").as("id_b"), col("sig").as("__eb"))
+    val joined = cands.join(ea, "id_a").join(eb, "id_b")
+    // the compiled agreement kernel ≡ the interpreted HOF form
+    val hofMismatch = joined.filter(
+      expr("graft_sig_agree(__ea, __eb) != " +
+        "size(filter(sequence(0, 63), i -> element_at(__ea, i+1) = element_at(__eb, i+1)))"))
+      .count()
+    assert(hofMismatch == 0L, s"graft_sig_agree diverges from the HOF form on $hofMismatch pairs")
+    val kept = joined
+      .filter(expr(s"graft_sig_agree(__ea, __eb) >= ${Dedup.prefilterMinAgree(0.2, 64)}"))
+      .count()
+    val nCand = cands.count()
+    assert(kept < nCand, s"screen dropped nothing ($kept of $nCand candidates kept)")
+    assert(screened.size <= kept, "every verified pair must have survived the screen")
   }
 
   test("LSH cascade quality floors at fixture scale (DEDUP_QUALITY.md pin)") {
