@@ -136,20 +136,22 @@ object Analytics {
     * classic lifecycle-marketing report: per-user metrics from ONE hash
     * aggregate of the raw scan, each scored into quintiles, users
     * counted per "rfm" segment code. The three quintile scores run the
-    * distributed ntile machineries CONCURRENTLY over the one persisted
-    * USERS rollup (Rank.withNtiles — range repartition + per-partition
-    * rank + P-row offset broadcast per dimension, independent jobs in
-    * parallel; RankSpec pins the equality to the exact window ntile)
-    * with (metric, user_id) total orders, so quintile edges are
-    * engine-identical and no stage is single-partition. Monetary means
-    * derive from pre-rounded sums per the repo contract. */
+    * cut-key ntile machineries CONCURRENTLY over the one persisted
+    * USERS rollup (Rank.withNtiles — each dimension derives only its 4
+    * quintile-boundary keys from the range-partition profile, and the
+    * scores are map-side CASE comparisons against those cuts: NO
+    * join-back, no shuffle after the rollup; RankSpec pins the equality
+    * to the exact window ntile) with (metric, user_id) total orders, so
+    * quintile edges are engine-identical and no stage is
+    * single-partition. Monetary means derive from pre-rounded sums per
+    * the repo contract. */
   val qRfmSegments: Q = (s, d) => {
     val u = Tables.events(s, d).groupBy("user_id")
       .agg(max(to_date(col("ts"))).as("last_day"),
         count(lit(1)).as("freq"),
         Num.roundd(sum("value"), 6).as("mon"))
       .withColumn("rec", datediff(lit("2024-01-31").cast("date"), col("last_day")).cast("long"))
-    val scored = Rank.withNtiles(u, Seq("user_id"), Seq(
+    val scored = Rank.withNtiles(u, Seq(
       (Seq(col("rec").asc, col("user_id").asc), 5, "r"),
       (Seq(col("freq").desc, col("user_id").asc), 5, "f"),
       (Seq(col("mon").desc, col("user_id").asc), 5, "m")))

@@ -77,31 +77,198 @@ object Rank {
 
   /** Several INDEPENDENT exact ntiles over the same input in one call —
     * the RFM shape (quintiles on recency/frequency/monetary over one
-    * user rollup). Chaining [[withNtile]] serializes three rank
-    * machineries (sampling job + profile job each); here the input
-    * persists once and the per-dimension machineries run CONCURRENTLY
-    * on the scheduler (independent jobs — Spark schedules submissions
-    * from separate threads in parallel), then each dimension's bucket
-    * column joins back on `keyCols` (must be a unique key of `df`).
-    * Wall-clock ≈ one machinery; the join-back frames carry only
-    * (keyCols, bucket) and hash-partition by the key — rollup-bounded,
-    * no single-partition stage anywhere. Buckets are bit-identical to
-    * the chained form (RankSpec pins the equality). */
-  def withNtiles(df: DataFrame, keyCols: Seq[String],
-      dims: Seq[(Seq[Column], Int, String)], partitions: Int = 32): DataFrame = {
+    * user rollup). Round 15: no join-backs at all. Each dimension's
+    * machinery derives only the k−1 BUCKET-BOUNDARY KEYS (the sort-key
+    * tuples at global ranks B_b — range repartition + partition profile
+    * locate them, one ≤(k−1)-row collect fetches them), and the result
+    * is `df` plus one map-side CASE column per dimension comparing the
+    * row's key tuple against the broadcast-as-literals cuts. The
+    * per-dimension machineries run CONCURRENTLY (independent jobs from
+    * separate scheduler threads); their ranged intermediates unpersist
+    * before return (ADVICE r14). Exactness: each dim's sort key carries
+    * a unique tie-break, so "tuple ≤ cut_b in the dim's order" is
+    * exactly "rank ≤ B_b" and buckets are bit-identical to the chained
+    * [[withNtile]] form (RankSpec pins the equality). Sort keys must be
+    * non-null (every caller ranks non-null rollup metrics).
+    *
+    * `df` itself stays persisted and the returned plan reads it: the
+    * cut keys are VALUES collected from the materialized rollup, so the
+    * comparisons must see those same bits — recomputing the lineage
+    * under a different shuffle-merge order could flip a double's last
+    * ulp across a cut. The persist is correctness here, not a cache;
+    * it is rollup-sized by the caller contract and LRU-owned, and a
+    * failing dimension unpersists it before rethrowing. */
+  def withNtiles(df: DataFrame,
+      dims: Seq[(Seq[Column], Int, String)], partitions: Int = 32,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(2, "hours")): DataFrame = {
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    require(dims.map(_._3).distinct.size == dims.size,
+      s"duplicate bucket names in dims: ${dims.map(_._3)}")
+    dims.foreach { case (_, _, name) =>
+      require(!df.columns.contains(name),
+        s"bucket column '$name' already exists on the input")
+    }
     val in = df.persist()
-    in.count() // materialize before the concurrent lineages fork
-    val futs = dims.map { case (sort, k, name) => Future {
-      val rk = s"__nt_rank_$name"
-      val (ranked, n, _) = core(in, sort, rk, Nil, partitions)
-      ranked.select(keyCols.map(col) :+
-        ntileFromRank(col(rk), n, k).cast("long").as(name): _*)
-    } }
-    val parts = Await.result(Future.sequence(futs), Duration.Inf)
-    parts.foldLeft(in)((acc, p) => acc.join(p, keyCols))
+    val cases =
+      try fusedCuts(in, dims, partitions).getOrElse {
+        in.count() // materialize before the concurrent lineages fork
+        val futs = dims.map { case (sort, k, name) => Future {
+          name -> bucketCase(in, sort, k, partitions)
+        } }
+        Await.result(Future.sequence(futs), timeout)
+      } catch { case t: Throwable => in.unpersist(); throw t }
+    cases.foldLeft(in) { case (acc, (name, c)) => acc.withColumn(name, c) }
+  }
+
+  /** Single-machinery cut derivation for the common RFM shape — every
+    * dimension sorts (numeric metric ±, SAME long tie-break asc). The
+    * dims' key spaces fuse into ONE relation of (dim, k1 = ±metric as
+    * double, tie) rows via a 3-way explode of the rollup, so one range
+    * repartition + one (pid, dim) profile + one boundary-row collect
+    * serve every dimension: 3 jobs for all dims where the per-dim path
+    * pays 2 jobs (plus a range-sampling pass) EACH — and sub-0.3 s
+    * queries are job-floor-bound, so jobs are the unit that matters
+    * (PlanAudit r15). Exactness: negation and the long→double cast are
+    * order-exact (|metric| ≤ 2^53 — counts, day diffs and pre-rounded
+    * sums; the tie column must already be LongType), so the fused order
+    * is the dim's order and the cuts are the same rows the per-dim
+    * machinery finds. RankSpec pins fused ≡ chained withNtile; shapes
+    * that don't fit return None and take the general per-dim path. */
+  private def fusedCuts(in: DataFrame, dims: Seq[(Seq[Column], Int, String)],
+      partitions: Int): Option[Seq[(String, Column)]] = {
+    val split = dims.map { case (sort, k, name) =>
+      (sort.map(org.apache.spark.sql.graft.PlanApi.sortChild), k, name)
+    }
+    val fits = split.forall { case (parts, _, _) =>
+      parts.length == 2 && parts(1)._2 } &&
+      split.map(_._1(1)._1.toString).distinct.size == 1 &&
+      in.select(split.head._1(1)._1).schema.head.dataType ==
+        org.apache.spark.sql.types.LongType &&
+      split.forall { case (parts, _, _) =>
+        in.select(parts(0)._1).schema.head.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DoubleType => true
+          case _ => false
+        }
+      }
+    if (!fits) return None
+    val tie = split.head._1(1)._1
+    def enc(parts: Seq[(Column, Boolean)]): Column = {
+      val (m, asc) = parts(0)
+      (if (asc) m else -m).cast("double")
+    }
+    val pid = "__go_pid"
+    val lrn = "__go_lrn"
+    val sel = in.select(explode(array(split.zipWithIndex.map {
+        case ((parts, _, _), di) =>
+          struct(lit(di).as("dim"), enc(parts).as("k1"), tie.as("tie"))
+      }: _*)).as("e"))
+      .select(col("e.dim").as("dim"), col("e.k1").as("k1"), col("e.tie").as("tie"))
+    val ranged = sel.repartitionByRange(partitions, col("dim"), col("k1"), col("tie"))
+      .withColumn(pid, spark_partition_id()).persist()
+    try {
+      val prof = ranged.groupBy(col(pid), col("dim")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      // per dim: (pid asc) prefix offsets → (pid, lrn) address of each B_b
+      val locsByDim = split.indices.map { di =>
+        val rows = prof.filter(_._2 == di).sortBy(_._1)
+        val n = rows.map(_._3).sum
+        val k = split(di)._2
+        if (n == 0L) Nil
+        else {
+          val prefix = rows.scanLeft(0L)(_ + _._3)
+          (1 until k).map { b =>
+            val t = b.toLong * (n / k) + math.min(b.toLong, n % k)
+            val i = rows.indices.find(i => prefix(i) < t && t <= prefix(i) + rows(i)._3).get
+            (rows(i)._1, t - prefix(i))
+          }
+        }
+      }
+      val allLocs = locsByDim.zipWithIndex.flatMap { case (ls, di) =>
+        ls.map(l => (l._1, di, l._2)) }.distinct
+      val cases: Seq[(String, Column)] =
+        if (allLocs.isEmpty) split.map { case (_, _, name) => name -> lit(1L) }
+        else {
+          val w = Window.partitionBy(col(pid), col("dim")).orderBy(col("k1"), col("tie"))
+          val cutRows = ranged.withColumn(lrn, row_number().over(w).cast("long"))
+            .filter(allLocs.map { case (p, di, l) =>
+              col(pid) === lit(p) && col("dim") === lit(di) && col(lrn) === lit(l)
+            }.reduce(_ || _))
+            .select(col(pid), col("dim"), col(lrn), col("k1"), col("tie"))
+            .collect()
+          val keyAt = cutRows.map(r =>
+            ((r.getInt(0), r.getInt(1), r.getLong(2)), Seq[Any](r.getDouble(3), r.getLong(4)))).toMap
+          split.zipWithIndex.map { case ((parts, k, name), di) =>
+            val dimEnc = Seq((enc(parts), true), (tie, true))
+            val c =
+              if (locsByDim(di).isEmpty) lit(1L)
+              else (1 until k).reverse.foldLeft(lit(k.toLong): Column) { case (els, b) =>
+                val cut = keyAt((locsByDim(di)(b - 1)._1, di, locsByDim(di)(b - 1)._2))
+                when(tupleLe(dimEnc, cut), lit(b.toLong)).otherwise(els)
+              }
+            name -> c
+          }
+        }
+      Some(cases)
+    } finally ranged.unpersist()
+  }
+
+  /** The cut-key machinery behind one [[withNtiles]] dimension: range
+    * repartition on the sort key, P-row partition profile → global rank
+    * offsets, locate the k−1 bucket boundaries B_b = b·⌊n/k⌋ + min(b, n%k)
+    * as (partition, local rank) addresses, collect exactly those rows'
+    * key tuples, and fold them into a k-arm CASE on the ORIGINAL frame's
+    * columns. The ranged copy lives only inside this call. */
+  private def bucketCase(in: DataFrame, sortCols: Seq[Column], k: Int,
+      partitions: Int): Column = {
+    val pid = "__go_pid"
+    val lrn = "__go_lrn"
+    val ranged = in.repartitionByRange(partitions, sortCols: _*)
+      .withColumn(pid, spark_partition_id()).persist()
+    try {
+      val prof = ranged.groupBy(col(pid)).agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = prof.map(_._2).sum
+      if (n == 0L) return lit(1L) // no rows to bucket
+      val dirs = sortCols.map(org.apache.spark.sql.graft.PlanApi.sortChild)
+      val q = n / k
+      val r = n % k
+      val bounds = (1 until k).map(b => b.toLong * q + math.min(b.toLong, r))
+      val prefix = prof.scanLeft(0L)(_ + _._2)
+      val locs = bounds.map { t =>
+        val i = prof.indices.find(i => prefix(i) < t && t <= prefix(i) + prof(i)._2).get
+        (prof(i)._1, t - prefix(i))
+      }
+      val w = Window.partitionBy(pid).orderBy(sortCols: _*)
+      val keyAliases = dirs.zipWithIndex.map { case ((c, _), i) => c.as(s"__ck$i") }
+      val cutRows = ranged.withColumn(lrn, row_number().over(w).cast("long"))
+        .filter(locs.distinct
+          .map { case (p, l) => col(pid) === lit(p) && col(lrn) === lit(l) }
+          .reduce(_ || _))
+        .select(col(pid) +: col(lrn) +: keyAliases: _*)
+        .collect()
+      val keyAt = cutRows.map(row => ((row.getInt(0), row.getLong(1)), row.toSeq.drop(2))).toMap
+      (1 until k).reverse.foldLeft(lit(k.toLong): Column) { case (els, b) =>
+        when(tupleLe(dirs, keyAt(locs(b - 1))), lit(b.toLong)).otherwise(els)
+      }
+    } finally ranged.unpersist()
+  }
+
+  /** `row key tuple ≤ cut tuple` under per-component directions — the
+    * lexicographic prefix expansion (strictly-before on a prefix, or all
+    * components equal). Null-free by caller contract. */
+  private def tupleLe(dirs: Seq[(Column, Boolean)], cut: Seq[Any]): Column = {
+    def le(i: Int): Column = {
+      val (e, asc) = dirs(i)
+      val v = lit(cut(i))
+      val before = if (asc) e < v else e > v
+      if (i == dirs.length - 1) before || (e === v)
+      else before || ((e === v) && le(i + 1))
+    }
+    le(0)
   }
 
   /** Closed-form ntile: with n rows and k buckets, bucket b ∈ [1, n%k]

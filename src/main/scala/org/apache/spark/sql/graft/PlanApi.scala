@@ -16,6 +16,22 @@ object PlanApi {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Split a sort Column (`c.asc` / `c.desc` / bare) into its underlying
+    * column and an ascending flag. Rank's cut-key bucketing compares row
+    * tuples against collected boundary keys under the dim's sort order,
+    * which needs the SortOrder's child back as a usable Column — an
+    * Expression⇄Column bridge the public API no longer exposes (Spark 4
+    * wraps Column around ColumnNode; ExpressionUtils is the classic
+    * converter pair). */
+  def sortChild(c: org.apache.spark.sql.Column): (org.apache.spark.sql.Column, Boolean) = {
+    import org.apache.spark.sql.internal.SortOrder
+    c.node match {
+      case SortOrder(child, dir, _, _) =>
+        (org.apache.spark.sql.Column(child), dir == SortOrder.Ascending)
+      case _ => (c, true)
+    }
+  }
+
   /** Idempotently append a planner strategy to the session. */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]

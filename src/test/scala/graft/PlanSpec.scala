@@ -270,10 +270,13 @@ class PlanSpec extends SparkSuite {
     assert("Window".r.findAllIn(p).length <= 2, s"moments must share the frame:\n$p")
   }
 
-  test("mad: the per-group median table re-enters as a broadcast dim") {
+  test("mad: one scan, one group shuffle — both percentile passes run in-group") {
+    // round 15: the broadcast-dim two-pass shape became a single
+    // groupByKey + mapGroups (sort once, both exact percentiles in-task)
     val p = plan(graft.operators.Signal.qTsMad(spark, sf0001))
-    assert(p.contains("BroadcastHashJoin"), s"median dim must broadcast:\n$p")
-    assert(!p.toLowerCase.contains("sortmergejoin"), s"no shuffle join:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"no join-back of a median dim:\n$p")
+    assert(p.contains("MapGroups"), s"in-group percentile fold expected:\n$p")
   }
 
   test("pit features: one scan; range frame and lag share one user-keyed shuffle") {
@@ -360,16 +363,13 @@ class PlanSpec extends SparkSuite {
       s"the cursor inequality must reach the scan:\n$p")
   }
 
-  test("rfm: quintiles ride the collapsed users table; joins are key-bounded") {
-    // Since the Rank.withNtiles rewrite the users rollup is persisted,
-    // the three quintile machineries run concurrently over it, and each
-    // dimension's (user_id, bucket) frame joins back on the rollup's
-    // unique key: the OUTER plan must touch no parquet at all (the one
-    // raw-events scan lives inside the cached rollup), the offset
-    // tables stay broadcast joins, and the ONLY shuffled joins allowed
-    // are the user_id-keyed bucket join-backs — rollup-sized by
-    // construction. A cartesian or a non-user_id shuffled join would
-    // mean a scan-sized or unkeyed exchange crept in.
+  test("rfm: quintiles ride the collapsed users table; scoring is join-free") {
+    // Since the round-15 cut-key Rank.withNtiles rewrite each quintile
+    // dimension contributes only 4 boundary-key literals, and the outer
+    // plan is the cached users rollup + three map-side CASE columns +
+    // one segment aggregate: no parquet scan (the one raw-events scan
+    // lives inside the cached rollup), NO join of any kind, and no
+    // cartesian. Any join appearing here means a join-back crept back in.
     val df = graft.operators.Analytics.qRfmSegments(spark, sf0001)
     val outerScans = df.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
@@ -377,15 +377,10 @@ class PlanSpec extends SparkSuite {
     assert(outerScans.isEmpty, s"outer plan must read the cached rollup, not parquet")
     val p = plan(df)
     assert(!"(?i)cartesianproduct".r.findFirstIn(p).isDefined, s"no cartesian:\n$p")
-    val shuffledJoins = df.queryExecution.sparkPlan.collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
-      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
-    assert(shuffledJoins.size <= 2, s"at most the two bucket join-backs:\n$p")
-    shuffledJoins.foreach { keys =>
-      assert(keys.exists(_.toString.contains("user_id")),
-        s"shuffled joins must key on the rollup's unique user_id:\n$p")
-    }
+    assert(joins.isEmpty, s"cut-key scoring must be join-free:\n$p")
   }
 
   test("rrf fusion: the query block broadcasts; rank windows partition by query") {

@@ -93,7 +93,7 @@ class RankSpec extends SparkSuite {
       (Seq(col("freq").asc, col("user_id").asc), 5, "a"),
       (Seq(col("mon").desc, col("user_id").asc), 4, "b"),
       (Seq(col("user_id").desc), 3, "c"))
-    val got = Rank.withNtiles(base, Seq("user_id"), dims, 7)
+    val got = Rank.withNtiles(base, dims, 7)
       .select("user_id", "a", "b", "c").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
     val want = dims.foldLeft(base) { case (acc, (sort, k, name)) =>
@@ -101,6 +101,44 @@ class RankSpec extends SparkSuite {
     }.select("user_id", "a", "b", "c").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("withNtiles FUSED path (rfm shape: numeric ± keys, shared long tie) ≡ chained withNtile") {
+    val base = events.groupBy("user_id").agg(
+      count(lit(1)).as("freq"), sum("value").as("mon"))
+    // all dims 2-component with the same ascending user_id tie-break —
+    // exactly the shape fusedCuts accepts (one machinery for all dims)
+    val dims = Seq(
+      (Seq(col("freq").asc, col("user_id").asc), 5, "a"),
+      (Seq(col("mon").desc, col("user_id").asc), 4, "b"),
+      (Seq(col("freq").desc, col("user_id").asc), 3, "c"))
+    val got = Rank.withNtiles(base, dims, 7)
+      .select("user_id", "a", "b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val want = dims.foldLeft(base) { case (acc, (sort, k, name)) =>
+      Rank.withNtile(acc, sort, k, name, 7)
+    }.select("user_id", "a", "b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("withNtiles rejects duplicate or colliding bucket names; degenerates like ntile") {
+    val base = events.groupBy("user_id").agg(count(lit(1)).as("freq"))
+    intercept[IllegalArgumentException] {
+      Rank.withNtiles(base, Seq(
+        (Seq(col("freq").asc, col("user_id").asc), 5, "x"),
+        (Seq(col("user_id").desc), 3, "x")))
+    }
+    intercept[IllegalArgumentException] {
+      Rank.withNtiles(base, Seq(
+        (Seq(col("user_id").asc), 5, "freq"))) // collides with an input column
+    }
+    // k > n: bucket = rank, matching the window ntile contract
+    val tiny = base.orderBy("user_id").limit(3)
+    val got = Rank.withNtiles(tiny,
+        Seq((Seq(col("user_id").asc), 10, "b")), 4)
+      .select("b").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
   test("withGlobalOrder on an empty input yields an empty frame (no NPE)") {
