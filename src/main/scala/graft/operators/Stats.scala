@@ -156,36 +156,51 @@ object Stats {
     * ISO weekday over the full event scan, plus Cramér's V. Each cell
     * contributes ((O·N − R·C)/1)² / (N·R·C) with the difference exact in
     * longs before the one squaring in double; cells round at 9 dp so the
-    * ≤types×7 sum is exact, then χ² and V round at 6 dp. Marginals are
-    * two broadcast-sized aggregates; zero-margin cells are excluded (the
-    * textbook convention — their expected count is undefined). */
+    * ≤types×7 sum is exact (every cell sits on the 1e-9 grid and the sum
+    * stays far inside 2^53·1e-9 — order-free), then χ² and V round at
+    * 6 dp. Zero-margin cells are excluded (the textbook convention —
+    * their expected count is undefined).
+    *
+    * Round 15 (PlanAudit job-count pass): ONE hash aggregate reduces the
+    * scan to the ≤ types×7 observed grid, which is collected and folded
+    * driver-side — marginals, totals, cells, χ², V — exactly the
+    * qStatMutualInfo device; the previous shape paid three extra
+    * broadcast-build jobs and a second scan for grid-sized arithmetic.
+    * Scalar cell math replicates the column form: exact long products
+    * (BigInt-guarded against silent wrap — the column form would have
+    * raised under ANSI), one double divide, Num.rounddD at 9. */
   val qStatChi2: Q = (s, d) => {
-    val ev = Tables.events(s, d)
+    val obs = Tables.events(s, d)
       .select(col("event_type").as("et"), expr("weekday(ts)").cast("long").as("dw"))
-    val obs = ev.groupBy("et", "dw").agg(count(lit(1)).as("o"))
-    val grid = ev.select("et").distinct()
-      .crossJoin(s.sql("SELECT explode(sequence(0, 6)) AS dw").select(col("dw").cast("long").as("dw")))
-    val full = grid.join(obs, Seq("et", "dw"), "left")
-      .select(col("et"), col("dw"), coalesce(col("o"), lit(0L)).as("o"))
-    val rowt = full.groupBy("et").agg(sum("o").as("rt"))
-    val colt = full.groupBy("dw").agg(sum("o").as("ct"))
-    val tot = full.agg(sum("o").as("nn"))
-    val dd = (col("o") * col("nn") - col("rt") * col("ct")).cast("double")
-    val cells = full.join(broadcast(rowt), Seq("et")).join(broadcast(colt), Seq("dw"))
-      .crossJoin(broadcast(tot))
-      .filter(col("rt") > 0L && col("ct") > 0L)
-      .select(col("et"), col("dw"), col("nn"),
-        Num.roundd(dd * dd / (col("nn") * col("rt") * col("ct")).cast("double"), 9).as("cell"))
-    // dof counts the NON-ZERO margins on both axes (ADVICE r11: a literal
-    // ×6 assumed data spanning all 7 weekdays; a corpus slice missing a
-    // weekday would report a dof its excluded cells don't support)
-    cells.agg(sum("cell").as("x2raw"), countDistinct("et").as("ntypes"),
-        countDistinct("dw").as("ncols"), max("nn").as("n"))
-      .select(
-        Num.roundd(col("x2raw"), 6).as("chi2"),
-        ((col("ntypes") - 1L) * (col("ncols") - 1L)).as("dof"),
-        Num.roundd(sqrt(col("x2raw") / (col("n") * least(col("ntypes") - 1L, col("ncols") - 1L)).cast("double")), 6).as("cramers_v"),
-        col("n"))
+      .groupBy("et", "dw").agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(obs.length <= 10000,
+      s"qStatChi2: observed grid ${obs.length} exceeds the driver-fold bound")
+    val ets = obs.map(_._1).distinct.sorted
+    val byCell = obs.map(c => ((c._1, c._2), c._3)).toMap
+    val full = for (et <- ets; dw <- 0L to 6L)
+      yield (et, dw, byCell.getOrElse((et, dw), 0L))
+    val rt = full.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val ct = full.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val nn = full.map(_._3).sum
+    def toLongExact(b: BigInt, what: String): Long = {
+      require(b.isValidLong, s"qStatChi2: $what overflows Long — the column " +
+        "form would have raised under ANSI; move the products to DecimalType")
+      b.toLong
+    }
+    val kept = full.filter { case (et, dw, _) => rt(et) > 0L && ct(dw) > 0L }
+    val x2raw = kept.map { case (et, dw, o) =>
+      val dd = toLongExact(BigInt(o) * nn - BigInt(rt(et)) * ct(dw), "O·N − R·C").toDouble
+      val den = toLongExact(BigInt(nn) * rt(et) * ct(dw), "N·R·C").toDouble
+      Num.rounddD(dd * dd / den, 9)
+    }.sum
+    val ntypes = kept.map(_._1).distinct.size.toLong
+    val ncols = kept.map(_._2).distinct.size.toLong
+    s.range(1).select(
+        Num.roundd(lit(x2raw), 6).as("chi2"),
+        lit((ntypes - 1L) * (ncols - 1L)).as("dof"),
+        Num.roundd(sqrt(lit(x2raw) / lit(nn * math.min(ntypes - 1L, ncols - 1L)).cast("double")), 6).as("cramers_v"),
+        lit(nn).as("n"))
       .orderBy("chi2")
   }
 
