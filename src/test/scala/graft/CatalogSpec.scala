@@ -43,7 +43,8 @@ class CatalogSpec extends SparkSuite {
         graft.operators.Sre.all.size, graft.operators.Quality.all.size,
         graft.operators.Fit.all.size, graft.operators.Mining.all.size,
         graft.operators.Change.all.size, graft.operators.Stats.all.size,
-        graft.operators.Survival.all.size, graft.operators.Geo.all.size).sum
+        graft.operators.Survival.all.size, graft.operators.Geo.all.size,
+        graft.operators.Token.all.size).sum
     assert(SparkEntry.queries.size == perModule,
       s"catalog Map has ${SparkEntry.queries.size} entries but modules register $perModule — a name is duplicated")
   }
