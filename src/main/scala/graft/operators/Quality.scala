@@ -287,6 +287,10 @@ object Quality {
   val qEvalKappa: Q = (s, d) => {
     val cells = confusionCells(s, d)
     val n = cells.map(_._3).sum
+    // loud at the boundary, like confusionCells' grid require (ADVICE r14)
+    require(n <= 3000000000L,
+      s"qEvalKappa: n = $n — n*n exceeds exact Long range; move the chance " +
+        "products to DecimalType before raising this bound")
     val agree = cells.collect { case (a, b, c) if a == b => c }.sum
     val rows = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
     val colsT = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }

@@ -44,15 +44,23 @@ def main(bench_path, duck_path):
         print(f"note: {len(missing)} excluded names not in oracle set: {missing}")
     # ADVICE r13: records from different rounds/catalogs may disagree on
     # the query set — compare only names present in BOTH and say what
-    # dropped, instead of crashing with a KeyError
+    # dropped. ADVICE r14: the two directions are NOT symmetric cases.
+    # Bench-only names are expected (the 8 no-oracle sketch/ANN entries);
+    # ORACLE names missing from the bench record mean the bench silently
+    # dropped measured queries and the headline ratio would be computed
+    # over a shrunken set — that is an error unless explicitly allowed.
     only_duck = sorted(set(duck) - set(spark) - set(EXCLUDE))
     only_spark = sorted(set(spark) - set(duck) - set(EXCLUDE))
     if only_duck:
-        print(f"note: {len(only_duck)} oracle names absent from bench record "
-              f"(dropped): {only_duck}")
+        print(f"ERROR: {len(only_duck)} oracle-covered queries absent from the "
+              f"bench record: {only_duck}")
+        if "--allow-drop" not in sys.argv:
+            print("a headline over the shrunken set would overstate the engine; "
+                  "rerun the bench or pass --allow-drop to proceed anyway")
+            sys.exit(1)
     if only_spark:
         print(f"note: {len(only_spark)} bench names absent from oracle set "
-              f"(dropped): {only_spark}")
+              f"(expected for no-oracle entries): {only_spark}")
     sym = sorted((set(duck) & set(spark)) - set(EXCLUDE))
     s = {n: spark[n] for n in sym}
     d = {n: duck[n] for n in sym}
