@@ -72,6 +72,15 @@ object GraftFunctions {
   private val sigAgreeInfo = new ExpressionInfo(
     classOf[SigAgree].getName, "graft_sig_agree")
 
+  private val medMadBuilder: Seq[Expression] => Expression = {
+    case Seq(v) => MedMadAgg(v)
+    case other => throw new IllegalArgumentException(
+      s"graft_med_mad expects 1 argument, got ${other.size}")
+  }
+
+  private val medMadInfo = new ExpressionInfo(
+    classOf[MedMadAgg].getName, "graft_med_mad")
+
   private val histBuilder: Seq[Expression] => Expression = {
     case Seq(c, l, h, b) => HistogramAgg(c, l, h, b)
     case other => throw new IllegalArgumentException(
@@ -289,7 +298,8 @@ object GraftFunctions {
       (FunctionIdentifier("graft_nearest_centroid"), nearestCentroidInfo, nearestCentroidBuilder),
       (FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder),
       (FunctionIdentifier("graft_shingles"), shinglesInfo, shinglesBuilder),
-      (FunctionIdentifier("graft_sig_agree"), sigAgreeInfo, sigAgreeBuilder))
+      (FunctionIdentifier("graft_sig_agree"), sigAgreeInfo, sigAgreeBuilder),
+      (FunctionIdentifier("graft_med_mad"), medMadInfo, medMadBuilder))
 
   /** Inject into a live session's registry (idempotent). */
   /** Idempotent per session: operators call this on every invocation

@@ -51,4 +51,19 @@ object Num {
     // negative sign bit (covers -0.0, which `x < 0` misses)
     if (x < 0 || (x == 0.0 && java.lang.Double.doubleToRawLongBits(x) != 0L)) -mag else mag
   }
+
+  /** Exact 50th percentile with Spark's Percentile interpolation, on a
+    * SORTED array: position = 0.5·(n−1); integral position indexes, a
+    * fractional one blends (higher−pos)·a[lo] + (pos−lower)·a[hi] — the
+    * aggregate's exact coefficient order, so in-memory folds are
+    * bit-identical to `percentile(x, 0.5)` (for the median the two
+    * coefficients are exactly 0.5, making the blend order-proof). Shared
+    * by the in-group MAD kernels (Signal, graft_med_mad). */
+  def pct50Sorted(a: Array[Double]): Double = {
+    val pos = 0.5 * (a.length - 1)
+    val lower = math.floor(pos).toInt
+    val higher = math.ceil(pos).toInt
+    if (higher == lower) a(lower)
+    else (higher - pos) * a(lower) + (pos - lower) * a(higher)
+  }
 }

@@ -304,54 +304,27 @@ object Signal {
       .orderBy("h")
   }
 
-  /** Exact 50th percentile with Spark's Percentile interpolation, on a
-    * SORTED array: position = 0.5·(n−1); integral position indexes, a
-    * fractional one blends (higher−pos)·a[lo] + (pos−lower)·a[hi] — the
-    * aggregate's exact coefficient order, so the in-group fold below is
-    * bit-identical to `percentile(x, 0.5)` (for the median the two
-    * coefficients are exactly 0.5, making the blend order-proof). */
-  private def pct50Sorted(a: Array[Double]): Double = {
-    val pos = 0.5 * (a.length - 1)
-    val lower = math.floor(pos).toInt
-    val higher = math.ceil(pos).toInt
-    if (higher == lower) a(lower)
-    else (higher - pos) * a(lower) + (pos - lower) * a(higher)
-  }
-
   /** Median absolute deviation per (event_type, day) — the robust spread
     * behind outlier fences that a long-tailed metric needs where stddev
     * lies. The median is pre-rounded before the deviation pass so both
     * engines take identical inputs into the second quantile.
     *
-    * Round 15 (PlanAudit job-count pass): both exact-percentile passes
-    * run IN-GROUP — one shuffle on (event_type, day), then a per-group
-    * sort + [[pct50Sorted]] + |x − med| + second pct50, all in one task.
-    * The previous shape scanned events twice and shipped per-group value
+    * Round 15 (PlanAudit job-count pass): both exact percentiles come
+    * from ONE custom hash aggregate (graft_med_mad — packed-double
+    * buffers, concat merge, both quantiles at eval; MedMadAgg). The
+    * previous shape scanned events twice and shipped per-group value
     * buffers through two percentile aggregates plus a broadcast
-    * join-back; this is the same memory bound (Spark's exact percentile
-    * buffers the full group either way) at half the scans and shuffles.
-    * 100 TB shape: parallelism = types×days; a group = one type-day of
-    * values (the quantity an exact percentile must hold anywhere). */
+    * join-back; a groupByKey/mapGroups fusion was measured 2× WORSE at
+    * the 100M-row slice (per-row Dataset serde + sort-based shuffle), so
+    * the aggregate keeps the codegen'd hash-aggregate path with the same
+    * per-group memory bound Spark's own exact percentile pays. */
   val qTsMad: Q = (s, d) => {
-    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     Tables.events(s, d)
-      .select(col("event_type"),
-        date_trunc("day", col("ts")).cast("date").cast("string").as("dday"),
-        col("value"))
-      .as[(String, String, Double)]
-      .groupByKey(t => (t._1, t._2))
-      .mapGroups { (key: (String, String), it: Iterator[(String, String, Double)]) =>
-        val (et, dd) = key
-        val vals = it.map(_._3).toArray
-        java.util.Arrays.sort(vals)
-        val med = Num.rounddD(pct50Sorted(vals), 4)
-        val ad = vals.map(v => math.abs(v - med))
-        java.util.Arrays.sort(ad)
-        (et, dd, vals.length.toLong, med, Num.rounddD(pct50Sorted(ad), 4))
-      }
-      .toDF("event_type", "dday", "n", "med", "mad")
-      .select(col("event_type"), to_date(col("dday")).as("dday"),
-        col("n"), col("med"), col("mad"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("dday"))
+      .agg(expr("graft_med_mad(value)").as("__mm"))
+      .select(col("event_type"), col("dday"),
+        col("__mm.n").as("n"), col("__mm.med").as("med"), col("__mm.mad").as("mad"))
       .orderBy("event_type", "dday")
   }
 

@@ -270,13 +270,14 @@ class PlanSpec extends SparkSuite {
     assert("Window".r.findAllIn(p).length <= 2, s"moments must share the frame:\n$p")
   }
 
-  test("mad: one scan, one group shuffle — both percentile passes run in-group") {
-    // round 15: the broadcast-dim two-pass shape became a single
-    // groupByKey + mapGroups (sort once, both exact percentiles in-task)
+  test("mad: one scan, one hash-agg shuffle — both percentiles in graft_med_mad") {
+    // round 15: the broadcast-dim two-pass shape became ONE custom
+    // TypedImperativeAggregate (packed-double buffers; med + mad at eval)
     val p = plan(graft.operators.Signal.qTsMad(spark, sf0001))
     assert("FileScan parquet".r.findAllIn(p).length == 1, s"one scan expected:\n$p")
     assert(!p.toLowerCase.contains("join"), s"no join-back of a median dim:\n$p")
-    assert(p.contains("MapGroups"), s"in-group percentile fold expected:\n$p")
+    assert(p.contains("graft_med_mad") && p.contains("ObjectHashAggregate"),
+      s"med+mad must ride one object hash aggregate:\n$p")
   }
 
   test("pit features: one scan; range frame and lag share one user-keyed shuffle") {

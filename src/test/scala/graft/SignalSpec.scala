@@ -522,6 +522,45 @@ class SignalSpec extends SparkSuite {
     }
   }
 
+  test("qTsMad (graft_med_mad aggregate) ≡ the two-pass percentile form") {
+    // odd and even group sizes, exact ties, negatives — the median
+    // interpolation and the pre-rounded deviation pass must match the
+    // built-in percentile() two-pass shape bit-for-bit
+    val vals = Map(
+      ("a", 0) -> Seq(1.0, 2.0, 2.0, 9.5, -3.25),       // odd n, ties
+      ("a", 1) -> Seq(4.125, 0.5, 0.5, 8.0),            // even n → blend
+      ("b", 0) -> Seq(7.0),                             // singleton
+      ("b", 1) -> Seq(2.5, 2.5, 2.5, 2.5, 1.0, 100.75)) // heavy ties
+    var id = 0L
+    val rows = vals.toSeq.flatMap { case ((et, day), vs) =>
+      vs.map { v =>
+        id += 1
+        (id, ns(t0 + day.toLong * 86400 + id % 7 * hour), 1L, et, v, "{}")
+      }
+    }
+    writeEvents(rows)
+    val got = Signal.qTsMad(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3), r.getDouble(4))).toList
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, dir)
+    val med = ev
+      .groupBy(col("event_type").as("met"), date_trunc("day", col("ts")).cast("date").as("dday"))
+      .agg(graft.operators.Num.roundd(expr("percentile(value, 0.5)"), 4).as("med"),
+        count(lit(1)).as("n"))
+    val want = ev.join(broadcast(med),
+        col("event_type") === col("met") &&
+          date_trunc("day", col("ts")).cast("date") === col("dday"))
+      .select(col("event_type"), col("dday"), col("med"), col("n"),
+        abs(col("value") - col("med")).as("ad"))
+      .groupBy("event_type", "dday", "n", "med")
+      .agg(graft.operators.Num.roundd(expr("percentile(ad, 0.5)"), 4).as("mad"))
+      .select("event_type", "dday", "n", "med", "mad")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3), r.getDouble(4))).toList.sorted
+    assert(got.sorted == want, s"got $got\nwant $want")
+  }
+
   test("gated matrix profile (exact kernel) is frame-equal to the pair-join form") {
     // several types with distinct shapes: a periodic one, a bursty one, a
     // sparse one (mostly empty buckets), plus rows outside the 120-bucket
