@@ -79,6 +79,12 @@ case class MedMadAgg(
   }
 
   override def serialize(buf: MedMadAgg.Buf): Array[Byte] = {
+    // 4 + n*8 overflows Int for n ≥ ~268M; fail loudly at the bound with
+    // the per-group value-buffer limit named (the convention elsewhere)
+    // instead of letting ByteBuffer.allocate throw on a negative size
+    require(buf.n <= (Int.MaxValue - 4) / 8,
+      s"graft_med_mad: per-group value buffer (${buf.n} values) exceeds the " +
+        "serializable bound of (Int.MaxValue - 4) / 8 values per group")
     val bb = ByteBuffer.allocate(4 + buf.n * 8)
     bb.putInt(buf.n)
     var i = 0

@@ -126,7 +126,15 @@ object MinhashKernel extends Serializable {
     * reusable buffer — the only per-document allocations are the
     * signature array itself and (at most) one byte copy of the text.
     * Duplicate shingles need no dedup: duplicates cannot change a min.
-    * Byte-identical to [[sigReference]] (MinhashSpec). */
+    * Byte-identical to [[sigReference]] (MinhashSpec).
+    *
+    * Precondition: `text` holds VALID UTF-8 (true for anything Spark read
+    * from parquet/json/csv, whose decoders replace bad sequences on
+    * ingest). This path hashes the raw bytes, while [[sigReference]] and
+    * the declarative md5() pipeline round-trip through String — where
+    * malformed sequences become U+FFFD — so on invalid bytes the two
+    * would diverge. Feeding raw binary through a bytes→string cast must
+    * normalize first. */
   def sig(text: UTF8String, n: Int, k: Int): ArrayData = {
     val s = tlScratch.get()
     val tb = text.getBytes

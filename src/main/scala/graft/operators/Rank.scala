@@ -158,7 +158,10 @@ object Rank {
     val tie = split.head._1(1)._1
     def enc(parts: Seq[(Column, Boolean)]): Column = {
       val (m, asc) = parts(0)
-      (if (asc) m else -m).cast("double")
+      // cast BEFORE negating so a Long.MinValue metric cannot overflow the
+      // long negation under ANSI; for |m| < 2^53 the two forms are equal
+      val c0 = m.cast("double")
+      if (asc) c0 else -c0
     }
     val pid = "__go_pid"
     val lrn = "__go_lrn"
@@ -170,8 +173,17 @@ object Rank {
     val ranged = sel.repartitionByRange(partitions, col("dim"), col("k1"), col("tie"))
       .withColumn(pid, spark_partition_id()).persist()
     try {
-      val prof = ranged.groupBy(col(pid), col("dim")).agg(count(lit(1)).as("__n"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val profRows = ranged.groupBy(col(pid), col("dim"))
+        .agg(count(lit(1)).as("__n"), max(abs(col("k1"))).as("__mx"))
+        .collect()
+      // the long→double encoding is order-exact only for |metric| < 2^53;
+      // the fits gate checks types, not magnitude, so verify it on the
+      // profile we already pay for (2^53+1 casts to 2^53.0, so a strict <
+      // on the cast values is a sound witness for the originals) and fall
+      // back to the per-dim bucketCase path on huge keys (hashes / ids)
+      if (profRows.exists(r => !(r.getDouble(3) < 9007199254740992.0)))
+        return None
+      val prof = profRows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
       // per dim: (pid asc) prefix offsets → (pid, lrn) address of each B_b
       val locsByDim = split.indices.map { di =>
         val rows = prof.filter(_._2 == di).sortBy(_._1)

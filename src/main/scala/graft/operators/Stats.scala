@@ -176,6 +176,20 @@ object Stats {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     require(obs.length <= 10000,
       s"qStatChi2: observed grid ${obs.length} exceeds the driver-fold bound")
+    // the bound is types×7 cells: every gated corpus has single-digit
+    // event_type cardinality, so 10000 cells (~1428 types) is two orders
+    // of headroom; above it the right move is the DecimalType column
+    // form, not a bigger collect
+    if (obs.isEmpty) {
+      // empty scan: mirror the pre-r15 column form, which emitted nulls
+      // (0/0 folds would otherwise surface chi2=0, cramers_v=NaN)
+      s.range(1).select(
+        lit(null).cast("double").as("chi2"),
+        lit(null).cast("long").as("dof"),
+        lit(null).cast("double").as("cramers_v"),
+        lit(0L).as("n"))
+        .orderBy("chi2")
+    } else {
     val ets = obs.map(_._1).distinct.sorted
     val byCell = obs.map(c => ((c._1, c._2), c._3)).toMap
     val full = for (et <- ets; dw <- 0L to 6L)
@@ -202,6 +216,7 @@ object Stats {
         Num.roundd(sqrt(lit(x2raw) / lit(nn * math.min(ntypes - 1L, ncols - 1L)).cast("double")), 6).as("cramers_v"),
         lit(nn).as("n"))
       .orderBy("chi2")
+    }
   }
 
   /** Mutual information between event_type and ISO weekday, with the

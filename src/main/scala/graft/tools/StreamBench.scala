@@ -56,6 +56,16 @@ object StreamBench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence the RocksDB JNI info-log callback: Spark's state store wires
+    // native RocksDB logging back into log4j through LoggerJniCallback,
+    // whose Logv segfaulted a 100M-key run (r15's hs_err artifact). Spark
+    // picks the native InfoLogLevel from these loggers' effective levels,
+    // so OFF keeps the callback from ever firing on the hot path — a
+    // logging hook must not be able to take down a streaming job.
+    Seq("org.apache.spark.sql.execution.streaming.state.RocksDB",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBFileManager")
+      .foreach(n => org.apache.logging.log4j.core.config.Configurator.setLevel(
+        n, org.apache.logging.log4j.Level.OFF))
 
     def cpuTicks(): Option[(Long, Long)] =
       try {
