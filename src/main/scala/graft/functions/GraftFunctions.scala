@@ -171,6 +171,15 @@ object GraftFunctions {
   private val topkInfo = new ExpressionInfo(
     classOf[TopKAgg].getName, "graft_topk")
 
+  private val rangeTopkBuilder: Seq[Expression] => Expression = {
+    case Seq(lo, hi, c, i, k, slots) => RangeTopKAgg(lo, hi, c, i, k, slots)
+    case other => throw new IllegalArgumentException(
+      s"graft_range_topk expects 6 arguments, got ${other.size}")
+  }
+
+  private val rangeTopkInfo = new ExpressionInfo(
+    classOf[RangeTopKAgg].getName, "graft_range_topk")
+
   private val kmvBuilder: Seq[Expression] => Expression = {
     case Seq(h, k) => KmvAgg(h, k)
     case other => throw new IllegalArgumentException(
@@ -280,6 +289,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
       (FunctionIdentifier("graft_lttb"), lttbInfo, lttbBuilder),
       (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder),
+      (FunctionIdentifier("graft_range_topk"), rangeTopkInfo, rangeTopkBuilder),
       (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
       (FunctionIdentifier("graft_kmv_merge"), kmvMergeInfo, kmvMergeBuilder),
       (FunctionIdentifier("graft_kmv_est"), kmvEstInfo, kmvEstBuilder),

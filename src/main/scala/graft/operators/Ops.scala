@@ -540,46 +540,54 @@ object Ops {
   val qTsSlidingTopk: Q = (s, d) => {
     // Trailing-24h per-user counts WITHOUT the 24× presence explode
     // (ScaleBench r12: the exploded groupBy(w, user) shuffled 173M rows
-    // at 100× data): each active (user, hour, c) becomes ±c deltas at
-    // hi and hi+24; a per-user prefix sum over the SPARSE delta points
-    // is the trailing sum as a step function, and each non-zero step
-    // expands to exactly the grid hours it covers — the dense (w, user)
-    // coverage the semantics require, with no 24× multiplier and no
-    // users×720-row hash aggregate in front of it. Counts stay exact
-    // longs (sums of ±counts).
-    val uh = Tables.events(s, d)
-      .groupBy(col("user_id"),
+    // at 100× data): each event becomes ±1 deltas at hi and hi+24; a
+    // per-user prefix sum over the delta points is the trailing count as
+    // a step function, and each positive step is an INTERVAL of grid
+    // hours carrying one constant count — fed to the grid top-3 as an
+    // interval (graft_range_topk, r16), never expanded to a row per
+    // covered hour. Counts stay exact longs (sums of ±1).
+    // raw ±1 deltas straight off the scan — no pre-aggregate: the window
+    // shuffle is the query's ONLY exchange (r16; the previous shape paid a
+    // (user, hour) hash aggregate plus a re-aggregate of the delta union
+    // before the same sort). The running sum's default RANGE frame gives
+    // every row of an hi tie group the full tie-group sum, and non-last
+    // tie rows emit the empty interval [hi, hi-1], which addRange skips —
+    // so tie order cannot affect the result.
+    val deltas = Tables.events(s, d)
+      .select(col("user_id"),
         expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', date_trunc('hour', ts))")
-          .cast("long").as("hi"))
-      .agg(count(lit(1)).as("c"))
-    val deltas = uh.select(col("user_id"), col("hi"), col("c").as("dv"))
-      .unionAll(uh.select(col("user_id"), (col("hi") + 24L).as("hi"), (-col("c")).as("dv")))
-      .groupBy("user_id", "hi").agg(sum("dv").as("dv"))
+          .cast("long").as("hi0"))
+      .select(col("user_id"), explode(array(
+        struct(col("hi0").as("hi"), lit(1L).as("dv")),
+        struct((col("hi0") + 24L).as("hi"), lit(-1L).as("dv")))).as("e"))
+      .select(col("user_id"), col("e.hi").as("hi"), col("e.dv").as("dv"))
     val wu = Window.partitionBy("user_id").orderBy("hi")
     val steps = deltas
       .withColumn("cnt", sum("dv").over(wu))
       .withColumn("nhi", lead("hi", 1).over(wu))
-      // the final delta point always nets to 0 (every +c has its -c), so
-      // cnt > 0 implies nhi is present; cap the step at the grid end
+      // a cnt > 0 row always has a pending −1 delta after it (within 24 h),
+      // so nhi is present; cap the step at the grid end
       .filter(col("cnt") > 0 && col("hi") <= 719L)
-      .select(col("user_id"), col("cnt"),
-        explode(expr("sequence(hi, least(nhi - 1, CAST(719 AS BIGINT)))")).as("wi"))
-    // top-3 per window hour via the bounded mergeable aggregator, NOT a
-    // window sort: partitionBy(w) row_number had ≤720 distinct keys each
-    // holding every active user — at 100× users those partitions sort
-    // users-sized runs on ≤720-way parallelism (18.8× at 10× data).
-    // graft_topk keeps ≤3 entries per w as ONE JVM object per group
-    // (TypedImperativeAggregate under ObjectHashAggregate — no per-row
-    // buffer encode). Order (cnt desc, user asc) matches via (score=cnt,
-    // weight=cnt, id=user) — exact for counts < 2^53.
+      .select(col("hi"), least(col("nhi") - 1L, lit(719L)).as("ehi"),
+        col("cnt"), col("user_id"))
+    // top-3 per window hour WITHOUT re-introducing a row per covered
+    // hour: every positive step spans ≤24 grid hours (its expiring −c
+    // lands within 24 h of hi), so the old explode(sequence(hi, ehi)) +
+    // groupBy(wi) topk carried a ×24 row multiplier into the aggregate —
+    // the r15 #1 scale wall (56.7 s at the 100M-row slice). graft_range_topk
+    // offers each step INTERVAL to the 720-hour grid inside ONE mergeable
+    // state (720 × top-3; the common per-hour step is a single long
+    // compare against the slot's 3rd entry), map-side partials reduce
+    // every partition to ≤720·3 entries before a shuffle of partials,
+    // and counts stay exact longs end to end. Order (cnt desc, user asc)
+    // is the aggregate's native order.
     graft.functions.GraftFunctions.register(s)
-    steps.groupBy("wi")
-      .agg(call_function("graft_topk",
-        col("cnt").cast("double"), col("cnt"), col("user_id"), lit(3)).as("nb"))
-      .select(expr("timestampadd(HOUR, wi, TIMESTAMP_NTZ '2024-01-01 00:00:00')").as("w"),
-        posexplode(col("nb")))
-      .select(col("w"), (col("pos") + 1).cast("long").as("rk"),
-        col("col.id").as("user_id"), col("col.weight").as("cnt"))
+    steps
+      .agg(call_function("graft_range_topk", col("hi"), col("ehi"),
+        col("cnt"), col("user_id"), lit(3), lit(720)).as("nb"))
+      .select(explode(col("nb")).as("e"))
+      .select(expr("timestampadd(HOUR, e.wi, TIMESTAMP_NTZ '2024-01-01 00:00:00')").as("w"),
+        col("e.rk").as("rk"), col("e.id").as("user_id"), col("e.cnt").as("cnt"))
       .orderBy("w", "rk")
   }
 

@@ -208,6 +208,65 @@ class FunctionsSpec extends SparkSuite {
     assert(topk(7) == one, "merge across partitions must equal single-partition result")
   }
 
+  test("graft_range_topk: interval offers — clipping, ties, empty intervals, merge invariance") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // slots=6, k=2; intervals clip to [0, 5], (cnt desc, id asc) per slot,
+    // an empty interval (lo > hi) and a null row contribute nothing
+    val rows: Seq[(java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Long)] = Seq(
+      (0L, 3L, 5L, 1L), (2L, 4L, 5L, 2L), (1L, 1L, 9L, 3L),
+      (-2L, 0L, 7L, 4L), (5L, 9L, 2L, 5L), (4L, 3L, 8L, 6L),
+      (null, 2L, 1L, 7L))
+    def run(parts: Int) =
+      rows.toDF("lo", "hi", "c", "i").repartition(parts)
+        .agg(expr("graft_range_topk(lo, hi, c, i, 2, 6)").as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.wi"), col("e.rk"), col("e.id"), col("e.cnt"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val one = run(1)
+    assert(one == Seq(
+      (0L, 1L, 4L, 7L), (0L, 2L, 1L, 5L),
+      (1L, 1L, 3L, 9L), (1L, 2L, 1L, 5L),
+      (2L, 1L, 1L, 5L), (2L, 2L, 2L, 5L),
+      (3L, 1L, 1L, 5L), (3L, 2L, 2L, 5L),
+      (4L, 1L, 2L, 5L),
+      (5L, 1L, 5L, 2L)), s"got $one")
+    assert(run(7) == one, "merge across partitions must equal single-partition result")
+  }
+
+  test("graft_range_topk ≡ explode(sequence) + grouped graft_topk on a deterministic workload") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // 500 intervals from a fixed congruence (ids unique, some out-of-grid,
+    // some empty): the interval-offer aggregate must equal the row-per-slot
+    // explode it replaces, slot for slot, rank for rank
+    val slots = 40
+    val rows = (0 until 500).map { i =>
+      val lo = (i * 37 % 50) - 5L
+      (lo, lo + (i * 13 % 9) - 1L, (i * 7 % 20) + 1L, i.toLong)
+    }
+    val df = rows.toDF("lo", "hi", "c", "i")
+    val got = df.repartition(7)
+      .agg(expr(s"graft_range_topk(lo, hi, c, i, 3, $slots)").as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.wi"), col("e.rk"), col("e.id"), col("e.cnt"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = df
+      // keep only grid-intersecting intervals, else the clipped sequence
+      // would run DESCENDING and fabricate slots
+      .filter(col("lo") <= col("hi") && col("hi") >= 0 && col("lo") <= (slots - 1))
+      .select(explode(expr(s"sequence(greatest(lo, 0L), least(hi, ${slots - 1}L))")).as("wi"),
+        col("c"), col("i"))
+      .groupBy("wi")
+      .agg(expr("graft_topk(cast(c as double), c, i, 3)").as("t"))
+      .select(col("wi"), posexplode(col("t")))
+      .select(col("wi"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id"), col("col.weight"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && got == want,
+      s"range form diverges from explode form: got ${got.take(5)}… want ${want.take(5)}…")
+  }
+
   test("Num.roundd preserves the IEEE sign bit on zero, like DuckDB's copysign round") {
     import graft.operators.Num
     import spark.implicits._
