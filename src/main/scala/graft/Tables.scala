@@ -40,6 +40,11 @@ object Tables {
 
   private def memo(spark: SparkSession, sfDir: String, name: String)(
       load: => DataFrame): DataFrame = {
+    // every catalog query loads at least one table, so registering the
+    // function pack here makes graft_* resolvable inside any operator's
+    // expr() fragments (e.g. Dedup.h60) without per-site register calls;
+    // re-registration costs one set lookup (GraftFunctions.register)
+    graft.functions.GraftFunctions.register(spark)
     val path = s"$sfDir/$name.parquet"
     val stamp = new java.io.File(path).lastModified() // one stat, ~µs
     resolved.computeIfAbsent((spark, path, stamp), _ => load)

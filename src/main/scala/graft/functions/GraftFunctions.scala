@@ -171,6 +171,23 @@ object GraftFunctions {
   private val topkInfo = new ExpressionInfo(
     classOf[TopKAgg].getName, "graft_topk")
 
+  private val h60Builder: Seq[Expression] => Expression = {
+    case Seq(x) => H60(x)
+    case other => throw new IllegalArgumentException(
+      s"graft_h60 expects 1 argument, got ${other.size}")
+  }
+
+  private val h60Info = new ExpressionInfo(classOf[H60].getName, "graft_h60")
+
+  private val docGramsBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n, seed) => DocGramsH60(t, n, seed)
+    case other => throw new IllegalArgumentException(
+      s"graft_doc_grams expects 3 arguments, got ${other.size}")
+  }
+
+  private val docGramsInfo = new ExpressionInfo(
+    classOf[DocGramsH60].getName, "graft_doc_grams")
+
   private val rangeTopkBuilder: Seq[Expression] => Expression = {
     case Seq(lo, hi, c, i, k, slots) => RangeTopKAgg(lo, hi, c, i, k, slots)
     case other => throw new IllegalArgumentException(
@@ -290,6 +307,8 @@ object GraftFunctions {
       (FunctionIdentifier("graft_lttb"), lttbInfo, lttbBuilder),
       (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder),
       (FunctionIdentifier("graft_range_topk"), rangeTopkInfo, rangeTopkBuilder),
+      (FunctionIdentifier("graft_h60"), h60Info, h60Builder),
+      (FunctionIdentifier("graft_doc_grams"), docGramsInfo, docGramsBuilder),
       (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
       (FunctionIdentifier("graft_kmv_merge"), kmvMergeInfo, kmvMergeBuilder),
       (FunctionIdentifier("graft_kmv_est"), kmvEstInfo, kmvEstBuilder),

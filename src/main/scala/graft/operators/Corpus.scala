@@ -548,29 +548,81 @@ object Corpus {
     * ranked by spread. Production substring dedup removes these spans;
     * the report is the audit view of the same index.
     *
-    * Scale shape: shingling is a per-row generator (≤ tokens−7 grams per
-    * doc — linear in corpus tokens, like the MinHash shingle stage), then
-    * ONE map-side-combining hash aggregate on the gram. At 100 TB the
-    * gram key is a 64-bit rolling hash instead of the string (8× smaller
-    * shuffle, same counts — the winnowing/fingerprint device already in
-    * [[TextAnalysis]]); the string form here keeps the oracle readable.
-    * The final TakeOrdered head is the only global step. */
-  val qTextSubstringDup: Q = (s, d) =>
-    Tables.documents(s, d)
+    * Scale shape (r16 — the documented 64-bit shuffle diet, landed):
+    * shingling is a per-row generator (≤ tokens−7 grams per doc — linear
+    * in corpus tokens, like the MinHash shingle stage), but the grams
+    * enter BOTH aggregate levels as the 60-bit md5 hash ([[Dedup.h60]],
+    * mirrored verbatim in the oracle), so the big shuffle carries
+    * 16-byte (hash, doc) rows instead of ~60-byte gram strings. The ≤50
+    * winning gram TEXTS are recovered by a second pass over ONLY the
+    * docs that contain a winner (each winner carries min(doc_id); the
+    * id filter pushes into the scan), after a TakeOrdered(50) picks the
+    * (n_docs, n_occur) threshold and the tie-inclusive superset collects
+    * under a loud 100k bound. A 60-bit collision would merge two grams'
+    * counts in both engines alike; the recovered text is then min(gram)
+    * within the winner's min-doc (oracle: global min) — divergence needs
+    * a collision among winners, ~2⁻⁶¹·|grams|² and caught loudly by the
+    * hash gate if it ever fired. */
+  val qTextSubstringDup: Q = (s, d) => {
+    val gh = Dedup.h60("'sd'", "array_join(slice(tk, i, 8), ' ')")
+    def grams(base: DataFrame) = base
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("tk"))
       .filter(size(col("tk")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))")).as("gram"))
-      // two-level aggregate instead of countDistinct: (gram, doc) pairs
-      // collapse map-side BEFORE the shuffle (a distinct-agg would expand
-      // to a two-phase plan with no partial combine on the raw explode),
-      // then n_docs is a plain count over the pre-deduped pairs
-      .groupBy("gram", "doc_id").agg(count(lit(1)).as("n"))
-      .groupBy("gram")
-      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_occur"))
+    // graft_doc_grams performs the (gh, doc) level INSIDE the generator
+    // (distinct grams with in-doc counts, h60 of the raw byte range — no
+    // array_join string build, no per-position row, and the level-1
+    // exchange is GONE): the only shuffle is the (gh) aggregate, at one
+    // 24-byte row per distinct (doc, gram)
+    val lvl2 = Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_doc_grams(text, 8, 'sd')"))
+      .groupBy("gh")
+      .agg(count(lit(1)).as("n_docs"), sum("cnt").as("n_occur"),
+        min("doc_id").as("d0"))
       .filter(col("n_docs") >= 2)
-      .orderBy(col("n_docs").desc, col("n_occur").desc, col("gram"))
-      .limit(50)
+    // ONE TakeOrdered decides the tie-inclusive top-50 superset in the
+    // common case: collect a 4096-row head; unless the 4096th row still
+    // ties the 50th's (n_docs, n_occur) — pathological tie mass — the
+    // boundary group is fully inside the head and the superset cuts
+    // driver-side. The rare fallback pays a second full pass (no persist:
+    // caching lvl2 for a branch that almost never runs costs more than
+    // the branch).
+    val win = {
+      val head = lvl2.orderBy(col("n_docs").desc, col("n_occur").desc)
+        .limit(4096).collect()
+      if (head.length <= 50) head
+      else {
+        val i = math.min(50, head.length) - 1
+        val (tn, to) = (head(i).getLong(1), head(i).getLong(2))
+        def ties(r: org.apache.spark.sql.Row) =
+          r.getLong(1) > tn || (r.getLong(1) == tn && r.getLong(2) >= to)
+        if (head.length < 4096 || !ties(head.last)) head.takeWhile(ties)
+        else {
+          val sup = lvl2.filter(col("n_docs") > tn ||
+            (col("n_docs") === tn && col("n_occur") >= to)).collect()
+          require(sup.length <= 100000,
+            s"qTextSubstringDup: ${sup.length} grams tie into the top-50 " +
+              "boundary — exceeds the driver manifest bound")
+          sup
+        }
+      }
+    }
+    import s.implicits._
+    if (win.isEmpty) Seq.empty[(String, Long, Long)].toDF("gram", "n_docs", "n_occur")
+    else {
+      val winDf = win.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("gh", "n_docs", "n_occur")
+      val rep = grams(Tables.documents(s, d)
+          .filter(col("doc_id").isInCollection(win.map(_.getLong(3)).distinct.toSeq)))
+        .select(explode(expr(
+          s"transform(sequence(1, size(tk) - 7), i -> struct($gh AS gh, array_join(slice(tk, i, 8), ' ') AS gram))")).as("e"))
+        .filter(col("e.gh").isInCollection(win.map(_.getLong(0)).toSeq))
+        .groupBy(col("e.gh").as("gh")).agg(min(col("e.gram")).as("gram"))
+      rep.join(broadcast(winDf), "gh")
+        .select("gram", "n_docs", "n_occur")
+        .orderBy(col("n_docs").desc, col("n_occur").desc, col("gram"))
+        .limit(50)
+    }
+  }
 
   // ---- catalog ------------------------------------------------------------
 
@@ -578,9 +630,13 @@ object Corpus {
     ("q_text_substring_dup", qTextSubstringDup, Some(
       "WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') tk FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))) gram " +
-        "FROM t WHERE len(tk) >= 8) " +
-        "SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) n_docs, CAST(count(*) AS BIGINT) n_occur " +
-        "FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2 " +
+        "FROM t WHERE len(tk) >= 8), " +
+        "h AS (SELECT doc_id, gram, CAST('0x' || substr(md5('sd' || ':' || gram), 1, 15) AS BIGINT) gh FROM g), " +
+        "l1 AS (SELECT gh, doc_id, CAST(count(*) AS BIGINT) n FROM h GROUP BY 1, 2), " +
+        "l2 AS (SELECT gh, CAST(count(*) AS BIGINT) n_docs, CAST(sum(n) AS BIGINT) n_occur " +
+        "FROM l1 GROUP BY 1 HAVING count(*) >= 2), " +
+        "rep AS (SELECT gh, min(gram) gram FROM h GROUP BY 1) " +
+        "SELECT rep.gram, n_docs, n_occur FROM l2 JOIN rep USING (gh) " +
         "ORDER BY n_docs DESC, n_occur DESC, gram LIMIT 50")),
     ("q_profile_stats", qProfileStats, Some(
       "WITH a AS (SELECT count(*) n_rows, " +

@@ -27,9 +27,17 @@ object Dedup {
 
   /** 60-bit md5-derived hash (SQL fragment), seeded; reproducible in
     * DuckDB as CAST('0x'||substr(md5(seed||':'||x),1,15) AS BIGINT). Shared
-    * by the sketch operators and the oracle-backed catalog queries. */
+    * by the sketch operators and the oracle-backed catalog queries.
+    *
+    * r16: emits the native [[graft.functions.H60]] (byte-identical to the
+    * previous `conv(substr(md5(..), 1, 15), 16, 10)` chain, pinned in
+    * FunctionsSpec) — the declarative chain allocated MessageDigest +
+    * hex-string + substr per row, the dominant constant of every gram /
+    * shingle / per-event hash pipeline. Registration is universal:
+    * [[graft.Tables]] registers the function pack on every table load,
+    * so any query embedding this fragment can resolve it. */
   private[graft] def h60(seedExpr: String, x: String) =
-    s"cast(conv(substr(md5(concat($seedExpr, ':', $x)), 1, 15), 16, 10) as bigint)"
+    s"graft_h60(concat($seedExpr, ':', $x))"
 
   /** Distinct word-`n`-gram shingles of `textCol` as column `shingles`. */
   def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
@@ -199,6 +207,21 @@ object Dedup {
     * longs/doc vs shingle arrays at hundreds of strings/doc, so the
     * prefilter join is an order of magnitude lighter per row than the
     * verify join it starves. */
+  /** Corpus-build artifacts memoized per (docs frame, params) — r16
+    * (VERDICT r15 #7): the cascade trio (lsh_verified / cluster /
+    * survivors) runs the SAME sketch + screen over the SAME corpus, and
+    * the screen's three fixture-scale localCheckpoints tripled per
+    * query. Tables memoizes loaders by (session, path, stamp) and
+    * returns one frame INSTANCE per table, so keying on the docs frame's
+    * reference identity inherits that freshness: a rewritten fixture dir
+    * yields a new frame and a new memo entry. Checkpoint blocks are
+    * executor-local and die with the session; entries are
+    * few-per-session (one per corpus dir × param set). */
+  private val sigMemo =
+    new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String, Int, Int), DataFrame]()
+  private val preMemo =
+    new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String, Double, Int, Int, Int, Int), DataFrame]()
+
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double,
                    numHashes: Int = 32, bands: Int = 8, n: Int = 3,
                    estHashes: Int = 64): DataFrame = {
@@ -209,25 +232,28 @@ object Dedup {
     // re-sketches the corpus — the measured wall of the 100M-doc slice
     // (ProbeDedup r15). Checkpointed state is (id, sig): ~8·estHashes
     // bytes/doc, executor-local, corpus-linear.
-    val sigsE = minHashFromText(docs.select(col(idCol), col(textCol)), textCol, eh, n)
-      .localCheckpoint()
+    val sigsE = sigMemo.computeIfAbsent((docs, idCol, textCol, eh, n), _ =>
+      minHashFromText(docs.select(col(idCol), col(textCol)), textCol, eh, n)
+        .localCheckpoint())
     val sigs =
       if (eh == numHashes) sigsE
       else sigsE.withColumn("sig", expr(s"slice(sig, 1, $numHashes)"))
-    val cands = lshCandidates(sigs, idCol, bands)
-    val minAgree = prefilterMinAgree(threshold, eh)
-    val pre =
-      (if (minAgree <= 0) cands
-      else {
-        val ea = sigsE.select(col(idCol).as("id_a"), col("sig").as("__ea"))
-        val eb = sigsE.select(col(idCol).as("id_b"), col("sig").as("__eb"))
-        // compiled agreement count (graft_sig_agree): the HOF form costs
-        // ~µs/lambda × positions × candidates — more than the verify work
-        // it saves at corpus scale (measured at the 1000× slice)
-        cands.join(ea, "id_a").join(eb, "id_b")
-          .filter(expr(s"graft_sig_agree(__ea, __eb) >= $minAgree"))
-          .select("id_a", "id_b")
-      }).localCheckpoint() // consumed 3× below (needed + both verify sides)
+    val pre = preMemo.computeIfAbsent(
+      (docs, idCol, textCol, threshold, numHashes, bands, n, eh), _ => {
+        val cands = lshCandidates(sigs, idCol, bands)
+        val minAgree = prefilterMinAgree(threshold, eh)
+        (if (minAgree <= 0) cands
+        else {
+          val ea = sigsE.select(col(idCol).as("id_a"), col("sig").as("__ea"))
+          val eb = sigsE.select(col(idCol).as("id_b"), col("sig").as("__eb"))
+          // compiled agreement count (graft_sig_agree): the HOF form costs
+          // ~µs/lambda × positions × candidates — more than the verify work
+          // it saves at corpus scale (measured at the 1000× slice)
+          cands.join(ea, "id_a").join(eb, "id_b")
+            .filter(expr(s"graft_sig_agree(__ea, __eb) >= $minAgree"))
+            .select("id_a", "id_b")
+        }).localCheckpoint() // consumed 3× below (needed + both verify sides)
+      })
     // verify-side pruning: only docs that still appear in a screened pair
     // need shingling — the corpus-wide shingle explode + shuffle was the
     // verify stage's real cost, not the per-pair intersections. The

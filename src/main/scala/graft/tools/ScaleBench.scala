@@ -57,7 +57,11 @@ object ScaleBench {
   val llmHead: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_cluster", "q_dedup_lsh_verified",
     "q_dedup_incremental", "q_emb_semdedup_scaled", "q_ann_batch_multiprobe",
-    "q_text_quality", "q_sim_topk")
+    "q_text_quality", "q_sim_topk",
+    // r16: the 64-bit gram-hash shuffle diet's scale evidence — the
+    // substring-dedup audit report is corpus-gram-shaped like the
+    // contamination screen, and its big shuffle now carries 16-byte rows
+    "q_text_substring_dup")
 
   /** Geo head: customers scale with the factor (distinct key-derived
     * points per copy — see slice()), suppliers stay fixed (the fence/

@@ -208,6 +208,53 @@ class FunctionsSpec extends SparkSuite {
     assert(topk(7) == one, "merge across partitions must equal single-partition result")
   }
 
+  test("graft_h60 ≡ the declarative conv(substr(md5)) chain on boundary and multibyte inputs") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // md5 padding boundaries (55/56/63/64/119/120 bytes), empties,
+    // multibyte UTF-8, and a null — the kernel must match the declarative
+    // chain bit for bit everywhere the engine hashes
+    val cases: Seq[String] = Seq(
+      "", "a", "abc", "héllo wörld 😀", "?:?", "sd:one two three",
+      "x" * 55, "x" * 56, "x" * 57, "x" * 63, "x" * 64, "x" * 65,
+      "x" * 119, "x" * 120, "x" * 121, "é" * 40, null)
+    val df = cases.toDF("s")
+      .selectExpr("s", "graft_h60(s) fast",
+        "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) slow")
+      .as[(String, java.lang.Long, java.lang.Long)].collect()
+    df.foreach { case (s, fast, slow) =>
+      assert(fast == slow, s"graft_h60 mismatch on ${Option(s).map(_.take(20))}: $fast vs $slow")
+    }
+    assert(df.count(_._2 == null) == 1, "null input must stay null")
+  }
+
+  test("graft_doc_grams ≡ per-doc rollup of the declarative gram explode (split/join parity)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // repeated grams (cnt > 1), a double space (empty word — split/join
+    // byte parity), a too-short doc, a null, and multibyte words
+    val docs: Seq[(Long, String)] = Seq(
+      (1L, "a b c d e f g h i a b c d e f g h i"),
+      (2L, "one two  three four five six seven eight nine"),
+      (3L, "too short"), (4L, null), (5L, "é ü ö 😀 x y z w q r s"))
+    val df = docs.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), expr("graft_doc_grams(text, 8, 'sd')"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = df
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 7), i -> " +
+          "graft_h60(concat('sd', ':', array_join(slice(tk, i, 8), ' '))))")).as("gh"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && got == want,
+      s"doc_grams diverges: got ${got.take(3)}… want ${want.take(3)}…")
+    assert(got.map(_._1).distinct.sorted == Seq(1L, 2L, 5L),
+      "short and null docs must emit nothing")
+    assert(got.exists(_._3 > 1L), "repeated grams must carry in-doc counts")
+  }
+
   test("graft_range_topk: interval offers — clipping, ties, empty intervals, merge invariance") {
     GraftFunctions.register(spark)
     import spark.implicits._
