@@ -563,22 +563,29 @@ object Corpus {
     * within the winner's min-doc (oracle: global min) — divergence needs
     * a collision among winners, ~2⁻⁶¹·|grams|² and caught loudly by the
     * hash gate if it ever fired. */
-  val qTextSubstringDup: Q = (s, d) => {
-    val gh = Dedup.h60("'sd'", "array_join(slice(tk, i, 8), ' ')")
-    def grams(base: DataFrame) = base
-      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("tk"))
-      .filter(size(col("tk")) >= 8)
-    // graft_doc_grams performs the (gh, doc) level INSIDE the generator
-    // (distinct grams with in-doc counts, h60 of the raw byte range — no
-    // array_join string build, no per-position row, and the level-1
-    // exchange is GONE): the only shuffle is the (gh) aggregate, at one
-    // 24-byte row per distinct (doc, gram)
-    val lvl2 = Tables.documents(s, d)
+  /** The corpus-sized half of [[qTextSubstringDup]]: graft_doc_grams
+    * performs the (gh, doc) level INSIDE the generator (distinct grams
+    * with in-doc counts, h60 of the raw byte range — no array_join
+    * string build, no per-position row, and the level-1 exchange is
+    * GONE), so the only shuffle is the (gh) aggregate, at one 24-byte
+    * row per distinct (doc, gram). PlanSpec pins this plan join-free
+    * and single-exchange. */
+  private[graft] def substringDupLvl2(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), expr("graft_doc_grams(text, 8, 'sd')"))
       .groupBy("gh")
       .agg(count(lit(1)).as("n_docs"), sum("cnt").as("n_occur"),
         min("doc_id").as("d0"))
       .filter(col("n_docs") >= 2)
+  }
+
+  val qTextSubstringDup: Q = (s, d) => {
+    val gh = Dedup.h60("'sd'", "array_join(slice(tk, i, 8), ' ')")
+    def grams(base: DataFrame) = base
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("tk"))
+      .filter(size(col("tk")) >= 8)
+    val lvl2 = substringDupLvl2(Tables.documents(s, d))
     // ONE TakeOrdered decides the tie-inclusive top-50 superset in the
     // common case: collect a 4096-row head; unless the 4096th row still
     // ties the 50th's (n_docs, n_occur) — pathological tie mass — the

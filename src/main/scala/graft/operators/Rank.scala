@@ -170,7 +170,13 @@ object Rank {
           struct(lit(di).as("dim"), enc(parts).as("k1"), tie.as("tie"))
       }: _*)).as("e"))
       .select(col("e.dim").as("dim"), col("e.k1").as("k1"), col("e.tie").as("tie"))
+    // sortWithinPartitions at materialization: the cache then holds each
+    // range partition in (dim, k1, tie) order, so the boundary fetch is a
+    // shuffle-free positional WALK of the cache (r16) — the previous
+    // row_number window re-exchanged the whole ×dims frame on (pid, dim)
+    // and re-sorted it, the fused path's biggest job
     val ranged = sel.repartitionByRange(partitions, col("dim"), col("k1"), col("tie"))
+      .sortWithinPartitions(col("dim"), col("k1"), col("tie"))
       .withColumn(pid, spark_partition_id()).persist()
     try {
       val profRows = ranged.groupBy(col(pid), col("dim"))
@@ -204,15 +210,25 @@ object Rank {
       val cases: Seq[(String, Column)] =
         if (allLocs.isEmpty) split.map { case (_, _, name) => name -> lit(1L) }
         else {
-          val w = Window.partitionBy(col(pid), col("dim")).orderBy(col("k1"), col("tie"))
-          val cutRows = ranged.withColumn(lrn, row_number().over(w).cast("long"))
-            .filter(allLocs.map { case (p, di, l) =>
-              col(pid) === lit(p) && col("dim") === lit(di) && col(lrn) === lit(l)
-            }.reduce(_ || _))
-            .select(col(pid), col("dim"), col(lrn), col("k1"), col("tie"))
-            .collect()
-          val keyAt = cutRows.map(r =>
-            ((r.getInt(0), r.getInt(1), r.getLong(2)), Seq[Any](r.getDouble(3), r.getLong(4)))).toMap
+          // positional walk of the sorted cache: per partition, count rows
+          // per dim in order and emit exactly the (dim, local-rank) hits —
+          // no exchange, no sort, ≤ dims·(k−1) rows back
+          val targets: Map[(Int, Int), Set[Long]] = allLocs
+            .groupBy(l => (l._1, l._2)).view.mapValues(_.map(_._3).toSet).toMap
+          val cutRows = ranged.select(col(pid), col("dim"), col("k1"), col("tie"))
+            .rdd.mapPartitions { it =>
+              val seen = scala.collection.mutable.Map.empty[Int, Long]
+              it.flatMap { r =>
+                val p = r.getInt(0); val di = r.getInt(1)
+                val c = seen.getOrElse(di, 0L) + 1L
+                seen(di) = c
+                if (targets.get((p, di)).exists(_.contains(c)))
+                  Iterator(((p, di, c), (r.getDouble(2), r.getLong(3))))
+                else Iterator.empty
+              }
+            }.collect()
+          val keyAt = cutRows.map { case (k, (k1, t)) =>
+            (k, Seq[Any](k1, t)) }.toMap
           split.zipWithIndex.map { case ((parts, k, name), di) =>
             val dimEnc = Seq((enc(parts), true), (tie, true))
             val c =

@@ -344,15 +344,31 @@ class PlanSpec extends SparkSuite {
       s"w6 and w24 frames must share one Window operator:\n$p")
   }
 
-  test("substring dup: shingle explode feeds one map-side-combining gram aggregate") {
+  test("substring dup: big pass is one generator + one exchange; rebuild joins only the bounded winners") {
+    // corpus-sized half (r16): the doc_grams generator pre-rolls the
+    // (gh, doc) level per document, so the big pass has NO join and
+    // exactly ONE exchange — the (gh) aggregate
+    val big = plan(graft.operators.Corpus.substringDupLvl2(
+      graft.Tables.documents(spark, sf0001)))
+    assert(!"(?i)(sortmergejoin|hashjoin|nestedloopjoin|cartesianproduct)".r.findFirstIn(big).isDefined,
+      s"no join in the corpus-sized pass:\n$big")
+    assert(big.contains("graft_doc_grams"), s"the native generator must drive it:\n$big")
+    assert("FileScan parquet".r.findAllIn(big).length == 1, s"one corpus scan:\n$big")
+    assert("(?i)Exchange hashpartitioning".r.findAllIn(big).length == 1,
+      s"the (gh) aggregate is the only exchange:\n$big")
+    // returned plan = the text-recovery rebuild: the doc_id winner filter
+    // must push into the scan, the winner join must broadcast, and
+    // nothing may sort-merge or go cartesian
     val p = plan(graft.operators.Corpus.qTextSubstringDup(spark, sf0001))
-    // match join OPERATORS, not the substring ("array_join" is in the shingler)
-    assert(!"(?i)(sortmergejoin|hashjoin|nestedloopjoin|cartesianproduct)".r.findFirstIn(p).isDefined,
-      s"no self-join in shingling:\n$p")
-    assert("FileScan parquet".r.findAllIn(p).length == 1, s"one corpus scan:\n$p")
-    val gen = p.indexOf("Generate")
-    val aggEx = "(?i)Exchange hashpartitioning".r.findAllIn(p).length
-    assert(gen >= 0 && aggEx <= 2, s"gram agg + TakeOrdered only (got $aggEx exchanges):\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length <= 1, s"at most one rebuild scan:\n$p")
+    if (p.contains("FileScan")) {
+      assert("PushedFilters: \\[[^\\]]*In\\(doc_id".r.findFirstIn(p).isDefined ||
+        p.contains("doc_id#") && p.contains("INSET"),
+        s"the winner doc filter must reach the scan:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"winner counts must broadcast:\n$p")
+    }
+    assert(!"(?i)(sortmergejoin|nestedloopjoin|cartesianproduct)".r.findFirstIn(p).isDefined,
+      s"no sort-merge / cartesian in the rebuild:\n$p")
   }
 
   test("keyset pagination: cursor predicate reaches the scan, sort+limit is TakeOrdered") {
