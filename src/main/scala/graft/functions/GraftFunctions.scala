@@ -188,6 +188,15 @@ object GraftFunctions {
   private val docGramsInfo = new ExpressionInfo(
     classOf[DocGramsH60].getName, "graft_doc_grams")
 
+  private val bootSumsBuilder: Seq[Expression] => Expression = {
+    case Seq(h1, h2, c, k) => BootSumsAgg(h1, h2, c, k)
+    case other => throw new IllegalArgumentException(
+      s"graft_boot_sums expects 4 arguments, got ${other.size}")
+  }
+
+  private val bootSumsInfo = new ExpressionInfo(
+    classOf[BootSumsAgg].getName, "graft_boot_sums")
+
   private val rangeTopkBuilder: Seq[Expression] => Expression = {
     case Seq(lo, hi, c, i, k, slots) => RangeTopKAgg(lo, hi, c, i, k, slots)
     case other => throw new IllegalArgumentException(
@@ -309,6 +318,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_range_topk"), rangeTopkInfo, rangeTopkBuilder),
       (FunctionIdentifier("graft_h60"), h60Info, h60Builder),
       (FunctionIdentifier("graft_doc_grams"), docGramsInfo, docGramsBuilder),
+      (FunctionIdentifier("graft_boot_sums"), bootSumsInfo, bootSumsBuilder),
       (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
       (FunctionIdentifier("graft_kmv_merge"), kmvMergeInfo, kmvMergeBuilder),
       (FunctionIdentifier("graft_kmv_est"), kmvEstInfo, kmvEstBuilder),

@@ -342,16 +342,20 @@ object Stats {
       .withColumn("h2",
         expr("pmod(cast(conv(substr(__dig, 16, 15), 16, 10) as bigint), 1000003)"))
       .drop("__dig")
-    val u = expr("(pmod(h1 + b * h2, 1000000) + 0.5) / 1000000.0")
-    // cumulative Poisson(1) CDF at k = 0..5, 6-dp shared literals
-    val w = when(col("u") < 0.367879, 0L).when(col("u") < 0.735759, 1L)
-      .when(col("u") < 0.919699, 2L).when(col("u") < 0.981012, 3L)
-      .when(col("u") < 0.996340, 4L).when(col("u") < 0.999406, 5L).otherwise(6L)
-    val means = x.withColumn("b", explode(expr("sequence(0L, 31L)")))
-      .withColumn("u", u).withColumn("w", w)
-      .groupBy("b").agg(sum(col("w") * col("cents")).as("swx"), sum("w").as("sw"))
-      .select(when(col("sw") > 0L, Num.roundd(
-        col("swx").cast("double") / (col("sw") * 100L).cast("double"), 6)).as("m"))
+    // r16: the ×32 replicate fan-out stays INSIDE one aggregate row-loop —
+    // graft_boot_sums derives each replicate's Poisson weight and keeps
+    // Σ w·cents / Σ w per replicate in a 64-long buffer (exact longs,
+    // order-free; operand-identical u and CDF thresholds), so the
+    // exchange carries 64 partial longs per partition instead of 32× the
+    // corpus rows through explode + hash-agg machinery. (A transform()
+    // HOF variant measured 4× WORSE than the explode — interpreted
+    // lambda per element — hence the fused native.)
+    val sums = x.agg(call_function("graft_boot_sums",
+      col("h1"), col("h2"), col("cents"), lit(32)).as("bs"))
+    val means = sums
+      .select(explode(col("bs")).as("z"))
+      .select(when(col("z.sw") > 0L, Num.roundd(
+        col("z.swx").cast("double") / (col("z.sw") * 100L).cast("double"), 6)).as("m"))
       .filter(col("m").isNotNull)
     val full = x.agg(count(lit(1)).as("n"),
       Num.roundd(sum("cents").cast("double") / (count(lit(1)) * 100L).cast("double"), 6).as("mean_full"))

@@ -208,6 +208,33 @@ class FunctionsSpec extends SparkSuite {
     assert(topk(7) == one, "merge across partitions must equal single-partition result")
   }
 
+  test("graft_boot_sums ≡ exploded replicate weights (operand-identical u and CDF cuts)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // fixed congruential h1/h2 spanning the u range, plus a null row
+    val rows: Seq[(java.lang.Long, java.lang.Long, java.lang.Long)] =
+      (0 until 200).map { i =>
+        (java.lang.Long.valueOf((i * 982451653L) % (1L << 60)),
+         java.lang.Long.valueOf((i * 29996224275833L) % 1000003L),
+         java.lang.Long.valueOf((i * 37 % 5000).toLong))
+      } :+ ((null, 1L, 2L))
+    val df = rows.toDF("h1", "h2", "cents")
+    val got = df.repartition(5)
+      .agg(expr("graft_boot_sums(h1, h2, cents, 8)").as("bs"))
+      .select(posexplode(col("bs")))
+      .select(col("pos").cast("long").as("b"), col("col.swx"), col("col.sw"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = df.filter(col("h1").isNotNull)
+      .withColumn("b", explode(expr("sequence(0L, 7L)")))
+      .withColumn("u", expr("(pmod(h1 + b * h2, 1000000) + 0.5) / 1000000.0"))
+      .withColumn("w", when(col("u") < 0.367879, 0L).when(col("u") < 0.735759, 1L)
+        .when(col("u") < 0.919699, 2L).when(col("u") < 0.981012, 3L)
+        .when(col("u") < 0.996340, 4L).when(col("u") < 0.999406, 5L).otherwise(6L))
+      .groupBy("b").agg(sum(col("w") * col("cents")).as("swx"), sum("w").as("sw"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && got == want, s"boot sums diverge: got $got want $want")
+  }
+
   test("graft_h60 ≡ the declarative conv(substr(md5)) chain on boundary and multibyte inputs") {
     GraftFunctions.register(spark)
     import spark.implicits._
