@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Change, Corpus, Features, Fit, Geo, Graphs, Llm, LlmScale, Mining, Ops, Promql, PromqlFront, Quality, Relational, Retrieval, Signal, Sketches, Sre, Stats, Survival, TimeSeries, Token}
+import graft.operators.{Analytics, Change, Corpus, Features, Fit, Geo, Graphs, Llm, LlmScale, Mining, Ops, Promql, PromqlFront, Quality, Relational, Retrieval, Signal, Sketches, Sre, Stats, Survival, TimeSeries, Token, Mix}
 import graft.sources.IngestQueries
 import graft.streaming.StreamingQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     (Relational.all ++ TimeSeries.all ++ Llm.all ++ Analytics.all).map { case (n, q, o) => (n, q, Some(o)) } ++
-      StreamingQueries.all ++ LlmScale.all ++ Sketches.all ++ IngestQueries.all ++ Corpus.all ++ Ops.all ++ Signal.all ++ Graphs.all ++ Retrieval.all ++ Features.all ++ Promql.all ++ PromqlFront.all ++ Sre.all ++ Quality.all ++ Fit.all ++ Mining.all ++ Change.all ++ Stats.all ++ Survival.all ++ Geo.all ++ Token.all
+      StreamingQueries.all ++ LlmScale.all ++ Sketches.all ++ IngestQueries.all ++ Corpus.all ++ Ops.all ++ Signal.all ++ Graphs.all ++ Retrieval.all ++ Features.all ++ Promql.all ++ PromqlFront.all ++ Sre.all ++ Quality.all ++ Fit.all ++ Mining.all ++ Change.all ++ Stats.all ++ Survival.all ++ Geo.all ++ Token.all ++ Mix.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -44,7 +44,7 @@ class CatalogSpec extends SparkSuite {
         graft.operators.Fit.all.size, graft.operators.Mining.all.size,
         graft.operators.Change.all.size, graft.operators.Stats.all.size,
         graft.operators.Survival.all.size, graft.operators.Geo.all.size,
-        graft.operators.Token.all.size).sum
+        graft.operators.Token.all.size, graft.operators.Mix.all.size).sum
     assert(SparkEntry.queries.size == perModule,
       s"catalog Map has ${SparkEntry.queries.size} entries but modules register $perModule — a name is duplicated")
   }
