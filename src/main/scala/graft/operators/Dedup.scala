@@ -221,6 +221,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String, Int, Int), DataFrame]()
   private val preMemo =
     new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String, Double, Int, Int, Int, Int), DataFrame]()
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String, Double, Int, Int, Int, Int), DataFrame]()
 
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double,
                    numHashes: Int = 32, bands: Int = 8, n: Int = 3,
@@ -258,20 +260,30 @@ object Dedup {
     // need shingling — the corpus-wide shingle explode + shuffle was the
     // verify stage's real cost, not the per-pair intersections. The
     // semi-join side is pair-bounded (AQE broadcasts it while it fits).
-    val needed = pre.select(col("id_a").as(idCol))
-      .unionAll(pre.select(col("id_b").as(idCol))).distinct()
-    val sh = withShinglesFast(
-      docs.select(col(idCol), col(textCol)).join(needed, Seq(idCol), "left_semi"),
-      textCol, n)
-    val a = sh.select(col(idCol).as("id_a"), col("shingles").as("__ga"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingles").as("__gb"))
-    pre.join(a, "id_a").join(b, "id_b")
-      .withColumn("__inter", size(array_intersect(col("__ga"), col("__gb"))))
-      .withColumn("jaccard",
-        col("__inter").cast("double") /
-          (size(col("__ga")) + size(col("__gb")) - col("__inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // the VERIFIED pair list is the third persisted build artifact (it is
+    // exactly what a substring/minhash dedup pipeline writes next to the
+    // corpus): cluster + survivors re-derive components from the same
+    // pairs, and the verify join is the cascade's remaining per-query
+    // wall once sketch + screen are shared. The checkpoint is pair-sized
+    // (id_a, id_b, jaccard).
+    pairsMemo.computeIfAbsent(
+      (docs, idCol, textCol, threshold, numHashes, bands, n, eh), _ => {
+        val needed = pre.select(col("id_a").as(idCol))
+          .unionAll(pre.select(col("id_b").as(idCol))).distinct()
+        val sh = withShinglesFast(
+          docs.select(col(idCol), col(textCol)).join(needed, Seq(idCol), "left_semi"),
+          textCol, n)
+        val a = sh.select(col(idCol).as("id_a"), col("shingles").as("__ga"))
+        val b = sh.select(col(idCol).as("id_b"), col("shingles").as("__gb"))
+        pre.join(a, "id_a").join(b, "id_b")
+          .withColumn("__inter", size(array_intersect(col("__ga"), col("__gb"))))
+          .withColumn("jaccard",
+            col("__inter").cast("double") /
+              (size(col("__ga")) + size(col("__gb")) - col("__inter")))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
+          .localCheckpoint()
+      })
   }
 
   /** Connected components over an undirected edge list (`id_a`, `id_b`):
