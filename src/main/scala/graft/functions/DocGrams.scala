@@ -92,8 +92,11 @@ case class DocGramsH60(text: Expression, nExpr: Expression, seedExpr: Expression
     if (m < nV) return Nil
     val grams = m - nV + 1
     sc.reset(grams)
-    if (sc.buf.length < prefix.length + tb.length)
-      sc.buf = new Array[Byte](java.lang.Integer.highestOneBit(prefix.length + tb.length) << 1)
+    if (sc.buf.length < prefix.length + tb.length) {
+      val need = prefix.length + tb.length
+      // highestOneBit << 1 overflows negative past 2^30 — cap at need
+      sc.buf = new Array[Byte](math.max(need, java.lang.Integer.highestOneBit(need) << 1))
+    }
     System.arraycopy(prefix, 0, sc.buf, 0, prefix.length)
     var i = 0
     while (i < grams) {
@@ -136,6 +139,9 @@ object DocGramsH60 {
         stamps = new Array[Int](cap)
         mask = cap - 1
       }
+      // a wrapped generation could alias a stale stamp; clear once per
+      // 2^31 documents per thread instead of once per document
+      if (gen == Int.MaxValue) { java.util.Arrays.fill(stamps, 0); gen = 0 }
       gen += 1
       used = 0
     }

@@ -21,7 +21,9 @@ object H60Kernel {
   def hash(s: UTF8String): Long = {
     val sc = tl.get()
     val n = s.numBytes()
-    if (sc.buf.length < n) sc.buf = new Array[Byte](java.lang.Integer.highestOneBit(n) << 1)
+    // highestOneBit << 1 overflows negative for n > 2^30 — cap at n
+    if (sc.buf.length < n)
+      sc.buf = new Array[Byte](math.max(n, java.lang.Integer.highestOneBit(n) << 1))
     s.writeToMemory(sc.buf, Platform.BYTE_ARRAY_OFFSET)
     sc.md5.h60(sc.buf, n)
   }
