@@ -218,7 +218,16 @@ object ScaleBench {
       // For the LLM head the warm pass ALSO builds the per-dir ingest
       // state (signature index, by-bucket ANN layout) — ingest-time work
       // a pipeline pays once, outside the per-batch screen/probe cost.
-      allHead.foreach { n => qs(n)(spark, dir).count() }
+      // SPARK_GRAFT_SCALE_WARM=k repeats the warm pass: heads whose hot
+      // loop is one giant codegen stage (q_geo_nearest_hub: a 375M-row
+      // broadcast-join-aggregate) need ~5 executions before C2 finishes
+      // — measured r16: warm+2 read 26.0 s where a 7-pass run converges
+      // to 8.5 s. Default 1 keeps the committed protocol; bump it when a
+      // head's p1/p2 disagree with its converged ProfileQ floor.
+      val warmPasses = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM", "1").toInt
+      (1 to warmPasses).foreach { _ =>
+        allHead.foreach { n => qs(n)(spark, dir).count() }
+      }
       val t0 = cpuTicks()
       val timed = allHead.map { n =>
         val ts = Seq.fill(2) {
