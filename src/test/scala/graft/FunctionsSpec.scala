@@ -263,7 +263,10 @@ class FunctionsSpec extends SparkSuite {
     val docs: Seq[(Long, String)] = Seq(
       (1L, "a b c d e f g h i a b c d e f g h i"),
       (2L, "one two  three four five six seven eight nine"),
-      (3L, "too short"), (4L, null), (5L, "é ü ö 😀 x y z w q r s"))
+      (3L, "too short"), (4L, null), (5L, "é ü ö 😀 x y z w q r s"),
+      // all-empty words (8 spaces = 9 empty words) and boundary spaces:
+      // the hardest split/join byte-parity cases
+      (6L, "        "), (7L, " lead mid  two x y z trail "))
     val df = docs.toDF("doc_id", "text")
     val got = df.select(col("doc_id"), expr("graft_doc_grams(text, 8, 'sd')"))
       .as[(Long, Long, Long)].collect().toSeq.sorted
@@ -277,8 +280,8 @@ class FunctionsSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(want.nonEmpty && got == want,
       s"doc_grams diverges: got ${got.take(3)}… want ${want.take(3)}…")
-    assert(got.map(_._1).distinct.sorted == Seq(1L, 2L, 5L),
-      "short and null docs must emit nothing")
+    assert(got.map(_._1).distinct.sorted == Seq(1L, 2L, 5L, 6L, 7L),
+      "short and null docs must emit nothing; space-heavy docs must")
     assert(got.exists(_._3 > 1L), "repeated grams must carry in-doc counts")
   }
 
@@ -306,6 +309,19 @@ class FunctionsSpec extends SparkSuite {
       (4L, 1L, 2L, 5L),
       (5L, 1L, 5L, 2L)), s"got $one")
     assert(run(7) == one, "merge across partitions must equal single-partition result")
+  }
+
+  test("graft_range_topk: the slots*k state bound fails loudly, not with an OOM") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((0L, 1L, 2L, 3L)).toDF("lo", "hi", "c", "i")
+    val e = intercept[Exception] {
+      df.agg(expr("graft_range_topk(lo, hi, c, i, 1000, 100000)")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("state bound")),
+      s"expected the 2^22-entry bound message, got: ${messages(e)}")
   }
 
   test("graft_range_topk ≡ explode(sequence) + grouped graft_topk on a deterministic workload") {
