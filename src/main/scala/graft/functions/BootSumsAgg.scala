@@ -71,6 +71,15 @@ case class BootSumsAgg(
     val h1 = h1v.asInstanceOf[Long]
     val h2 = h2v.asInstanceOf[Long]
     val c = cv.asInstanceOf[Long]
+    // ADVICE r16: Java % only equals the declarative pmod on nonneg sums,
+    // and under ANSI SQL (Spark 4 default) the exploded form ERRORS on an
+    // overflowing h1 + b·h2 rather than wrapping — so the operand-identity
+    // claim is only meaningful on the overflow-free nonneg range. Enforce
+    // it loudly (the k-require discipline): h1 < 2^60 (a 60-bit digest
+    // half), h2 < 2^40 ⇒ h1 + b·h2 < 2^60 + 2^56 for k ≤ 65536.
+    require(h1 >= 0L && h1 < (1L << 60) && h2 >= 0L && h2 < (1L << 40),
+      s"graft_boot_sums: h1 must be in [0, 2^60) and h2 in [0, 2^40) " +
+        s"(overflow-free pmod range for k <= 65536); got h1=$h1 h2=$h2")
     var b = 0
     while (b < kV) {
       val u = ((h1 + b * h2) % 1000000L + 0.5) / 1000000.0

@@ -42,7 +42,9 @@ final class RangeTopKState(val k: Int, val slots: Int) {
 
   /** Offer (c, i) to every slot in [lo, hi] ∩ [0, slots). */
   def addRange(lo: Long, hi: Long, c: Long, i: Long): Unit = {
-    var w = math.max(lo, 0L).toInt
+    // clamp BEFORE narrowing: lo in [2^31, 2^63) would wrap to a negative
+    // Int slot and index out of bounds (ADVICE r16)
+    var w = math.min(math.max(lo, 0L), slots.toLong).toInt
     val end = math.min(hi, (slots - 1).toLong)
     while (w <= end) { add(w, c, i); w += 1 }
   }

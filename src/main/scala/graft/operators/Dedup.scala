@@ -224,9 +224,25 @@ object Dedup {
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String, Double, Int, Int, Int, Int), DataFrame]()
 
+  /** ADVICE r16: entries keyed on frames from a STOPPED session linger
+    * forever (and their checkpoint blocks are already gone — a poisoned
+    * memo hit). Sweep dead-session entries on every cascade call; growth
+    * for live sessions stays bounded per corpus dir × param set as
+    * documented above. */
+  private def evictDeadSessions(): Unit = {
+    def sweep[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame])(df: K => DataFrame): Unit =
+      m.keySet().removeIf { k =>
+        try df(k).sparkSession.sparkContext.isStopped catch { case _: Throwable => true }
+      }
+    sweep(sigMemo)(_._1)
+    sweep(preMemo)(_._1)
+    sweep(pairsMemo)(_._1)
+  }
+
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double,
                    numHashes: Int = 32, bands: Int = 8, n: Int = 3,
                    estHashes: Int = 64): DataFrame = {
+    evictDeadSessions()
     val eh = math.max(estHashes, numHashes)
     // localCheckpoint = the in-query form of "a corpus build PERSISTS its
     // signature index" (bandSigIndex): the sketch subtree feeds banding

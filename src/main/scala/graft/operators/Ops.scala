@@ -581,6 +581,13 @@ object Ops {
     // every partition to ≤720·3 entries before a shuffle of partials,
     // and counts stay exact longs end to end. Order (cnt desc, user asc)
     // is the aggregate's native order.
+    // CONTRACT (ADVICE r16): events timestamps start at the grid epoch
+    // 2024-01-01 (Tables generator invariant). addRange floors lo at slot 0,
+    // so an event BEFORE the epoch would have its pre-grid window hours
+    // clipped here while the oracle's explode form still emits them — the
+    // engines agree exactly because no such event exists in any corpus this
+    // catalog serves. A corpus with earlier timestamps needs the matching
+    // lower bound added on both sides first.
     graft.functions.GraftFunctions.register(s)
     steps
       .agg(call_function("graft_range_topk", col("hi"), col("ehi"),

@@ -235,6 +235,23 @@ class FunctionsSpec extends SparkSuite {
     assert(want.nonEmpty && got == want, s"boot sums diverge: got $got want $want")
   }
 
+  test("graft_boot_sums: out-of-range h1/h2 fail loudly (ADVICE r16 — Java % vs pmod)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // negative or huge hashes would silently diverge from the declarative
+    // pmod form (and overflow errors under ANSI) — the kernel refuses them
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    for (bad <- Seq((-5L, 7L, 100L), (5L, -7L, 100L), (Long.MaxValue - 3L, 1L, 1L))) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("h1", "h2", "cents")
+          .agg(expr("graft_boot_sums(h1, h2, cents, 4)")).collect()
+      }
+      assert(messages(e).exists(_.contains("overflow-free pmod range")),
+        s"expected the range require for $bad, got: ${messages(e)}")
+    }
+  }
+
   test("graft_h60 ≡ the declarative conv(substr(md5)) chain on boundary and multibyte inputs") {
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -322,6 +339,26 @@ class FunctionsSpec extends SparkSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("state bound")),
       s"expected the 2^22-entry bound message, got: ${messages(e)}")
+  }
+
+  test("graft_range_topk: bounds beyond Int range clamp instead of wrapping (ADVICE r16)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // lo in [2^31, 2^32) used to narrow to a NEGATIVE Int slot and crash
+    // with ArrayIndexOutOfBoundsException; lo/hi past the grid contribute
+    // nothing, a huge hi on an in-grid lo clips to the grid end
+    val rows = Seq(
+      (Int.MaxValue.toLong + 7L, Long.MaxValue, 9L, 1L), // fully out of grid
+      (4L, Long.MaxValue, 5L, 2L),                       // clips to [4, 5]
+      (Long.MinValue, 2L, 3L, 3L))                       // clips to [0, 2]
+    val got = rows.toDF("lo", "hi", "c", "i")
+      .agg(expr("graft_range_topk(lo, hi, c, i, 2, 6)").as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.wi"), col("e.rk"), col("e.id"), col("e.cnt"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      (0L, 1L, 3L, 3L), (1L, 1L, 3L, 3L), (2L, 1L, 3L, 3L),
+      (4L, 1L, 2L, 5L), (5L, 1L, 2L, 5L)), s"got $got")
   }
 
   test("graft_range_topk ≡ explode(sequence) + grouped graft_topk on a deterministic workload") {
