@@ -188,6 +188,24 @@ object GraftFunctions {
   private val docGramsInfo = new ExpressionInfo(
     classOf[DocGramsH60].getName, "graft_doc_grams")
 
+  private val winnowBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n, w, seed) => WinnowFps(t, n, w, seed)
+    case other => throw new IllegalArgumentException(
+      s"graft_winnow expects 4 arguments, got ${other.size}")
+  }
+
+  private val winnowInfo = new ExpressionInfo(
+    classOf[WinnowFps].getName, "graft_winnow")
+
+  private val arrPairsBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => ArrPairs(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_arr_pairs expects 1 argument, got ${other.size}")
+  }
+
+  private val arrPairsInfo = new ExpressionInfo(
+    classOf[ArrPairs].getName, "graft_arr_pairs")
+
   private val bootSumsBuilder: Seq[Expression] => Expression = {
     case Seq(h1, h2, c, k) => BootSumsAgg(h1, h2, c, k)
     case other => throw new IllegalArgumentException(
@@ -318,6 +336,8 @@ object GraftFunctions {
       (FunctionIdentifier("graft_range_topk"), rangeTopkInfo, rangeTopkBuilder),
       (FunctionIdentifier("graft_h60"), h60Info, h60Builder),
       (FunctionIdentifier("graft_doc_grams"), docGramsInfo, docGramsBuilder),
+      (FunctionIdentifier("graft_winnow"), winnowInfo, winnowBuilder),
+      (FunctionIdentifier("graft_arr_pairs"), arrPairsInfo, arrPairsBuilder),
       (FunctionIdentifier("graft_boot_sums"), bootSumsInfo, bootSumsBuilder),
       (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
       (FunctionIdentifier("graft_kmv_merge"), kmvMergeInfo, kmvMergeBuilder),

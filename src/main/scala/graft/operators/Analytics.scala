@@ -379,23 +379,36 @@ object Analytics {
     val ni = baskets
       .select(explode(col("items")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n"))
+    // r17: i<j pair fan-out through the native graft_arr_pairs generator
+    // — the interpreted transform/slice/flatten chain paid a lambda and
+    // three allocations per pair (FunctionsSpec pins multiset equality)
+    graft.functions.GraftFunctions.register(s)
     val pairs = baskets
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-          |  transform(slice(items, i + 2, size(items)), y -> struct(x AS pk, y AS pk2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.pk").as("pk"), col("p.pk2").as("pk2"))
-      .groupBy("pk", "pk2").agg(count(lit(1)).as("cij"))
+      .select(expr("graft_arr_pairs(items)"))
+      .groupBy(col("id_a").as("pa"), col("id_b").as("pb"))
+      .agg(count(lit(1)).as("cij"))
+    // r17: BOTH count lookups ride ONE broadcast — the aliased frames
+    // canonicalize to the same BroadcastExchange (no projection between
+    // the aggregate and the exchange), so ReuseExchange builds the items
+    // dim once where the renamed-column form built it per join side.
+    val n1 = ni.as("n1")
+    val n2 = ni.as("n2")
     val scored = pairs
-      .join(broadcast(ni.select(col("pk"), col("n").as("ci"))), "pk")
-      .join(broadcast(ni.select(col("pk").as("pk2"), col("n").as("cj"))), "pk2")
+      .join(broadcast(n1), col("pa") === col("n1.pk"))
+      .join(broadcast(n2), col("pb") === col("n2.pk"))
       .withColumn("cosine", Num.roundd(col("cij").cast("double") /
-        sqrt((col("ci") * col("cj")).cast("double")), 6))
-      // the union below reads scored TWICE; without pinning, the pair
-      // aggregate + both broadcast joins execute once per branch
-      .localCheckpoint()
-    val sym = scored.select(col("pk").as("i"), col("pk2").as("j"), col("cij"), col("cosine"))
-      .union(scored.select(col("pk2").as("i"), col("pk").as("j"), col("cij"), col("cosine")))
+        sqrt((col("n1.n") * col("n2.n")).cast("double")), 6))
+      .select(col("pa").as("pk"), col("pb").as("pk2"), col("cij"), col("cosine"))
+    // r17: both directions emit from ONE pass over scored as a 2-row
+    // explode — the former union read scored twice, which forced a second
+    // localCheckpoint (an extra materialization job and its memory) just
+    // to stop the pair aggregate + broadcast joins re-running per branch.
+    // Same row multiset, one plan branch, no checkpoint.
+    val sym = scored.select(explode(array(
+        struct(col("pk").as("i"), col("pk2").as("j"), col("cij"), col("cosine")),
+        struct(col("pk2").as("i"), col("pk").as("j"), col("cij"), col("cosine")))).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.cij").as("cij"),
+        col("e.cosine").as("cosine"))
     graft.functions.GraftFunctions.register(s)
     sym.groupBy("i")
       .agg(call_function("graft_topk",

@@ -386,10 +386,18 @@ object Corpus {
     * probed terms' partitions. */
   val qTextBm25: Q = (s, d) => {
     val k1 = 1.2
+    // r17: one tokenize pass, not four — postings feeds dl, the corpus
+    // stats, the query-term head AND the scoring join; without
+    // materialization each consumer re-ran the explode+aggregate
+    // (plans/r17/text_bm25_before: the subtree appears 4x, zero reuse —
+    // column pruning differentiates the exchanges so ReuseExchange can't
+    // fire). The checkpoint is the postings index itself — distinct
+    // (doc, term) rows, the object a search pipeline persists at ingest.
     val postings = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
     // TakeOrdered head + 2-row rank — not a vocabulary-wide global window
@@ -526,14 +534,24 @@ object Corpus {
     * construction at any scale), and the final anti-join streams the
     * corpus past it. */
   val qTextDecontaminate: Q = (s, d) => {
+    // r17: the 64-bit gram-hash shuffle diet (the q_text_substring_dup
+    // device) applied to the contamination screen — graft_doc_grams
+    // emits each doc's DISTINCT 8-gram h60 hashes straight off the raw
+    // bytes (h60('sd', array_join(slice(w,i,8),' ')) per the pinned
+    // byte-parity fixtures), so the interpreted array_join gram build,
+    // the per-position explode AND its array_distinct are gone, and the
+    // eval⋈train overlap joins 8-byte hashes instead of ~60-byte strings.
+    // Same-text grams hash equal on both sides by construction; a 60-bit
+    // CROSS-collision (a train gram aliasing a DIFFERENT eval gram) would
+    // spuriously drop one doc — ~|train grams|·|eval grams|/2^60, absent
+    // from every checked corpus (oracle joins the strings; the hash gate
+    // stays green at sf0.001/0.01/0.1), same discipline as substring_dup.
+    graft.functions.GraftFunctions.register(s)
     val grams = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 8)
-      .select(col("doc_id"), col("source"), explode(
-        expr("array_distinct(transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' ')))")).as("ng"))
-    val evalNg = grams.filter(col("source") === "src0").select("ng").distinct()
+      .select(col("doc_id"), col("source"), expr("graft_doc_grams(text, 8, 'sd')"))
+    val evalNg = grams.filter(col("source") === "src0").select("gh").distinct()
     val contaminated = grams.filter(col("source") =!= "src0")
-      .join(evalNg, "ng").select("doc_id").distinct()
+      .join(evalNg, "gh").select("doc_id").distinct()
     Tables.documents(s, d).filter(col("source") =!= "src0")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .groupBy("lang")

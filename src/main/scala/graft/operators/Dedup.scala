@@ -146,8 +146,13 @@ object Dedup {
     val triangle =
       "flatten(transform(sequence(1, size(ids) - 1), j -> " +
         "transform(slice(ids, 1, j), a -> struct(a AS id_a, element_at(ids, j + 1) AS id_b))))"
+    // r17: the common (small-bucket) branch expands through the native
+    // graft_arr_pairs generator — identical pair multiset to the triangle
+    // HOF (FunctionsSpec), without a lambda + struct/array allocation per
+    // pair; the rare mega-bucket tiles keep the HOF form below.
+    graft.functions.GraftFunctions.register(buckets0.sparkSession)
     val small = buckets.filter(size(col("ids")) <= maxBucket)
-      .select(explode(expr(triangle)).as("p"))
+      .select(expr("graft_arr_pairs(ids)"))
     val big = buckets.filter(size(col("ids")) > maxBucket)
       .withColumn("nc",
         ceil(size(col("ids")).cast("double") / lit(maxBucket.toDouble)).cast("int"))
@@ -165,8 +170,8 @@ object Dedup {
         .otherwise(expr(
           "flatten(transform(ia, a -> transform(ib, b -> struct(a AS id_a, b AS id_b))))")))
         .as("p"))
-    small.unionByName(big)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    small.unionByName(big)
   }
 
   /** Smallest agreeing-position count the signature prefilter keeps:

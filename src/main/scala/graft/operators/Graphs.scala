@@ -326,28 +326,46 @@ object Graphs {
     * switch-point as PageRank's rank vector. */
   val qGraphAttributionMarkov: Q = (s, d) => {
     import s.implicits._
+    // r17 (guide §2.4): ONE user-keyed exchange for the whole journey
+    // derivation. The r16 shape computed pn as a separate aggregate and
+    // joined it back, and the 3-branch union re-ran the window chain once
+    // per branch (plans/r17/graph_attribution_markov_before). Now: pn is
+    // a whole-partition window min riding the SAME sort as rn; the tn/nx
+    // window orders by (ts, event_id) — the order rn itself encodes — so
+    // its sort requirement is satisfied by the one sort already done; and
+    // tt is checkpointed (touch-row-sized) so mid/first read it instead
+    // of re-deriving. The direct START→CONV count (purchase users with
+    // zero touches) folds to two cheap aggregates: distinct purchase
+    // users minus distinct purchase users appearing in tt.
     val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val seq0 = Tables.events(s, d)
+    val wu = Window.partitionBy("user_id")
+    val wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tt = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("rn", row_number().over(wo))
-    val pn = seq0.filter(col("event_type") === "purchase")
-      .groupBy("user_id").agg(min("rn").as("pn"))
-    val touches = seq0.join(pn, Seq("user_id"), "left")
+      .withColumn("pn",
+        min(when(col("event_type") === "purchase", col("rn"))).over(wu))
       .filter(col("event_type") =!= "purchase" && (col("pn").isNull || col("rn") < col("pn")))
-    val wt = Window.partitionBy("user_id").orderBy("rn")
-    val tt = touches
       .withColumn("tn", row_number().over(wt))
       .withColumn("nx", lead("event_type", 1).over(wt))
+      .localCheckpoint()
     val mid = tt.select(col("event_type").as("src"),
       coalesce(col("nx"),
         when(col("pn").isNotNull, lit("CONV")).otherwise(lit("NULL"))).as("dst"))
     val first = tt.filter(col("tn") === 1L)
       .select(lit("START").as("src"), col("event_type").as("dst"))
-    val direct = pn.join(tt.select("user_id").distinct(), Seq("user_id"), "left_anti")
-      .select(lit("START").as("src"), lit("CONV").as("dst"))
-    val cnt = mid.union(first).union(direct)
+    val nPurchaseUsers = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .agg(countDistinct("user_id")).head().getLong(0)
+    val nTouchedPurchaseUsers = tt.filter(col("pn").isNotNull)
+      .agg(countDistinct("user_id")).head().getLong(0)
+    val directN = nPurchaseUsers - nTouchedPurchaseUsers
+    val cnt0 = mid.union(first)
       .groupBy("src", "dst").agg(count(lit(1)).as("c")).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cnt =
+      if (directN == 0L) cnt0
+      else cnt0.updatedWith(("START", "CONV"))(v => Some(v.getOrElse(0L) + directN))
     val rowSum = cnt.toSeq.groupBy(_._1._1).map { case (k, xs) => k -> xs.map(_._2).sum }
     val channels = cnt.keysIterator.flatMap { case (a, b) => Iterator(a, b) }
       .filter(x => x != "START" && x != "CONV" && x != "NULL").toArray.distinct.sorted

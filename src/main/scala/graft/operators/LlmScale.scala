@@ -378,12 +378,19 @@ object LlmScale {
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
       .filter(length(col("term")) > 0)
+    // r17 (guide §2.3/§2.4): document frequency as a map-side-combining
+    // aggregate + broadcast join instead of count().over(partitionBy(term))
+    // — the window form shuffled EVERY (doc, term) row by term and sorted
+    // it; the aggregate ships only vocab-sized partials and the posting
+    // stream is never term-shuffled. tf is checkpointed because it feeds
+    // both the df rollup and the scoring join (the bm25 postings device).
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val wt = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
-    tf.withColumn("dfreq", count(lit(1)).over(wt))
+    tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         Num.roundd(col("tf") * Num.roundd(log(col("n").cast("double") / col("dfreq")), 6), 4))
@@ -414,11 +421,21 @@ object LlmScale {
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val uni = docs.select(explode(col("w")).as("t"))
     val c2 = bg.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    // r17 (guide §3): join the two VOCAB-sized stat tables first — lp
+    // depends only on (a, b), so the per-bigram log-prob table is built
+    // from c2 ⋈ c1 (bigram-vocab rows) and the corpus-sized bg stream
+    // joins ONCE on (a, b) instead of paying two corpus-sized shuffle
+    // joins. c1 is checkpointed (vocab-sized) because V is its row count
+    // — the former countDistinct pass re-tokenized the corpus just to
+    // count what c1 already holds (plans/r17/text_lm_score_before).
     val c1 = uni.groupBy(col("t").as("a")).agg(count(lit(1)).as("c1"))
-    val v = uni.agg(countDistinct("t").as("v"))
-    bg.join(c2, Seq("a", "b")).join(c1, Seq("a")).crossJoin(broadcast(v))
+      .localCheckpoint()
+    val v = c1.agg(count(lit(1)).as("v"))
+    val lpTab = c2.join(c1, Seq("a")).crossJoin(broadcast(v))
       .withColumn("lp", Num.roundd(
         log((col("c2") + lit(1)).cast("double") / (col("c1") + col("v")).cast("double")), 6))
+      .select("a", "b", "lp")
+    bg.join(lpTab, Seq("a", "b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         Num.roundd(Num.roundd(sum("lp"), 6) / count(lit(1)), 4).as("avg_logp"))

@@ -67,14 +67,18 @@ object Mining {
     * promise. All per-doc work is one codegen'd projection; the only
     * shuffle is the fp-bucket self-join. */
   val qDocsWinnow: Q = (s, d) => {
-    val fps = withTokens(Tables.documents(s, d))
-      .filter(size(col("tk")) >= 6)
-      .withColumn("h", expr(
-        s"transform(sequence(1, size(tk)-2), i -> ${
-          Dedup.h60("'wn'", "concat(element_at(tk,i), ' ', element_at(tk,i+1), ' ', element_at(tk,i+2))")})"))
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(h)-3), i -> array_min(slice(h, i, 4))))"))
-        .as("fp"))
+    // r17: fingerprint derivation is the native graft_winnow generator —
+    // byte-identical to the declarative chain it replaces (FunctionsSpec
+    // pins the parity):
+    //   h_i = h60('wn', tk[i] ⊔ ' ' ⊔ tk[i+1] ⊔ ' ' ⊔ tk[i+2])
+    //   fp  = array_distinct(window-min_4(h))        [tk ≥ 6 guard inside]
+    // The chain paid an interpreted lambda + concat allocation per gram
+    // and a slice allocation per window; the kernel assembles gram bytes
+    // in a reusable buffer, hashes through the shared FastMd5, and
+    // dedups in the generation-stamped set (the graft_doc_grams device).
+    graft.functions.GraftFunctions.register(s)
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_winnow(text, 3, 4, 'wn')"))
     // one pass, no self-join: group docs per fingerprint and expand the
     // in-bucket pairs directly — the join form shuffled BOTH sides and
     // recomputed the tokenize+hash projection twice (it was the r10
@@ -457,14 +461,22 @@ object Mining {
     * thereafter. */
   val qDocsPmi: Q = (s, d) => {
     val toks = withTokens(Tables.documents(s, d))
+    // r17: pin the two vocabulary-sized rollups — without materialization
+    // the tokenize+aggregate subtree re-ran once per consumer (uni feeds
+    // its total AND both w1/w2 joins, bg feeds its total AND the scored
+    // head: 6 corpus passes in the r16 plan, plans/r17/docs_pmi_before).
+    // Checkpoint state is vocab/bigram-vocab-sized — bounded by language,
+    // not corpus, so the device scales.
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
+      .localCheckpoint()
     val nTot = uni.agg(sum("cw").as("n"))
     val bg = toks.filter(size(col("tk")) >= 2)
       .select(explode(expr(
         "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1), (a, b) -> concat(a, ' ', b))"))
         .as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cxy"))
+      .localCheckpoint()
     val bTot = bg.agg(sum("cxy").as("b"))
     bg.filter(col("cxy") >= 5)
       .withColumn("w1", expr("split_part(bg, ' ', 1)"))

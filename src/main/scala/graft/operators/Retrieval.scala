@@ -26,10 +26,16 @@ object Retrieval {
 
   /** Int8 symmetric per-vector quantization: q_i = floor(x_i·127/max|x| +
     * 0.5) — the explicit floor(+0.5) form is engine-portable (no
-    * BigDecimal-vs-IEEE rounding split). */
-  private def quantExpr(vec: String): String =
-    s"transform($vec, x -> cast(floor(cast(x as double) * 127.0d / " +
-      s"array_max(transform($vec, y -> abs(cast(y as double)))) + 0.5d) as bigint))"
+    * BigDecimal-vs-IEEE rounding split). r17: the max|x| normalizer is
+    * hoisted into its own column — inlined inside the outer transform it
+    * re-evaluated the array_max(transform(...)) scan per ELEMENT, an
+    * O(d²) interpreted loop per vector; hoisted it is O(d) and the
+    * division sees the identical double. */
+  private def withQuant(df: DataFrame, vec: String, out: String): DataFrame =
+    df.withColumn("__mx", expr(s"array_max(transform($vec, y -> abs(cast(y as double))))"))
+      .withColumn(out, expr(
+        s"transform($vec, x -> cast(floor(cast(x as double) * 127.0d / __mx + 0.5d) as bigint))"))
+      .drop("__mx")
 
   /** recall@10 / MRR@10 / nDCG@10 of int8-quantized dot-product retrieval
     * vs exact cosine, per query vector (the 20 lowest vec_ids probe the
@@ -42,12 +48,10 @@ object Retrieval {
     * engines. */
   val qSimEvalMetrics: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val qs = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("qi", expr(quantExpr("qv")))
-    val cs = emb.filter(col("vec_id") >= 20)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      .withColumn("ci", expr(quantExpr("cv")))
+    val qs = withQuant(emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qv", "qi")
+    val cs = withQuant(emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")), "cv", "ci")
     val wg = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     val wp = Window.partitionBy("qid").orderBy(col("qdot").desc, col("cid"))
     cs.crossJoin(broadcast(qs))
@@ -113,19 +117,28 @@ object Retrieval {
     * unchanged (rank windows partition by query — embarrassingly
     * parallel). */
   val qSimRrfFusion: Q = (s, d) => {
+    // r17: Hamming via the popcount identity |q⊕c| = Σq + Σc − 2·⟨q,c⟩ —
+    // the per-row bit sums are computed ONCE per vector and the per-PAIR
+    // work is one codegen'd graft_dot_long, where the zip_with+aggregate
+    // form paid an interpreted lambda per element per pair. Integers
+    // throughout — identical counts.
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
-      .withColumn("bits", expr("transform(embedding, x -> if(x >= cast(0 as float), 1, 0))"))
+      .withColumn("bits", expr("transform(embedding, x -> if(x >= cast(0 as float), 1L, 0L))"))
+      .withColumn("nb", expr("aggregate(bits, 0L, (a, x) -> a + x)"))
     val qs = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bits").as("qb"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("bits").as("qb"), col("nb").as("qnb"))
     val cs = e.filter(col("vec_id") >= 20)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bits").as("cb"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("bits").as("cb"), col("nb").as("cnb"))
     val wa = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     val wb = Window.partitionBy("qid").orderBy(col("ham").asc, col("cid"))
     val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("cid"))
     cs.crossJoin(broadcast(qs))
       .withColumn("cos", Llm.cosineNative(s, "qv", "cv"))
       .withColumn("ham",
-        expr("aggregate(zip_with(qb, cb, (x, y) -> if(x = y, 0L, 1L)), 0L, (acc, z) -> acc + z)"))
+        col("qnb") + col("cnb") - lit(2L) * expr("graft_dot_long(qb, cb)"))
       .withColumn("ra", row_number().over(wa).cast("long"))
       .withColumn("rb", row_number().over(wb).cast("long"))
       .withColumn("rrf", Num.roundd(

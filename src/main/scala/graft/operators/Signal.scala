@@ -247,11 +247,18 @@ object Signal {
     // window serialized the whole alert set on one task.
     val ck = to_date(col("s"))
     val wLoc = Window.partitionBy("ck").orderBy("s", "event_id")
+    // r17: pin the per-day windowed alert set — it feeds the carry rollup,
+    // the ns marking AND the gid pass, and without materialization the
+    // filter+window subtree re-ran once per consumer (4 evaluations in
+    // plans/r17/join_interval_overlap_before). Checkpoint state is the
+    // FILTERED alert set (sparse by construction), and the carry now rolls
+    // up from it instead of re-deriving iv.
     val loc = iv.withColumn("ck", ck)
       .withColumn("lpmax",
         max("e").over(wLoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .localCheckpoint()
     val wc = Window.orderBy("ck") // ≤ days rows — bounded by time, not data
-    val carry = iv.withColumn("ck", ck).groupBy("ck").agg(max("e").as("cmax"))
+    val carry = loc.groupBy("ck").agg(max("e").as("cmax"))
       .withColumn("cin", max("cmax").over(wc.rowsBetween(Window.unboundedPreceding, -1)))
       .select("ck", "cin")
     val marked = loc.join(broadcast(carry), "ck")

@@ -222,9 +222,15 @@ object ScaleBench {
       // loop is one giant codegen stage (q_geo_nearest_hub: a 375M-row
       // broadcast-join-aggregate) need ~5 executions before C2 finishes
       // — measured r16: warm+2 read 26.0 s where a 7-pass run converges
-      // to 8.5 s. Default 1 keeps the committed protocol; bump it when a
-      // head's p1/p2 disagree with its converged ProfileQ floor.
-      val warmPasses = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM", "1").toInt
+      // to 8.5 s. r17 (VERDICT r16 #1): warm=3 IS the committed protocol
+      // — the r15/r16 records twice let a C2-warmup artifact stand on the
+      // permanent f1000 sidecar (nearest_hub 10.8 vs 8.5 s converged,
+      // sliding_topk 17.4 vs 11.8 s standalone); three warm executions
+      // plus the two timed passes put every head at or past the ~5-run
+      // JIT convergence point, so the record measures the PLAN. One
+      // number per head, no dual bookkeeping; BASELINE.md carries the
+      // protocol note.
+      val warmPasses = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM", "3").toInt
       (1 to warmPasses).foreach { _ =>
         allHead.foreach { n => qs(n)(spark, dir).count() }
       }

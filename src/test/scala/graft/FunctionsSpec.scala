@@ -302,6 +302,63 @@ class FunctionsSpec extends SparkSuite {
     assert(got.exists(_._3 > 1L), "repeated grams must carry in-doc counts")
   }
 
+  test("graft_arr_pairs ≡ the triangle HOF pair multiset (order-free consumers)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows: Seq[Seq[Long]] = Seq(
+      Seq(1L, 2L, 3L, 4L), Seq(7L, 9L), Seq(5L), Seq(),
+      Seq(3L, 3L, 8L),            // duplicates stay a multiset
+      (1L to 40L))
+    val df = rows.toDF("ids")
+    val got = df.select(expr("graft_arr_pairs(ids)"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val want = df.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ids) - 1), j -> " +
+          "transform(slice(ids, 1, j), a -> struct(a AS id_a, element_at(ids, j + 1) AS id_b))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && got == want,
+      s"pair generator diverges: got ${got.take(5)}… want ${want.take(5)}…")
+  }
+
+  test("graft_winnow ≡ the declarative h60-gram window-min chain (multi-space, unicode, short docs)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // empties are FILTERED before gram assembly (withTokens semantics —
+    // unlike graft_doc_grams, which keeps them), grams join tokens with
+    // single spaces, window-min w=4 over the n=3 gram hash sequence,
+    // distinct per doc; docs under 6 non-empty tokens emit nothing
+    val docs: Seq[(Long, String)] = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a  b   c d  e f"),           // runs of spaces collapse
+      (3L, "á β 😀 δ e ζ η"),            // multibyte tokens
+      (4L, "a b c d e"),                 // 5 tokens → nothing
+      (5L, ""), (6L, "   "),             // empty → nothing
+      (7L, "x x x x x x x x x x"),       // all-equal grams → one fp
+      (8L, "the quick brown fox jumps over the lazy dog again and again"))
+    val df = docs.toDF("doc_id", "text")
+    df.createOrReplaceTempView("winnow_fixture")
+    val got = spark.sql(
+      "SELECT doc_id, fp FROM winnow_fixture " +
+        "LATERAL VIEW graft_winnow(text, 3, 4, 'wn') AS fp")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val want = df
+      .withColumn("tk", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("tk")) >= 6)
+      .withColumn("h", expr(
+        "transform(sequence(1, size(tk)-2), i -> graft_h60(concat('wn', ':', " +
+          "concat(element_at(tk,i), ' ', element_at(tk,i+1), ' ', element_at(tk,i+2)))))"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(h)-3), i -> array_min(slice(h, i, 4))))"))
+        .as("fp"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && got == want,
+      s"winnow kernel diverges: got ${got.take(5)}… want ${want.take(5)}…")
+    assert(!got.map(_._1).contains(4L) && !got.map(_._1).contains(5L),
+      "short/empty docs must emit nothing")
+  }
+
   test("graft_range_topk: interval offers — clipping, ties, empty intervals, merge invariance") {
     GraftFunctions.register(spark)
     import spark.implicits._
