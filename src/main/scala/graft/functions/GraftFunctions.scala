@@ -206,6 +206,15 @@ object GraftFunctions {
   private val arrPairsInfo = new ExpressionInfo(
     classOf[ArrPairs].getName, "graft_arr_pairs")
 
+  private val gramBuilder: Seq[Expression] => Expression = {
+    case Seq(m) => GramAgg(m)
+    case other => throw new IllegalArgumentException(
+      s"graft_gram expects 1 argument, got ${other.size}")
+  }
+
+  private val gramInfo = new ExpressionInfo(
+    classOf[GramAgg].getName, "graft_gram")
+
   private val bootSumsBuilder: Seq[Expression] => Expression = {
     case Seq(h1, h2, c, k) => BootSumsAgg(h1, h2, c, k)
     case other => throw new IllegalArgumentException(
@@ -338,6 +347,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_doc_grams"), docGramsInfo, docGramsBuilder),
       (FunctionIdentifier("graft_winnow"), winnowInfo, winnowBuilder),
       (FunctionIdentifier("graft_arr_pairs"), arrPairsInfo, arrPairsBuilder),
+      (FunctionIdentifier("graft_gram"), gramInfo, gramBuilder),
       (FunctionIdentifier("graft_boot_sums"), bootSumsInfo, bootSumsBuilder),
       (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
       (FunctionIdentifier("graft_kmv_merge"), kmvMergeInfo, kmvMergeBuilder),

@@ -244,20 +244,42 @@ object Dedup {
     sweep(pairsMemo)(_._1)
   }
 
+  /** The memoized EXTENDED sketch (eh positions) of a corpus — the one
+    * signature frame every cascade stage and sketch-adjacent report
+    * shares (localCheckpoint = the in-query form of "a corpus build
+    * PERSISTS its signature index"): the sketch subtree feeds banding
+    * AND both screen sides, and without materialization each consumer
+    * re-sketches the corpus — the measured wall of the 100M-doc slice
+    * (ProbeDedup r15). Checkpointed state is (id, sig): ~8·eh bytes/doc,
+    * executor-local, corpus-linear. */
+  private def sketchExtended(docs: DataFrame, idCol: String, textCol: String,
+                             eh: Int, n: Int): DataFrame = {
+    evictDeadSessions()
+    sigMemo.computeIfAbsent((docs, idCol, textCol, eh, n), _ =>
+      minHashFromText(docs.select(col(idCol), col(textCol)), textCol, eh, n)
+        .localCheckpoint())
+  }
+
+  /** A `numHashes`-position signature frame served FROM the memoized
+    * extended sketch: positions 0..numHashes-1 of the affine family ARE
+    * the shorter sketch (same per-shingle md5, more pmods), so slicing
+    * is byte-identical to sketching at numHashes — and any operator that
+    * banding-blocks the same corpus (q_dedup_source_overlap's provenance
+    * rollup) reuses the artifact the cascade already built instead of
+    * re-sketching the corpus per query (r17, guide §2.1). */
+  def sketchSliced(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int, n: Int = 3, estHashes: Int = 64): DataFrame = {
+    val eh = math.max(estHashes, numHashes)
+    val sigsE = sketchExtended(docs, idCol, textCol, eh, n)
+    if (eh == numHashes) sigsE
+    else sigsE.withColumn("sig", expr(s"slice(sig, 1, $numHashes)"))
+  }
+
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double,
                    numHashes: Int = 32, bands: Int = 8, n: Int = 3,
                    estHashes: Int = 64): DataFrame = {
-    evictDeadSessions()
     val eh = math.max(estHashes, numHashes)
-    // localCheckpoint = the in-query form of "a corpus build PERSISTS its
-    // signature index" (bandSigIndex): the sketch subtree feeds banding
-    // AND both screen sides, and without materialization each consumer
-    // re-sketches the corpus — the measured wall of the 100M-doc slice
-    // (ProbeDedup r15). Checkpointed state is (id, sig): ~8·estHashes
-    // bytes/doc, executor-local, corpus-linear.
-    val sigsE = sigMemo.computeIfAbsent((docs, idCol, textCol, eh, n), _ =>
-      minHashFromText(docs.select(col(idCol), col(textCol)), textCol, eh, n)
-        .localCheckpoint())
+    val sigsE = sketchExtended(docs, idCol, textCol, eh, n)
     val sigs =
       if (eh == numHashes) sigsE
       else sigsE.withColumn("sig", expr(s"slice(sig, 1, $numHashes)"))

@@ -119,8 +119,13 @@ object LlmScale {
     * the source lookup joins the candidate PAIRS (tiny relative to the
     * corpus) back to the doc→source projection twice on doc_id. */
   val qDedupSourceOverlap: Q = (s, d) => {
+    // r17: the banding signature comes from the cascade's memoized
+    // extended sketch (Dedup.sketchSliced — positions 0..7 of the affine
+    // family ARE the 8-hash sketch), so this report stops re-sketching
+    // the corpus the dedup build already sketched. Candidate set is
+    // byte-identical (same band keys over the same positions).
     val cands = Dedup.lshCandidates(
-      Dedup.minHashFromText(Tables.documents(s, d), "text", numHashes = 8),
+      Dedup.sketchSliced(Tables.documents(s, d), "doc_id", "text", numHashes = 8),
       "doc_id", bands = 4)
     val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
     cands

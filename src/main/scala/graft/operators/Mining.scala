@@ -176,25 +176,32 @@ object Mining {
     * 8-step rounded iterate — convergence is a property of the data,
     * not a termination condition. */
   val qEmbPowerIter: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr(
+    // r17 (guide §2.3/§4): the Gram build is ONE graft_gram aggregate —
+    // per-row outer-product accumulation into a dim² long buffer,
+    // map-side combinable, so the exchange ships one buffer per
+    // partition. The former shape posexploded the corpus to corpus×dim
+    // element rows and SELF-JOINED them on vec_id (corpus×dim shuffled
+    // twice, corpus×dim² join rows) before the (i, j) aggregate could
+    // shrink it. Long sums reassociate freely — the merged entries are
+    // bit-identical to the join form's sum(mi*mj), so the driver solve
+    // and the oracle are untouched.
+    graft.functions.GraftFunctions.register(s)
+    val flat = Tables.embeddings(s, d)
+      .select(expr(
         "transform(cast(embedding as array<double>), x -> if(x < 0, -floor(abs(x)*1000000 + 0.5d), floor(abs(x)*1000000 + 0.5d)))")
         .as("m"))
-      .select(col("vec_id"), posexplode(col("m")))
-      .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"), col("col").as("mi"))
-    val gram = e.join(e.select(col("vec_id"), col("i").as("j"), col("mi").as("mj")), "vec_id")
-      .groupBy("i", "j").agg(sum(col("mi") * col("mj")).as("sij"))
-      .collect()
+      .agg(expr("graft_gram(m)").as("g"))
+      .head().getAs[scala.collection.Seq[Long]](0)
     // Micro-unit Gram entries are exact only while n_vectors·(1e6·|x|)²
     // stays under Long.MaxValue — i.e. |x|≤1 needs n ≲ 9.2e6 rows per
-    // Gram cell; beyond that the Gram pass must move to DecimalType.
+    // Gram cell; beyond that the Gram pass must move to DecimalType
+    // (the kernel errors loudly via addExact, mirroring ANSI sum).
     import s.implicits._
-    if (gram.isEmpty)
+    if (flat.isEmpty)
       Seq.empty[(Long, Double, Double)].toDF("i", "loading", "lam")
     else {
-    val dim = gram.iterator.map(_.getInt(0)).max
-    val mat = Array.ofDim[Double](dim, dim)
-    gram.foreach(r => mat(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2).toDouble / 1e12)
+    val dim = math.sqrt(flat.length.toDouble).toInt
+    val mat = Array.tabulate(dim, dim)((i, j) => flat(i * dim + j).toDouble / 1e12)
     def r8(x: Double): Double = {
       val m = math.floor(math.abs(x) * 1e8 + 0.5) / 1e8; if (x < 0) -m else m
     }

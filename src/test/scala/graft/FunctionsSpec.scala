@@ -302,6 +302,35 @@ class FunctionsSpec extends SparkSuite {
     assert(got.exists(_._3 > 1L), "repeated grams must carry in-doc counts")
   }
 
+  test("graft_gram ≡ the posexplode self-join Gram (negatives, nulls, empty input)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows: Seq[(Long, Seq[Long])] = Seq(
+      (1L, Seq(3L, -2L, 7L)),
+      (2L, Seq(-5L, 0L, 11L)),
+      (3L, Seq(1000000L, -999999L, 123456L)),
+      (4L, null))
+    val df = rows.toDF("vec_id", "m")
+    val got = df.select(expr("graft_gram(m)")).as[Seq[Long]].head()
+    val e = df.filter(col("m").isNotNull)
+      .select(col("vec_id"), posexplode(col("m")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"), col("col").as("mi"))
+    val want = e.join(e.select(col("vec_id"), col("i").as("j"), col("mi").as("mj")), "vec_id")
+      .groupBy("i", "j").agg(sum(col("mi") * col("mj")).as("sij"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val dim = 3
+    assert(got.length == dim * dim)
+    for (i <- 1 to dim; j <- 1 to dim)
+      assert(got((i - 1) * dim + (j - 1)) == want((i, j)),
+        s"gram($i,$j) diverges: ${got((i - 1) * dim + (j - 1))} vs ${want((i, j))}")
+    val empty = df.filter(col("vec_id") < 0L).select(expr("graft_gram(m)"))
+      .as[Seq[Long]].head()
+    assert(empty.isEmpty, "empty input must yield an empty array")
+    val nullOnly = df.filter(col("vec_id") === 4L).select(expr("graft_gram(m)"))
+      .as[Seq[Long]].head()
+    assert(nullOnly.isEmpty, "all-null input must yield an empty array")
+  }
+
   test("graft_arr_pairs ≡ the triangle HOF pair multiset (order-free consumers)") {
     GraftFunctions.register(spark)
     import spark.implicits._
