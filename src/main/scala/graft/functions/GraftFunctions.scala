@@ -206,6 +206,24 @@ object GraftFunctions {
   private val arrPairsInfo = new ExpressionInfo(
     classOf[ArrPairs].getName, "graft_arr_pairs")
 
+  private val sessionizeBuilder: Seq[Expression] => Expression = {
+    case Seq(es, gap, cap) => SessionizeFold(es, gap, cap)
+    case other => throw new IllegalArgumentException(
+      s"graft_sessionize expects 3 arguments, got ${other.size}")
+  }
+
+  private val sessionizeInfo = new ExpressionInfo(
+    classOf[SessionizeFold].getName, "graft_sessionize")
+
+  private val packBinsBuilder: Seq[Expression] => Expression = {
+    case Seq(ds, c) => PackBinsFold(ds, c)
+    case other => throw new IllegalArgumentException(
+      s"graft_pack_bins expects 2 arguments, got ${other.size}")
+  }
+
+  private val packBinsInfo = new ExpressionInfo(
+    classOf[PackBinsFold].getName, "graft_pack_bins")
+
   private val gramBuilder: Seq[Expression] => Expression = {
     case Seq(m) => GramAgg(m)
     case other => throw new IllegalArgumentException(
@@ -347,6 +365,8 @@ object GraftFunctions {
       (FunctionIdentifier("graft_doc_grams"), docGramsInfo, docGramsBuilder),
       (FunctionIdentifier("graft_winnow"), winnowInfo, winnowBuilder),
       (FunctionIdentifier("graft_arr_pairs"), arrPairsInfo, arrPairsBuilder),
+      (FunctionIdentifier("graft_sessionize"), sessionizeInfo, sessionizeBuilder),
+      (FunctionIdentifier("graft_pack_bins"), packBinsInfo, packBinsBuilder),
       (FunctionIdentifier("graft_gram"), gramInfo, gramBuilder),
       (FunctionIdentifier("graft_boot_sums"), bootSumsInfo, bootSumsBuilder),
       (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),

@@ -189,26 +189,21 @@ object Corpus {
     */
   val qDocsPackGreedy: Q = (s, d) => {
     val C = 1024L
+    // r17: the fold runs in the native graft_pack_bins generator, which
+    // emits per-BIN rows straight off the sorted shard list. The previous
+    // declarative aggregate built its assignment with concat(out,
+    // array(x)) — O(n²) struct copies per shard — then EXPLODED per-doc
+    // rows into a second exchange just to re-group rows that are
+    // contiguous runs of the fold (bins are runs by construction;
+    // byte-parity pinned in FunctionsSpec). One exchange total.
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .select(col("lang"), col("doc_id"), tokCount.as("tok"))
       .groupBy("lang")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tok")))).as("ds"))
-      // fold: acc = (bin, fill, out[(doc_id, tok, bin)])
-      .withColumn("packed", expr(
-        s"""aggregate(ds,
-           |  named_struct('bin', 0L, 'fill', 0L,
-           |               'out', cast(array() as array<struct<doc_id:bigint,tok:bigint,bin:bigint>>)),
-           |  (acc, x) -> if(acc.fill + x.tok <= ${C}L AND acc.fill > 0L,
-           |    named_struct('bin', acc.bin, 'fill', acc.fill + x.tok,
-           |      'out', concat(acc.out, array(named_struct('doc_id', x.doc_id, 'tok', x.tok, 'bin', acc.bin)))),
-           |    named_struct('bin', if(acc.fill > 0L, acc.bin + 1L, acc.bin), 'fill', x.tok,
-           |      'out', concat(acc.out, array(named_struct('doc_id', x.doc_id, 'tok', x.tok,
-           |        'bin', if(acc.fill > 0L, acc.bin + 1L, acc.bin)))))),
-           |  acc -> acc.out)""".stripMargin))
-      .select(col("lang"), explode(col("packed")).as("p"))
-      .groupBy(col("lang"), col("p.bin").as("bin"))
-      .agg(count(lit(1)).as("n_docs"), sum("p.tok").as("tokens"),
-        Num.roundd(sum("p.tok").cast("double") / C, 4).as("util"))
+      .select(col("lang"), expr(s"graft_pack_bins(ds, ${C}L)"))
+      .select(col("lang"), col("bin"), col("n_docs"), col("tokens"),
+        Num.roundd(col("tokens").cast("double") / C, 4).as("util"))
       .orderBy("lang", "bin")
   }
 

@@ -1064,26 +1064,24 @@ object TimeSeries {
   val qTsSessionCapped: Q = (s, d) => {
     val GAP = 1800000000L  // 30 min
     val CAP = 7200000000L  // 2 h
+    // r17: the fold runs in the native graft_sessionize generator, which
+    // emits per-SESSION rows straight off the sorted list. The previous
+    // declarative aggregate built its output with concat(out, array(x))
+    // — O(n²) struct copies per user — then EXPLODED corpus-sized
+    // (tus, sst) rows into a second exchange just to re-group rows that
+    // are contiguous runs of the sort. Session starts strictly increase
+    // per user, so the generator's rows ARE the former groups
+    // (byte-parity pinned in FunctionsSpec); one exchange total.
+    graft.functions.GraftFunctions.register(s)
     Tables.events(s, d)
       .select(col("user_id"),
         expr("unix_micros(cast(ts as timestamp))").as("tus"), col("event_id"))
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("tus"), col("event_id")))).as("es"))
-      .withColumn("assigned", expr(
-        s"""aggregate(es,
-           |  named_struct('ss', -1L, 'prev', -1L,
-           |    'out', cast(array() as array<struct<tus:bigint,sst:bigint>>)),
-           |  (a, x) -> if(a.prev < 0L OR x.tus - a.prev > ${GAP}L OR x.tus - a.ss > ${CAP}L,
-           |    named_struct('ss', x.tus, 'prev', x.tus,
-           |      'out', concat(a.out, array(named_struct('tus', x.tus, 'sst', x.tus)))),
-           |    named_struct('ss', a.ss, 'prev', x.tus,
-           |      'out', concat(a.out, array(named_struct('tus', x.tus, 'sst', a.ss))))),
-           |  a -> a.out)""".stripMargin))
-      .select(col("user_id"), explode(col("assigned")).as("e"))
-      .groupBy(col("user_id"),
-        expr("cast(timestamp_micros(e.sst) as timestamp_ntz)").as("s_start"))
-      .agg(count(lit(1)).as("n_events"),
-        expr("(max(e.tus) - min(e.tus)) div 1000000L").as("dur_s"))
+      .select(col("user_id"), expr(s"graft_sessionize(es, ${GAP}L, ${CAP}L)"))
+      .select(col("user_id"),
+        expr("cast(timestamp_micros(sst) as timestamp_ntz)").as("s_start"),
+        col("n_events"), col("dur_s"))
       .orderBy("user_id", "s_start")
   }
 

@@ -302,6 +302,90 @@ class FunctionsSpec extends SparkSuite {
     assert(got.exists(_._3 > 1L), "repeated grams must carry in-doc counts")
   }
 
+  test("graft_sessionize ≡ the declarative gap+cap fold (gap break, cap break, ties, singletons)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val M = 60000000L // 1 min in µs
+    val GAP = 1800000000L
+    val CAP = 7200000000L
+    // user 1: one long run that the CAP must split; user 2: gap breaks;
+    // user 3: singleton; user 4: tied timestamps; user 5: event at
+    // exactly gap/cap boundaries (<=, not <)
+    val rows: Seq[(Long, Long, Long)] = Seq(
+      (1L to 180L).map(i => (1L, i * M, 1000L + i)),        // every minute for 3 h
+      Seq((2L, 0L, 1L), (2L, 1700L * 1000000L, 2L),          // inside gap
+        (2L, 3600L * 1000000L, 3L),                          // > gap after prev
+        (2L, 3600L * 1000000L + 1L, 4L)),
+      Seq((3L, 42L, 5L)),
+      Seq((4L, 100L, 6L), (4L, 100L, 7L), (4L, 100L, 8L)),
+      Seq((5L, 0L, 9L), (5L, GAP, 10L), (5L, GAP + GAP, 11L), // exactly gap apart
+        (5L, GAP + GAP + GAP + GAP, 12L))                     // > gap
+    ).flatten
+    val df = rows.toDF("user_id", "tus", "event_id")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("tus"), col("event_id")))).as("es"))
+    val got = df.select(col("user_id"), expr(s"graft_sessionize(es, ${GAP}L, ${CAP}L)"))
+      .select("user_id", "sst", "n_events", "dur_s")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = df.withColumn("assigned", expr(
+        s"""aggregate(es,
+           |  named_struct('ss', -1L, 'prev', -1L,
+           |    'out', cast(array() as array<struct<tus:bigint,sst:bigint>>)),
+           |  (a, x) -> if(a.prev < 0L OR x.tus - a.prev > ${GAP}L OR x.tus - a.ss > ${CAP}L,
+           |    named_struct('ss', x.tus, 'prev', x.tus,
+           |      'out', concat(a.out, array(named_struct('tus', x.tus, 'sst', x.tus)))),
+           |    named_struct('ss', a.ss, 'prev', x.tus,
+           |      'out', concat(a.out, array(named_struct('tus', x.tus, 'sst', a.ss))))),
+           |  a -> a.out)""".stripMargin))
+      .select(col("user_id"), explode(col("assigned")).as("e"))
+      .groupBy(col("user_id"), col("e.sst").as("sst"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(e.tus) - min(e.tus)) div 1000000L").as("dur_s"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && got == want,
+      s"sessionize kernel diverges: got ${got.take(4)}… want ${want.take(4)}…")
+    assert(got.count(_._1 == 1L) > 1, "the cap must split user 1's continuous run")
+  }
+
+  test("graft_pack_bins ≡ the declarative greedy fold (oversized docs, exact fits, resets)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val C = 1024L
+    val rows: Seq[(String, Long, Long)] = Seq(
+      // exact fill boundary: 512 + 512 fits, next 1 opens a bin
+      ("a", 1L, 512L), ("a", 2L, 512L), ("a", 3L, 1L),
+      // oversized doc between small ones
+      ("b", 1L, 100L), ("b", 2L, 5000L), ("b", 3L, 100L), ("b", 4L, 900L), ("b", 5L, 25L),
+      // oversized FIRST doc
+      ("c", 1L, 99999L), ("c", 2L, 1L),
+      // singleton shard
+      ("d", 7L, 10L))
+    val df = rows.toDF("lang", "doc_id", "tok")
+      .groupBy("lang")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tok")))).as("ds"))
+    val got = df.select(col("lang"), expr(s"graft_pack_bins(ds, ${C}L)"))
+      .select("lang", "bin", "n_docs", "tokens")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    val want = df.withColumn("packed", expr(
+        s"""aggregate(ds,
+           |  named_struct('bin', 0L, 'fill', 0L,
+           |               'out', cast(array() as array<struct<doc_id:bigint,tok:bigint,bin:bigint>>)),
+           |  (acc, x) -> if(acc.fill + x.tok <= ${C}L AND acc.fill > 0L,
+           |    named_struct('bin', acc.bin, 'fill', acc.fill + x.tok,
+           |      'out', concat(acc.out, array(named_struct('doc_id', x.doc_id, 'tok', x.tok, 'bin', acc.bin)))),
+           |    named_struct('bin', if(acc.fill > 0L, acc.bin + 1L, acc.bin), 'fill', x.tok,
+           |      'out', concat(acc.out, array(named_struct('doc_id', x.doc_id, 'tok', x.tok,
+           |        'bin', if(acc.fill > 0L, acc.bin + 1L, acc.bin)))))),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("lang"), explode(col("packed")).as("p"))
+      .groupBy(col("lang"), col("p.bin").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("p.tok").as("tokens"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && got == want,
+      s"pack_bins kernel diverges: got ${got.take(4)}… want ${want.take(4)}…")
+    assert(got.count(_._1 == "b") >= 3, "the oversized doc must break shard b into bins")
+  }
+
   test("graft_gram ≡ the posexplode self-join Gram (negatives, nulls, empty input)") {
     GraftFunctions.register(spark)
     import spark.implicits._
