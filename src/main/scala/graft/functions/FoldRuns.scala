@@ -23,8 +23,8 @@ import org.apache.spark.sql.types._
   *   aggregate(es, ..., (a, x) -> ... concat(a.out, array(...)) ...)
   *   → explode → groupBy(user, sst).agg(count, (max-min) div 1e6)
   * whose accumulator CONCAT copies the whole output array per element —
-  * O(n²) struct copies per user — and whose explode paid a second
-  * corpus-sized exchange just to re-group rows that are CONTIGUOUS RUNS
+  * O(n²) struct copies per user — and whose explode fed a corpus-sized
+  * re-aggregation just to re-group rows that are CONTIGUOUS RUNS
   * of the sorted input. Here the fold is one linear scan and each run
   * collapses to its (sst, count, duration) as it closes; session starts
   * strictly increase within a user, so the emitted rows are exactly the
@@ -96,10 +96,10 @@ case class SessionizeFold(es: Expression, gapExpr: Expression, capExpr: Expressi
   * document joins the open bin when fill + tok ≤ C (and the bin is
   * non-empty), else opens the next bin; oversized docs get a bin of
   * their own — exactly q_docs_pack_greedy's recurrence. Replaces the
-  * O(n²)-copy aggregate/concat fold + explode + re-group (bins are
-  * contiguous runs of the sorted input, so each collapses as it
-  * closes); byte-parity pinned in FunctionsSpec. Null/empty lists emit
-  * nothing. */
+  * O(n²)-copy aggregate/concat fold + explode + corpus-sized
+  * re-aggregation (bins are contiguous runs of the sorted input, so
+  * each collapses as it closes); byte-parity pinned in FunctionsSpec.
+  * Null/empty lists emit nothing. */
 case class PackBinsFold(ds: Expression, cExpr: Expression)
     extends Generator with CodegenFallback {
 

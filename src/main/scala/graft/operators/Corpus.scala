@@ -193,9 +193,11 @@ object Corpus {
     // emits per-BIN rows straight off the sorted shard list. The previous
     // declarative aggregate built its assignment with concat(out,
     // array(x)) — O(n²) struct copies per shard — then EXPLODED per-doc
-    // rows into a second exchange just to re-group rows that are
-    // contiguous runs of the fold (bins are runs by construction;
-    // byte-parity pinned in FunctionsSpec). One exchange total.
+    // rows into a corpus-sized re-aggregation (the hash aggregate pair
+    // rode the existing lang partitioning — row volume + hash table,
+    // not a new exchange) just to re-group rows that are contiguous
+    // runs of the fold (bins are runs by construction; byte-parity
+    // pinned in FunctionsSpec).
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .select(col("lang"), col("doc_id"), tokCount.as("tok"))

@@ -1068,10 +1068,12 @@ object TimeSeries {
     // emits per-SESSION rows straight off the sorted list. The previous
     // declarative aggregate built its output with concat(out, array(x))
     // — O(n²) struct copies per user — then EXPLODED corpus-sized
-    // (tus, sst) rows into a second exchange just to re-group rows that
-    // are contiguous runs of the sort. Session starts strictly increase
-    // per user, so the generator's rows ARE the former groups
-    // (byte-parity pinned in FunctionsSpec); one exchange total.
+    // (tus, sst) rows into a corpus-sized re-aggregation (the hash
+    // aggregate pair rode the existing user partitioning, so the cost
+    // was the exploded row volume + hash table, not a new exchange)
+    // just to re-group rows that are contiguous runs of the sort.
+    // Session starts strictly increase per user, so the generator's
+    // rows ARE the former groups (byte-parity pinned in FunctionsSpec).
     graft.functions.GraftFunctions.register(s)
     Tables.events(s, d)
       .select(col("user_id"),
