@@ -44,7 +44,12 @@ case class ArrPairs(arr: Expression) extends Generator with CodegenFallback {
     val n = ad.numElements()
     if (n < 2) return Nil
     val xs = ad.toLongArray()
-    val out = new Array[InternalRow](n * (n - 1) / 2)
+    // ADVICE r17: n*(n-1)/2 in Int wraps negative past ~65k elements
+    val nPairs = n.toLong * (n - 1) / 2
+    require(nPairs <= Int.MaxValue,
+      s"graft_arr_pairs: $n elements yield $nPairs pairs > Int.MaxValue — " +
+        "bound the group (bucket or cap the per-key list) before pairing")
+    val out = new Array[InternalRow](nPairs.toInt)
     var o = 0
     var i = 0
     while (i < n - 1) {

@@ -37,11 +37,12 @@ case class SessionizeFold(es: Expression, gapExpr: Expression, capExpr: Expressi
 
   override def checkInputDataTypes(): TypeCheckResult = es.dataType match {
     case ArrayType(StructType(fs), _)
-        if fs.length >= 1 && fs.head.dataType == LongType &&
+        // ADVICE r17: eval hardcodes getStruct(i, 2) — pin the field count
+        if fs.length == 2 && fs.head.dataType == LongType &&
           gapExpr.dataType == LongType && capExpr.dataType == LongType =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      "graft_sessionize expects (array<struct<tus:bigint, ...>>, bigint gap, bigint cap), got " +
+      "graft_sessionize expects (array<struct<tus:bigint, _:bigint>>, bigint gap, bigint cap), got " +
         children.map(_.dataType.catalogString).mkString(", "))
   }
 
@@ -154,4 +155,72 @@ case class PackBinsFold(ds: Expression, cExpr: Expression)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): PackBinsFold =
     copy(ds = newChildren(0), cExpr = newChildren(1))
+}
+
+/** Native fold `graft_rate_limit(es, cap, cost)`: token-bucket admission
+  * replay over ONE user's time-sorted event list (q_ts_rate_limit's
+  * recurrence) — credit starts at `cap` µs, refills 1 µs per elapsed µs
+  * up to `cap`, an event is admitted iff credit ≥ `cost` (then pays
+  * `cost`). Returns struct<adm:bigint, rej:bigint>; null list → null.
+  *
+  * Replaces the interpreted `aggregate(es, named_struct(...), ...)` HOF,
+  * which re-allocated a 4-field named_struct per element (the r17 "Not
+  * yet optimized" entry): the fold is one JVM linear scan with four
+  * locals. Integer-parity with the declarative form pinned in
+  * FunctionsSpec (same least/compare sequence, exact µs arithmetic). */
+case class RateLimitFold(es: Expression, capExpr: Expression, costExpr: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(es, capExpr, costExpr)
+  override def nullable: Boolean = es.nullable
+  override def foldable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = es.dataType match {
+    case ArrayType(StructType(fs), _)
+        if fs.length == 2 && fs.head.dataType == LongType &&
+          capExpr.dataType == LongType && costExpr.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_rate_limit expects (array<struct<tus:bigint, _:bigint>>, bigint cap, bigint cost), got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("adm", LongType, nullable = false),
+    StructField("rej", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_rate_limit"
+
+  @transient private lazy val capV: Long = {
+    require(capExpr.foldable && costExpr.foldable,
+      "graft_rate_limit: cap and cost must be literals")
+    capExpr.eval().asInstanceOf[Long]
+  }
+  @transient private lazy val costV: Long = costExpr.eval().asInstanceOf[Long]
+
+  override def eval(input: InternalRow): Any = {
+    val a0 = es.eval(input)
+    if (a0 == null) return null
+    val ad = a0.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    var credit = capV
+    var last = -1L
+    var adm = 0L
+    var rej = 0L
+    var i = 0
+    while (i < n) {
+      val t = ad.getStruct(i, 2).getLong(0)
+      val refill = if (last < 0L) 0L else t - last
+      val avail = math.min(capV, credit + refill)
+      if (avail >= costV) { credit = avail - costV; adm += 1L }
+      else { credit = avail; rej += 1L }
+      last = t
+      i += 1
+    }
+    InternalRow(adm, rej)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RateLimitFold =
+    copy(es = newChildren(0), capExpr = newChildren(1), costExpr = newChildren(2))
 }

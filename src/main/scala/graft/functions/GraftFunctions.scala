@@ -224,6 +224,15 @@ object GraftFunctions {
   private val packBinsInfo = new ExpressionInfo(
     classOf[PackBinsFold].getName, "graft_pack_bins")
 
+  private val rateLimitBuilder: Seq[Expression] => Expression = {
+    case Seq(es, cap, cost) => RateLimitFold(es, cap, cost)
+    case other => throw new IllegalArgumentException(
+      s"graft_rate_limit expects 3 arguments, got ${other.size}")
+  }
+
+  private val rateLimitInfo = new ExpressionInfo(
+    classOf[RateLimitFold].getName, "graft_rate_limit")
+
   private val gramBuilder: Seq[Expression] => Expression = {
     case Seq(m) => GramAgg(m)
     case other => throw new IllegalArgumentException(
@@ -367,6 +376,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_arr_pairs"), arrPairsInfo, arrPairsBuilder),
       (FunctionIdentifier("graft_sessionize"), sessionizeInfo, sessionizeBuilder),
       (FunctionIdentifier("graft_pack_bins"), packBinsInfo, packBinsBuilder),
+      (FunctionIdentifier("graft_rate_limit"), rateLimitInfo, rateLimitBuilder),
       (FunctionIdentifier("graft_gram"), gramInfo, gramBuilder),
       (FunctionIdentifier("graft_boot_sums"), bootSumsInfo, bootSumsBuilder),
       (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),

@@ -327,6 +327,12 @@ object Analytics {
     * presence table on user_id (per-key fanout ≤ vocabulary²), and every
     * measure is integer counts until three final divides. */
   val qAssocRules: Q = (s, d) => {
+    // r18: a Ckpt pin of this 3×-consumed distinct was measured and
+    // REJECTED (0.28 → 0.44 s min-of-6, quiet window both sides): the
+    // duplicated branches overlap inside one job at sf0.1 and the
+    // checkpoint's materialization barrier costs more than the re-runs.
+    // At cluster scale the 3× distinct is real CPU — the swap-in is this
+    // same pin, which is why it stays documented here.
     val pres = Tables.events(s, d).select("user_id", "event_type").distinct()
     val nUsers = pres.agg(countDistinct("user_id").as("nu"))
     val single = pres.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("n1"))

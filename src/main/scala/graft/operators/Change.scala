@@ -204,10 +204,13 @@ object Change {
     * gaps-and-islands key x − row_number(). Identical windows on both
     * engines, all per-type over the ≤720-row panel. */
   val qTsBurst: Q = (s, d) => {
-    val tot = hourlyPanel(s, d).groupBy(col("et").as("tet")).agg(sum("c").as("sc"))
+    // r18: the panel feeds the per-type totals AND the marking pass — the
+    // corpus-sized hourly aggregate ran twice. Pin: ≤ types × 720 rows.
+    val panel = Ckpt.rotate("burst_panel")(hourlyPanel(s, d))
+    val tot = panel.groupBy(col("et").as("tet")).agg(sum("c").as("sc"))
     val wseq = Window.partitionBy("et").orderBy("x")
     val wcum = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val marked = hourlyPanel(s, d).join(broadcast(tot), col("et") === col("tet"))
+    val marked = panel.join(broadcast(tot), col("et") === col("tet"))
       .withColumn("mark",
         when(col("c") * (2L * N) > lit(3L) * col("sc"), 1L)
           .when(col("c") * N < col("sc"), -1L)

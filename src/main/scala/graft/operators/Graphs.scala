@@ -348,7 +348,7 @@ object Graphs {
       .filter(col("event_type") =!= "purchase" && (col("pn").isNull || col("rn") < col("pn")))
       .withColumn("tn", row_number().over(wt))
       .withColumn("nx", lead("event_type", 1).over(wt))
-      .localCheckpoint()
+      .transform(Ckpt.rotate("markov_tt"))
     val mid = tt.select(col("event_type").as("src"),
       coalesce(col("nx"),
         when(col("pn").isNotNull, lit("CONV")).otherwise(lit("NULL"))).as("dst"))
@@ -420,6 +420,10 @@ object Graphs {
     * read, not hidden full-precision values); the ≤vocabulary-term dot
     * product re-rounds at 6. */
   val qGraphMarkov2: Q = (s, d) => {
+    // r18: a Ckpt pin of the ≤vocab²-row transition matrix was measured
+    // and REJECTED (0.39 → 0.57 s): the two self-join sides' edge
+    // derivations overlap inside one job at sf0.1, so the pin's
+    // materialization barrier outweighs the duplicated window+aggregate.
     val p1 = edges(s, d)
       .withColumn("p", Num.roundd(
         col("n").cast("double") / sum("n").over(Window.partitionBy("src")), 6))

@@ -85,6 +85,53 @@ object Interpolate {
       .withColumn(outCol, col("__prev_v"))
       .drop("__chunk", "__prev_v", "__prev_t")
 
+  /** Adds BOTH `__prev_v`/`__prev_t` and `__next_v`/`__next_t` in one
+    * pass. r18: `lerp` used to nest withNextObs(withPrevObs(df)) — each
+    * layer consumes its input in three branches (local windows, per-chunk
+    * boundary aggregate, chunk-distinct carry), so the input subtree
+    * re-evaluated ~6× and the plan carried 10 exchanges
+    * (plans/r18/ts_lerp_before). The fused form rides ONE per-chunk
+    * sort for both direction windows (same partition+order spec, two
+    * frames — no second exchange), ONE boundary aggregate carrying
+    * (last, first) together, and ONE carry table join. Identical output
+    * columns, pinned by OperatorSpec's global-window equivalence. */
+  def withBothObs(df: DataFrame, timeCol: String, valCol: String,
+                  chunk: String = "day"): DataFrame = {
+    val chunked = df.withColumn("__chunk", date_trunc(chunk, col(timeCol)))
+    val wPrev = Window.partitionBy("__chunk").orderBy(timeCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("__chunk").orderBy(timeCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val local = chunked
+      .withColumn("__pv_local", last(col(valCol), ignoreNulls = true).over(wPrev))
+      .withColumn("__pt_local",
+        last(when(col(valCol).isNotNull, col(timeCol)), ignoreNulls = true).over(wPrev))
+      .withColumn("__nv_local", first(col(valCol), ignoreNulls = true).over(wNext))
+      .withColumn("__nt_local",
+        first(when(col(valCol).isNotNull, col(timeCol)), ignoreNulls = true).over(wNext))
+    val perChunk = chunked.filter(col(valCol).isNotNull)
+      .groupBy("__chunk")
+      .agg(
+        max_by(struct(col(valCol).as("v"), col(timeCol).as("t")), col(timeCol)).as("__last"),
+        min_by(struct(col(valCol).as("v"), col(timeCol).as("t")), col(timeCol)).as("__first"))
+    val wPrevChunks = Window.orderBy("__chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNextChunks = Window.orderBy("__chunk")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = chunked.select("__chunk").distinct()
+      .join(perChunk, Seq("__chunk"), "left")
+      .withColumn("__pcarry", last(col("__last"), ignoreNulls = true).over(wPrevChunks))
+      .withColumn("__ncarry", first(col("__first"), ignoreNulls = true).over(wNextChunks))
+      .select(col("__chunk"), col("__pcarry"), col("__ncarry"))
+    local.join(broadcast(carry), Seq("__chunk"), "left")
+      .withColumn("__prev_v", coalesce(col("__pv_local"), col("__pcarry.v")))
+      .withColumn("__prev_t", coalesce(col("__pt_local"), col("__pcarry.t")))
+      .withColumn("__next_v", coalesce(col("__nv_local"), col("__ncarry.v")))
+      .withColumn("__next_t", coalesce(col("__nt_local"), col("__ncarry.t")))
+      .drop("__pv_local", "__pt_local", "__nv_local", "__nt_local",
+        "__pcarry", "__ncarry")
+  }
+
   /** Linear interpolation: observed rows keep their value; gaps get
     * prev + (next - prev) · Δt-ratio (µs-exact ratio as a double, the
     * same left-to-right arithmetic as the SQL oracle); a leading gap is
@@ -92,8 +139,7 @@ object Interpolate {
   def lerp(df: DataFrame, timeCol: String, valCol: String, outCol: String,
            chunk: String = "day"): DataFrame = {
     def us(c: Column) = expr(s"unix_micros(cast(${c.toString} as timestamp))")
-    val both = withNextObs(withPrevObs(df, timeCol, valCol, chunk)
-      .drop("__chunk"), timeCol, valCol, chunk)
+    val both = withBothObs(df, timeCol, valCol, chunk)
     both
       .withColumn(outCol,
         when(col(valCol).isNotNull, col(valCol))

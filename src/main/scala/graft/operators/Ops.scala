@@ -120,11 +120,18 @@ object Ops {
         row_number().over(Window.partitionBy("event_type", "grp", "breach").orderBy("h")))
         .otherwise(0))
       .withColumn("pst", lag("st", 1).over(w))
-    val fires = a.filter(col("breach") === 1 && col("st") === 3)
-      .select(col("event_type"), lit("fire").as("kind"), col("h"), col("mv"))
-    val resolves = a.filter(col("breach") === 0 && coalesce(col("pst"), lit(0)) >= 3)
-      .select(col("event_type"), lit("resolve").as("kind"), col("h"), col("mv"))
-    fires.union(resolves).orderBy("event_type", "h", "kind")
+    // r18: fire and resolve are DISJOINT predicates on the same row (breach
+    // is 1 vs 0), so one filtered pass emits both kinds — the former
+    // fires/resolves UNION re-evaluated the whole subtree per branch
+    // (plans/r18/ts_alert_transitions_before: the corpus aggregate appears
+    // 4×, the window chain 2×). Same row multiset; filter-then-otherwise
+    // keeps `kind` non-nullable exactly like the union of literals did.
+    a.filter((col("breach") === 1 && col("st") === 3) ||
+        (col("breach") === 0 && coalesce(col("pst"), lit(0)) >= 3))
+      .select(col("event_type"),
+        when(col("breach") === 1, lit("fire")).otherwise(lit("resolve")).as("kind"),
+        col("h"), col("mv"))
+      .orderBy("event_type", "h", "kind")
   }
 
   /** Value-sum form with an absolute threshold — the batch twin of the
@@ -151,9 +158,15 @@ object Ops {
     * One aggregation shuffle for the hourly counts; the per-type totals
     * re-enter as a broadcast 5-row dim. */
   val qTsAlertTransitions: Q = (s, d) => {
-    val hourly = Tables.events(s, d)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("mv"))
+    // r18: the hourly grid (≤ types×hours rows) feeds BOTH the per-type
+    // totals and the join back — column pruning differentiates the two
+    // exchanges so ReuseExchange can't fire and the corpus aggregate ran
+    // twice (plans/r18/ts_alert_transitions_before). Checkpoint the grid:
+    // one corpus-sized aggregate, both consumers read ≤3600 rows.
+    val hourly = Ckpt.rotate("alert_transitions_hourly")(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("mv")))
     val totals = hourly.groupBy("event_type")
       .agg(sum("mv").as("total"), count(lit(1)).as("hrs"))
     transitionsFrom(
@@ -489,15 +502,21 @@ object Ops {
     val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
       .withColumn("b", bkt("k"))
       .groupBy("b").agg(count(lit(1)).as("nc"), countDistinct("k").as("dc"))
+    // r18: the global-NDV stats DERIVE from the 64-bucket rollups —
+    // pmod(h60(key)) buckets PARTITION the key space, so Σ_b count =
+    // count and Σ_b distinct = distinct, exactly. The former shape
+    // re-scanned events and customer a second time just to recount what
+    // the bucket histograms already hold (plans/r18/ops_join_card_before:
+    // 6 scans → 4). A Ckpt pin of the rollups was measured and REJECTED
+    // (0.29 → 0.77 s: the 64-row subtrees overlap in one job; a
+    // checkpoint serializes the pipeline for nothing).
     val hist = a.join(c, "b")
       .select((col("na") * col("nc")).cast("double") /
         greatest(col("da"), col("dc")).cast("double") as "contrib")
       .agg(Num.roundd(sum("contrib"), 4).as("est"))
       .select(lit("histogram_64").as("estimator"), col("est"))
-    val ga = Tables.events(s, d)
-      .agg(count(lit(1)).as("na"), countDistinct("user_id").as("da"))
-    val gc = Tables.customer(s, d)
-      .agg(count(lit(1)).as("nc"), countDistinct("c_custkey").as("dc"))
+    val ga = a.agg(sum("na").as("na"), sum("da").as("da"))
+    val gc = c.agg(sum("nc").as("nc"), sum("dc").as("dc"))
     val ndv = ga.crossJoin(gc)
       .select(lit("global_ndv").as("estimator"),
         Num.roundd((col("na") * col("nc")).cast("double") /

@@ -216,19 +216,18 @@ object Sre {
   val qTsRateLimit: Q = (s, d) => {
     val C = 14400000000L   // 2 tokens × 2 h of credit, in µs
     val COST = 7200000000L // 1 token = 2 h refill
+    // r18: the fold runs in the native graft_rate_limit expression
+    // (functions/FoldRuns.scala) — the interpreted `aggregate` HOF
+    // re-allocated a 4-field named_struct per element; the native scan is
+    // four JVM locals over the same sorted list, integer-parity pinned in
+    // FunctionsSpec. Same single user-keyed exchange either way.
+    graft.functions.GraftFunctions.register(s)
     Tables.events(s, d)
       .select(col("user_id"),
         expr("unix_micros(cast(ts as timestamp))").as("tus"), col("event_id"))
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("tus"), col("event_id")))).as("es"))
-      .withColumn("r", expr(
-        s"""aggregate(es,
-           |  named_struct('cr', ${C}L, 'last', -1L, 'adm', 0L, 'rej', 0L),
-           |  (a, x) -> if(least(${C}L, a.cr + if(a.last < 0L, 0L, x.tus - a.last)) >= ${COST}L,
-           |    named_struct('cr', least(${C}L, a.cr + if(a.last < 0L, 0L, x.tus - a.last)) - ${COST}L,
-           |      'last', x.tus, 'adm', a.adm + 1L, 'rej', a.rej),
-           |    named_struct('cr', least(${C}L, a.cr + if(a.last < 0L, 0L, x.tus - a.last)),
-           |      'last', x.tus, 'adm', a.adm, 'rej', a.rej + 1L)))""".stripMargin))
+      .withColumn("r", expr(s"graft_rate_limit(es, ${C}L, ${COST}L)"))
       .select(col("user_id"), (col("r.adm") + col("r.rej")).as("n_events"),
         col("r.adm").as("n_admitted"), col("r.rej").as("n_rejected"))
       .orderBy("user_id")

@@ -143,7 +143,11 @@ object Survival {
     * against the segment rollup are bounded by the calendar, not the
     * corpus. */
   val qUserLogrank: Q = (s, d) => {
-    val r = subjectRollup(s, d)
+    // r18: the rollup feeds THREE consumers (spine, at-risk join, deaths
+    // side) and its corpus-sized signup/purchase/customer join subtree
+    // re-ran per consumer (plans/r18/user_logrank_before: 4 scans,
+    // 16 jobs). Checkpoint state is the ≤ segments × study-hours grid.
+    val r = Ckpt.rotate("logrank_rollup")(subjectRollup(s, d))
     val wg = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val spine = r.groupBy("t")
       .agg(sum("d").as("dall"), sum(col("d") + col("cns")).as("rall"))

@@ -347,6 +347,49 @@ class FunctionsSpec extends SparkSuite {
     assert(got.count(_._1 == 1L) > 1, "the cap must split user 1's continuous run")
   }
 
+  test("graft_rate_limit ≡ the declarative token-bucket fold (burst, refill, exact-credit edge)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val C = 14400000000L   // 2 tokens × 2 h of credit, µs
+    val COST = 7200000000L // 1 token
+    val H = 3600000000L    // 1 h
+    val rows: Seq[(Long, Long, Long)] = Seq(
+      // user 1: burst of 5 at t=0 — 2 admitted, 3 rejected; then a refill
+      // exactly COST later admits exactly one more
+      Seq((1L, 0L, 1L), (1L, 0L, 2L), (1L, 0L, 3L), (1L, 0L, 4L), (1L, 0L, 5L),
+        (1L, COST, 6L), (1L, COST, 7L)),
+      // user 2: spaced ≥ 2 h apart — all admitted (credit caps at C)
+      (0L to 5L).map(i => (2L, i * (COST + H), 100L + i)),
+      // user 3: singleton
+      Seq((3L, 42L, 9L)),
+      // user 4: credit lands exactly AT cost (>= admits, not >)
+      Seq((4L, 0L, 10L), (4L, 1L, 11L), (4L, 1L + COST - 1L, 12L))
+    ).flatten
+    val df = rows.toDF("user_id", "tus", "event_id")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("tus"), col("event_id")))).as("es"))
+    val got = df.select(col("user_id"),
+        expr(s"graft_rate_limit(es, ${C}L, ${COST}L)").as("r"))
+      .select(col("user_id"), col("r.adm"), col("r.rej"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = df.withColumn("r", expr(
+        s"""aggregate(es,
+           |  named_struct('cr', ${C}L, 'last', -1L, 'adm', 0L, 'rej', 0L),
+           |  (a, x) -> if(least(${C}L, a.cr + if(a.last < 0L, 0L, x.tus - a.last)) >= ${COST}L,
+           |    named_struct('cr', least(${C}L, a.cr + if(a.last < 0L, 0L, x.tus - a.last)) - ${COST}L,
+           |      'last', x.tus, 'adm', a.adm + 1L, 'rej', a.rej),
+           |    named_struct('cr', least(${C}L, a.cr + if(a.last < 0L, 0L, x.tus - a.last)),
+           |      'last', x.tus, 'adm', a.adm, 'rej', a.rej + 1L)))""".stripMargin))
+      .select(col("user_id"), col("r.adm"), col("r.rej"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && got == want,
+      s"rate_limit kernel diverges: got $got want $want")
+    assert(got.find(_._1 == 1L).exists(r => r._2 == 3L && r._3 == 4L),
+      "user 1: burst must admit 2, reject 3; one refill admits 1 of 2")
+    assert(got.find(_._1 == 4L).exists(r => r._2 == 3L && r._3 == 0L),
+      "user 4: credit exactly equal to cost must admit")
+  }
+
   test("graft_pack_bins ≡ the declarative greedy fold (oversized docs, exact fits, resets)") {
     GraftFunctions.register(spark)
     import spark.implicits._
